@@ -1,0 +1,35 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions.udf
+
+/** Column-level sentiment functions (SURVEY.md §2 X-1/X-2).
+  *
+  * UDF wrappers around the pure-Scala [[Vader]] and [[LexiconPolarity]]
+  * ports. Scala UDFs here run inside the JVM task (no serde boundary —
+  * unlike the reference's per-row Python library calls,
+  * dags/sentiment_analysis_dag.py:72-73); the scoring itself is
+  * lexicon hash-lookups over a single tokenization pass, so the hot
+  * path stays CPU-cache friendly. A codegen'd Catalyst Expression is
+  * the planned upgrade once profiling says the UDF boundary matters.
+  */
+object Sentiment {
+
+  private val vaderUdf = udf { (text: String) =>
+    val s = Vader.polarityScores(text)
+    (s.neg, s.neu, s.pos, s.compound)
+  }
+
+  private val vaderCompoundUdf = udf { (text: String) => Vader.compound(text) }
+  private val lexPolarityUdf = udf { (text: String) => LexiconPolarity.polarity(text) }
+
+  /** X-1: full VADER struct<neg,neu,pos,compound>. */
+  def vaderScores(text: Column): Column =
+    vaderUdf(text).cast("struct<neg:double,neu:double,pos:double,compound:double>")
+
+  /** X-1: compound only — the field the reference pipeline consumes. */
+  def vaderCompound(text: Column): Column = vaderCompoundUdf(text)
+
+  /** X-2: TextBlob-style lexicon polarity in [-1,1]. */
+  def lexiconPolarity(text: Column): Column = lexPolarityUdf(text)
+}

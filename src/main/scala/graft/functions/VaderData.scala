@@ -1,0 +1,140 @@
+package graft.functions
+
+/** Static data for the VADER port (SURVEY.md §2 X-1).
+  *
+  * Constants and rule dictionaries follow the published VADER model
+  * (Hutto & Gilbert, ICWSM-14, MIT-licensed). The sentiment lexicon is
+  * an embedded subset (zero-egress build — the full 7.5k-entry
+  * vader_lexicon.txt cannot be fetched); entries are anchored on values
+  * documented in the paper's examples (e.g. good=+1.9 reproduces the
+  * published compound 0.4404 for "The food here is good.").
+  */
+object VaderData {
+
+  val BIncr  = 0.293
+  val BDecr  = -0.293
+  val CIncr  = 0.733
+  val NScalar = -0.74
+
+  val Negate: Set[String] = Set(
+    "aint", "arent", "cannot", "cant", "couldnt", "darent", "didnt", "doesnt",
+    "ain't", "aren't", "can't", "couldn't", "daren't", "didn't", "doesn't",
+    "dont", "hadnt", "hasnt", "havent", "isnt", "mightnt", "mustnt", "neither",
+    "don't", "hadn't", "hasn't", "haven't", "isn't", "mightn't", "mustn't",
+    "neednt", "needn't", "never", "none", "nope", "nor", "not", "nothing",
+    "nowhere", "oughtnt", "shant", "shouldnt", "uhuh", "wasnt", "werent",
+    "oughtn't", "shan't", "shouldn't", "uh-uh", "wasn't", "weren't",
+    "without", "wont", "wouldnt", "won't", "wouldn't", "rarely", "seldom",
+    "despite")
+
+  val Boosters: Map[String, Double] = Map(
+    "absolutely" -> BIncr, "amazingly" -> BIncr, "awfully" -> BIncr,
+    "completely" -> BIncr, "considerably" -> BIncr, "decidedly" -> BIncr,
+    "deeply" -> BIncr, "enormously" -> BIncr, "entirely" -> BIncr,
+    "especially" -> BIncr, "exceptionally" -> BIncr, "extremely" -> BIncr,
+    "fabulously" -> BIncr, "fully" -> BIncr, "greatly" -> BIncr,
+    "highly" -> BIncr, "hugely" -> BIncr, "incredibly" -> BIncr,
+    "intensely" -> BIncr, "majorly" -> BIncr, "more" -> BIncr,
+    "most" -> BIncr, "particularly" -> BIncr, "purely" -> BIncr,
+    "quite" -> BIncr, "really" -> BIncr, "remarkably" -> BIncr,
+    "so" -> BIncr, "substantially" -> BIncr, "thoroughly" -> BIncr,
+    "totally" -> BIncr, "tremendously" -> BIncr, "unbelievably" -> BIncr,
+    "unusually" -> BIncr, "utterly" -> BIncr, "very" -> BIncr,
+    "almost" -> BDecr, "barely" -> BDecr, "hardly" -> BDecr,
+    "kinda" -> BDecr, "kindof" -> BDecr, "kind-of" -> BDecr,
+    "less" -> BDecr, "little" -> BDecr, "marginally" -> BDecr,
+    "occasionally" -> BDecr, "partly" -> BDecr, "scarcely" -> BDecr,
+    "slightly" -> BDecr, "somewhat" -> BDecr,
+    "sorta" -> BDecr, "sortof" -> BDecr, "sort-of" -> BDecr)
+
+  /** Subset of the VADER lexicon: token (lowercase) -> mean valence
+    * in [-4, 4]. `good=1.9` is the paper-anchored calibration point. */
+  val Lexicon: Map[String, Double] = Map(
+    // positive
+    "good" -> 1.9, "great" -> 3.1, "excellent" -> 2.7, "amazing" -> 2.8,
+    "awesome" -> 3.1, "fantastic" -> 2.6, "wonderful" -> 2.7, "best" -> 3.2,
+    "better" -> 1.9, "love" -> 3.2, "loved" -> 2.9, "loves" -> 2.7,
+    "lovely" -> 2.8, "like" -> 1.5, "liked" -> 1.8, "likes" -> 1.6,
+    "happy" -> 2.7, "happiness" -> 2.8, "joy" -> 2.8, "glad" -> 2.0,
+    "nice" -> 1.8, "fine" -> 0.8, "okay" -> 0.9, "ok" -> 0.9,
+    "positive" -> 2.3, "win" -> 2.8, "wins" -> 2.7, "winner" -> 2.8,
+    "winning" -> 2.4, "won" -> 2.7, "success" -> 2.7, "successful" -> 2.6,
+    "smart" -> 1.7, "handsome" -> 2.2, "funny" -> 1.9, "fun" -> 2.3,
+    "beautiful" -> 2.9, "brilliant" -> 2.8, "perfect" -> 2.7,
+    "superb" -> 3.0, "strong" -> 2.3, "stronger" -> 2.2, "strength" -> 2.2,
+    "improve" -> 1.9, "improved" -> 2.1, "improvement" -> 2.0,
+    "gain" -> 2.4, "gains" -> 2.4, "profit" -> 2.2, "profits" -> 2.1,
+    "benefit" -> 2.0, "benefits" -> 1.9, "boost" -> 1.7, "boosts" -> 1.7,
+    "growth" -> 2.4, "growing" -> 1.6, "grow" -> 1.6, "surge" -> 1.4,
+    "rally" -> 1.4, "recovery" -> 2.1, "recover" -> 1.7, "hope" -> 1.9,
+    "hopeful" -> 2.1, "optimistic" -> 2.0, "optimism" -> 2.3,
+    "support" -> 1.7, "supports" -> 1.7, "supported" -> 1.6,
+    "agree" -> 1.5, "agreement" -> 1.8, "approval" -> 1.8,
+    "approve" -> 1.9, "approved" -> 2.0, "celebrate" -> 2.7,
+    "celebrated" -> 2.4, "praise" -> 2.5, "praised" -> 2.5,
+    "reward" -> 2.5, "rewards" -> 2.3, "safe" -> 1.9, "safety" -> 1.8,
+    "secure" -> 1.8, "security" -> 1.4, "peace" -> 2.5, "peaceful" -> 2.6,
+    "clean" -> 1.7, "fresh" -> 1.3, "free" -> 2.3, "freedom" -> 3.1,
+    "easy" -> 1.9, "easier" -> 1.8, "help" -> 1.7, "helps" -> 1.6,
+    "helped" -> 1.7, "helpful" -> 2.1, "advantage" -> 1.8,
+    "breakthrough" -> 2.3, "innovative" -> 1.9, "innovation" -> 1.6,
+    "top" -> 1.8, "triumph" -> 2.9, "thrilled" -> 2.9, "delighted" -> 2.9,
+    "excited" -> 2.1, "exciting" -> 2.2, "impressive" -> 2.3,
+    "outstanding" -> 3.1, "promising" -> 1.9, "favorite" -> 2.0,
+    "popular" -> 2.1, "proud" -> 2.2, "confidence" -> 2.3,
+    "confident" -> 2.2, "stable" -> 1.2, "progress" -> 1.9,
+    // negative
+    "bad" -> -2.5, "worse" -> -2.1, "worst" -> -3.1, "terrible" -> -2.1,
+    "horrible" -> -2.5, "awful" -> -2.0, "hate" -> -2.7, "hated" -> -2.9,
+    "hates" -> -1.9, "dislike" -> -1.6, "sad" -> -2.1, "sadness" -> -2.3,
+    "unhappy" -> -1.8, "angry" -> -2.3, "anger" -> -2.7, "mad" -> -2.2,
+    "fear" -> -2.2, "fears" -> -1.9, "afraid" -> -2.2, "scared" -> -2.2,
+    "scary" -> -2.2, "panic" -> -2.6, "crisis" -> -3.1, "crises" -> -2.6,
+    "disaster" -> -3.1, "disastrous" -> -2.9, "catastrophe" -> -3.4,
+    "fail" -> -2.5, "failed" -> -2.3, "failure" -> -2.5, "fails" -> -2.1,
+    "failing" -> -2.2, "lose" -> -1.9, "loses" -> -1.9, "loser" -> -2.5,
+    "losing" -> -1.9, "loss" -> -1.9, "losses" -> -1.9, "lost" -> -1.6,
+    "problem" -> -1.7, "problems" -> -1.7, "trouble" -> -2.0,
+    "troubled" -> -1.9, "wrong" -> -2.1, "error" -> -1.6, "errors" -> -1.7,
+    "mistake" -> -1.6, "mistakes" -> -1.9, "broken" -> -1.8,
+    "break" -> -0.7, "damage" -> -2.2, "damaged" -> -2.1,
+    "danger" -> -2.4, "dangerous" -> -2.1, "threat" -> -2.4,
+    "threats" -> -2.0, "threatened" -> -2.1, "attack" -> -2.1,
+    "attacks" -> -1.9, "attacked" -> -2.0, "war" -> -2.9, "wars" -> -2.4,
+    "conflict" -> -1.8, "violence" -> -3.1, "violent" -> -2.9,
+    "kill" -> -3.4, "killed" -> -3.2, "kills" -> -2.8, "death" -> -2.9,
+    "deaths" -> -2.5, "dead" -> -3.3, "die" -> -2.9, "died" -> -2.7,
+    "injury" -> -2.0, "injured" -> -1.9, "hurt" -> -2.2, "hurts" -> -2.1,
+    "crash" -> -2.4, "crashed" -> -2.2, "collapse" -> -2.1,
+    "collapsed" -> -1.7, "decline" -> -1.6, "declined" -> -1.3,
+    "drop" -> -1.1, "dropped" -> -1.0, "fall" -> -1.3, "falls" -> -1.2,
+    "fell" -> -1.0, "plunge" -> -1.6, "slump" -> -1.7, "recession" -> -2.2,
+    "debt" -> -1.9, "deficit" -> -1.6, "fraud" -> -2.8, "scandal" -> -2.2,
+    "corrupt" -> -2.7, "corruption" -> -2.7, "crime" -> -2.5,
+    "criminal" -> -2.6, "illegal" -> -2.3, "arrest" -> -1.4,
+    "arrested" -> -1.8, "guilty" -> -2.6, "accuse" -> -1.6,
+    "accused" -> -1.4, "blame" -> -2.0, "blamed" -> -1.9,
+    "warn" -> -1.2, "warning" -> -1.4, "warned" -> -1.2, "worry" -> -1.9,
+    "worried" -> -1.6, "worries" -> -1.8, "concern" -> -1.0,
+    "concerns" -> -1.2, "concerned" -> -1.0, "doubt" -> -1.5,
+    "doubts" -> -1.5, "risk" -> -1.1, "risks" -> -1.1, "risky" -> -1.4,
+    "uncertain" -> -1.3, "uncertainty" -> -1.4, "weak" -> -1.9,
+    "weaker" -> -1.8, "weakness" -> -1.8, "poor" -> -2.1, "poverty" -> -2.7,
+    "sick" -> -1.7, "disease" -> -1.7, "pain" -> -2.3, "painful" -> -2.4,
+    "suffer" -> -2.4, "suffering" -> -2.4, "victim" -> -1.8,
+    "victims" -> -1.7, "abuse" -> -3.2, "abused" -> -2.7,
+    "reject" -> -1.7, "rejected" -> -1.9, "deny" -> -1.2, "denied" -> -1.6,
+    "ban" -> -1.8, "banned" -> -2.0, "block" -> -1.2, "blocked" -> -1.3,
+    "cancel" -> -1.1, "cancelled" -> -1.4, "delay" -> -1.2,
+    "delayed" -> -1.3, "cut" -> -1.1, "cuts" -> -1.1, "shortage" -> -1.6,
+    "strike" -> -1.6, "protest" -> -1.1, "protests" -> -1.1,
+    "sucks" -> -1.5, "stupid" -> -2.4, "ugly" -> -2.3, "nasty" -> -2.6,
+    "disappointing" -> -2.2, "disappointed" -> -2.3, "disappoint" -> -2.1)
+
+  /** Punctuation stripped from token edges (word tokens keep emoticons:
+    * tokens whose stripped form is ≤ 2 chars stay intact). */
+  val PuncChars: Set[Char] = Set(
+    '.', '!', '?', ',', ';', ':', '-', '\'', '"', '“', '”', '‘', '’',
+    '(', ')', '[', ']', '{', '}', '<', '>', '@', '#', '$', '%', '^',
+    '&', '*', '_', '~', '+', '=', '/', '\\', '|', '`')
+}

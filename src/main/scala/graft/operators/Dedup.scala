@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Key-equality deduplication — the reference's entire join surface
+  * (SURVEY.md §2 J-1/J-2/J-3, O-3).
+  *
+  * Reference: per-row `find_one({'article.url': url})` before every
+  * insert (database/mongodb_handler.py:53-59) plus a full processed-url
+  * set difference each hourly run (dags/sentiment_analysis_dag.py:36-47)
+  * — a hand-rolled broadcast hash anti-join. Here both collapse into
+  * set-oriented operators:
+  *
+  *   - intra-batch: `dropDuplicates(key)` (hash aggregate, map-side
+  *     partial dedup before the shuffle);
+  *   - cross-batch: `left_anti` join against the existing table.
+  *
+  * Scale notes: the anti-join build side (`existing.select(key)`) is a
+  * single pruned column — Catalyst broadcasts it while it fits
+  * (AQE converts SMJ→BHJ at runtime); at 100 TB both sides shuffle on
+  * the key, which is the minimal possible movement for exact dedup.
+  * For the approximate/near-dup family see [[DedupApprox]].
+  */
+object Dedup {
+
+  /** J-1: intra-batch dedup. Keeps one arbitrary row per key — same
+    * contract as the reference's first-writer-wins unique index. */
+  def dropDupes(df: DataFrame, key: String, more: String*): DataFrame =
+    df.dropDuplicates(key +: more)
+
+  /** J-2/J-3: rows of `batch` whose `key` does not appear in
+    * `existing` — the idempotent-append precondition. */
+  def dedupAgainst(batch: DataFrame, existing: DataFrame, key: String): DataFrame =
+    batch.join(existing.select(col(key)).distinct(), Seq(key), "left_anti")
+
+  /** J-1+J-2 fused: what the foreachBatch sink runs per micro-batch. */
+  def idempotentBatch(batch: DataFrame, existing: DataFrame, key: String): DataFrame =
+    dedupAgainst(dropDupes(batch, key), existing, key)
+
+  /** Exact content dedup for a corpus: group identical normalized text,
+    * keep the smallest id, report group size. `md5` of the normalized
+    * body is the shuffle key, so the wide rows never shuffle twice. */
+  def exactByContent(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), md5(lower(trim(col(textCol)))).cast("string").as("fp"))
+      .groupBy(col("fp"))
+      .agg(min(col(idCol)).as("keeper"), count(lit(1)).as("dups"))
+}

@@ -1,0 +1,38 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** X-2 unit vectors — pattern/TextBlob lexicon-average semantics. */
+class LexiconPolaritySpec extends AnyFunSuite {
+
+  private def p(s: String): Double = LexiconPolarity.polarity(s)
+
+  test("single word = its lexicon polarity") {
+    assert(math.abs(p("good") - 1.9 / 4.0) < 1e-12)
+  }
+
+  test("average over matched tokens only") {
+    assert(math.abs(p("good and bad") - ((1.9 / 4.0 + -2.5 / 4.0) / 2)) < 1e-12)
+  }
+
+  test("negation multiplies by -0.5") {
+    assert(math.abs(p("not good") - (1.9 / 4.0 * -0.5)) < 1e-12)
+    assert(p("not bad") > 0)
+  }
+
+  test("intensifier scales; negated intensifier flips") {
+    assert(p("very good") > p("good"))
+    assert(p("slightly good") < p("good"))
+    assert(p("not very good") < 0)
+  }
+
+  test("no matches => 0.0; null-safe") {
+    assert(p("the table") == 0.0)
+    assert(p("") == 0.0)
+    assert(p(null) == 0.0)
+  }
+
+  test("range stays within [-1, 1]") {
+    assert(math.abs(p("love love love amazing awesome best")) <= 1.0)
+  }
+}
