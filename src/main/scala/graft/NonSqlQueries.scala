@@ -1,13 +1,119 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+import graft.operators._
+import graft.functions.{Analyzer, Sentiment}
 
 /** Queries whose semantics DuckDB cannot replay in ANSI SQL (sentiment
   * scoring, stemming, MinHash/SimHash/LSH, ANN search, multimodal
   * featurization). They still register in [[SparkEntry.queries]] so the
   * driver's rows-only check runs them end-to-end; their correctness
-  * lives in the ScalaTest suites (src/test/scala/graft). Populated by
-  * the sentiment / dedup / similarity modules. */
+  * lives in the ScalaTest suites (src/test/scala/graft). */
 object NonSqlQueries {
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+
+  private def q(f: (SparkSession, String) => DataFrame): (SparkSession, String) => DataFrame = f
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // X-1/X-2: full sentiment scores per document.
+    "x01_vader_scores" -> q((s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+        Sentiment.vaderScores(col("text")).as("vader"),
+        Sentiment.lexiconPolarity(col("text")).as("textblob_polarity"))
+        .select(col("doc_id"), col("vader.neg").as("neg"), col("vader.neu").as("neu"),
+          col("vader.pos").as("pos"), col("vader.compound").as("compound"),
+          col("textblob_polarity"))),
+
+    // The flagship plan at the given scale factor (entry() = sf0.001).
+    "x02_sentiment_histogram" -> q((s, d) =>
+      plans.SentimentPipeline.histogram(Tables.documents(s, d))),
+
+    // X-10: ES english-analyzer chain (tokenize → stop → Porter stem).
+    "x03_analyze_tokens" -> q((s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+        Analyzer.analyze(col("text")).as("terms"))),
+
+    // Q-2 fidelity: analyzed multi_match relevance ranking.
+    "x04_analyzed_search" -> q((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          Analyzer.analyzedMatchCount(col("text"), "sorted merging windows").as("score"))
+        .filter(col("score") > 0)
+        .orderBy(col("score").desc, col("doc_id")).limit(50)),
+
+    // Language ID (stopword-profile heuristic).
+    "x05_langid" -> q((s, d) =>
+      TextAnalysis.withLangId(Tables.documents(s, d), "text")
+        .select(col("doc_id"), col("lang_pred"), col("lang_score"))),
+
+    // Corpus quality scoring.
+    "x06_quality_score" -> q((s, d) =>
+      TextAnalysis.withQuality(Tables.documents(s, d), "text")
+        .select(col("doc_id"), col("q_n_tokens"), col("q_punct_ratio"),
+          col("q_stopword_ratio"), col("q_mean_word_len"), col("q_score"))),
+
+    // Token counting (whitespace + BPE-ish regex proxy).
+    "x07_token_counts" -> q((s, d) =>
+      TextAnalysis.withTokenCounts(Tables.documents(s, d), "text")
+        .select(col("doc_id"), col("tok_ws"), col("tok_bpe"))),
+
+    // Rolling-hash document fingerprint.
+    "x08_rolling_fingerprint" -> q((s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fp64"))),
+
+    // MinHash + LSH near-dup pairs (catches the corpus's planted dups).
+    "x09_minhash_dedup" -> q((s, d) =>
+      DedupApprox.minhashPairs(Tables.documents(s, d), "doc_id", "text",
+        shingleN = 3, numHashes = 64, bands = 16, threshold = 0.5)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // SimHash near-dup pairs (Hamming <= 6 on 64-bit signatures).
+    "x10_simhash_dedup" -> q((s, d) =>
+      DedupApprox.simhashPairs(Tables.documents(s, d), "doc_id", "text",
+        maxHamming = 6, chunks = 8)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // Exact n-gram Jaccard pairs via inverted-index join.
+    "x11_jaccard_pairs" -> q((s, d) =>
+      DedupApprox.jaccardPairs(Tables.documents(s, d), "doc_id", "text",
+        shingleN = 3, threshold = 0.5)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // Exact cosine top-k against vec_id=0 (query joined in-plan).
+    "x12_cosine_topk" -> q((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val query = broadcast(emb.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>").as("qv")))
+      emb.filter(col("vec_id") =!= 0).crossJoin(query)
+        .select(col("vec_id"),
+          Similarity.cosine(col("embedding").cast("array<double>"), col("qv")).as("cos"))
+        .orderBy(col("cos").desc, col("vec_id")).limit(20)
+    }),
+
+    // LSH-bucketed cosine top-k (the 100 TB scale path; recall<1).
+    "x13_cosine_topk_lsh" -> q((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val planes = Similarity.hyperplanes(64, 4)
+      val query = broadcast(
+        Similarity.withBucket(emb.filter(col("vec_id") === 0), "embedding", planes)
+          .select(col("embedding").cast("array<double>").as("qv"),
+            col("bucket").as("qbucket")))
+      Similarity.withBucket(emb.filter(col("vec_id") =!= 0), "embedding", planes)
+        .crossJoin(query)
+        .filter(col("bucket") === col("qbucket"))
+        .select(col("vec_id"),
+          Similarity.cosine(col("embedding").cast("array<double>"), col("qv")).as("cos"))
+        .orderBy(col("cos").desc, col("vec_id")).limit(20)
+    }),
+
+    // Embedding-cosine near-duplicate pairs via shared LSH bucket.
+    "x14_embedding_neardup" -> q((s, d) =>
+      Similarity.nearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding",
+        threshold = 0.35, numPlanes = 4, dim = 64)
+        .orderBy(col("id_a"), col("id_b")))
+  )
 }

@@ -1,0 +1,47 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** The reference's ES "english" analyzer as column functions
+  * (SURVEY.md §2 X-10): standard tokenizer → lowercase → english stop
+  * filter → Porter stemmer (configs/elasticsearch_config.py:36-50,
+  * 93-110; docker_startup.sh:82-84). Tokenize/lowercase/stop are all
+  * native (codegen'd); only the stemmer is a UDF.
+  */
+object Analyzer {
+
+  /** The Lucene/ES default english stopword set. */
+  val StopWords: Set[String] = Set(
+    "a", "an", "and", "are", "as", "at", "be", "but", "by", "for", "if",
+    "in", "into", "is", "it", "no", "not", "of", "on", "or", "such",
+    "that", "the", "their", "then", "there", "these", "they", "this",
+    "to", "was", "will", "with")
+
+  private val stemArrayUdf = udf { (toks: Seq[String]) =>
+    if (toks == null) null else toks.map(Porter.stem)
+  }
+
+  /** standard-ish tokenizer: split on non-alphanumerics, drop empties. */
+  def tokenize(text: Column): Column =
+    filter(split(lower(text), "[^a-z0-9']+"), t => length(t) > 0)
+
+  /** tokenize → stop-filter (native array ops, no UDF). */
+  def tokensNoStop(text: Column): Column = {
+    val stop = typedLit(StopWords.toSeq)
+    filter(tokenize(text), t => !array_contains(stop, t))
+  }
+
+  /** The full analyze chain: tokenize → stop → stem. */
+  def analyze(text: Column): Column = stemArrayUdf(tokensNoStop(text))
+
+  /** Q-2 fidelity: analyzed OR-of-terms match count — the relevance
+    * score of an ES multi_match with the english analyzer. The query
+    * string goes through the same chain (driver-side, tiny). */
+  def analyzedMatchCount(text: Column, query: String): Column = {
+    val qTerms = query.toLowerCase.split("[^a-z0-9']+").toSeq
+      .filter(t => t.nonEmpty && !StopWords(t)).map(Porter.stem).distinct
+    val qLit = typedLit(qTerms)
+    size(array_intersect(array_distinct(analyze(text)), qLit))
+  }
+}

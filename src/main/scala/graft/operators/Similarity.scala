@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (array<float>): exact
+  * brute-force cosine top-k as the baseline, and random-hyperplane LSH
+  * bucketing (Charikar 2002) as the scale path — candidates come from
+  * one bucket-equality shuffle instead of a full scan, then get
+  * re-ranked with the exact metric.
+  *
+  * All vector math is native Catalyst (`zip_with` + `aggregate`), so
+  * it stays inside codegen; nothing crosses a UDF boundary.
+  */
+object Similarity {
+
+  /** Σ aᵢbᵢ over two double arrays — native. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, v) => acc + v))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  private def asDouble(c: Column): Column = c.cast("array<double>")
+
+  /** Exact cosine top-k against a query vector (one scan, per-partition
+    * top-k via TakeOrderedAndProject — no global sort). Ties broken by
+    * id for determinism. */
+  def topKBruteForce(df: DataFrame, idCol: String, vecCol: String,
+                     query: Seq[Double], k: Int): DataFrame = {
+    val q = typedlit(query)
+    df.select(col(idCol), cosine(asDouble(col(vecCol)), q).as("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Deterministic random hyperplanes (seeded) for sign-bit bucketing. */
+  def hyperplanes(dim: Int, numPlanes: Int, seed: Long = 42L): Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(numPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Sign-bit bucket id of a vector against the given planes — native:
+    * bucket = Σ 2ᵖ·[v·planeₚ ≥ 0]. */
+  def bucketOf(vec: Column, planes: Seq[Seq[Double]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      when(dot(vec, typedlit(p)) >= 0, 1 << i).otherwise(0)
+    }.reduce(_ + _)
+
+  /** Add the LSH bucket column (this is what you'd partition/bucket the
+    * table by at 100 TB so same-bucket rows co-locate). */
+  def withBucket(df: DataFrame, vecCol: String,
+                 planes: Seq[Seq[Double]]): DataFrame =
+    df.withColumn("bucket", bucketOf(asDouble(col(vecCol)), planes))
+
+  /** LSH-accelerated top-k: scan only the query's bucket, exact-rank
+    * inside it. Recall < 1 by construction; raise numPlanes ↓bucket
+    * size, or probe neighboring buckets for recall. */
+  def topKLsh(df: DataFrame, idCol: String, vecCol: String,
+              query: Seq[Double], k: Int, numPlanes: Int = 8): DataFrame = {
+    val planes = hyperplanes(query.length, numPlanes)
+    val qBucket = planes.zipWithIndex.map { case (p, i) =>
+      val d = p.zip(query).map { case (x, y) => x * y }.sum
+      if (d >= 0) 1 << i else 0
+    }.sum
+    withBucket(df, vecCol, planes)
+      .filter(col("bucket") === qBucket)
+      .select(col(idCol), cosine(asDouble(col(vecCol)), typedlit(query)).as("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Embedding-cosine near-duplicate pairs via LSH buckets: pairs that
+    * share a bucket AND pass the exact cosine threshold. The bucket
+    * join is the only shuffle; no O(n²) cross join. */
+  def nearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+                   threshold: Double = 0.95, numPlanes: Int = 8,
+                   dim: Int = 64): DataFrame = {
+    val planes = hyperplanes(dim, numPlanes)
+    val bucketed = withBucket(df, vecCol, planes)
+      .select(col(idCol), col(vecCol), col("bucket"))
+    val a = bucketed.select(col(idCol).as("id_a"), col(vecCol).as("v_a"), col("bucket"))
+    val b = bucketed.select(col(idCol).as("id_b"), col(vecCol).as("v_b"), col("bucket"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        cosine(asDouble(col("v_a")), asDouble(col("v_b"))).as("cos"))
+      .filter(col("cos") >= threshold)
+      .distinct()
+  }
+}
