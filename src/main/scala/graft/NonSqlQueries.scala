@@ -114,6 +114,14 @@ object NonSqlQueries {
     "x14_embedding_neardup" -> q((s, d) =>
       Similarity.nearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding",
         threshold = 0.35, numPlanes = 4, dim = 64)
-        .orderBy(col("id_a"), col("id_b")))
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // Multimodal plumbing: binary payload + metadata → batch featurize
+    // (decode stubbed; schema/partitioning/batch shape real).
+    "x15_multimodal_features" -> q((s, d) =>
+      Multimodal.featurize(
+        Multimodal.asMedia(Tables.documents(s, d), "doc_id", "text"), dim = 16)
+        .select(col("media_id"), col("modality"), col("n_bytes"),
+          col("content_hash"), col("width"), col("height")))
   )
 }

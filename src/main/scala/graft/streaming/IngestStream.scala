@@ -1,0 +1,88 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+import org.apache.spark.sql.Row
+
+import graft.operators.{Dedup, Validate}
+
+/** The reference's ingest + landing paths as Structured Streaming
+  * (SURVEY.md §2 T-1..T-5, §3.1/§3.2).
+  *
+  * Reference: producers fetch every 300 s, validate/sanitize, envelope,
+  * and publish keyed JSON to Kafka (producers package, scripts/
+  * start_producers.py:25,41-63); a consumer drains the topic into Mongo
+  * with per-row URL point-lookups (consumers/mongodb_consumer.py:62-81,
+  * database/mongodb_handler.py:46-69). Here:
+  *
+  *   - transport = any streaming DataFrame (kafka source in prod, file
+  *     or MemoryStream in tests — same plan either way);
+  *   - T-3 dedup state = `dropDuplicates` over the key, bounded by a
+  *     `withWatermark` on event time (the reference's unbounded
+  *     processed-url set, made explicit and bounded);
+  *   - T-5 exactly-once effect = checkpointed micro-batches + an
+  *     idempotent anti-join sink (foreachBatch), replacing the per-row
+  *     read-before-write round-trips;
+  *   - T-4's silent 1-hour late-data loss becomes an explicit watermark
+  *     policy (documented divergence: nothing is silently skipped
+  *     within the watermark, everything older is *visibly* dropped).
+  */
+object IngestStream {
+
+  /** §3.1 transform chain: validate → sanitize → envelope columns.
+    * `urlCol`/`requiredCols` name the article fields (F-1), `sourceApi`
+    * tags the producer (F-3/F-4). Works on static or streaming frames —
+    * it is a pure column plan. */
+  def producerTransform(df: DataFrame, sourceApi: String, urlCol: String,
+                        requiredCols: String*): DataFrame = {
+    val validated = Validate.requiredFields(df, urlCol, requiredCols: _*)
+    Validate.sanitize(validated)
+      .withColumn("source_api", lit(sourceApi))
+      .withColumn("fetched_at", current_timestamp())
+      .withColumn("key", concat(lit(sourceApi), lit("_"), col(urlCol)))
+  }
+
+  /** T-3: watermark-bounded streaming dedup on the message key —
+    * duplicate keys arriving within the watermark window collapse to
+    * one row and state is evicted past the watermark (the bounded
+    * version of the reference's ever-growing processed-url set). */
+  def dedupStream(df: DataFrame, eventTimeCol: String, keyCol: String,
+                  lateness: String = "1 hour"): DataFrame =
+    df.withWatermark(eventTimeCol, lateness)
+      .dropDuplicatesWithinWatermark(keyCol)
+
+  /** T-5: idempotent landing sink — per micro-batch `dropDuplicates` +
+    * left-anti against the target, then append (S-5/J-1..J-3 fused).
+    * Parquet target stands in for the Mongo collection. */
+  def idempotentSink(stream: DataFrame, targetDir: String, key: String,
+                     checkpointDir: String): DataStreamWriter[Row] =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val existing =
+          try spark.read.parquet(targetDir).select(col(key))
+          catch { case _: Exception => batch.limit(0).select(col(key)) }
+        Dedup.idempotentBatch(batch, existing, key)
+          .write.mode("append").parquet(targetDir)
+        ()
+      }
+
+  /** T-1: the producer cadence (5 min in prod; tests use availableNow). */
+  def withProducerTrigger[T](w: DataStreamWriter[T],
+                             intervalSeconds: Int = 300): DataStreamWriter[T] =
+    w.trigger(Trigger.ProcessingTime(s"$intervalSeconds seconds"))
+
+  /** Full landing pipeline for tests/local: stream → validate/envelope →
+    * watermark dedup → idempotent parquet sink, processed availableNow. */
+  def runLanding(stream: DataFrame, sourceApi: String, urlCol: String,
+                 eventTimeCol: String, targetDir: String,
+                 checkpointDir: String, requiredCols: String*): StreamingQuery = {
+    val shaped = producerTransform(stream, sourceApi, urlCol, requiredCols: _*)
+    val deduped = dedupStream(shaped, eventTimeCol, "key")
+    idempotentSink(deduped, targetDir, "key", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+}
