@@ -3,33 +3,55 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.functions.Analyzer
-
 /** Near-duplicate detection for corpus-scale dedup: MinHash+LSH,
   * SimHash, and n-gram Jaccard (the standard pretraining-dedup stack:
   * Broder 1997 resemblance/minwise hashing; Charikar 2002 simhash;
   * Leskovec–Rajaraman–Ullman ch.3 banding).
   *
-  * Scale design: every variant is candidate-generation (explode a few
-  * small keys per doc → hash-shuffle on the key → within-bucket pairs)
-  * followed by exact verification on the candidates only. Nothing is
-  * O(n²) in the corpus; the only quadratic term is within-bucket, which
-  * banding keeps tiny. Signatures are UDF-computed (pure JVM, one pass
-  * per doc); all joins/verification are native Catalyst.
+  * Scale design: every variant is candidate generation (a few small
+  * keys per doc → one hash-shuffle on the key → in-bucket pairs)
+  * followed by exact verification on candidates only. Nothing is O(n²)
+  * in the corpus; the quadratic term is within-bucket, which banding
+  * keeps tiny (and `maxBucket` caps against degenerate keys).
+  *
+  * Signatures/shingles are computed in single-pass JVM UDFs — one call
+  * per row. (Deliberate: the pure-Column formulation via nested
+  * higher-order lambdas re-evaluates non-attribute subtrees per array
+  * element, turning one tokenize into ~|tokens| of them per row; a
+  * profiled 25-60× slowdown at sf0.1. The UDF does one tokenize, one
+  * signature pass, and returns exactly the bytes that shuffle.)
+  * Pair expansion/verification stays native Catalyst.
   */
 object DedupApprox {
 
-  // ---- shingling (native) ---------------------------------------------
+  // ---- shingling -------------------------------------------------------
 
-  /** Word n-gram shingles as a distinct array (native sliding window:
-    * transform over an index sequence + slice). */
+  private[operators] def tokensOf(text: String): Array[String] =
+    if (text == null) Array.empty
+    else text.toLowerCase.split("[^a-z0-9']+").filter(_.nonEmpty)
+
+  private[operators] def shinglesOf(text: String, n: Int): Array[String] = {
+    val toks = tokensOf(text)
+    if (toks.isEmpty) Array.empty
+    else if (toks.length < n) Array(toks.mkString(" "))
+    else {
+      val set = new scala.collection.mutable.LinkedHashSet[String]
+      var i = 0
+      while (i + n <= toks.length) {
+        val sb = new StringBuilder(toks(i))
+        var j = i + 1
+        while (j < i + n) { sb.append(' ').append(toks(j)); j += 1 }
+        set += sb.result()
+        i += 1
+      }
+      set.toArray
+    }
+  }
+
+  /** Distinct word n-gram shingles (one tokenize pass per row). */
   def shingles(text: Column, n: Int): Column = {
-    val toks = Analyzer.tokenize(text)
-    array_distinct(
-      when(size(toks) >= n,
-        transform(sequence(lit(0), size(toks) - n),
-          i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
-      .otherwise(array(concat_ws(" ", toks))))
+    val f = udf { (t: String) => shinglesOf(t, n) }
+    f(text)
   }
 
   // ---- MinHash ---------------------------------------------------------
@@ -45,62 +67,94 @@ object DedupApprox {
        math.abs(rnd.nextLong()) % MersennePrime))
   }
 
-  private def minhashUdf(numHashes: Int) = {
-    val ps = perms(numHashes)
-    udf { (sh: Seq[String]) =>
-      if (sh == null || sh.isEmpty) Array.fill(numHashes)(Long.MaxValue)
-      else {
-        val out = Array.fill(numHashes)(Long.MaxValue)
-        sh.foreach { s =>
-          val h = scala.util.hashing.MurmurHash3.stringHash(s).toLong & 0xffffffffL
-          var i = 0
-          while (i < numHashes) {
-            val v = (ps(i)._1 * h + ps(i)._2) % MersennePrime
-            if (v < out(i)) out(i) = v
-            i += 1
-          }
-        }
-        out
+  private[operators] def minhashSig(sh: Seq[String], ps: Array[(Long, Long)]): Array[Long] = {
+    val out = Array.fill(ps.length)(Long.MaxValue)
+    sh.foreach { s =>
+      val h = scala.util.hashing.MurmurHash3.stringHash(s).toLong & 0xffffffffL
+      var i = 0
+      while (i < ps.length) {
+        val v = (ps(i)._1 * h + ps(i)._2) % MersennePrime
+        if (v < out(i)) out(i) = v
+        i += 1
       }
     }
+    out
   }
 
   /** doc → (id, shingles, minhash signature). */
   def withMinhash(df: DataFrame, idCol: String, textCol: String,
-                  shingleN: Int = 3, numHashes: Int = 64): DataFrame =
+                  shingleN: Int = 3, numHashes: Int = 64): DataFrame = {
+    val ps = perms(numHashes)
+    val sigUdf = udf { (sh: Seq[String]) => minhashSig(sh, ps) }
     df.select(col(idCol), shingles(col(textCol), shingleN).as("shingles"))
-      .withColumn("sig", minhashUdf(numHashes)(col("shingles")))
+      .withColumn("sig", sigUdf(col("shingles")))
+  }
+
+  // ---- pair machinery --------------------------------------------------
+
+  /** All ordered element pairs of an array column, as struct<a,b>.
+    * Safe to call on attribute references only (lambdas re-evaluate
+    * non-attribute children per element). */
+  private[operators] def pairExpand(arr: Column): Column =
+    flatten(transform(arr, (m, i) =>
+      transform(slice(arr, i + 2, size(arr)), n => struct(m.as("a"), n.as("b")))))
+
+  /** Bucketed pair expansion without a self-join: group candidates by
+    * bucket key, expand ordered in-bucket pairs natively. One shuffle;
+    * the upstream (signatures) is computed once, not once per join
+    * branch. Buckets above `maxBucket` are dropped — a degenerate key
+    * (empty docs, all-identical boilerplate) would otherwise expand
+    * quadratically inside a single task; that cap is the standard
+    * recall/cost trade and is logged by callers that care. */
+  private[operators] def explodePairs(df: DataFrame, bucketCols: Seq[Column],
+                                      member: Column,
+                                      maxBucket: Int): DataFrame =
+    df.groupBy(bucketCols: _*)
+      .agg(collect_list(member).as("ms"))
+      .filter(size(col("ms")).between(2, maxBucket))
+      .select(explode(pairExpand(col("ms"))).as("p"))
 
   /** MinHash+LSH candidate pairs verified by exact Jaccard.
     * Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
     * bands*rowsPerBand must equal numHashes. */
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
                    shingleN: Int = 3, numHashes: Int = 64, bands: Int = 16,
-                   threshold: Double = 0.5): DataFrame = {
+                   threshold: Double = 0.5, maxBucket: Int = 500): DataFrame = {
     val rows = numHashes / bands
-    val sigs = withMinhash(df, idCol, textCol, shingleN, numHashes)
-    // band key = (band index, hash of the band's signature slice)
-    val banded = sigs.select(col(idCol), col("shingles"),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => hash(slice(col("sig"), b * rows + 1, lit(rows)), b))))
+    val ps = perms(numHashes)
+    // band keys straight from the UDF: one signature pass per row, and
+    // only (bands × i64) + the shingle set ever reach the shuffle.
+    val bandsUdf = udf { (sh: Seq[String]) =>
+      val sig = minhashSig(sh, ps)
+      Array.tabulate(bands) { b =>
+        var h = 1125899906842597L
+        var i = b * rows
+        while (i < (b + 1) * rows) { h = 31 * h + sig(i); i += 1 }
+        h
+      }
+    }
+    val banded = df
+      .select(col(idCol), shingles(col(textCol), shingleN).as("shingles"))
+      .select(col(idCol), col("shingles"), posexplode(bandsUdf(col("shingles"))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
-    val a = banded.select(col(idCol).as("id_a"), col("shingles").as("sh_a"),
-      col("band"), col("band_hash"))
-    val b = banded.select(col(idCol).as("id_b"), col("shingles").as("sh_b"),
-      col("band"), col("band_hash"))
-    a.join(b, Seq("band", "band_hash"))
-      .filter(col("id_a") < col("id_b"))
+    explodePairs(banded, Seq(col("band"), col("band_hash")),
+        struct(col(idCol).as("id"), col("shingles").as("sh")), maxBucket)
+      .select(
+        least(col("p.a.id"), col("p.b.id")).as("id_a"),
+        greatest(col("p.a.id"), col("p.b.id")).as("id_b"),
+        col("p.a.sh").as("sh_a"), col("p.b.sh").as("sh_b"))
+      .dropDuplicates("id_a", "id_b")
       .select(col("id_a"), col("id_b"),
         (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
          size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
-      .distinct()
       .filter(col("jaccard") >= threshold)
   }
 
   // ---- SimHash ---------------------------------------------------------
 
-  private val simhashUdf = udf { (toks: Seq[String]) =>
-    if (toks == null || toks.isEmpty) 0L
+  private[operators] def simhashOf(text: String): Long = {
+    val toks = tokensOf(text)
+    if (toks.isEmpty) 0L
     else {
       val acc = new Array[Int](64)
       toks.foreach { t =>
@@ -120,55 +174,68 @@ object DedupApprox {
     }
   }
 
+  private val simhashUdf = udf { (text: String) => simhashOf(text) }
+
   /** doc → 64-bit simhash of its token multiset. */
   def withSimhash(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol), simhashUdf(Analyzer.tokenize(col(textCol))).as("simhash"))
+    df.select(col(idCol), simhashUdf(col(textCol)).as("simhash"))
 
   /** SimHash near-dup pairs with Hamming distance <= maxHamming.
-    * Pigeonhole banding: split the 64-bit sig into `chunks` pieces; any
-    * pair within distance maxHamming (< chunks) shares at least one
-    * exact chunk → join per chunk, verify with native bit_count(xor). */
+    *
+    * Pigeonhole on chunk PAIRS: with `chunks` pieces and distance
+    * <= maxHamming <= chunks-2, at least two chunks match exactly, so
+    * keying candidates on every (chunk_i, chunk_j) value pair is sound
+    * — and the 2-chunk key has ~2^(2·64/chunks) entropy, which keeps
+    * buckets small even when one chunk value is corpus-common (the
+    * single-chunk scheme degenerates: one low-entropy 8-bit chunk put
+    * 30% of a 5k corpus in one bucket). C(chunks,2) keys per doc. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3, chunks: Int = 4): DataFrame = {
+                   maxHamming: Int = 3, chunks: Int = 8,
+                   maxBucket: Int = 2000): DataFrame = {
+    require(maxHamming <= chunks - 2,
+      s"chunk-pair pigeonhole needs maxHamming <= chunks-2 (got $maxHamming, $chunks)")
     val bits = 64 / chunks
-    val mask = if (bits == 64) -1L else (1L << bits) - 1
+    val mask = (1L << bits) - 1
     val sigs = withSimhash(df, idCol, textCol)
-    val banded = sigs.select(col(idCol), col("simhash"),
-      posexplode(array((0 until chunks).map(c =>
-        shiftright(col("simhash"), c * bits).bitwiseAND(lit(mask))): _*)))
-      .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "chunk_val")
-    val a = banded.select(col(idCol).as("id_a"), col("simhash").as("sig_a"),
-      col("chunk"), col("chunk_val"))
-    val b = banded.select(col(idCol).as("id_b"), col("simhash").as("sig_b"),
-      col("chunk"), col("chunk_val"))
-    a.join(b, Seq("chunk", "chunk_val"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
-      .distinct()
+    val keys = (for {
+      i <- 0 until chunks; j <- (i + 1) until chunks
+    } yield struct(
+      lit(i * chunks + j).as("ck"),
+      (shiftright(col("simhash"), i * bits).bitwiseAND(lit(mask)) * (mask + 1) +
+        shiftright(col("simhash"), j * bits).bitwiseAND(lit(mask))).as("cv")))
+    val banded = sigs
+      .select(col(idCol), col("simhash"), explode(array(keys: _*)).as("k"))
+      .select(col(idCol), col("simhash"), col("k.ck").as("ck"), col("k.cv").as("cv"))
+    explodePairs(banded, Seq(col("ck"), col("cv")),
+        struct(col(idCol).as("id"), col("simhash").as("sig")), maxBucket)
+      .select(
+        least(col("p.a.id"), col("p.b.id")).as("id_a"),
+        greatest(col("p.a.id"), col("p.b.id")).as("id_b"),
+        bit_count(col("p.a.sig").bitwiseXOR(col("p.b.sig"))).as("hamming"))
+      .dropDuplicates("id_a", "id_b")
       .filter(col("hamming") <= maxHamming)
   }
 
-  // ---- exact n-gram Jaccard (inverted-index join, no signatures) ------
+  // ---- exact n-gram Jaccard (inverted-index, no signatures) -----------
 
-  /** All-pairs n-gram Jaccard >= threshold via an inverted-index join:
-    * explode ngrams → pair counts per shared ngram → |A∩B| from the
-    * group size, |A∪B| = |A|+|B|−|A∩B|. Exact, but the join fan-out is
-    * bounded by ngram document frequency — at corpus scale, drop
-    * ultra-common ngrams first (df cap) exactly like a stopword cut. */
+  /** All-pairs n-gram Jaccard >= threshold via an inverted index:
+    * explode shingles → posting list per ngram (df-capped — ultra-common
+    * ngrams carry no discrimination and expand quadratically; the same
+    * cut a search engine makes) → in-posting pairs → |A∩B| = pair count,
+    * |A∪B| = |A|+|B|−|A∩B|. Pairs whose every shared ngram is df-capped
+    * are missed — raise maxNgramDf for exactness. */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    shingleN: Int = 3, threshold: Double = 0.5,
-                   maxNgramDf: Int = 1000): DataFrame = {
+                   maxNgramDf: Int = 50): DataFrame = {
     val sh = df.select(col(idCol).as("id"), shingles(col(textCol), shingleN).as("sh"))
     val sizes = sh.select(col("id"), size(col("sh")).as("n"))
     val inv = sh.select(col("id"), explode(col("sh")).as("ng"))
-    val capped = inv.join(
-      inv.groupBy("ng").agg(count(lit(1)).as("df_ng"))
-        .filter(col("df_ng") <= maxNgramDf),
-      Seq("ng"))
-    val pairs = capped.as("x").join(capped.as("y"), Seq("ng"))
-      .filter(col("x.id") < col("y.id"))
-      .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"))
+    val pairs = inv.groupBy("ng").agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")).between(2, maxNgramDf))
+      .select(explode(pairExpand(col("ids"))).as("p"))
+      .groupBy(
+        least(col("p.a"), col("p.b")).as("id_a"),
+        greatest(col("p.a"), col("p.b")).as("id_b"))
       .agg(count(lit(1)).as("common"))
     pairs
       .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n", "n_a"), "id_a")

@@ -73,21 +73,22 @@ object Similarity {
   }
 
   /** Embedding-cosine near-duplicate pairs via LSH buckets: pairs that
-    * share a bucket AND pass the exact cosine threshold. The bucket
-    * join is the only shuffle; no O(n²) cross join. */
+    * share a bucket AND pass the exact cosine threshold. One groupBy
+    * shuffle on the bucket key, in-bucket pairs expanded natively —
+    * no O(n²) cross join, no double-computed self-join branches. */
   def nearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                    threshold: Double = 0.95, numPlanes: Int = 8,
                    dim: Int = 64): DataFrame = {
     val planes = hyperplanes(dim, numPlanes)
     val bucketed = withBucket(df, vecCol, planes)
       .select(col(idCol), col(vecCol), col("bucket"))
-    val a = bucketed.select(col(idCol).as("id_a"), col(vecCol).as("v_a"), col("bucket"))
-    val b = bucketed.select(col(idCol).as("id_b"), col(vecCol).as("v_b"), col("bucket"))
-    a.join(b, Seq("bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        cosine(asDouble(col("v_a")), asDouble(col("v_b"))).as("cos"))
+    DedupApprox.explodePairs(bucketed, Seq(col("bucket")),
+        struct(col(idCol).as("id"), asDouble(col(vecCol)).as("v")), maxBucket = 4096)
+      .select(
+        least(col("p.a.id"), col("p.b.id")).as("id_a"),
+        greatest(col("p.a.id"), col("p.b.id")).as("id_b"),
+        cosine(col("p.a.v"), col("p.b.v")).as("cos"))
+      .dropDuplicates("id_a", "id_b")
       .filter(col("cos") >= threshold)
-      .distinct()
   }
 }

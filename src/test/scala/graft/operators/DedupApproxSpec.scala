@@ -37,7 +37,7 @@ class DedupApproxSpec extends SparkSpec {
 
   test("simhashPairs finds the near-dups and not the unrelated doc") {
     val pairs = DedupApprox.simhashPairs(corpus, "doc_id", "text",
-      maxHamming = 12, chunks = 8)
+      maxHamming = 12, chunks = 16)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(pairs.contains((1L, 2L)) && pairs.contains((3L, 4L)))
     assert(!pairs.contains((1L, 5L)) && !pairs.contains((2L, 5L)))
