@@ -122,6 +122,22 @@ object NonSqlQueries {
       Multimodal.featurize(
         Multimodal.asMedia(Tables.documents(s, d), "doc_id", "text"), dim = 16)
         .select(col("media_id"), col("modality"), col("n_bytes"),
-          col("content_hash"), col("width"), col("height")))
+          col("content_hash"), col("width"), col("height"))),
+
+    // Sketch-based distinct (HLL++): the idiomatic-Spark upgrade of the
+    // dedup-cardinality question (engine-side values differ from any
+    // oracle's HLL, so rows-only).
+    "x16_approx_distinct" -> q((s, d) =>
+      Tables.lineitem(s, d).groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"))),
+
+    // SQL-registration surface smoke: the library's functions usable
+    // from spark.sql.
+    "x17_sql_functions" -> q((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      Tables.documents(s, d).createOrReplaceTempView("graft_docs_tmp")
+      s.sql("""SELECT doc_id, vader_compound(text) AS compound,
+               porter_stem('running') AS stem FROM graft_docs_tmp""")
+    })
   )
 }

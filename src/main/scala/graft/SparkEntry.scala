@@ -33,6 +33,15 @@ object SparkEntry {
   /** Pins the lambda type so the Map literal infers cleanly. */
   private def q(f: (SparkSession, String) => DataFrame): (SparkSession, String) => DataFrame = f
 
+  /** Cutoff as epoch-nanos for predicates on events.ts_ns: comparing
+    * the raw int64 column pushes to the parquet scan (row-group skip),
+    * whereas `timestamp_micros(ts_ns div 1000) >= ts` evaluates per
+    * row. floor(x/1000) >= c ⟺ x >= c·1000, so semantics match the
+    * oracle's timestamp compare for whole-second cutoffs. */
+  private def tsNs(s: String): Column = lit(
+    java.time.LocalDateTime.parse(s.replace(' ', 'T'))
+      .toEpochSecond(java.time.ZoneOffset.UTC) * 1000000000L)
+
   /** Pseudo sentiment score ∈ [-100,100]/100 derived deterministically
     * from n_chars — the SQL-expressible stand-in that lets the DuckDB
     * oracle verify the X-3/X-4/X-5 combine/classify/confidence chain
@@ -118,13 +127,13 @@ object SparkEntry {
     // A-1/F-6/F-7: freshness count over a time window.
     "q10_freshness_count" -> q((s, d) =>
       Tables.events(s, d)
-        .filter(col("ts") >= ts("2024-01-02 00:00:00"))
+        .filter(col("ts_ns") >= tsNs("2024-01-02 00:00:00"))
         .agg(count(lit(1)).as("fresh_count"))),
 
     // A-2/A-3/A-4 + X-11: completeness/quality report in one pass.
     "q11_quality_rate" -> q((s, d) =>
-      Quality.qualityReport(Tables.events(s, d), "ts",
-        ts("2024-01-01 12:00:00"), col("value") < 10)),
+      Quality.qualityReport(Tables.events(s, d), "ts_ns",
+        tsNs("2024-01-01 12:00:00"), col("value") < 10)),
 
     // F-1 + X-8: required-fields + URL-regex validation filter.
     "q12_validate" -> q((s, d) => {

@@ -1,0 +1,27 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+
+/** SQL-surface registration: exposes the engine's scalar functions to
+  * `spark.sql(...)` users so the library is usable from pure SQL as
+  * well as the Column API.
+  *
+  * {{{
+  *   GraftFunctions.register(spark)
+  *   spark.sql("SELECT vader_compound(text) FROM docs")
+  * }}}
+  */
+object GraftFunctions {
+
+  def register(spark: SparkSession): Unit = {
+    spark.udf.register("vader_compound", (t: String) => Vader.compound(t))
+    spark.udf.register("vader_scores", (t: String) => {
+      val s = Vader.polarityScores(t); (s.neg, s.neu, s.pos, s.compound)
+    })
+    spark.udf.register("textblob_polarity", (t: String) => LexiconPolarity.polarity(t))
+    spark.udf.register("porter_stem", (t: String) => Porter.stem(t))
+    spark.udf.register("simhash64", (t: String) => graft.operators.DedupApprox.simhashOf(t))
+    spark.udf.register("word_shingles",
+      (t: String, n: Int) => graft.operators.DedupApprox.shinglesOf(t, n))
+  }
+}

@@ -26,11 +26,11 @@ object DedupApprox {
 
   // ---- shingling -------------------------------------------------------
 
-  private[operators] def tokensOf(text: String): Array[String] =
+  private[graft] def tokensOf(text: String): Array[String] =
     if (text == null) Array.empty
     else text.toLowerCase.split("[^a-z0-9']+").filter(_.nonEmpty)
 
-  private[operators] def shinglesOf(text: String, n: Int): Array[String] = {
+  private[graft] def shinglesOf(text: String, n: Int): Array[String] = {
     val toks = tokensOf(text)
     if (toks.isEmpty) Array.empty
     else if (toks.length < n) Array(toks.mkString(" "))
@@ -152,7 +152,7 @@ object DedupApprox {
 
   // ---- SimHash ---------------------------------------------------------
 
-  private[operators] def simhashOf(text: String): Long = {
+  private[graft] def simhashOf(text: String): Long = {
     val toks = tokensOf(text)
     if (toks.isEmpty) 0L
     else {
