@@ -1,0 +1,75 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalacheck.Prop.forAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{LexiconPolarity, Porter, Vader}
+import graft.operators.DedupApprox
+
+/** Property tests (SURVEY.md §5 item 3) over the pure-Scala kernels —
+  * these run without a SparkSession, so they're cheap enough to crank
+  * the sample count. DataFrame-level properties (anti-join ⊆ probe,
+  * dedup uniqueness) live in the operator specs. */
+class PropertySpec extends AnyFunSuite {
+
+  /** scalacheck runner (no scalatestplus bridge in the offline cache). */
+  private def check(p: Prop): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  private val anyText: Gen[String] = Gen.asciiPrintableStr
+  private val words: Gen[String] =
+    Gen.listOf(Gen.oneOf(Gen.alphaLowerStr, Gen.oneOf(
+      "good", "bad", "not", "very", "but", "never", "least", "!!!", "GREAT")))
+      .map(_.mkString(" "))
+
+  test("vader compound always in [-1, 1]") {
+    check(forAll(words) { t => val c = Vader.compound(t); c >= -1.0 && c <= 1.0 })
+    check(forAll(anyText) { t => val c = Vader.compound(t); c >= -1.0 && c <= 1.0 })
+  }
+
+  test("vader component scores are a distribution") {
+    check(forAll(words) { t =>
+      val s = Vader.polarityScores(t)
+      s.neg >= 0 && s.neu >= 0 && s.pos >= 0 &&
+        (s.neg + s.neu + s.pos == 0.0 || math.abs(s.neg + s.neu + s.pos - 1.0) < 0.01)
+    })
+  }
+
+  test("lexicon polarity in [-1, 1] and 0 on unknown text") {
+    check(forAll(words) { t =>
+      val p = LexiconPolarity.polarity(t); p >= -1.0 && p <= 1.0 })
+    check(forAll(Gen.numStr) { t => LexiconPolarity.polarity(t) == 0.0 })
+  }
+
+  test("porter stem never grows a word and is ascii-stable") {
+    check(forAll(Gen.alphaLowerStr.suchThat(_.length > 2)) { w =>
+      val s = Porter.stem(w)
+      s.length <= w.length && s.nonEmpty
+    })
+  }
+
+  test("shingles: every shingle has <= n tokens; count <= token count") {
+    val texts = Gen.listOfN(30, Gen.alphaLowerStr.suchThat(_.nonEmpty)).map(_.mkString(" "))
+    check(forAll(texts) { t =>
+      val sh = DedupApprox.shinglesOf(t, 3)
+      val toks = DedupApprox.tokensOf(t)
+      sh.forall(_.split(" ").length <= 3) && sh.length <= math.max(1, toks.length)
+    })
+  }
+
+  test("simhash: identical text => identical signature; deterministic") {
+    check(forAll(anyText) { t =>
+      DedupApprox.simhashOf(t) == DedupApprox.simhashOf(t) })
+  }
+
+  test("classifier trichotomy partitions [-1,1]") {
+    check(forAll(Gen.chooseNum(-1.0, 1.0)) { s =>
+      val label =
+        if (s >= 0.1) "positive" else if (s <= -0.1) "negative" else "neutral"
+      Seq("positive", "negative", "neutral").count(_ == label) == 1
+    })
+  }
+}
