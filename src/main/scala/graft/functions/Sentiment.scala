@@ -27,9 +27,16 @@ object Sentiment {
   def vaderScores(text: Column): Column =
     vaderUdf(text).cast("struct<neg:double,neu:double,pos:double,compound:double>")
 
-  /** X-1: compound only — the field the reference pipeline consumes. */
-  def vaderCompound(text: Column): Column = vaderCompoundUdf(text)
+  /** X-1: compound only — the field the reference pipeline consumes.
+    * Native Catalyst expression (stays inside whole-stage codegen). */
+  def vaderCompound(text: Column): Column =
+    SentimentExpressions.vaderCompound(text)
 
-  /** X-2: TextBlob-style lexicon polarity in [-1,1]. */
-  def lexiconPolarity(text: Column): Column = lexPolarityUdf(text)
+  /** X-2: TextBlob-style lexicon polarity in [-1,1] (native expr). */
+  def lexiconPolarity(text: Column): Column =
+    SentimentExpressions.lexiconPolarity(text)
+
+  /** UDF fallbacks (kept for environments that forbid internal APIs). */
+  def vaderCompoundUdfCol(text: Column): Column = vaderCompoundUdf(text)
+  def lexiconPolarityUdfCol(text: Column): Column = lexPolarityUdf(text)
 }
