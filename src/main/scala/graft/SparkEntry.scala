@@ -27,7 +27,12 @@ object SparkEntry {
   // ---- shared helpers -------------------------------------------------
 
   private def dec(c: Column): Column = c.cast(DecimalType(18, 4))
-  private def sumd(c: Column): Column = sum(dec(c)).cast("double")
+
+  /** Exact decimal sum, kept as DECIMAL end-to-end: DuckDB's
+    * decimal→double cast is off by 1 ulp above ~1e9 (int128 scaling in
+    * float), so casting would hash-mismatch; identical exact decimals
+    * on both sides survive any comparison normalization. */
+  private def sumd(c: Column): Column = sum(dec(c))
   private def ts(s: String): Column = to_timestamp(lit(s))
 
   /** Pins the lambda type so the Map literal infers cleanly. */
@@ -70,7 +75,7 @@ object SparkEntry {
           sumd(col("l_quantity")).as("sum_qty"),
           sumd(col("l_extendedprice")).as("sum_base_price"),
           sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 4)) - dec(col("l_discount"))))
-            .cast("double").as("sum_disc_price"),
+            .as("sum_disc_price"),
           count(lit(1)).as("count_order"))
     }),
 
@@ -250,9 +255,9 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-         CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
-         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
-         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
+         SUM(CAST(l_quantity AS DECIMAL(18,4))) AS sum_qty,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS sum_base_price,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS sum_disc_price,
          COUNT(*) AS count_order
          FROM lineitem GROUP BY l_returnflag, l_linestatus""",
 
@@ -351,7 +356,7 @@ object SparkEntry {
 
     "q20_join_star" ->
       """SELECT n_name,
-         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+         SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS revenue,
          COUNT(*) AS n_orders
          FROM orders JOIN customer ON o_custkey = c_custkey
          JOIN nation ON c_nationkey = n_nationkey
