@@ -247,7 +247,29 @@ object SparkEntry {
     "q27_null_count" -> q((s, d) =>
       Tables.events(s, d).groupBy(col("event_type"))
         .agg(sum(when(col("props").isNull || col("value") < 5, 1).otherwise(0))
-          .as("degraded"), count(lit(1)).as("total")))
+          .as("degraded"), count(lit(1)).as("total"))),
+
+    // T-2/T-6: watermarked tumbling-window histogram (event time).
+    "q28_hourly_histogram" -> q((s, d) =>
+      graft.streaming.WindowedStats.windowedCounts(
+          Tables.events(s, d), "ts", "event_type")
+        .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss")
+          .as("window_start"), col("event_type"), col("n"))),
+
+    // Custom keyed state (flatMapGroupsWithState) cross-validated
+    // against a SQL window-function oracle: gap-based sessionization.
+    "q29_sessionize" -> q((s, d) => {
+      import s.implicits._
+      val evs = Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_type"))
+        .as[graft.streaming.WindowedStats.Event]
+      graft.streaming.WindowedStats.sessionize(evs, gapMs = 30 * 60 * 1000)
+        .toDF()
+        .select(col("user_id"),
+          date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+          date_format(col("session_end"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+          col("n_events"))
+    })
   ) ++ NonSqlQueries.queries
 
   // ---- DuckDB oracles -------------------------------------------------
@@ -395,6 +417,28 @@ object SparkEntry {
       """SELECT event_type,
          CAST(SUM(CASE WHEN props IS NULL OR value < 5 THEN 1 ELSE 0 END) AS BIGINT) AS degraded,
          COUNT(*) AS total
-         FROM events GROUP BY event_type"""
+         FROM events GROUP BY event_type""",
+
+    "q28_hourly_histogram" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+         event_type, COUNT(*) AS n
+         FROM events GROUP BY 1, 2""",
+
+    "q29_sessionize" ->
+      """WITH gaps AS (
+           SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                    > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+           FROM events),
+         sess AS (
+           SELECT user_id, ts,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS sid
+           FROM gaps)
+         SELECT user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+           CAST(COUNT(*) AS INT) AS n_events
+         FROM sess GROUP BY user_id, sid"""
   )
 }

@@ -1,0 +1,67 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+import graft.SparkSpec
+import WindowedStats.{Event, Session}
+
+class WindowedStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("windowedCounts: tumbling hourly histogram per key") {
+    val df = Seq(
+      ("a", ts("2024-01-01 10:05:00")),
+      ("a", ts("2024-01-01 10:55:00")),
+      ("a", ts("2024-01-01 11:05:00")),
+      ("b", ts("2024-01-01 10:30:00"))
+    ).toDF("source_api", "fetched_at")
+    val out = WindowedStats.windowedCounts(df, "fetched_at", "source_api")
+      .collect().map(r => (r.getTimestamp(0).toString, r.getString(2), r.getLong(3))).toSet
+    assert(out == Set(
+      ("2024-01-01 10:00:00.0", "a", 2L),
+      ("2024-01-01 11:00:00.0", "a", 1L),
+      ("2024-01-01 10:00:00.0", "b", 1L)))
+  }
+
+  test("sessionize: gap splits sessions, state is per-user") {
+    val events = Seq(
+      Event(1L, ts("2024-01-01 10:00:00"), "view"),
+      Event(1L, ts("2024-01-01 10:10:00"), "click"),
+      Event(1L, ts("2024-01-01 12:00:00"), "view"),   // > 30min gap => new session
+      Event(2L, ts("2024-01-01 10:05:00"), "view")
+    ).toDS()
+    val sessions = WindowedStats.sessionize(events, gapMs = 30 * 60 * 1000)
+      .collect().sortBy(s => (s.user_id, s.session_start.getTime))
+    assert(sessions.length == 3)
+    assert(sessions(0) == Session(1L, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:10:00"), 2))
+    assert(sessions(1) == Session(1L, ts("2024-01-01 12:00:00"), ts("2024-01-01 12:00:00"), 1))
+    assert(sessions(2) == Session(2L, ts("2024-01-01 10:05:00"), ts("2024-01-01 10:05:00"), 1))
+  }
+
+  test("GraftExtensions injects native functions into a fresh session") {
+    val orig = spark
+    // getOrCreate only applies extensions at session creation — clear
+    // the default so a genuinely new session (same SparkContext) forms
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    try {
+      // (the spark.sql.extensions conf is static — only read when the
+      // SparkContext forms — so the shared-context test goes through
+      // the programmatic hook; spark-submit uses the conf form)
+      val s2 = SparkSession.builder()
+        .master("local[2]")
+        .appName("graft-ext-test")
+        .withExtensions(new graft.GraftExtensions)
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      val r = s2.sql("SELECT vader_compound('The food here is good.') AS c").head()
+      assert(math.abs(r.getDouble(0) - 0.4404) < 1e-9)
+    } finally {
+      SparkSession.setDefaultSession(orig)
+      SparkSession.setActiveSession(orig)
+    }
+  }
+}
