@@ -92,7 +92,7 @@ object NonSqlQueries {
         .select(col("embedding").cast("array<double>").as("qv")))
       emb.filter(col("vec_id") =!= 0).crossJoin(query)
         .select(col("vec_id"),
-          Similarity.cosine(col("embedding").cast("array<double>"), col("qv")).as("cos"))
+          Similarity.cosineFast(col("embedding").cast("array<double>"), col("qv")).as("cos"))
         .orderBy(col("cos").desc, col("vec_id")).limit(20)
     }),
 
@@ -108,7 +108,7 @@ object NonSqlQueries {
         .crossJoin(query)
         .filter(col("bucket") === col("qbucket"))
         .select(col("vec_id"),
-          Similarity.cosine(col("embedding").cast("array<double>"), col("qv")).as("cos"))
+          Similarity.cosineFast(col("embedding").cast("array<double>"), col("qv")).as("cos"))
         .orderBy(col("cos").desc, col("vec_id")).limit(20)
     }),
 

@@ -9,8 +9,10 @@ import org.apache.spark.sql.functions._
   * one bucket-equality shuffle instead of a full scan, then get
   * re-ranked with the exact metric.
   *
-  * All vector math is native Catalyst (`zip_with` + `aggregate`), so
-  * it stays inside codegen; nothing crosses a UDF boundary.
+  * Bucketing/dot composition is native Catalyst (`zip_with` +
+  * `aggregate`); the per-pair re-rank uses a fused JVM kernel
+  * (higher-order functions evaluate interpreted, so the one-call
+  * kernel wins on the hot path — see SCALING.md).
   */
 object Similarity {
 
@@ -23,6 +25,29 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Fused cosine kernel. Same arithmetic order as [[cosine]]
+    * (pairwise double ops, left-to-right) so results are bit-identical;
+    * one JVM call per pair instead of three interpreted HOF chains —
+    * the ANN re-rank hot path at scale. */
+  private[graft] def cosineOf(a: Seq[Double], b: Seq[Double]): Double = {
+    var d = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i)
+      i += 1
+    }
+    d / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  private val cosineUdf = udf { (a: Seq[Double], b: Seq[Double]) =>
+    if (a == null || b == null) null.asInstanceOf[java.lang.Double]
+    else java.lang.Double.valueOf(cosineOf(a, b))
+  }
+
+  /** Cosine via the fused kernel (use in per-pair re-rank loops). */
+  def cosineFast(a: Column, b: Column): Column = cosineUdf(a, b)
+
   private def asDouble(c: Column): Column = c.cast("array<double>")
 
   /** Exact cosine top-k against a query vector (one scan, per-partition
@@ -31,7 +56,7 @@ object Similarity {
   def topKBruteForce(df: DataFrame, idCol: String, vecCol: String,
                      query: Seq[Double], k: Int): DataFrame = {
     val q = typedlit(query)
-    df.select(col(idCol), cosine(asDouble(col(vecCol)), q).as("cos"))
+    df.select(col(idCol), cosineFast(asDouble(col(vecCol)), q).as("cos"))
       .orderBy(col("cos").desc, col(idCol))
       .limit(k)
   }
@@ -67,7 +92,7 @@ object Similarity {
     }.sum
     withBucket(df, vecCol, planes)
       .filter(col("bucket") === qBucket)
-      .select(col(idCol), cosine(asDouble(col(vecCol)), typedlit(query)).as("cos"))
+      .select(col(idCol), cosineFast(asDouble(col(vecCol)), typedlit(query)).as("cos"))
       .orderBy(col("cos").desc, col(idCol))
       .limit(k)
   }
@@ -87,7 +112,7 @@ object Similarity {
       .select(
         least(col("p.a.id"), col("p.b.id")).as("id_a"),
         greatest(col("p.a.id"), col("p.b.id")).as("id_b"),
-        cosine(col("p.a.v"), col("p.b.v")).as("cos"))
+        cosineFast(col("p.a.v"), col("p.b.v")).as("cos"))
       .dropDuplicates("id_a", "id_b")
       .filter(col("cos") >= threshold)
   }
