@@ -269,7 +269,37 @@ object SparkEntry {
           date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
           date_format(col("session_end"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
           col("n_events"))
-    })
+    }),
+
+    // Outer-join breadth: customers counted per nation, zeros kept.
+    "q30_outer_join" -> q((s, d) => {
+      val n = Tables.nation(s, d); val c = Tables.customer(s, d)
+      n.join(c, n("n_nationkey") === c("c_nationkey"), "left")
+        .groupBy(col("n_name"))
+        .agg(count(col("c_custkey")).as("n_customers"))
+    }),
+
+    // Hierarchical aggregate breadth: ROLLUP with subtotal rows.
+    "q31_rollup" -> q((s, d) =>
+      Tables.lineitem(s, d)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"))),
+
+    // Correlated-subquery shape via window: orders above their
+    // customer's average.
+    "q32_above_cust_avg" -> q((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+      Tables.orders(s, d)
+        .withColumn("cavg", avg(col("o_totalprice")).over(w))
+        .filter(col("o_totalprice") > col("cavg"))
+        .select(col("o_orderkey"))
+    }),
+
+    // Calendar rollup: per-month order volume and decimal revenue.
+    "q33_monthly_volume" -> q((s, d) =>
+      Tables.orders(s, d)
+        .groupBy(year(col("o_orderdate")).as("y"), month(col("o_orderdate")).as("m"))
+        .agg(count(lit(1)).as("n"), sum(dec(col("o_totalprice"))).as("total")))
   ) ++ NonSqlQueries.queries
 
   // ---- DuckDB oracles -------------------------------------------------
@@ -439,6 +469,29 @@ object SparkEntry {
            strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
            strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
            CAST(COUNT(*) AS INT) AS n_events
-         FROM sess GROUP BY user_id, sid"""
+         FROM sess GROUP BY user_id, sid""",
+
+    "q30_outer_join" ->
+      """SELECT n_name, COUNT(c_custkey) AS n_customers
+         FROM nation LEFT JOIN customer ON n_nationkey = c_nationkey
+         GROUP BY n_name""",
+
+    "q31_rollup" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+         FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""",
+
+    "q32_above_cust_avg" ->
+      """SELECT o_orderkey FROM (
+           SELECT o_orderkey, o_totalprice,
+             AVG(o_totalprice) OVER (PARTITION BY o_custkey) AS cavg
+           FROM orders) t
+         WHERE o_totalprice > cavg""",
+
+    "q33_monthly_volume" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS y,
+         CAST(month(o_orderdate) AS INT) AS m,
+         COUNT(*) AS n,
+         SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS total
+         FROM orders GROUP BY 1, 2"""
   )
 }

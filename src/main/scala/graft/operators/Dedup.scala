@@ -45,4 +45,42 @@ object Dedup {
     df.select(col(idCol), md5(lower(trim(col(textCol)))).cast("string").as("fp"))
       .groupBy(col("fp"))
       .agg(min(col(idCol)).as("keeper"), count(lit(1)).as("dups"))
+
+  /** Connected components over a near-dup pair graph (id_a, id_b) by
+    * iterative min-label propagation — the step that turns pairwise
+    * similarity output into dedup CLUSTERS (keep one doc per
+    * component). Each iteration is one join + one groupBy; lineage is
+    * cut with localCheckpoint so the loop stays planner-cheap. The
+    * diameter of near-dup clusters is tiny in practice, so `maxIter`
+    * of ~10 converges; the loop exits early on fixpoint. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct().localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id")).localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      val propagated = edges.join(labels, edges("src") === labels("id"))
+        .select(col("dst").as("id"), col("comp"))
+      val next = labels.unionByName(propagated)
+        .groupBy("id").agg(min("comp").as("comp"))
+        .localCheckpoint()
+      converged = next.join(labels.withColumnRenamed("comp", "prev"), "id")
+        .filter(col("comp") < col("prev")).isEmpty
+      labels = next
+      iter += 1
+    }
+    labels
+  }
+
+  /** Full near-dup dedup verdicts: every id in `pairs` mapped to its
+    * cluster and a keep/drop mark (keeper = min id per component). */
+  def clusterVerdicts(pairs: DataFrame): DataFrame = {
+    val comps = connectedComponents(pairs)
+    val keepers = comps.groupBy("comp").agg(min("id").as("keeper"))
+    comps.join(keepers, "comp")
+      .select(col("id"), col("comp"), (col("id") === col("keeper")).as("keep"))
+  }
 }

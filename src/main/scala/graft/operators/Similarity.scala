@@ -80,18 +80,23 @@ object Similarity {
                  planes: Seq[Seq[Double]]): DataFrame =
     df.withColumn("bucket", bucketOf(asDouble(col(vecCol)), planes))
 
-  /** LSH-accelerated top-k: scan only the query's bucket, exact-rank
-    * inside it. Recall < 1 by construction; raise numPlanes ↓bucket
-    * size, or probe neighboring buckets for recall. */
+  /** LSH-accelerated top-k: scan only the query's bucket (plus, with
+    * `multiProbe` > 0, every bucket within that Hamming distance of it
+    * — the standard recall knob: flipping the least-confident sign
+    * bits costs a few more bucket reads instead of more tables).
+    * Exact re-rank inside the probed buckets. */
   def topKLsh(df: DataFrame, idCol: String, vecCol: String,
-              query: Seq[Double], k: Int, numPlanes: Int = 8): DataFrame = {
+              query: Seq[Double], k: Int, numPlanes: Int = 8,
+              multiProbe: Int = 0): DataFrame = {
     val planes = hyperplanes(query.length, numPlanes)
     val qBucket = planes.zipWithIndex.map { case (p, i) =>
       val d = p.zip(query).map { case (x, y) => x * y }.sum
       if (d >= 0) 1 << i else 0
     }.sum
+    val probed: Seq[Int] = (0 to (1 << numPlanes) - 1)
+      .filter(b => java.lang.Integer.bitCount(b ^ qBucket) <= multiProbe)
     withBucket(df, vecCol, planes)
-      .filter(col("bucket") === qBucket)
+      .filter(col("bucket").isin(probed: _*))
       .select(col(idCol), cosineFast(asDouble(col(vecCol)), typedlit(query)).as("cos"))
       .orderBy(col("cos").desc, col(idCol))
       .limit(k)
