@@ -299,7 +299,26 @@ object SparkEntry {
     "q33_monthly_volume" -> q((s, d) =>
       Tables.orders(s, d)
         .groupBy(year(col("o_orderdate")).as("y"), month(col("o_orderdate")).as("m"))
-        .agg(count(lit(1)).as("n"), sum(dec(col("o_totalprice"))).as("total")))
+        .agg(count(lit(1)).as("n"), sum(dec(col("o_totalprice"))).as("total"))),
+
+    // TPC-H Q3 flavor: 3-way join + filter + agg + top-k revenue.
+    // Broadcast the filtered customer dim while it fits; at 100 TB
+    // AQE re-plans to a shuffled join on the key.
+    "q34_shipping_priority" -> q((s, d) => {
+      val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderdate") < ts("1998-01-01 00:00:00"))
+      val li = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= ts("1998-01-01 00:00:00"))
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy(col("l_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"))
+        .agg(sum(dec(col("l_extendedprice")) *
+          (lit(1).cast(DecimalType(18, 4)) - dec(col("l_discount")))).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    })
   ) ++ NonSqlQueries.queries
 
   // ---- DuckDB oracles -------------------------------------------------
@@ -492,6 +511,18 @@ object SparkEntry {
          CAST(month(o_orderdate) AS INT) AS m,
          COUNT(*) AS n,
          SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS total
-         FROM orders GROUP BY 1, 2"""
+         FROM orders GROUP BY 1, 2""",
+
+    "q34_shipping_priority" ->
+      """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         WHERE c_mktsegment = 'BUILDING'
+           AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+           AND l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+         GROUP BY l_orderkey, strftime(o_orderdate, '%Y-%m-%d')
+         ORDER BY revenue DESC, l_orderkey LIMIT 10"""
   )
 }

@@ -104,21 +104,36 @@ object Similarity {
 
   /** Embedding-cosine near-duplicate pairs via LSH buckets: pairs that
     * share a bucket AND pass the exact cosine threshold. One groupBy
-    * shuffle on the bucket key, in-bucket pairs expanded natively —
-    * no O(n²) cross join, no double-computed self-join branches. */
+    * shuffle on the bucket key; in-bucket pairs are enumerated
+    * imperatively per group (`flatMapGroups` — the justified last-
+    * resort tier here: the declarative pair-expansion materialized
+    * every candidate pair WITH both vectors (~1 KB each) before the
+    * threshold filter, ~8 MB per bucket of pure allocation; the loop
+    * emits only survivors). Each vector sits in exactly one bucket, so
+    * pairs are already unique. */
   def nearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                    threshold: Double = 0.95, numPlanes: Int = 8,
-                   dim: Int = 64): DataFrame = {
+                   dim: Int = 64, maxBucket: Int = 4096): DataFrame = {
     val planes = hyperplanes(dim, numPlanes)
-    val bucketed = withBucket(df, vecCol, planes)
-      .select(col(idCol), col(vecCol), col("bucket"))
-    DedupApprox.explodePairs(bucketed, Seq(col("bucket")),
-        struct(col(idCol).as("id"), asDouble(col(vecCol)).as("v")), maxBucket = 4096)
-      .select(
-        least(col("p.a.id"), col("p.b.id")).as("id_a"),
-        greatest(col("p.a.id"), col("p.b.id")).as("id_b"),
-        cosineFast(col("p.a.v"), col("p.b.v")).as("cos"))
-      .dropDuplicates("id_a", "id_b")
-      .filter(col("cos") >= threshold)
+    val spark = df.sparkSession
+    import spark.implicits._
+    withBucket(df, vecCol, planes)
+      .select(col("bucket"), col(idCol).cast("long").as("id"), asDouble(col(vecCol)).as("v"))
+      .as[(Int, Long, Seq[Double])]
+      .groupByKey(_._1)
+      .flatMapGroups { (_, it) =>
+        val members = it.take(maxBucket + 1).map { case (_, id, v) => (id, v.toArray) }.toArray
+        if (members.length < 2 || members.length > maxBucket) Iterator.empty
+        else {
+          java.util.Arrays.sort(members, Ordering.by((m: (Long, Array[Double])) => m._1))
+          for {
+            i <- members.indices.iterator
+            j <- (i + 1 until members.length).iterator
+            cos = cosineOf(members(i)._2, members(j)._2)
+            if cos >= threshold
+          } yield (members(i)._1, members(j)._1, cos)
+        }
+      }
+      .toDF("id_a", "id_b", "cos")
   }
 }
