@@ -133,6 +133,12 @@ object NonSqlQueries {
       Tables.lineitem(s, d).groupBy(col("l_returnflag"))
         .agg(approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"))),
 
+    // One-call corpus dedup: pairs → components → keep/drop verdicts.
+    "x18_dedup_verdicts" -> q((s, d) =>
+      DedupApprox.dedupCorpus(Tables.documents(s, d), "doc_id", "text",
+        threshold = 0.5)
+        .select(col("doc_id"), col("comp"), col("keep"))),
+
     // SQL-registration surface smoke: the library's functions usable
     // from spark.sql.
     "x17_sql_functions" -> q((s, d) => {

@@ -318,7 +318,14 @@ object SparkEntry {
           (lit(1).cast(DecimalType(18, 4)) - dec(col("l_discount")))).as("revenue"))
         .orderBy(col("revenue").desc, col("l_orderkey"))
         .limit(10)
-    })
+    }),
+
+    // Skew-mitigation form: two-phase salted aggregation — result is
+    // EXACTLY the plain groupBy (the oracle is unsalted SQL), the plan
+    // spreads each hot key over 16 reducers first.
+    "q35_salted_agg" -> q((s, d) =>
+      Skew.saltedCount(Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), col("event_id")), "user_id"))
   ) ++ NonSqlQueries.queries
 
   // ---- DuckDB oracles -------------------------------------------------
@@ -523,6 +530,9 @@ object SparkEntry {
            AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
            AND l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
          GROUP BY l_orderkey, strftime(o_orderdate, '%Y-%m-%d')
-         ORDER BY revenue DESC, l_orderkey LIMIT 10"""
+         ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+
+    "q35_salted_agg" ->
+      "SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id"
   )
 }

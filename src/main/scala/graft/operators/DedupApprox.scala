@@ -216,6 +216,21 @@ object DedupApprox {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** One-call corpus dedup: MinHash near-dup pairs → connected
+    * components → keep/drop verdict per document. Docs outside any
+    * near-dup cluster keep themselves (cluster = own id, keep = true).
+    * This is the operator a training-data pipeline actually runs; the
+    * pieces stay public for custom thresholds/metrics. */
+  def dedupCorpus(df: DataFrame, idCol: String, textCol: String,
+                  threshold: Double = 0.8): DataFrame = {
+    val pairs = minhashPairs(df, idCol, textCol, threshold = threshold)
+    val verdicts = Dedup.clusterVerdicts(pairs)
+      .withColumnRenamed("id", idCol)
+    df.join(verdicts, Seq(idCol), "left")
+      .withColumn("comp", coalesce(col("comp"), col(idCol)))
+      .withColumn("keep", coalesce(col("keep"), lit(true)))
+  }
+
   // ---- exact n-gram Jaccard (inverted-index, no signatures) -----------
 
   /** All-pairs n-gram Jaccard >= threshold via an inverted index:
