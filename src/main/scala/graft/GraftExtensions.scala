@@ -27,5 +27,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("textblob_polarity"),
       new ExpressionInfo(classOf[LexiconPolarityExpr].getName, "textblob_polarity"),
       exprs => LexiconPolarityExpr(exprs.head)))
+    e.injectOptimizerRule(_ => graft.rules.SimplifyLabelFilter)
   }
 }

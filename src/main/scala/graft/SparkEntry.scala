@@ -325,7 +325,24 @@ object SparkEntry {
     // spreads each hot key over 16 reducers first.
     "q35_salted_agg" -> q((s, d) =>
       Skew.saltedCount(Tables.events(s, d)
-        .select(col("user_id"), col("event_type"), col("event_id")), "user_id"))
+        .select(col("user_id"), col("event_type"), col("event_id")), "user_id")),
+
+    // Set-op breadth: INTERSECT.
+    "q36_intersect" -> q((s, d) =>
+      Tables.orders(s, d).select(col("o_custkey"))
+        .intersect(Tables.customer(s, d).select(col("c_custkey")))),
+
+    // Regex extraction breadth over the events props payload.
+    "q37_regexp_extract" -> q((s, d) =>
+      Tables.events(s, d).select(col("event_id"),
+        regexp_extract(col("props"), "(\\d+)", 1).as("k_val"),
+        upper(col("event_type")).as("event_uc"))),
+
+    // Ordered list aggregation per group.
+    "q38_string_agg" -> q((s, d) =>
+      Tables.lineitem(s, d).groupBy(col("l_orderkey"))
+        .agg(array_join(transform(sort_array(collect_list(col("l_linenumber"))),
+          n => n.cast("string")), ",").as("lines")))
   ) ++ NonSqlQueries.queries
 
   // ---- DuckDB oracles -------------------------------------------------
@@ -533,6 +550,18 @@ object SparkEntry {
          ORDER BY revenue DESC, l_orderkey LIMIT 10""",
 
     "q35_salted_agg" ->
-      "SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id"
+      "SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id",
+
+    "q36_intersect" ->
+      "SELECT o_custkey FROM orders INTERSECT SELECT c_custkey FROM customer",
+
+    "q37_regexp_extract" ->
+      """SELECT event_id, regexp_extract(props, '(\d+)', 1) AS k_val,
+         upper(event_type) AS event_uc FROM events""",
+
+    "q38_string_agg" ->
+      """SELECT l_orderkey,
+         string_agg(CAST(l_linenumber AS VARCHAR), ',' ORDER BY l_linenumber) AS lines
+         FROM lineitem GROUP BY l_orderkey"""
   )
 }
