@@ -102,6 +102,32 @@ object Vader {
     valence
   }
 
+  /** Special-case idioms over the published window shapes: the five
+    * look-back sequences (first match wins), then the two look-ahead
+    * sequences (which override), then the multiword-booster damp. */
+  private def specialIdioms(valence0: Double, words: Array[String], i: Int): Double = {
+    var valence = valence0
+    def lw(j: Int) = words(j).toLowerCase
+    val onezero = s"${lw(i - 1)} ${lw(i)}"
+    val twoonezero = s"${lw(i - 2)} ${lw(i - 1)} ${lw(i)}"
+    val twoone = s"${lw(i - 2)} ${lw(i - 1)}"
+    val threetwoone = s"${lw(i - 3)} ${lw(i - 2)} ${lw(i - 1)}"
+    val threetwo = s"${lw(i - 3)} ${lw(i - 2)}"
+    Seq(onezero, twoonezero, twoone, threetwoone, threetwo)
+      .collectFirst { case s if SpecialCases.contains(s) => SpecialCases(s) }
+      .foreach(v => valence = v)
+    if (i + 1 < words.length) {
+      val zeroone = s"${lw(i)} ${lw(i + 1)}"
+      if (SpecialCases.contains(zeroone)) valence = SpecialCases(zeroone)
+    }
+    if (i + 2 < words.length) {
+      val zeroonetwo = s"${lw(i)} ${lw(i + 1)} ${lw(i + 2)}"
+      if (SpecialCases.contains(zeroonetwo)) valence = SpecialCases(zeroonetwo)
+    }
+    if (Boosters.contains(threetwo) || Boosters.contains(twoone)) valence += BDecr
+    valence
+  }
+
   private def leastCheck(valence0: Double, words: Array[String], i: Int): Double = {
     var valence = valence0
     if (i > 1 && words(i - 1).toLowerCase == "least" &&
@@ -173,6 +199,7 @@ object Vader {
             if (dist == 2 && s != 0.0) s *= 0.9
             valence += s
             valence = negationCheck(valence, words, dist, i)
+            if (dist == 2) valence = specialIdioms(valence, words, i)
           }
           dist += 1
         }

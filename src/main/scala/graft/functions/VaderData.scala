@@ -129,7 +129,18 @@ object VaderData {
     "delayed" -> -1.3, "cut" -> -1.1, "cuts" -> -1.1, "shortage" -> -1.6,
     "strike" -> -1.6, "protest" -> -1.1, "protests" -> -1.1,
     "sucks" -> -1.5, "stupid" -> -2.4, "ugly" -> -2.3, "nasty" -> -2.6,
-    "disappointing" -> -2.2, "disappointed" -> -2.3, "disappoint" -> -2.1)
+    "disappointing" -> -2.2, "disappointed" -> -2.3, "disappoint" -> -2.1,
+    "shit" -> -2.5, "bomb" -> -2.2)
+
+  /** Published special-case n-gram idioms: an idiom containing a
+    * lexicon word overrides that word's valence (e.g. "the shit" is
+    * high praise despite "shit"). Checked over the window shapes the
+    * published model uses (i-2..i, i..i+2 around the lexicon word). */
+  val SpecialCases: Map[String, Double] = Map(
+    "the shit" -> 3.0, "the bomb" -> 3.0, "bad ass" -> 1.5,
+    "badass" -> 1.5, "yeah right" -> -2.0, "kiss of death" -> -1.5,
+    "to die for" -> 3.0, "hand to mouth" -> -2.0,
+    "cut the mustard" -> 2.0, "upper hand" -> 1.0)
 
   /** Punctuation stripped from token edges (word tokens keep emoticons:
     * tokens whose stripped form is ≤ 2 chars stay intact). */

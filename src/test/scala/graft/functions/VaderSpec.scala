@@ -63,6 +63,14 @@ class VaderSpec extends AnyFunSuite {
     assert(c("The service is horrible, but the food is great") > 0)
   }
 
+  test("special-case idioms override the word valence") {
+    // "shit" is -2.5 but "the shit" is high praise (+3)
+    assert(c("this mixtape is truly the shit") > 0)
+    assert(c("what a load of shit") < 0)
+    // "bad ass" flips "bad" positive via the look-ahead window
+    assert(c("that stunt was so bad ass") > 0)
+  }
+
   test("neutral / empty / unknown text scores 0") {
     assert(c("") == 0.0)
     assert(c(null) == 0.0)
