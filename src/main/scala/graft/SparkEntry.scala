@@ -342,7 +342,14 @@ object SparkEntry {
     "q38_string_agg" -> q((s, d) =>
       Tables.lineitem(s, d).groupBy(col("l_orderkey"))
         .agg(array_join(transform(sort_array(collect_list(col("l_linenumber"))),
-          n => n.cast("string")), ",").as("lines")))
+          n => n.cast("string")), ",").as("lines"))),
+
+    // Exact interpolated percentiles per group (both engines use the
+    // same lower+(upper-lower)*frac definition on sorted values).
+    "q39_percentiles" -> q((s, d) =>
+      Tables.events(s, d).groupBy(col("event_type"))
+        .agg(expr("percentile(value, 0.5)").as("q50"),
+          expr("percentile(value, 0.9)").as("q90")))
   ) ++ NonSqlQueries.queries
 
   // ---- DuckDB oracles -------------------------------------------------
@@ -562,6 +569,11 @@ object SparkEntry {
     "q38_string_agg" ->
       """SELECT l_orderkey,
          string_agg(CAST(l_linenumber AS VARCHAR), ',' ORDER BY l_linenumber) AS lines
-         FROM lineitem GROUP BY l_orderkey"""
+         FROM lineitem GROUP BY l_orderkey""",
+
+    "q39_percentiles" ->
+      """SELECT event_type, quantile_cont(value, 0.5) AS q50,
+         quantile_cont(value, 0.9) AS q90
+         FROM events GROUP BY event_type"""
   )
 }

@@ -44,4 +44,20 @@ class BucketingSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS graft_b_lineitem")
     }
   }
+
+  test("partitioned layout prunes partitions at the scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
+    Tables.events(spark, "/root/testdata/sf0.001")
+      .select($"event_id", $"user_id", $"value", $"event_type")
+      .write.mode("overwrite").partitionBy("event_type").parquet(dir)
+
+    val q = spark.read.parquet(dir).filter($"event_type" === "purchase")
+    val scan = q.queryExecution.executedPlan.toString
+    // the predicate lands in PartitionFilters, not a row-level Filter
+    assert(scan.contains("PartitionFilters") &&
+      scan.contains("event_type"), scan)
+    val total = spark.read.parquet(dir).count()
+    val pruned = q.count()
+    assert(pruned > 0 && pruned < total)
+  }
 }
