@@ -106,7 +106,8 @@ object NonSqlQueries {
             col("bucket").as("qbucket")))
       Similarity.withBucket(emb.filter(col("vec_id") =!= 0), "embedding", planes)
         .crossJoin(query)
-        .filter(col("bucket") === col("qbucket"))
+        // multi-probe: include buckets within Hamming 1 of the query's
+        .filter(bit_count(col("bucket").bitwiseXOR(col("qbucket"))) <= 1)
         .select(col("vec_id"),
           Similarity.cosineFast(col("embedding").cast("array<double>"), col("qv")).as("cos"))
         .orderBy(col("cos").desc, col("vec_id")).limit(20)

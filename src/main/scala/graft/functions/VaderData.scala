@@ -130,7 +130,74 @@ object VaderData {
     "strike" -> -1.6, "protest" -> -1.1, "protests" -> -1.1,
     "sucks" -> -1.5, "stupid" -> -2.4, "ugly" -> -2.3, "nasty" -> -2.6,
     "disappointing" -> -2.2, "disappointed" -> -2.3, "disappoint" -> -2.1,
-    "shit" -> -2.5, "bomb" -> -2.2)
+    "shit" -> -2.5, "bomb" -> -2.2) ++ Map(
+    // extended coverage (news/web vocabulary, VADER-calibrated range)
+    "accomplish" -> 1.9, "accomplished" -> 1.9, "achievement" -> 2.1,
+    "admire" -> 2.3, "adorable" -> 2.6, "adore" -> 2.9, "agony" -> -2.7,
+    "alarm" -> -1.4, "alarming" -> -1.8, "amazed" -> 2.4, "ambitious" -> 1.6,
+    "anguish" -> -2.5, "annoy" -> -1.8, "annoying" -> -1.9, "anxious" -> -1.4,
+    "appalling" -> -2.5, "applaud" -> 2.0, "appreciate" -> 1.9,
+    "astonishing" -> 2.1, "attractive" -> 1.9, "avoid" -> -1.2,
+    "awkward" -> -1.2, "backlash" -> -1.6, "bankrupt" -> -2.6,
+    "bankruptcy" -> -2.4, "beloved" -> 2.7, "betray" -> -2.8,
+    "betrayal" -> -2.8, "bless" -> 2.3, "blessing" -> 2.6, "bold" -> 1.4,
+    "boring" -> -1.3, "brave" -> 2.3, "bright" -> 1.9, "bullish" -> 1.6,
+    "burden" -> -1.6, "calm" -> 1.3, "chaos" -> -2.2, "chaotic" -> -2.0,
+    "charming" -> 2.2, "cheer" -> 2.3, "cheerful" -> 2.5, "comfort" -> 1.9,
+    "comfortable" -> 1.7, "condemn" -> -2.2, "confusion" -> -1.2,
+    "courage" -> 2.2, "coward" -> -2.0, "creative" -> 1.9, "cruel" -> -2.8,
+    "cruelty" -> -2.9, "cry" -> -2.1, "cursed" -> -2.5, "cute" -> 2.0,
+    "dark" -> -0.7, "dear" -> 1.6, "defeat" -> -1.9, "defeated" -> -2.1,
+    "delight" -> 2.9, "depressed" -> -2.3, "depression" -> -2.5,
+    "despair" -> -2.7, "destroy" -> -2.6, "destroyed" -> -2.4,
+    "destruction" -> -2.7, "devastating" -> -3.0, "dirty" -> -1.8,
+    "disgrace" -> -2.3, "disgust" -> -2.7, "disgusting" -> -2.9,
+    "distress" -> -2.1, "dream" -> 1.7, "dying" -> -2.8, "eager" -> 1.5,
+    "ecstatic" -> 3.1, "embarrassing" -> -1.9, "empower" -> 1.9,
+    "encourage" -> 1.9, "encouraging" -> 2.1, "enemy" -> -2.3,
+    "enjoy" -> 2.2, "enjoyable" -> 2.2, "evil" -> -3.4, "fabulous" -> 2.7,
+    "faith" -> 1.9, "fake" -> -1.8, "famous" -> 1.6, "fascinating" -> 2.2,
+    "favor" -> 1.7, "fearless" -> 1.9, "fight" -> -1.6, "filthy" -> -2.3,
+    "flawless" -> 2.6, "foolish" -> -1.8, "forgive" -> 1.5,
+    "fortunate" -> 2.1, "friendly" -> 2.2, "frustrated" -> -2.1,
+    "frustrating" -> -2.1, "generous" -> 2.3, "genius" -> 2.5,
+    "gentle" -> 1.8, "gloomy" -> -1.7, "gorgeous" -> 2.7, "grateful" -> 2.3,
+    "greed" -> -2.2, "greedy" -> -2.1, "grief" -> -2.5, "grim" -> -1.9,
+    "harm" -> -2.2, "harmful" -> -2.3, "harsh" -> -1.8, "heal" -> 1.9,
+    "healthy" -> 2.1, "heartbreaking" -> -2.7, "heaven" -> 2.5,
+    "hell" -> -2.6, "hero" -> 2.6, "heroic" -> 2.6, "honest" -> 2.2,
+    "honor" -> 2.3, "horrific" -> -3.0, "horror" -> -2.7, "hostile" -> -2.1,
+    "humiliating" -> -2.3, "hunger" -> -1.7, "ideal" -> 2.0,
+    "idiot" -> -2.3, "ill" -> -1.8, "illness" -> -1.9, "impress" -> 2.0,
+    "impressed" -> 2.1, "inferior" -> -1.7, "inspire" -> 2.2,
+    "inspiring" -> 2.4, "insult" -> -2.2, "intelligent" -> 2.1,
+    "interesting" -> 1.7, "jealous" -> -1.8, "jeopardy" -> -1.9,
+    "kind" -> 2.0, "kindness" -> 2.4, "laugh" -> 2.2, "lazy" -> -1.5,
+    "liar" -> -2.5, "lie" -> -1.9, "lively" -> 1.9, "lonely" -> -1.9,
+    "luck" -> 1.9, "lucky" -> 2.1, "magnificent" -> 2.8, "merry" -> 2.3,
+    "mess" -> -1.5, "miserable" -> -2.5, "misery" -> -2.6,
+    "murder" -> -3.3, "neglect" -> -1.9, "nervous" -> -1.4, "noble" -> 2.1,
+    "offend" -> -1.9, "offensive" -> -2.1, "paradise" -> 2.8,
+    "pathetic" -> -2.2, "pleasant" -> 2.0, "please" -> 1.4,
+    "pleased" -> 2.0, "pleasure" -> 2.5, "powerful" -> 1.9,
+    "precious" -> 2.2, "pretty" -> 2.0, "prosper" -> 2.2,
+    "prosperity" -> 2.4, "punish" -> -1.9, "radiant" -> 2.4,
+    "rage" -> -2.6, "rejoice" -> 2.6, "relief" -> 1.9, "remarkable" -> 2.2,
+    "rescue" -> 1.9, "resent" -> -1.9, "respect" -> 2.1, "rob" -> -2.4,
+    "robbery" -> -2.3, "rotten" -> -2.2, "ruin" -> -2.2, "ruined" -> -2.3,
+    "satisfied" -> 1.9, "savage" -> -2.1, "scandalous" -> -2.1,
+    "selfish" -> -1.9, "shame" -> -2.1, "shameful" -> -2.3, "shine" -> 1.7,
+    "shock" -> -1.5, "shocking" -> -1.7, "slaughter" -> -3.1,
+    "smile" -> 2.1, "sorrow" -> -2.4, "sorry" -> -0.6, "splendid" -> 2.6,
+    "steal" -> -2.2, "stress" -> -1.8, "stressful" -> -2.0,
+    "struggle" -> -1.7, "stunning" -> 2.4, "succeed" -> 2.4,
+    "sweet" -> 2.0, "talent" -> 1.9, "talented" -> 2.1, "terror" -> -2.9,
+    "terrorism" -> -3.1, "thank" -> 1.9, "thankful" -> 2.3,
+    "tragedy" -> -2.8, "tragic" -> -2.6, "trust" -> 2.1, "truth" -> 1.6,
+    "unfair" -> -2.0, "unfortunate" -> -1.9, "upset" -> -1.9,
+    "useless" -> -1.8, "vibrant" -> 2.0, "vicious" -> -2.4,
+    "warm" -> 1.6, "wealth" -> 2.2, "welcome" -> 1.9, "wise" -> 2.1,
+    "worthless" -> -2.1, "worthy" -> 1.9, "wounded" -> -2.1)
 
   /** Published special-case n-gram idioms: an idiom containing a
     * lexicon word overrides that word's valence (e.g. "the shit" is
