@@ -39,6 +39,49 @@ object WindowedStats {
   private def micros(t: Timestamp): Long =
     math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
 
+  /** Streaming gap-based sessionization: same semantics as
+    * [[sessionize]], on an unbounded stream. Open sessions live in
+    * keyed state; an event-time timeout (watermark passing
+    * last + gap) closes them, so every session is emitted exactly
+    * once and state stays bounded by the number of OPEN sessions. */
+  def sessionizeStream(events: Dataset[Event], gapMs: Long,
+                       lateness: String = "10 minutes"): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val gapUs = gapMs * 1000L
+    events.withWatermark("ts", lateness)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, evs: Iterator[Event], state: GroupState[SessionState]) =>
+          def toTs(us: Long) = new Timestamp(math.floorDiv(us, 1000L))
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(Session(userId, toTs(s.start), toTs(s.last), s.n))
+          } else {
+            val sorted = evs.toSeq.sortBy(e => micros(e.ts))
+            val out = scala.collection.mutable.ListBuffer[Session]()
+            var st = state.getOption.orNull
+            sorted.foreach { e =>
+              val t = micros(e.ts)
+              st match {
+                case null => st = SessionState(t, t, 1)
+                case s if t - s.last <= gapUs =>
+                  st = SessionState(s.start, t, s.n + 1)
+                case s =>
+                  out += Session(userId, toTs(s.start), toTs(s.last), s.n)
+                  st = SessionState(t, t, 1)
+              }
+            }
+            if (st != null) {
+              state.update(st)
+              state.setTimeoutTimestamp(math.floorDiv(st.last + gapUs, 1000L))
+            }
+            out.iterator
+          }
+      }
+  }
+
   /** Gap-based sessionization: events for a user belong to one session
     * while gaps stay under `gapMs`; a session closes when the gap is
     * exceeded (or, on a stream, on event-time timeout). The state per

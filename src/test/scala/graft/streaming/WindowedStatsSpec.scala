@@ -41,6 +41,37 @@ class WindowedStatsSpec extends SparkSpec {
     assert(sessions(2) == Session(2L, ts("2024-01-01 10:05:00"), ts("2024-01-01 10:05:00"), 1))
   }
 
+  test("sessionizeStream closes sessions via event-time timeout") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[WindowedStats.Event]
+    val q = WindowedStats.sessionizeStream(mem.toDS(), gapMs = 30 * 60 * 1000,
+        lateness = "0 seconds")
+      .writeStream.format("memory").queryName("graft_sessions")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: two events in one session
+      mem.addData(
+        WindowedStats.Event(1L, ts("2024-01-01 10:00:00"), "view"),
+        WindowedStats.Event(1L, ts("2024-01-01 10:10:00"), "click"))
+      q.processAllAvailable()
+      assert(spark.table("graft_sessions").count() == 0) // still open
+      // batch 2: event far past the gap advances the watermark AND
+      // starts a new session; the old one must close via timeout
+      mem.addData(WindowedStats.Event(1L, ts("2024-01-01 13:00:00"), "view"))
+      q.processAllAvailable()
+      mem.addData(WindowedStats.Event(2L, ts("2024-01-01 15:00:00"), "view"))
+      q.processAllAvailable()
+      val closed = spark.table("graft_sessions")
+        .as[Session].collect().sortBy(_.session_start.getTime)
+      assert(closed.exists(s =>
+        s.user_id == 1L && s.n_events == 2 &&
+        s.session_start == ts("2024-01-01 10:00:00") &&
+        s.session_end == ts("2024-01-01 10:10:00")))
+    } finally q.stop()
+  }
+
   test("GraftExtensions injects native functions into a fresh session") {
     val orig = spark
     // getOrCreate only applies extensions at session creation — clear
