@@ -134,6 +134,13 @@ object NonSqlQueries {
       Tables.lineitem(s, d).groupBy(col("l_returnflag"))
         .agg(approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"))),
 
+    // Custom TypedImperativeAggregate: per-source corpus MinHash
+    // signature (mergeable sketch; corpus-pair Jaccard without
+    // re-reading rows).
+    "x19_corpus_signature" -> q((s, d) =>
+      Tables.documents(s, d).groupBy(col("source"))
+        .agg(graft.functions.MinHashAgg.minhashAgg(col("text")).as("sig"))),
+
     // One-call corpus dedup: pairs → components → keep/drop verdicts.
     "x18_dedup_verdicts" -> q((s, d) =>
       DedupApprox.dedupCorpus(Tables.documents(s, d), "doc_id", "text",
