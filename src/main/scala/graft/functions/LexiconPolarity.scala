@@ -35,6 +35,49 @@ object LexiconPolarity {
   private def isNegator(w: String): Boolean =
     Negators(w) || w.endsWith("n't")
 
+  /** TextBlob-style (polarity, subjectivity). Pattern assigns each
+    * lexicon entry a subjectivity in [0,1]; with the derived lexicon we
+    * calibrate it from polarity magnitude (strongly polar words are
+    * subjective; mild ones less so), with intensifiers counting as
+    * subjective assessments — preserving the library's contract that
+    * factual text scores near 0 and opinionated text near 1. */
+  def sentiment(text: String): (Double, Double) = {
+    if (text == null || text.isEmpty) return (0.0, 0.0)
+    val toks = text.toLowerCase.split("[^a-z0-9']+").filter(_.nonEmpty)
+    var pSum = 0.0; var sSum = 0.0; var n = 0
+    var i = 0
+    while (i < toks.length) {
+      Lexicon.get(toks(i)) match {
+        case Some(p0) =>
+          var p = p0
+          if (i > 0) {
+            val prev = toks(i - 1)
+            if (isNegator(prev)) p *= -0.5
+            else Intensifiers.get(prev).foreach { m =>
+              p = clamp(p * m)
+              sSum += 0.9; n += 1 // the intensifier is itself an assessment
+              if (i > 1 && isNegator(toks(i - 2))) p *= -0.5
+            }
+          }
+          pSum += p
+          sSum += math.min(1.0, 0.35 + 0.65 * math.abs(p0))
+          n += 1
+        case None =>
+      }
+      i += 1
+    }
+    if (n == 0) (0.0, 0.0) else (pSum / (n - countIntens(toks)).max(1), sSum / n)
+  }
+
+  private def countIntens(toks: Array[String]): Int = {
+    var c = 0; var i = 1
+    while (i < toks.length) {
+      if (Lexicon.contains(toks(i)) && Intensifiers.contains(toks(i - 1))) c += 1
+      i += 1
+    }
+    c
+  }
+
   def polarity(text: String): Double = {
     if (text == null || text.isEmpty) return 0.0
     val toks = text.toLowerCase.split("[^a-z0-9']+").filter(_.nonEmpty)

@@ -23,8 +23,12 @@ object Sentiment {
   private val vaderCompoundUdf = udf { (text: String) => Vader.compound(text) }
   private val lexPolarityUdf = udf { (text: String) => LexiconPolarity.polarity(text) }
 
-  /** X-1: full VADER struct<neg,neu,pos,compound>. */
+  /** X-1: full VADER struct<neg,neu,pos,compound> (native expr). */
   def vaderScores(text: Column): Column =
+    SentimentExpressions.vaderScores(text)
+
+  /** UDF-path struct (fallback / equivalence testing). */
+  def vaderScoresUdfCol(text: Column): Column =
     vaderUdf(text).cast("struct<neg:double,neu:double,pos:double,compound:double>")
 
   /** X-1: compound only — the field the reference pipeline consumes.

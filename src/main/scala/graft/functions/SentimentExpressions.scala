@@ -53,10 +53,38 @@ case class LexiconPolarityExpr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Full VADER struct<neg,neu,pos,compound> as a codegen'd expression. */
+case class VaderScoresExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires a string argument")
+  override def dataType: DataType = VaderScoresExpr.schema
+  override def prettyName: String = "vader_scores"
+
+  override def nullSafeEval(input: Any): Any =
+    Vader.scoresRow(input.asInstanceOf[UTF8String].toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Vader.scoresRow($c.toString())")
+
+  override protected def withNewChildInternal(newChild: Expression): VaderScoresExpr =
+    copy(child = newChild)
+}
+
+object VaderScoresExpr {
+  import org.apache.spark.sql.types.StructType
+  val schema: StructType = new StructType()
+    .add("neg", DoubleType).add("neu", DoubleType)
+    .add("pos", DoubleType).add("compound", DoubleType)
+}
+
 object SentimentExpressions {
 
   def vaderCompound(c: Column): Column =
     GraftBridge.column(VaderCompoundExpr(GraftBridge.expression(c)))
+
+  def vaderScores(c: Column): Column =
+    GraftBridge.column(VaderScoresExpr(GraftBridge.expression(c)))
 
   def lexiconPolarity(c: Column): Column =
     GraftBridge.column(LexiconPolarityExpr(GraftBridge.expression(c)))

@@ -215,6 +215,13 @@ object Vader {
 
   def compound(text: String): Double = polarityScores(text).compound
 
+  /** InternalRow form for the codegen'd struct expression. */
+  def scoresRow(text: String): org.apache.spark.sql.catalyst.InternalRow = {
+    val s = polarityScores(text)
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](s.neg, s.neu, s.pos, s.compound))
+  }
+
   private def scoreValence(sentiments: Array[Double], text: String): Scores = {
     if (sentiments.isEmpty) return Scores(0.0, 0.0, 0.0, 0.0)
     var sum = 0.0

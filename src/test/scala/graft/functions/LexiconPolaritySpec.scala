@@ -35,4 +35,14 @@ class LexiconPolaritySpec extends AnyFunSuite {
   test("range stays within [-1, 1]") {
     assert(math.abs(p("love love love amazing awesome best")) <= 1.0)
   }
+
+  test("sentiment(): polarity consistent with polarity(), subjectivity in [0,1]") {
+    for (t <- Seq("good", "not bad at all", "very good and truly awful", "the table")) {
+      val (pol, subj) = LexiconPolarity.sentiment(t)
+      assert(math.abs(pol - p(t)) < 1e-12, t)
+      assert(subj >= 0.0 && subj <= 1.0, t)
+    }
+    assert(LexiconPolarity.sentiment("the chair and the table")._2 == 0.0)
+    assert(LexiconPolarity.sentiment("absolutely amazing wonderful")._2 > 0.5)
+  }
 }

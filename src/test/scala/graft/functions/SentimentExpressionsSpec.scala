@@ -40,6 +40,18 @@ class SentimentExpressionsSpec extends SparkSpec {
     assert(plan.contains("vader_compound"), plan)
   }
 
+  test("native struct expr == UDF struct path") {
+    val rows = texts
+      .withColumn("n", Sentiment.vaderScores(col("t")))
+      .withColumn("u", Sentiment.vaderScoresUdfCol(col("t")))
+      .select(col("n.neg"), col("n.neu"), col("n.pos"), col("n.compound"),
+        col("u.neg"), col("u.neu"), col("u.pos"), col("u.compound"))
+      .collect()
+    rows.foreach { r =>
+      (0 until 4).foreach(i => assert(r.getDouble(i) == r.getDouble(i + 4)))
+    }
+  }
+
   test("SQL registration resolves the native function") {
     SentimentExpressions.register(spark)
     texts.createOrReplaceTempView("sexpr_docs")
