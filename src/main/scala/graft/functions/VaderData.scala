@@ -197,7 +197,13 @@ object VaderData {
     "unfair" -> -2.0, "unfortunate" -> -1.9, "upset" -> -1.9,
     "useless" -> -1.8, "vibrant" -> 2.0, "vicious" -> -2.4,
     "warm" -> 1.6, "wealth" -> 2.2, "welcome" -> 1.9, "wise" -> 2.1,
-    "worthless" -> -2.1, "worthy" -> 1.9, "wounded" -> -2.1)
+    "worthless" -> -2.1, "worthy" -> 1.9, "wounded" -> -2.1) ++ Map(
+    // emoticons — the tokenizer keeps short punctuation tokens intact
+    // precisely so these survive to lookup (VADER's signature feature)
+    ":)" -> 2.0, ":-)" -> 2.2, ":d" -> 2.3, ":-d" -> 2.3, "=)" -> 2.2,
+    ":(" -> -1.9, ":-(" -> -2.2, ":'(" -> -2.2, ":/" -> -1.4,
+    ";)" -> 1.6, ";-)" -> 1.7, "<3" -> 2.7, "</3" -> -2.9,
+    ":p" -> 1.4, ":-p" -> 1.6, ":o" -> -0.4, "xd" -> 2.2)
 
   /** Published special-case n-gram idioms: an idiom containing a
     * lexicon word overrides that word's valence (e.g. "the shit" is

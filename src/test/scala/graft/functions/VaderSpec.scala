@@ -63,6 +63,14 @@ class VaderSpec extends AnyFunSuite {
     assert(c("The service is horrible, but the food is great") > 0)
   }
 
+  test("emoticons survive tokenization and score") {
+    assert(c("I am happy :)") > c("I am happy"))
+    assert(c("this day :(") < 0)
+    assert(c("love this <3") > c("love this"))
+    // punctuation-stripped words still strip; emoticons don't
+    assert(c("good.") == c("good"))
+  }
+
   test("special-case idioms override the word valence") {
     // "shit" is -2.5 but "the shit" is high praise (+3)
     assert(c("this mixtape is truly the shit") > 0)
