@@ -18,21 +18,27 @@ object Bench {
       // noop sink forces full materialization of every output column
       // (a bare count() would let Catalyst prune the projections away);
       // min of two runs damps the ±50% run-to-run JIT/GC noise measured
-      // at this scale (standard steady-state benching).
-      def once(): Double = {
+      // at this scale (standard steady-state benching). A failed query
+      // reports -1, not its wall time — a regression must not read as
+      // a fast run.
+      def once(): (Double, Boolean) = {
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        }
-        (System.nanoTime() - t0) / 1e9
+        val ok =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
+          }
+        ((System.nanoTime() - t0) / 1e9, ok)
       }
-      name -> math.min(once(), once())
+      val (t1, ok1) = once(); val (t2, ok2) = once()
+      name -> (if (ok1 && ok2) math.min(t1, t2) else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

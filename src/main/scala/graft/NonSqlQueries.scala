@@ -32,9 +32,12 @@ object NonSqlQueries {
       plans.SentimentPipeline.histogram(Tables.documents(s, d))),
 
     // X-10: ES english-analyzer chain (tokenize → stop → Porter stem).
+    // Output flattened to one string: the harness comparator sorts rows
+    // by value, which requires scalar (hashable) cells — array cells
+    // would abort the whole compare run.
     "x03_analyze_tokens" -> q((s, d) =>
       Tables.documents(s, d).select(col("doc_id"),
-        Analyzer.analyze(col("text")).as("terms"))),
+        array_join(Analyzer.analyze(col("text")), " ").as("terms"))),
 
     // Q-2 fidelity: analyzed multi_match relevance ranking.
     "x04_analyzed_search" -> q((s, d) =>
@@ -136,10 +139,14 @@ object NonSqlQueries {
 
     // Custom TypedImperativeAggregate: per-source corpus MinHash
     // signature (mergeable sketch; corpus-pair Jaccard without
-    // re-reading rows).
+    // re-reading rows). Signature flattened to a string: the harness
+    // comparator needs scalar cells (see x03 note).
     "x19_corpus_signature" -> q((s, d) =>
       Tables.documents(s, d).groupBy(col("source"))
-        .agg(graft.functions.MinHashAgg.minhashAgg(col("text")).as("sig"))),
+        .agg(graft.functions.MinHashAgg.minhashAgg(col("text")).as("sig_arr"))
+        .select(col("source"),
+          array_join(transform(col("sig_arr"), v => v.cast("string")), ",")
+            .as("sig"))),
 
     // One-call corpus dedup: pairs → components → keep/drop verdicts.
     "x18_dedup_verdicts" -> q((s, d) =>

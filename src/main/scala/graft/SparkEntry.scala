@@ -17,7 +17,11 @@ import graft.operators._
   *
   * Numeric-parity conventions (Spark vs DuckDB must hash-match):
   *   - money/quantity aggregates go through DECIMAL(18,4) so the sum is
-  *     exact and order-independent, then CAST to DOUBLE at the end;
+  *     exact and order-independent, then CAST to STRING on BOTH sides
+  *     for the final output: the comparator's DuckDB→pandas path turns
+  *     decimals into float64 while parquet decimals read back as exact
+  *     Decimal objects, so only a string column is representation-proof
+  *     (both engines print the full declared scale, e.g. "123.4000");
   *   - ratios are computed as one double division of exactly-equal
   *     operands (identical IEEE result on both engines);
   *   - integer-ish outputs are cast to BIGINT on both sides.
@@ -72,10 +76,10 @@ object SparkEntry {
       val li = Tables.lineitem(s, d)
       li.groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          sumd(col("l_quantity")).as("sum_qty"),
-          sumd(col("l_extendedprice")).as("sum_base_price"),
+          sumd(col("l_quantity")).cast("string").as("sum_qty"),
+          sumd(col("l_extendedprice")).cast("string").as("sum_base_price"),
           sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 4)) - dec(col("l_discount"))))
-            .as("sum_disc_price"),
+            .cast("string").as("sum_disc_price"),
           count(lit(1)).as("count_order"))
     }),
 
@@ -202,7 +206,7 @@ object SparkEntry {
       o.join(c, o("o_custkey") === c("c_custkey"))
         .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
         .groupBy(col("n_name"))
-        .agg(sumd(col("o_totalprice")).as("revenue"),
+        .agg(sumd(col("o_totalprice")).cast("string").as("revenue"),
           count(lit(1)).as("n_orders"))
     }),
 
@@ -299,7 +303,8 @@ object SparkEntry {
     "q33_monthly_volume" -> q((s, d) =>
       Tables.orders(s, d)
         .groupBy(year(col("o_orderdate")).as("y"), month(col("o_orderdate")).as("m"))
-        .agg(count(lit(1)).as("n"), sum(dec(col("o_totalprice"))).as("total"))),
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("o_totalprice"))).cast("string").as("total"))),
 
     // TPC-H Q3 flavor: 3-way join + filter + agg + top-k revenue.
     // Broadcast the filtered customer dim while it fits; at 100 TB
@@ -315,9 +320,11 @@ object SparkEntry {
         .groupBy(col("l_orderkey"),
           date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"))
         .agg(sum(dec(col("l_extendedprice")) *
-          (lit(1).cast(DecimalType(18, 4)) - dec(col("l_discount")))).as("revenue"))
-        .orderBy(col("revenue").desc, col("l_orderkey"))
+          (lit(1).cast(DecimalType(18, 4)) - dec(col("l_discount")))).as("revenue_d"))
+        .orderBy(col("revenue_d").desc, col("l_orderkey"))
         .limit(10)
+        .select(col("l_orderkey"), col("o_orderdate"),
+          col("revenue_d").cast("string").as("revenue"))
     }),
 
     // Skew-mitigation form: two-phase salted aggregation — result is
@@ -357,9 +364,9 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-         SUM(CAST(l_quantity AS DECIMAL(18,4))) AS sum_qty,
-         SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS sum_base_price,
-         SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS sum_disc_price,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS sum_qty,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS VARCHAR) AS sum_base_price,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS VARCHAR) AS sum_disc_price,
          COUNT(*) AS count_order
          FROM lineitem GROUP BY l_returnflag, l_linestatus""",
 
@@ -458,7 +465,7 @@ object SparkEntry {
 
     "q20_join_star" ->
       """SELECT n_name,
-         SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS revenue,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS VARCHAR) AS revenue,
          COUNT(*) AS n_orders
          FROM orders JOIN customer ON o_custkey = c_custkey
          JOIN nation ON c_nationkey = n_nationkey
@@ -541,20 +548,21 @@ object SparkEntry {
       """SELECT CAST(year(o_orderdate) AS INT) AS y,
          CAST(month(o_orderdate) AS INT) AS m,
          COUNT(*) AS n,
-         SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS total
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS VARCHAR) AS total
          FROM orders GROUP BY 1, 2""",
 
     "q34_shipping_priority" ->
-      """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
-         SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS revenue
-         FROM lineitem
-         JOIN orders ON l_orderkey = o_orderkey
-         JOIN customer ON o_custkey = c_custkey
-         WHERE c_mktsegment = 'BUILDING'
-           AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
-           AND l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
-         GROUP BY l_orderkey, strftime(o_orderdate, '%Y-%m-%d')
-         ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+      """SELECT l_orderkey, o_orderdate, CAST(revenue_d AS VARCHAR) AS revenue FROM (
+           SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS revenue_d
+           FROM lineitem
+           JOIN orders ON l_orderkey = o_orderkey
+           JOIN customer ON o_custkey = c_custkey
+           WHERE c_mktsegment = 'BUILDING'
+             AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+             AND l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+           GROUP BY l_orderkey, strftime(o_orderdate, '%Y-%m-%d')
+           ORDER BY revenue_d DESC, l_orderkey LIMIT 10) q""",
 
     "q35_salted_agg" ->
       "SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id",

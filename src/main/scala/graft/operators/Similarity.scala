@@ -37,7 +37,11 @@ object Similarity {
       d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i)
       i += 1
     }
-    d / (math.sqrt(na) * math.sqrt(nb))
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    // zero-norm guard: NaN sorts as the LARGEST double in Spark, so a
+    // degenerate all-zero vector would otherwise capture top-k slots;
+    // cosine 0 ranks it last instead.
+    if (denom == 0.0) 0.0 else d / denom
   }
 
   private val cosineUdf = udf { (a: Seq[Double], b: Seq[Double]) =>

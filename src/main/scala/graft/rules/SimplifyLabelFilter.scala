@@ -18,11 +18,15 @@ import org.apache.spark.sql.types.StringType
   * Catalyst has no CASE-unwrapping for non-boolean equality, so this
   * is a genuine gap the engine fills.
   *
-  * Null semantics are preserved exactly: a CASE branch with a NULL
-  * condition is "not taken", so each branch test is wrapped in
-  * null-safe `<=> TRUE`, and the ELSE path is the null-safe negation
-  * of every branch — a NULL score still classifies as 'neutral' after
-  * the rewrite.
+  * Null semantics: the rewritten predicate is two-valued (FALSE where
+  * the original equality would be NULL — e.g. a CASE with no ELSE, or
+  * a NULL literal branch, compared to a label). That substitution is
+  * only sound where FALSE and NULL behave identically, i.e. when the
+  * equality is a TOP-LEVEL CONJUNCT of the Filter condition (a Filter
+  * drops both). Under a surrounding NOT/OR/CASE the two diverge
+  * (NOT NULL is NULL → row dropped, NOT FALSE is TRUE → row kept), so
+  * the rule rewrites only top-level conjuncts and leaves every nested
+  * occurrence untouched.
   */
 object SimplifyLabelFilter extends Rule[LogicalPlan] {
 
@@ -48,13 +52,22 @@ object SimplifyLabelFilter extends Rule[LogicalPlan] {
     Some(matching.reduceOption(Or).getOrElse(Literal.FalseLiteral))
   }
 
+  /** Splits a condition into its AND-ed conjuncts. */
+  private def conjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => conjuncts(l) ++ conjuncts(r)
+    case other     => Seq(other)
+  }
+
+  private def rewriteConjunct(e: Expression): Expression = e match {
+    case eq @ EqualTo(cw: CaseWhen, l: Literal) if l.dataType == StringType =>
+      rewrite(cw, l).getOrElse(eq)
+    case eq @ EqualTo(l: Literal, cw: CaseWhen) if l.dataType == StringType =>
+      rewrite(cw, l).getOrElse(eq)
+    case other => other // nested occurrences (NOT/OR/...) stay as-is
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
-    case f: Filter =>
-      f.transformExpressions {
-        case eq @ EqualTo(cw: CaseWhen, l: Literal) if l.dataType == StringType =>
-          rewrite(cw, l).getOrElse(eq)
-        case eq @ EqualTo(l: Literal, cw: CaseWhen) if l.dataType == StringType =>
-          rewrite(cw, l).getOrElse(eq)
-      }
+    case Filter(cond, child) =>
+      Filter(conjuncts(cond).map(rewriteConjunct).reduce(And), child)
   }
 }

@@ -47,4 +47,46 @@ class SimplifyLabelFilterSpec extends SparkSpec {
       assert(neutral.filter(col("score").isNull).count() == 1)
     }
   }
+
+  // A CASE with no ELSE yields NULL labels; under NOT, SQL drops those
+  // rows (NOT NULL → NULL). A naive rewrite to FALSE would keep them
+  // (NOT FALSE → TRUE) — the rule must leave nested equalities alone.
+  private def partialLabel =
+    when(col("score") >= 0.1, "positive")
+      .when(col("score") <= -0.1, "negative") // no otherwise → NULL gap
+
+  test("does NOT rewrite under NOT: no-ELSE CASE `!=` keeps SQL null semantics") {
+    val base = scores.withColumn("overall", partialLabel)
+      .filter(col("overall") =!= "positive").select(col("score"))
+    val plain = base.collect().map(r => Option(r.get(0))).toSet
+    val ruled = withRule {
+      scores.withColumn("overall", partialLabel)
+        .filter(col("overall") =!= "positive").select(col("score"))
+        .collect().map(r => Option(r.get(0))).toSet
+    }
+    assert(ruled == plain)
+    // and concretely: the NULL-label rows (0.05 and NULL score) are dropped
+    assert(ruled == Set(Some(-0.1), Some(-0.9)))
+  }
+
+  test("does NOT rewrite inside OR disjuncts") {
+    val cond = (col("overall") === "positive") || col("score").isNull
+    val plain = scores.withColumn("overall", partialLabel)
+      .filter(cond).count()
+    val ruled = withRule {
+      scores.withColumn("overall", partialLabel).filter(cond).count()
+    }
+    assert(ruled == plain)
+  }
+
+  test("rewrites each top-level conjunct independently") {
+    withRule {
+      val q = scores.withColumn("overall", Classify.overall(col("score")))
+        .filter(col("overall") === "positive" && col("score") > 0.2)
+        .select(col("score"))
+      val optimized = q.queryExecution.optimizedPlan.toString
+      assert(!optimized.toLowerCase.contains("case"), optimized)
+      assert(q.as[Option[Double]].collect().flatten.toSet == Set(0.5))
+    }
+  }
 }
