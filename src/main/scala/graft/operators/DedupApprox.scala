@@ -59,7 +59,11 @@ object DedupApprox {
   private val MersennePrime = (1L << 61) - 1
 
   /** Deterministic (a,b) permutation params, seeded — same across runs
-    * and executors. */
+    * and executors. Independent mod-prime permutations, NOT the cheaper
+    * two-hash (Kirsch–Mitzenmacher) scheme: KM's minimizers correlate
+    * across positions, which inflated band buckets ~5× AND lost true
+    * pairs when tried at sf0.1 — and the signature pass wasn't the
+    * bottleneck anyway. */
   private def perms(numHashes: Int): Array[(Long, Long)] = {
     val rnd = new scala.util.Random(42)
     Array.fill(numHashes)(
@@ -90,12 +94,59 @@ object DedupApprox {
       .withColumn("sig", sigUdf(col("shingles")))
   }
 
+  /** Distinct n-gram shingles as 32-bit hashes — no shingle strings are
+    * ever built: token hashes are mixed positionally over a sliding
+    * window. Hash-set Jaccard equals string-set Jaccard up to 2^-32
+    * collisions — immaterial against a 0.x threshold. */
+  private[operators] def shingleHashesOf(text: String, n: Int): Array[Int] = {
+    val toks = tokensOf(text)
+    if (toks.isEmpty) return Array.empty
+    val th = new Array[Int](toks.length)
+    var i = 0
+    while (i < toks.length) {
+      th(i) = scala.util.hashing.MurmurHash3.stringHash(toks(i)); i += 1
+    }
+    val set = new scala.collection.mutable.LinkedHashSet[Int]
+    if (toks.length < n) {
+      var h = 0x3c074a61
+      i = 0
+      while (i < toks.length) { h = scala.util.hashing.MurmurHash3.mix(h, th(i)); i += 1 }
+      set += scala.util.hashing.MurmurHash3.finalizeHash(h, toks.length)
+    } else {
+      i = 0
+      while (i + n <= toks.length) {
+        var h = 0x3c074a61
+        var j = i
+        while (j < i + n) { h = scala.util.hashing.MurmurHash3.mix(h, th(j)); j += 1 }
+        set += scala.util.hashing.MurmurHash3.finalizeHash(h, n)
+        i += 1
+      }
+    }
+    set.toArray
+  }
+
+  private[operators] def minhashSigInt(sh: Array[Int], ps: Array[(Long, Long)]): Array[Long] = {
+    val out = Array.fill(ps.length)(Long.MaxValue)
+    var k = 0
+    while (k < sh.length) {
+      val h = sh(k).toLong & 0xffffffffL
+      var i = 0
+      while (i < ps.length) {
+        val v = (ps(i)._1 * h + ps(i)._2) % MersennePrime
+        if (v < out(i)) out(i) = v
+        i += 1
+      }
+      k += 1
+    }
+    out
+  }
+
   // ---- pair machinery --------------------------------------------------
 
   /** All ordered element pairs of an array column, as struct<a,b>.
     * Safe to call on attribute references only (lambdas re-evaluate
     * non-attribute children per element). */
-  private[operators] def pairExpand(arr: Column): Column =
+  private[graft] def pairExpand(arr: Column): Column =
     flatten(transform(arr, (m, i) =>
       transform(slice(arr, i + 2, size(arr)), n => struct(m.as("a"), n.as("b")))))
 
@@ -116,16 +167,28 @@ object DedupApprox {
 
   /** MinHash+LSH candidate pairs verified by exact Jaccard.
     * Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
-    * bands*rowsPerBand must equal numHashes. */
+    * bands*rowsPerBand must equal numHashes.
+    *
+    * Shuffle discipline (the sf0.1 profile that motivated it): carrying
+    * the shingle sets (~KBs/doc) through the band explode multiplies
+    * them ×bands through the groupBy shuffle — 80% of the operator's
+    * wall time. So the LSH stage shuffles only (band, band_hash, id),
+    * and verification joins the candidate pairs BACK to the shingle
+    * sets with the candidates broadcast: the wide arrays never move.
+    * (Near-dup candidates ≪ corpus is the regime this operator exists
+    * for; for an adversarial corpus where candidates rival the corpus
+    * size, drop the broadcast hint and let AQE shuffle both sides.) */
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
                    shingleN: Int = 3, numHashes: Int = 64, bands: Int = 16,
                    threshold: Double = 0.5, maxBucket: Int = 500): DataFrame = {
     val rows = numHashes / bands
     val ps = perms(numHashes)
-    // band keys straight from the UDF: one signature pass per row, and
-    // only (bands × i64) + the shingle set ever reach the shuffle.
-    val bandsUdf = udf { (sh: Seq[String]) =>
-      val sig = minhashSig(sh, ps)
+    // band keys in ONE text→keys UDF: tokenize, hash-shingle, sign and
+    // band in a single pass — no shingle strings are materialized in
+    // the LSH stage, and only (bands × i64) per doc ever reach the
+    // shuffle.
+    val bandsUdf = udf { (text: String) =>
+      val sig = minhashSigInt(shingleHashesOf(text, shingleN), ps)
       Array.tabulate(bands) { b =>
         var h = 1125899906842597L
         var i = b * rows
@@ -134,19 +197,32 @@ object DedupApprox {
       }
     }
     val banded = df
-      .select(col(idCol), shingles(col(textCol), shingleN).as("shingles"))
-      .select(col(idCol), col("shingles"), posexplode(bandsUdf(col("shingles"))))
+      .select(col(idCol), posexplode(bandsUdf(col(textCol))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
-    explodePairs(banded, Seq(col("band"), col("band_hash")),
-        struct(col(idCol).as("id"), col("shingles").as("sh")), maxBucket)
-      .select(
-        least(col("p.a.id"), col("p.b.id")).as("id_a"),
-        greatest(col("p.a.id"), col("p.b.id")).as("id_b"),
-        col("p.a.sh").as("sh_a"), col("p.b.sh").as("sh_b"))
+      .select(col(idCol), col("band"), col("band_hash"))
+    // materialized once (localCheckpoint): the candidate set feeds two
+    // broadcast joins, and a nested un-materialized broadcast re-runs
+    // the whole LSH subtree per exchange.
+    val cand = explodePairs(banded, Seq(col("band"), col("band_hash")),
+        col(idCol), maxBucket)
+      .select(least(col("p.a"), col("p.b")).as("id_a"),
+        greatest(col("p.a"), col("p.b")).as("id_b"))
       .dropDuplicates("id_a", "id_b")
+      .localCheckpoint()
+    // verification shingles are computed only for docs that appear in a
+    // candidate pair (a small fraction of the corpus), not corpus-wide;
+    // the 32-bit hashed form makes the exact intersect/union integer ops.
+    val shHashUdf = udf { (text: String) => shingleHashesOf(text, shingleN) }
+    val candIds = cand.select(col("id_a").as("cid"))
+      .unionByName(cand.select(col("id_b").as("cid"))).distinct()
+    val candSh = df.join(broadcast(candIds), col(idCol) === col("cid"))
+      .select(col(idCol), shHashUdf(col(textCol)).as("sh"))
+    val withA = candSh.join(broadcast(cand), col(idCol) === col("id_a"))
+      .select(col("id_a"), col("id_b"), col("sh").as("sh_a"))
+    candSh.join(broadcast(withA), col(idCol) === col("id_b"))
       .select(col("id_a"), col("id_b"),
-        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-         size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
+        (size(array_intersect(col("sh_a"), col("sh"))).cast("double") /
+         size(array_union(col("sh_a"), col("sh")))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
@@ -206,14 +282,22 @@ object DedupApprox {
     val banded = sigs
       .select(col(idCol), col("simhash"), explode(array(keys: _*)).as("k"))
       .select(col(idCol), col("simhash"), col("k.ck").as("ck"), col("k.cv").as("cv"))
-    explodePairs(banded, Seq(col("ck"), col("cv")),
-        struct(col(idCol).as("id"), col("simhash").as("sig")), maxBucket)
+    // The Hamming test runs INSIDE the bucket expansion (whole-stage
+    // codegen, pre-shuffle): chunk-pair keys on natural-language
+    // simhashes are low-entropy, so candidate pairs outnumber true
+    // near-dups ~100:1 (profiled 2.28M raw vs 15.7k passing at sf0.1)
+    // — filtering before dropDuplicates shrinks that shuffle ~100×.
+    banded.groupBy(col("ck"), col("cv"))
+      .agg(collect_list(struct(col(idCol).as("id"), col("simhash").as("sig"))).as("ms"))
+      .filter(size(col("ms")).between(2, maxBucket))
+      .select(explode(filter(pairExpand(col("ms")),
+        p => bit_count(p.getField("a").getField("sig")
+          .bitwiseXOR(p.getField("b").getField("sig"))) <= lit(maxHamming))).as("p"))
       .select(
         least(col("p.a.id"), col("p.b.id")).as("id_a"),
         greatest(col("p.a.id"), col("p.b.id")).as("id_b"),
         bit_count(col("p.a.sig").bitwiseXOR(col("p.b.sig"))).as("hamming"))
       .dropDuplicates("id_a", "id_b")
-      .filter(col("hamming") <= maxHamming)
   }
 
   /** One-call corpus dedup: MinHash near-dup pairs → connected
@@ -252,6 +336,11 @@ object DedupApprox {
         least(col("p.a"), col("p.b")).as("id_a"),
         greatest(col("p.a"), col("p.b")).as("id_b"))
       .agg(count(lit(1)).as("common"))
+    // the per-doc size table is narrow (id, int) — two hash joins on it
+    // are cheap at any scale, and AQE broadcasts whichever side is
+    // small at runtime. (Explicitly broadcasting `pairs` here re-runs
+    // the whole posting-expansion subtree once per broadcast exchange —
+    // measured 13× slower at sf0.1 — so: no hint.)
     pairs
       .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n", "n_a"), "id_a")
       .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n", "n_b"), "id_b")

@@ -27,7 +27,11 @@ object Profile {
     t("docs.count")(docs.count())
 
     val sigs = DedupApprox.withMinhash(docs, "doc_id", "text")
-    t("minhash sigs")(sigs.count())
+    // force real evaluation of the UDF columns (count() would prune them)
+    t("minhash sigs")(sigs.write.format("noop").mode("overwrite").save())
+    t("shingles only")(docs.select(
+      DedupApprox.shingles(col("text"), 3).as("sh"))
+      .write.format("noop").mode("overwrite").save())
 
     // band bucket skew
     val rows = 4
@@ -40,6 +44,32 @@ object Profile {
 
     val sim = DedupApprox.withSimhash(docs, "doc_id", "text")
     t("simhash sigs")(sim.count())
+    // stage breakdown of simhashPairs
+    locally {
+      val bits = 8; val mask = (1L << bits) - 1
+      val keys = (for { i <- 0 until 8; j <- (i + 1) until 8 } yield struct(
+        lit(i * 8 + j).as("ck"),
+        (shiftright(col("simhash"), i * bits).bitwiseAND(lit(mask)) * (mask + 1) +
+          shiftright(col("simhash"), j * bits).bitwiseAND(lit(mask))).as("cv")))
+      val banded = sim.select(col("doc_id"), col("simhash"),
+          explode(array(keys: _*)).as("k"))
+        .select(col("doc_id"), col("simhash"), col("k.ck").as("ck"), col("k.cv").as("cv"))
+        .localCheckpoint()
+      t("  simhash banded rows")(banded.count())
+      val buckets = banded.groupBy("ck", "cv")
+        .agg(collect_list(struct(col("doc_id").as("id"), col("simhash").as("sig"))).as("ms"))
+        .filter(size(col("ms")).between(2, 2000)).localCheckpoint()
+      t("  simhash buckets>=2")(buckets.count())
+      t("  simhash bucket max size")(
+        buckets.agg(max(size(col("ms")))).head().getInt(0))
+      t("  simhash raw pairs")(buckets
+        .select(explode(DedupApprox.pairExpand(col("ms"))).as("p")).count())
+      t("  simhash deduped pairs")(buckets
+        .select(explode(DedupApprox.pairExpand(col("ms"))).as("p"))
+        .select(least(col("p.a.id"), col("p.b.id")).as("id_a"),
+          greatest(col("p.a.id"), col("p.b.id")).as("id_b"))
+        .dropDuplicates("id_a", "id_b").count())
+    }
     val bits = 8; val mask = (1L << bits) - 1
     val simBanded = sim.select(col("doc_id"),
       posexplode(array((0 until 8).map(c =>
