@@ -63,6 +63,14 @@ object Dedup {
       .distinct().localCheckpoint()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id")).localCheckpoint()
+    // Convergence detector: labels only ever decrease, so the exact
+    // (decimal, non-wrapping) sum of all labels strictly decreases
+    // until fixpoint — one cheap aggregate per round instead of a
+    // change-detection join.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      Option(df.agg(sum(col("comp").cast("decimal(38,0)"))).head().getDecimal(0))
+        .getOrElse(java.math.BigDecimal.ZERO) // empty graph
+    var prevSum = labelSum(labels)
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
@@ -78,8 +86,9 @@ object Dedup {
         .select(oneHop("id"),
           least(oneHop("comp"), coalesce(col("pcomp"), oneHop("comp"))).as("comp"))
         .localCheckpoint()
-      converged = next.join(labels.withColumnRenamed("comp", "prev"), "id")
-        .filter(col("comp") < col("prev")).isEmpty
+      val nextSum = labelSum(next)
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
       labels = next
       iter += 1
     }
