@@ -7,11 +7,14 @@ import graft.sources.Tables
 import graft.operators._
 import graft.functions.{Analyzer, Sentiment}
 
-/** Queries whose semantics DuckDB cannot replay in ANSI SQL (sentiment
-  * scoring, stemming, MinHash/SimHash/LSH, ANN search, multimodal
-  * featurization). They still register in [[SparkEntry.queries]] so the
-  * driver's rows-only check runs them end-to-end; their correctness
-  * lives in the ScalaTest suites (src/test/scala/graft). */
+/** The engine-extra queries beyond the plain-SQL inventory. Several
+  * ARE DuckDB-replayable after all (list lambdas + HUGEINT wrapping
+  * arithmetic cover tokenizer-exact text stats, rolling hashes, and
+  * the df-capped jaccard pipeline) and carry oracles in
+  * [[SparkEntry.oracleSql]]: x05-x08, x11, x15. The rest (sentiment
+  * scoring, stemming, MinHash/SimHash banding, ANN, HLL sketches) run
+  * as rows-only checks; their correctness lives in the ScalaTest
+  * suites (src/test/scala/graft). */
 object NonSqlQueries {
 
   private def q(f: (SparkSession, String) => DataFrame): (SparkSession, String) => DataFrame = f

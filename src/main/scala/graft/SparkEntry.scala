@@ -582,6 +582,122 @@ object SparkEntry {
     "q39_percentiles" ->
       """SELECT event_type, quantile_cont(value, 0.5) AS q50,
          quantile_cont(value, 0.9) AS q90
-         FROM events GROUP BY event_type"""
+         FROM events GROUP BY event_type""",
+
+    // ---- x-queries DuckDB CAN replay (list lambdas + HUGEINT) --------
+    // These started as rows-only checks; the oracles below replicate
+    // the exact operator semantics (tokenizer parity, df caps, wrapping
+    // 64-bit arithmetic), upgrading them to hash-verified.
+
+    "x05_langid" ->
+      """WITH t AS (
+           SELECT doc_id,
+             list_distinct(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9'']+'), x -> length(x) > 0)) AS dtoks
+           FROM documents),
+         s AS (
+           SELECT doc_id,
+             len(list_intersect(dtoks, ['der','die','und','das','ist','von','mit','den','nicht','ein'])) AS s_de,
+             len(list_intersect(dtoks, ['the','and','of','to','in','is','that','it','for','with'])) AS s_en,
+             len(list_intersect(dtoks, ['el','la','de','que','y','en','los','del','las','por'])) AS s_es,
+             len(list_intersect(dtoks, ['le','la','les','de','des','et','est','une','dans','pour'])) AS s_fr,
+             len(list_intersect(dtoks, ['il','di','che','la','per','con','del','una','sono','non'])) AS s_it
+           FROM t),
+         b AS (SELECT *, greatest(s_de, s_en, s_es, s_fr, s_it) AS best FROM s)
+         SELECT doc_id,
+           CASE WHEN best = 0 THEN 'und'
+                WHEN s_it = best THEN 'it' WHEN s_fr = best THEN 'fr'
+                WHEN s_es = best THEN 'es' WHEN s_en = best THEN 'en'
+                ELSE 'de' END AS lang_pred,
+           CAST(best AS INT) AS lang_score
+         FROM b""",
+
+    "x06_quality_score" ->
+      """WITH t AS (
+           SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9'']+'), x -> length(x) > 0) AS toks,
+             CAST(length(text) AS DOUBLE) AS n_chars,
+             CAST(length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS DOUBLE) AS punct
+           FROM documents),
+         m AS (
+           SELECT doc_id, n_chars, punct,
+             CAST(len(toks) AS DOUBLE) AS n_toks,
+             CAST(len(list_filter(toks, x -> list_contains(['a','an','and','are','as','at','be','but','by','for','if','in','into','is','it','no','not','of','on','or','such','that','the','their','then','there','these','they','this','to','was','will','with'], x))) AS DOUBLE) AS stop_hits,
+             CAST(list_sum(list_transform(toks, x -> CAST(length(x) AS BIGINT))) AS DOUBLE) AS tot_len
+           FROM t)
+         SELECT doc_id,
+           CAST(n_toks AS BIGINT) AS q_n_tokens,
+           CASE WHEN n_chars > 0 THEN punct / n_chars ELSE 0.0 END AS q_punct_ratio,
+           CASE WHEN n_toks > 0 THEN stop_hits / n_toks ELSE 0.0 END AS q_stopword_ratio,
+           CASE WHEN n_toks > 0 THEN tot_len / n_toks ELSE 0.0 END AS q_mean_word_len,
+           CASE WHEN n_toks >= 5 AND (CASE WHEN n_chars > 0 THEN punct / n_chars ELSE 0.0 END) < 0.3
+                 AND (CASE WHEN n_toks > 0 THEN tot_len / n_toks ELSE 0.0 END) BETWEEN 2.0 AND 12.0
+                THEN 1.0 ELSE 0.0 END AS q_score
+         FROM m""",
+
+    "x07_token_counts" ->
+      """SELECT doc_id,
+         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS tok_ws,
+         CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS tok_bpe
+         FROM documents""",
+
+    "x08_rolling_fingerprint" ->
+      """WITH t AS (
+           SELECT doc_id, lower(regexp_replace(text, '\s+', ' ', 'g')) AS s FROM documents),
+         h AS (
+           SELECT doc_id,
+             list_reduce(
+               list_prepend(CAST(0 AS HUGEINT),
+                 [CAST(ord(s[i]) AS HUGEINT) for i in generate_series(1, length(s))]),
+               (h, c) -> (h * 31 + c) % CAST(18446744073709551616 AS HUGEINT)) AS hu
+           FROM t)
+         SELECT doc_id,
+           CAST(hu - CASE WHEN hu >= CAST(9223372036854775808 AS HUGEINT)
+             THEN CAST(18446744073709551616 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END AS BIGINT) AS fp64
+         FROM h""",
+
+    "x11_jaccard_pairs" ->
+      """WITH t AS (
+           SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9'']+'), x -> length(x) > 0) AS toks
+           FROM documents),
+         shg AS (
+           SELECT doc_id,
+             list_distinct(CASE
+               WHEN len(toks) = 0 THEN []
+               WHEN len(toks) < 5 THEN [array_to_string(toks, ' ')]
+               ELSE [array_to_string(toks[i:i+4], ' ') for i in generate_series(1, len(toks)-4)]
+             END) AS sh
+           FROM t),
+         sizes AS (SELECT doc_id, len(sh) AS n FROM shg),
+         inv AS (SELECT doc_id, unnest(sh) AS ng FROM shg),
+         posts AS (SELECT ng FROM inv GROUP BY ng HAVING count(*) BETWEEN 2 AND 20),
+         pairs AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+           FROM inv a JOIN inv b ON a.ng = b.ng AND a.doc_id < b.doc_id
+           JOIN posts p ON a.ng = p.ng
+           GROUP BY 1, 2)
+         SELECT id_a, id_b,
+           CAST(common AS DOUBLE) / (sa.n + sb.n - common) AS jaccard
+         FROM pairs
+         JOIN sizes sa ON sa.doc_id = id_a
+         JOIN sizes sb ON sb.doc_id = id_b
+         WHERE CAST(common AS DOUBLE) / (sa.n + sb.n - common) >= 0.5""",
+
+    "x15_multimodal_features" ->
+      """WITH t AS (SELECT doc_id, text AS s FROM documents),
+         h AS (
+           SELECT doc_id, s,
+             list_reduce(
+               list_prepend(CAST(1125899906842597 AS HUGEINT),
+                 [CAST(ord(s[i]) AS HUGEINT) for i in generate_series(1, length(s))]),
+               (h, c) -> (h * 31 + c) % CAST(18446744073709551616 AS HUGEINT)) AS hu
+           FROM t)
+         SELECT CAST(doc_id AS BIGINT) AS media_id, 'image' AS modality,
+           CAST(length(s) AS BIGINT) AS n_bytes,
+           CAST(hu - CASE WHEN hu >= CAST(9223372036854775808 AS HUGEINT)
+             THEN CAST(18446744073709551616 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END AS BIGINT) AS content_hash,
+           CAST(CASE WHEN length(s) = 0 THEN 0 ELSE 16 + (ord(s[1]) % 64) END AS INT) AS width,
+           CAST(CASE WHEN length(s) = 0 THEN 0 ELSE 16 + (ord(s[length(s)]) % 64) END AS INT) AS height
+         FROM h"""
   )
 }

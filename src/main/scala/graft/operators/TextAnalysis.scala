@@ -78,12 +78,14 @@ object TextAnalysis {
   private val rollingHashUdf = udf { (s: String) =>
     if (s == null) 0L
     else {
-      // polynomial rolling hash (base 31, mod 2^61-1) over the string
-      val Mod = (1L << 61) - 1
+      // 64-bit wrapping polynomial hash, base 31 — the wide analog of
+      // String.hashCode. Wrapping (not mod-prime) keeps the recurrence
+      // exactly reproducible in any engine with 64-bit integers, which
+      // is what lets the DuckDB oracle replay it.
       var h = 0L
       var i = 0
       while (i < s.length) {
-        h = (h * 31 + s.charAt(i)) % Mod
+        h = h * 31 + s.charAt(i)
         i += 1
       }
       h
