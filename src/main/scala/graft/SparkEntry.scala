@@ -361,6 +361,29 @@ object SparkEntry {
 
   // ---- DuckDB oracles -------------------------------------------------
 
+  /** Left-fold dot product with the exact accumulation order of
+    * [[operators.Similarity.cosineOf]] — bit-identical doubles, so the
+    * cosine queries hash-match the oracle despite float arithmetic. */
+  private def sqlFold(a: String, b: String): String =
+    s"list_reduce(list_prepend(0.0, [$a[i] * $b[i] for i in generate_series(1, len($a))]), (x, y) -> x + y)"
+
+  /** Cosine with the kernel's zero-norm guard, as SQL. */
+  private def sqlCos(a: String, b: String): String = {
+    val d = sqlFold(a, b); val na = sqlFold(a, a); val nb = sqlFold(b, b)
+    s"CASE WHEN sqrt($na) * sqrt($nb) = 0 THEN 0.0 ELSE $d / (sqrt($na) * sqrt($nb)) END"
+  }
+
+  /** The engine's LSH hyperplanes (seeded, deterministic) rendered as
+    * SQL literals — Double.toString round-trips, so the oracle buckets
+    * exactly as the engine does. */
+  private def sqlBucket(v: String): String = {
+    val planes = operators.Similarity.hyperplanes(64, 4)
+    planes.zipWithIndex.map { case (p, i) =>
+      val lit = p.map(_.toString).mkString("[", ", ", "]")
+      s"(CASE WHEN ${sqlFold(v, lit)} >= 0 THEN ${1 << i} ELSE 0 END)"
+    }.mkString(" + ")
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
@@ -682,6 +705,35 @@ object SparkEntry {
          JOIN sizes sa ON sa.doc_id = id_a
          JOIN sizes sb ON sb.doc_id = id_b
          WHERE CAST(common AS DOUBLE) / (sa.n + sb.n - common) >= 0.5""",
+
+    "x12_cosine_topk" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+         sc AS (
+           SELECT vec_id, ${sqlCos("v", "qv")} AS cos
+           FROM e, q WHERE vec_id <> 0)
+         SELECT vec_id, cos FROM sc ORDER BY cos DESC, vec_id LIMIT 20""",
+
+    "x13_cosine_topk_lsh" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         b AS (SELECT vec_id, v, ${sqlBucket("v")} AS bucket FROM e),
+         q AS (SELECT v AS qv, bucket AS qbucket FROM b WHERE vec_id = 0),
+         sc AS (
+           SELECT vec_id, ${sqlCos("v", "qv")} AS cos
+           FROM b, q
+           WHERE vec_id <> 0 AND bit_count(CAST(xor(bucket, qbucket) AS BIGINT)) <= 1)
+         SELECT vec_id, cos FROM sc ORDER BY cos DESC, vec_id LIMIT 20""",
+
+    "x14_embedding_neardup" ->
+      s"""WITH e AS (SELECT CAST(vec_id AS BIGINT) AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         b AS (SELECT id, v, ${sqlBucket("v")} AS bucket FROM e),
+         ok AS (SELECT bucket FROM b GROUP BY bucket HAVING count(*) BETWEEN 2 AND 4096),
+         cand AS (
+           SELECT a.id AS id_a, b2.id AS id_b, a.v AS va, b2.v AS vb
+           FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.id < b2.id
+           JOIN ok ON a.bucket = ok.bucket),
+         p AS (SELECT id_a, id_b, ${sqlCos("va", "vb")} AS cos FROM cand)
+         SELECT id_a, id_b, cos FROM p WHERE cos >= 0.35""",
 
     "x15_multimodal_features" ->
       """WITH t AS (SELECT doc_id, text AS s FROM documents),
