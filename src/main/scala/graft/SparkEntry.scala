@@ -706,6 +706,14 @@ object SparkEntry {
          JOIN sizes sb ON sb.doc_id = id_b
          WHERE CAST(common AS DOUBLE) / (sa.n + sb.n - common) >= 0.5""",
 
+    // The LSH dedup pipelines replay exactly in DuckDB because every
+    // engine hash is overflow-free (or wrapping-64 via HUGEINT) — see
+    // graft.OracleLsh.
+    "x09_minhash_dedup" -> OracleLsh.x09Sql,
+    "x10_simhash_dedup" -> OracleLsh.x10Sql(),
+    "x18_dedup_verdicts" -> OracleLsh.x18Sql,
+    "x19_corpus_signature" -> OracleLsh.x19Sql,
+
     "x12_cosine_topk" ->
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
          q AS (SELECT v AS qv FROM e WHERE vec_id = 0),

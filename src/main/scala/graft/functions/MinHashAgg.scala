@@ -32,12 +32,9 @@ case class MinHashAgg(
     override val inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[Array[Long]] {
 
-  private lazy val perms: Array[(Long, Long)] = {
-    val rnd = new scala.util.Random(42)
-    val p = (1L << 61) - 1
-    Array.fill(numHashes)(
-      (math.abs(rnd.nextLong()) % p + 1, math.abs(rnd.nextLong()) % p))
-  }
+  // same seeded permutations + overflow-free 31-bit hashing as
+  // DedupApprox, so the sketch is replayable by the DuckDB oracle.
+  private lazy val perms: Array[(Long, Long)] = DedupApprox.perms(numHashes)
 
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false
@@ -50,15 +47,12 @@ case class MinHashAgg(
   }
 
   override def createAggregationBuffer(): Array[Long] =
-    Array.fill(numHashes)(Long.MaxValue)
+    Array.fill(numHashes)(DedupApprox.EmptySentinel)
 
-  private val MersennePrime = (1L << 61) - 1
-
-  private def updateWith(buffer: Array[Long], token: String): Unit = {
-    val h = scala.util.hashing.MurmurHash3.stringHash(token).toLong & 0xffffffffL
+  private def updateWith(buffer: Array[Long], h: Long): Unit = {
     var i = 0
     while (i < numHashes) {
-      val v = (perms(i)._1 * h + perms(i)._2) % MersennePrime
+      val v = (perms(i)._1 * h + perms(i)._2) % DedupApprox.HashMod
       if (v < buffer(i)) buffer(i) = v
       i += 1
     }
@@ -68,13 +62,15 @@ case class MinHashAgg(
     child.eval(input) match {
       case null => buffer
       case s: UTF8String =>
-        DedupApprox.shinglesOf(s.toString, 3).foreach(updateWith(buffer, _))
+        DedupApprox.shingleHashesOf(s.toString, 3).foreach(updateWith(buffer, _))
         buffer
       case arr: ArrayData =>
         var i = 0
         while (i < arr.numElements()) {
           val e = arr.getUTF8String(i)
-          if (e != null) updateWith(buffer, e.toString)
+          // a caller-supplied token is a 1-gram shingle: its window
+          // fold reduces to the bare token hash
+          if (e != null) updateWith(buffer, DedupApprox.tokenHash31(e.toString))
           i += 1
         }
         buffer

@@ -56,34 +56,34 @@ object DedupApprox {
 
   // ---- MinHash ---------------------------------------------------------
 
-  private val MersennePrime = (1L << 61) - 1
-
   /** Deterministic (a,b) permutation params, seeded — same across runs
-    * and executors. Independent mod-prime permutations, NOT the cheaper
-    * two-hash (Kirsch–Mitzenmacher) scheme: KM's minimizers correlate
-    * across positions, which inflated band buckets ~5× AND lost true
-    * pairs when tried at sf0.1 — and the signature pass wasn't the
-    * bottleneck anyway. */
-  private def perms(numHashes: Int): Array[(Long, Long)] = {
+    * and executors, and rendered as literals into the DuckDB oracle.
+    * Independent mod-prime permutations, NOT the cheaper two-hash
+    * (Kirsch–Mitzenmacher) scheme: KM's minimizers correlate across
+    * positions, which inflated band buckets ~5× AND lost true pairs
+    * when tried at sf0.1 — and the signature pass wasn't the
+    * bottleneck anyway. a,b < 2³¹ keeps every product under 2⁶². */
+  private[graft] def perms(numHashes: Int): Array[(Long, Long)] = {
     val rnd = new scala.util.Random(42)
     Array.fill(numHashes)(
-      (math.abs(rnd.nextLong()) % MersennePrime + 1,
-       math.abs(rnd.nextLong()) % MersennePrime))
+      ((rnd.nextLong() & Long.MaxValue) % (HashMod - 1) + 1,
+       (rnd.nextLong() & Long.MaxValue) % HashMod))
   }
 
   private[operators] def minhashSig(sh: Seq[String], ps: Array[(Long, Long)]): Array[Long] = {
-    val out = Array.fill(ps.length)(Long.MaxValue)
+    val out = Array.fill(ps.length)(EmptySentinel)
     sh.foreach { s =>
-      val h = scala.util.hashing.MurmurHash3.stringHash(s).toLong & 0xffffffffL
+      val h = tokenHash31(s)
       var i = 0
       while (i < ps.length) {
-        val v = (ps(i)._1 * h + ps(i)._2) % MersennePrime
+        val v = (ps(i)._1 * h + ps(i)._2) % HashMod
         if (v < out(i)) out(i) = v
         i += 1
       }
     }
     out
   }
+
 
   /** doc → (id, shingles, minhash signature). */
   def withMinhash(df: DataFrame, idCol: String, textCol: String,
@@ -94,45 +94,62 @@ object DedupApprox {
       .withColumn("sig", sigUdf(col("shingles")))
   }
 
-  /** Distinct n-gram shingles as 32-bit hashes — no shingle strings are
-    * ever built: token hashes are mixed positionally over a sliding
-    * window. Hash-set Jaccard equals string-set Jaccard up to 2^-32
-    * collisions — immaterial against a 0.x threshold. */
-  private[operators] def shingleHashesOf(text: String, n: Int): Array[Int] = {
+  /** All hashing below is OVERFLOW-FREE modular arithmetic (31-bit
+    * values, 62-bit intermediates) rather than murmur: every step is a
+    * plain BIGINT expression any engine can replay, which is what lets
+    * the DuckDB oracle re-run the entire LSH pipeline and hash-match
+    * its pairs. LSH only needs well-distributed, not cryptographic,
+    * hashes; the deterministic collisions (~n²/2·10⁻⁹) are identical
+    * on both engines by construction. */
+  private[graft] val HashMod = 1000000007L // 31-bit prime
+
+  /** Signature slot for a shingle-less doc: one past the hash range, so
+    * later band folds stay overflow-free (Long.MaxValue would wrap). */
+  private[graft] val EmptySentinel: Long = HashMod
+
+  /** 31-bit polynomial hash of a token (base 131, mod [[HashMod]]). */
+  private[graft] def tokenHash31(t: String): Long = {
+    var h = 0L
+    var i = 0
+    while (i < t.length) { h = (h * 131 + t.charAt(i)) % HashMod; i += 1 }
+    h
+  }
+
+  /** Distinct n-gram shingles as 31-bit hashes — no shingle strings are
+    * ever built: token hashes fold positionally over a sliding window.
+    * Hash-set Jaccard equals string-set Jaccard up to the (replayable)
+    * collision rate — immaterial against a 0.x threshold. */
+  private[graft] def shingleHashesOf(text: String, n: Int): Array[Long] = {
     val toks = tokensOf(text)
     if (toks.isEmpty) return Array.empty
-    val th = new Array[Int](toks.length)
+    val th = new Array[Long](toks.length)
     var i = 0
-    while (i < toks.length) {
-      th(i) = scala.util.hashing.MurmurHash3.stringHash(toks(i)); i += 1
-    }
-    val set = new scala.collection.mutable.LinkedHashSet[Int]
-    if (toks.length < n) {
-      var h = 0x3c074a61
-      i = 0
-      while (i < toks.length) { h = scala.util.hashing.MurmurHash3.mix(h, th(i)); i += 1 }
-      set += scala.util.hashing.MurmurHash3.finalizeHash(h, toks.length)
-    } else {
-      i = 0
-      while (i + n <= toks.length) {
-        var h = 0x3c074a61
-        var j = i
-        while (j < i + n) { h = scala.util.hashing.MurmurHash3.mix(h, th(j)); j += 1 }
-        set += scala.util.hashing.MurmurHash3.finalizeHash(h, n)
-        i += 1
-      }
+    while (i < toks.length) { th(i) = tokenHash31(toks(i)); i += 1 }
+    val set = new scala.collection.mutable.LinkedHashSet[Long]
+    val upper = if (toks.length < n) 1 else toks.length - n + 1
+    val w = if (toks.length < n) toks.length else n
+    i = 0
+    while (i < upper) {
+      var h = 0L
+      var j = i
+      while (j < i + w) { h = (h * 1000003 + th(j)) % HashMod; j += 1 }
+      set += h
+      i += 1
     }
     set.toArray
   }
 
-  private[operators] def minhashSigInt(sh: Array[Int], ps: Array[(Long, Long)]): Array[Long] = {
-    val out = Array.fill(ps.length)(Long.MaxValue)
+  /** Minwise signature over 31-bit shingle hashes: vᵢ = (aᵢ·h + bᵢ)
+    * mod [[HashMod]] with aᵢ,bᵢ < 2³¹ — products stay under 2⁶², no
+    * wrapping anywhere. */
+  private[graft] def minhashSigInt(sh: Array[Long], ps: Array[(Long, Long)]): Array[Long] = {
+    val out = Array.fill(ps.length)(EmptySentinel)
     var k = 0
     while (k < sh.length) {
-      val h = sh(k).toLong & 0xffffffffL
+      val h = sh(k)
       var i = 0
       while (i < ps.length) {
-        val v = (ps(i)._1 * h + ps(i)._2) % MersennePrime
+        val v = (ps(i)._1 * h + ps(i)._2) % HashMod
         if (v < out(i)) out(i) = v
         i += 1
       }
@@ -190,9 +207,9 @@ object DedupApprox {
     val bandsUdf = udf { (text: String) =>
       val sig = minhashSigInt(shingleHashesOf(text, shingleN), ps)
       Array.tabulate(bands) { b =>
-        var h = 1125899906842597L
+        var h = 7L
         var i = b * rows
-        while (i < (b + 1) * rows) { h = 31 * h + sig(i); i += 1 }
+        while (i < (b + 1) * rows) { h = (h * 31 + sig(i)) % HashMod; i += 1 }
         h
       }
     }
@@ -228,15 +245,26 @@ object DedupApprox {
 
   // ---- SimHash ---------------------------------------------------------
 
+  /** 64-bit token hash from LCG-fold + two multiply/rotate finalizer
+    * rounds — xor-free avalanche over all 64 bits, chosen because every
+    * step (wrapping multiply, rotate-by-32 = half-swap) is exactly
+    * replayable as HUGEINT mod-2⁶⁴ arithmetic in the DuckDB oracle. */
+  private[graft] def tokenHash64(t: String): Long = {
+    var h = 0L
+    var i = 0
+    while (i < t.length) { h = h * 6364136223846793005L + t.charAt(i); i += 1 }
+    h = java.lang.Long.rotateLeft(h, 32) * 6364136223846793005L
+    h = java.lang.Long.rotateLeft(h, 32) * 6364136223846793005L
+    h
+  }
+
   private[graft] def simhashOf(text: String): Long = {
     val toks = tokensOf(text)
     if (toks.isEmpty) 0L
     else {
       val acc = new Array[Int](64)
       toks.foreach { t =>
-        val h1 = scala.util.hashing.MurmurHash3.stringHash(t)
-        val h2 = scala.util.hashing.MurmurHash3.stringHash(t, 0x9747b28c)
-        val h = (h1.toLong << 32) | (h2.toLong & 0xffffffffL)
+        val h = tokenHash64(t)
         var i = 0
         while (i < 64) {
           if (((h >>> i) & 1L) == 1L) acc(i) += 1 else acc(i) -= 1
