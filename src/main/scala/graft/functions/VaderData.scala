@@ -29,23 +29,36 @@ object VaderData {
 
   val Boosters: Map[String, Double] = Map(
     "absolutely" -> BIncr, "amazingly" -> BIncr, "awfully" -> BIncr,
-    "completely" -> BIncr, "considerably" -> BIncr, "decidedly" -> BIncr,
-    "deeply" -> BIncr, "enormously" -> BIncr, "entirely" -> BIncr,
-    "especially" -> BIncr, "exceptionally" -> BIncr, "extremely" -> BIncr,
-    "fabulously" -> BIncr, "fully" -> BIncr, "greatly" -> BIncr,
-    "highly" -> BIncr, "hugely" -> BIncr, "incredibly" -> BIncr,
-    "intensely" -> BIncr, "majorly" -> BIncr, "more" -> BIncr,
-    "most" -> BIncr, "particularly" -> BIncr, "purely" -> BIncr,
-    "quite" -> BIncr, "really" -> BIncr, "remarkably" -> BIncr,
-    "so" -> BIncr, "substantially" -> BIncr, "thoroughly" -> BIncr,
-    "totally" -> BIncr, "tremendously" -> BIncr, "unbelievably" -> BIncr,
-    "unusually" -> BIncr, "utterly" -> BIncr, "very" -> BIncr,
+    "completely" -> BIncr, "considerable" -> BIncr, "considerably" -> BIncr,
+    "decidedly" -> BIncr, "deeply" -> BIncr, "effing" -> BIncr,
+    "enormous" -> BIncr, "enormously" -> BIncr, "entirely" -> BIncr,
+    "especially" -> BIncr, "exceptional" -> BIncr, "exceptionally" -> BIncr,
+    "extreme" -> BIncr, "extremely" -> BIncr,
+    "fabulously" -> BIncr, "flipping" -> BIncr, "flippin" -> BIncr,
+    "frackin" -> BIncr, "fracking" -> BIncr, "fricking" -> BIncr,
+    "frickin" -> BIncr, "frigging" -> BIncr, "friggin" -> BIncr,
+    "fully" -> BIncr, "fucking" -> BIncr, "fuckin" -> BIncr,
+    "fuggin" -> BIncr, "fugging" -> BIncr, "greatly" -> BIncr,
+    "hella" -> BIncr, "highly" -> BIncr, "hugely" -> BIncr,
+    "incredible" -> BIncr, "incredibly" -> BIncr,
+    "intensely" -> BIncr, "major" -> BIncr, "majorly" -> BIncr,
+    "more" -> BIncr, "most" -> BIncr, "particularly" -> BIncr,
+    "purely" -> BIncr, "quite" -> BIncr, "really" -> BIncr,
+    "remarkably" -> BIncr, "so" -> BIncr, "substantially" -> BIncr,
+    "thoroughly" -> BIncr, "total" -> BIncr, "totally" -> BIncr,
+    "tremendous" -> BIncr, "tremendously" -> BIncr, "uber" -> BIncr,
+    "unbelievably" -> BIncr, "unusual" -> BIncr, "unusually" -> BIncr,
+    "utter" -> BIncr, "utterly" -> BIncr, "very" -> BIncr,
     "almost" -> BDecr, "barely" -> BDecr, "hardly" -> BDecr,
-    "kinda" -> BDecr, "kindof" -> BDecr, "kind-of" -> BDecr,
-    "less" -> BDecr, "little" -> BDecr, "marginally" -> BDecr,
-    "occasionally" -> BDecr, "partly" -> BDecr, "scarcely" -> BDecr,
+    "just enough" -> BDecr,
+    "kind of" -> BDecr, "kinda" -> BDecr, "kindof" -> BDecr,
+    "kind-of" -> BDecr, "less" -> BDecr, "little" -> BDecr,
+    "marginal" -> BDecr, "marginally" -> BDecr,
+    "occasional" -> BDecr, "occasionally" -> BDecr, "partly" -> BDecr,
+    "scarce" -> BDecr, "scarcely" -> BDecr, "slight" -> BDecr,
     "slightly" -> BDecr, "somewhat" -> BDecr,
-    "sorta" -> BDecr, "sortof" -> BDecr, "sort-of" -> BDecr)
+    "sort of" -> BDecr, "sorta" -> BDecr, "sortof" -> BDecr,
+    "sort-of" -> BDecr)
 
   /** Subset of the VADER lexicon: token (lowercase) -> mean valence
     * in [-4, 4]. `good=1.9` is the paper-anchored calibration point. */
@@ -61,7 +74,8 @@ object VaderData {
     "winning" -> 2.4, "won" -> 2.7, "success" -> 2.7, "successful" -> 2.6,
     "smart" -> 1.7, "handsome" -> 2.2, "funny" -> 1.9, "fun" -> 2.3,
     "beautiful" -> 2.9, "brilliant" -> 2.8, "perfect" -> 2.7,
-    "superb" -> 3.0, "strong" -> 2.3, "stronger" -> 2.2, "strength" -> 2.2,
+    "superb" -> 3.0, "sure" -> 1.3, "strong" -> 2.3, "stronger" -> 2.2,
+    "strength" -> 2.2,
     "improve" -> 1.9, "improved" -> 2.1, "improvement" -> 2.0,
     "gain" -> 2.4, "gains" -> 2.4, "profit" -> 2.2, "profits" -> 2.1,
     "benefit" -> 2.0, "benefits" -> 1.9, "boost" -> 1.7, "boosts" -> 1.7,
@@ -128,7 +142,8 @@ object VaderData {
     "cancel" -> -1.1, "cancelled" -> -1.4, "delay" -> -1.2,
     "delayed" -> -1.3, "cut" -> -1.1, "cuts" -> -1.1, "shortage" -> -1.6,
     "strike" -> -1.6, "protest" -> -1.1, "protests" -> -1.1,
-    "sucks" -> -1.5, "stupid" -> -2.4, "ugly" -> -2.3, "nasty" -> -2.6,
+    "sucks" -> -1.5, "sux" -> -1.5, "uncompelling" -> -0.9,
+    "stupid" -> -2.4, "ugly" -> -2.3, "nasty" -> -2.6,
     "disappointing" -> -2.2, "disappointed" -> -2.3, "disappoint" -> -2.1,
     "shit" -> -2.5, "bomb" -> -2.2) ++ Map(
     // extended coverage (news/web vocabulary, VADER-calibrated range)
