@@ -356,7 +356,22 @@ object SparkEntry {
     "q39_percentiles" -> q((s, d) =>
       Tables.events(s, d).groupBy(col("event_type"))
         .agg(expr("percentile(value, 0.5)").as("q50"),
-          expr("percentile(value, 0.9)").as("q90")))
+          expr("percentile(value, 0.9)").as("q90"))),
+
+    // Full CUBE breadth (rollup's big sibling: all 4 grouping sets).
+    "q40_cube" -> q((s, d) =>
+      Tables.lineitem(s, d)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("l_quantity"))).cast("string").as("qty"))),
+
+    // Pivot breadth: per-user event-type matrix (explicit value list →
+    // stable columns; absent combos are 0 on both engines).
+    "q41_pivot" -> q((s, d) =>
+      Tables.events(s, d).groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .count()
+        .na.fill(0L))
   ) ++ NonSqlQueries.queries
 
   // ---- DuckDB oracles -------------------------------------------------
@@ -606,6 +621,20 @@ object SparkEntry {
       """SELECT event_type, quantile_cont(value, 0.5) AS q50,
          quantile_cont(value, 0.9) AS q90
          FROM events GROUP BY event_type""",
+
+    "q40_cube" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS qty
+         FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""",
+
+    "q41_pivot" ->
+      """SELECT user_id,
+         count(*) FILTER (WHERE event_type = 'click') AS click,
+         count(*) FILTER (WHERE event_type = 'error') AS error,
+         count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+         count(*) FILTER (WHERE event_type = 'signup') AS signup,
+         count(*) FILTER (WHERE event_type = 'view') AS view
+         FROM events GROUP BY user_id""",
 
     // ---- x-queries DuckDB CAN replay (list lambdas + HUGEINT) --------
     // These started as rows-only checks; the oracles below replicate

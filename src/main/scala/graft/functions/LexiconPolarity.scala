@@ -11,6 +11,15 @@ package graft.functions
   * match). Re-implemented from the published pattern-en semantics with
   * an embedded lexicon subset derived from the VADER valences (/4 to
   * the [-1,1] range) so the two scorers stay calibrated to each other.
+  *
+  * Known divergence: absolute scores differ from the Python library
+  * (its en-sentiment.xml lexicon and per-assessment chunking aren't
+  * reproducible from published semantics alone — e.g. its README
+  * example scores 0.392 there vs 0.675 here). The MECHANICS (lexicon
+  * average, ×−0.5 negation, intensifier products, subjectivity
+  * contract) are what the specs pin; the averaged-and-±0.1-thresholded
+  * classification the reference derives from it is insensitive to
+  * calibration except at label boundaries.
   */
 object LexiconPolarity {
 
