@@ -371,7 +371,40 @@ object SparkEntry {
       Tables.events(s, d).groupBy(col("user_id"))
         .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
         .count()
-        .na.fill(0L))
+        .na.fill(0L)),
+
+    // TPC-H Q5 flavor: six-table star join (the full harness schema,
+    // incl. region + supplier) — local-supplier revenue per nation.
+    // The three dims broadcast; customer⋈orders⋈lineitem shuffle on
+    // their keys, the only movement a join this shape requires.
+    "q42_local_supplier_volume" -> q((s, d) => {
+      val c = Tables.customer(s, d); val o = Tables.orders(s, d)
+      val li = Tables.lineitem(s, d); val su = Tables.supplier(s, d)
+      val n = Tables.nation(s, d); val r = Tables.region(s, d)
+      c.join(o, c("c_custkey") === o("o_custkey"))
+        .join(li, o("o_orderkey") === li("l_orderkey"))
+        .join(broadcast(su), li("l_suppkey") === su("s_suppkey") &&
+          c("c_nationkey") === su("s_nationkey"))
+        .join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .filter(r("r_name") === "ASIA")
+        .groupBy(col("n_name"))
+        .agg(sum(dec(col("l_extendedprice")) *
+            (lit(1).cast(DecimalType(18, 4)) - dec(col("l_discount"))))
+          .cast("string").as("revenue"),
+          count(lit(1)).as("n_items"))
+    }),
+
+    // Part-dimension rollup: brand/type shipping stats over the
+    // lineitem fact (broadcast dim, decimal-exact retail delta).
+    "q43_part_stats" -> q((s, d) => {
+      val p = Tables.part(s, d); val li = Tables.lineitem(s, d)
+      li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(dec(col("l_quantity"))).cast("string").as("qty"),
+          avg(col("p_size")).as("avg_size"))
+    })
   ) ++ NonSqlQueries.queries
 
   // ---- DuckDB oracles -------------------------------------------------
@@ -635,6 +668,26 @@ object SparkEntry {
          count(*) FILTER (WHERE event_type = 'signup') AS signup,
          count(*) FILTER (WHERE event_type = 'view') AS view
          FROM events GROUP BY user_id""",
+
+    "q42_local_supplier_volume" ->
+      """SELECT n_name,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS VARCHAR) AS revenue,
+         COUNT(*) AS n_items
+         FROM customer
+         JOIN orders ON c_custkey = o_custkey
+         JOIN lineitem ON o_orderkey = l_orderkey
+         JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         WHERE r_name = 'ASIA'
+         GROUP BY n_name""",
+
+    "q43_part_stats" ->
+      """SELECT p_brand, COUNT(*) AS n_lines,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS qty,
+         AVG(p_size) AS avg_size
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         GROUP BY p_brand""",
 
     // ---- x-queries DuckDB CAN replay (list lambdas + HUGEINT) --------
     // These started as rows-only checks; the oracles below replicate
