@@ -404,6 +404,27 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_lines"),
           sum(dec(col("l_quantity"))).cast("string").as("qty"),
           avg(col("p_size")).as("avg_size"))
+    }),
+
+    // As-of join (the temporal operator Spark lacks): each purchase
+    // event gets the user's latest prior-or-simultaneous click. Joined
+    // at MICROsecond granularity on both engines: DuckDB truncates
+    // parquet TIMESTAMP_NANOS to its native µs timestamp on read, so
+    // µs is the finest precision the oracle can see; and the string
+    // output sidesteps the comparator's int64→float64 low-bit loss.
+    // One key-shuffle (union+window form, operators.AsOfJoin).
+    "q44_asof_join" -> q((s, d) => {
+      val ev = Tables.events(s, d)
+        .withColumn("ts_us", expr("ts_ns div 1000")) // integer div: the double path loses bits above 2^53
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts_us"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts_us"), col("event_id").as("click_id"))
+      AsOfJoin.asof(purchases, clicks, "user_id", "ts_us", "ts_us",
+        Seq("prior_click_us" -> col("ts_us")),
+        rightTiebreak = Some(col("click_id")))
+        .select(col("event_id"), col("user_id"),
+          col("prior_click_us").cast("string").as("prior_click_us"))
     })
   ) ++ NonSqlQueries.queries
 
@@ -688,6 +709,12 @@ object SparkEntry {
          AVG(p_size) AS avg_size
          FROM lineitem JOIN part ON l_partkey = p_partkey
          GROUP BY p_brand""",
+
+    "q44_asof_join" ->
+      """SELECT l.event_id, l.user_id, CAST(epoch_us(r.ts) AS VARCHAR) AS prior_click_us
+         FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') l
+         ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') r
+         ON l.user_id = r.user_id AND l.ts >= r.ts""",
 
     // ---- x-queries DuckDB CAN replay (list lambdas + HUGEINT) --------
     // These started as rows-only checks; the oracles below replicate
