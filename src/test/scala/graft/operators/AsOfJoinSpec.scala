@@ -34,4 +34,25 @@ class AsOfJoinSpec extends SparkSpec {
       .select("px").as[Double].collect().toSeq
     assert(out == Seq(7.0))
   }
+
+  test("properties: left-preserving, and attached time never exceeds left time") {
+    val rnd = new scala.util.Random(7)
+    val left = Seq.tabulate(300)(i =>
+      (s"k${rnd.nextInt(10)}", rnd.nextInt(1000).toLong, i.toLong))
+      .toDF("k", "t", "lid")
+    val right = Seq.tabulate(300)(i =>
+      (s"k${rnd.nextInt(12)}", rnd.nextInt(1000).toLong, i.toLong))
+      .toDF("k", "t", "rid")
+    val out = AsOfJoin.asof(left, right, "k", "t", "t",
+      Seq("rt" -> col("t")), rightTiebreak = Some(col("rid")))
+    assert(out.count() == 300) // exactly one output row per left row
+    assert(out.filter(col("rt") > col("t")).isEmpty) // as-of, never future
+    // every attached time is the max right time <= left time for the key
+    val best = right.groupBy(col("k").as("bk"), col("t").as("bt"))
+      .count().drop("count")
+    val viol = out.filter(col("rt").isNotNull)
+      .join(best, col("k") === col("bk") &&
+        col("bt") <= col("t") && col("bt") > col("rt"))
+    assert(viol.isEmpty)
+  }
 }
