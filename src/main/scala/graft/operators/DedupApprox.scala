@@ -315,6 +315,10 @@ object DedupApprox {
     // simhashes are low-entropy, so candidate pairs outnumber true
     // near-dups ~100:1 (profiled 2.28M raw vs 15.7k passing at sf0.1)
     // — filtering before dropDuplicates shrinks that shuffle ~100×.
+    // (Canonical-bucket emission — dedup by construction, no shuffle —
+    // was tried and REVERTED: the canonical-key expression inside the
+    // HOF lambda re-evaluates per reference (interpreted), measured
+    // 1.5-3.5× slower than just shuffling the pre-filtered survivors.)
     banded.groupBy(col("ck"), col("cv"))
       .agg(collect_list(struct(col(idCol).as("id"), col("simhash").as("sig"))).as("ms"))
       .filter(size(col("ms")).between(2, maxBucket))
