@@ -425,6 +425,18 @@ object SparkEntry {
         rightTiebreak = Some(col("click_id")))
         .select(col("event_id"), col("user_id"),
           col("prior_click_us").cast("string").as("prior_click_us"))
+    }),
+
+    // Window-function breadth: lag/lead/ntile over per-user event
+    // streams (ordered at µs + unique tiebreak — the only ordering
+    // both engines see identically, per the q44 precision note).
+    "q45_window_funcs" -> q((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(expr("ts_ns div 1000"), col("event_id"))
+      Tables.events(s, d).select(col("event_id"), col("user_id"),
+        lag(col("event_type"), 1).over(w).as("prev_type"),
+        lead(col("event_type"), 1).over(w).as("next_type"),
+        ntile(4).over(w).as("quartile"))
     })
   ) ++ NonSqlQueries.queries
 
@@ -715,6 +727,14 @@ object SparkEntry {
          FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') l
          ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') r
          ON l.user_id = r.user_id AND l.ts >= r.ts""",
+
+    "q45_window_funcs" ->
+      """SELECT event_id, user_id,
+         lag(event_type, 1) OVER w AS prev_type,
+         lead(event_type, 1) OVER w AS next_type,
+         CAST(ntile(4) OVER w AS INT) AS quartile
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)""",
 
     // ---- x-queries DuckDB CAN replay (list lambdas + HUGEINT) --------
     // These started as rows-only checks; the oracles below replicate
