@@ -437,7 +437,15 @@ object SparkEntry {
         lag(col("event_type"), 1).over(w).as("prev_type"),
         lead(col("event_type"), 1).over(w).as("next_type"),
         ntile(4).over(w).as("quartile"))
-    })
+    }),
+
+    // Deterministic (md5-bucket) stratified sampling — reproducible
+    // train/test splits at corpus scale; RNG sampling can't be
+    // verified across engines, hash sampling can.
+    "q46_hash_sample" -> q((s, d) =>
+      Sampling.stratified(Tables.documents(s, d), "doc_id", "lang",
+          Map("en" -> 500, "de" -> 250, "fr" -> 100))
+        .select(col("doc_id"), col("lang")))
   ) ++ NonSqlQueries.queries
 
   // ---- DuckDB oracles -------------------------------------------------
@@ -735,6 +743,14 @@ object SparkEntry {
          CAST(ntile(4) OVER w AS INT) AS quartile
          FROM events
          WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)""",
+
+    "q46_hash_sample" ->
+      """SELECT doc_id, lang FROM (
+           SELECT doc_id, lang,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6) AS BIGINT) % 1000 AS bucket
+           FROM documents) t
+         WHERE bucket < (CASE lang WHEN 'en' THEN 500 WHEN 'de' THEN 250
+                         WHEN 'fr' THEN 100 ELSE 0 END)""",
 
     // ---- x-queries DuckDB CAN replay (list lambdas + HUGEINT) --------
     // These started as rows-only checks; the oracles below replicate
