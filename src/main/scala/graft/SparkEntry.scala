@@ -445,7 +445,12 @@ object SparkEntry {
     "q46_hash_sample" -> q((s, d) =>
       Sampling.stratified(Tables.documents(s, d), "doc_id", "lang",
           Map("en" -> 500, "de" -> 250, "fr" -> 100))
-        .select(col("doc_id"), col("lang")))
+        .select(col("doc_id"), col("lang"))),
+
+    // Gopher/C4-style repetition quality filters: duplicate-unigram
+    // and top-bigram fractions per doc.
+    "q47_repetition" -> q((s, d) =>
+      TextAnalysis.repetitionStats(Tables.documents(s, d), "doc_id", "text"))
   ) ++ NonSqlQueries.queries
 
   // ---- DuckDB oracles -------------------------------------------------
@@ -751,6 +756,31 @@ object SparkEntry {
            FROM documents) t
          WHERE bucket < (CASE lang WHEN 'en' THEN 500 WHEN 'de' THEN 250
                          WHEN 'fr' THEN 100 ELSE 0 END)""",
+
+    "q47_repetition" ->
+      """WITH t AS (
+           SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9'']+'), x -> length(x) > 0) AS toks
+           FROM documents),
+         base AS (
+           SELECT doc_id,
+             CASE WHEN len(toks) > 0
+               THEN 1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+               ELSE 0.0 END AS dup_unigram_frac,
+             CASE WHEN len(toks) >= 2
+               THEN [toks[i] || ' ' || toks[i + 1] for i in generate_series(1, len(toks) - 1)]
+               ELSE [] END AS bgs
+           FROM t),
+         counts AS (
+           SELECT doc_id, bg, count(*) AS n
+           FROM (SELECT doc_id, unnest(bgs) AS bg FROM base)
+           GROUP BY doc_id, bg),
+         top AS (
+           SELECT doc_id, CAST(max(n) AS DOUBLE) / sum(n) AS top_bigram_frac
+           FROM counts GROUP BY doc_id)
+         SELECT b.doc_id, b.dup_unigram_frac,
+           coalesce(t2.top_bigram_frac, 0.0) AS top_bigram_frac
+         FROM base b LEFT JOIN top t2 ON b.doc_id = t2.doc_id""",
 
     // ---- x-queries DuckDB CAN replay (list lambdas + HUGEINT) --------
     // These started as rows-only checks; the oracles below replicate

@@ -73,6 +73,39 @@ object TextAnalysis {
         regexp_count(t, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")).cast("long"))
   }
 
+  // ---- repetition (Gopher/C4-style quality filters) -------------------
+
+  /** Per-doc repetition signals used as pretraining quality filters
+    * (Rae et al. 2021 "Gopher" §A1.1: fraction of duplicated n-grams;
+    * Raffel et al. 2020 "C4" dedup rules):
+    *   - `dup_unigram_frac`: 1 − |distinct tokens| / |tokens| — bulk
+    *     token repetition;
+    *   - `top_bigram_frac`: occurrences of the most frequent word
+    *     bigram / all bigrams — templated-boilerplate detector.
+    * Shape: one inline projection + one explode→two-level aggregate,
+    * both keyed on the doc id (map-side combine; no joins wider than
+    * the id). */
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = Analyzer.tokenize(col(textCol))
+    val base = df.select(col(idCol), toks.as("toks"))
+      .withColumn("dup_unigram_frac",
+        when(size(col("toks")) > 0,
+          lit(1.0) - size(array_distinct(col("toks"))).cast("double")
+            / size(col("toks"))).otherwise(0.0))
+    val bigrams = base.select(col(idCol),
+        explode(when(size(col("toks")) >= 2,
+          transform(sequence(lit(0), size(col("toks")) - 2),
+            i => concat_ws(" ", element_at(col("toks"), i + 1),
+              element_at(col("toks"), i + 2))))
+          .otherwise(array())).as("bg"))
+      .groupBy(col(idCol), col("bg")).agg(count(lit(1)).as("n"))
+      .groupBy(col(idCol))
+      .agg((max(col("n")).cast("double") / sum(col("n"))).as("top_bigram_frac"))
+    base.select(col(idCol), col("dup_unigram_frac"))
+      .join(bigrams, Seq(idCol), "left")
+      .withColumn("top_bigram_frac", coalesce(col("top_bigram_frac"), lit(0.0)))
+  }
+
   // ---- fingerprinting --------------------------------------------------
 
   private val rollingHashUdf = udf { (s: String) =>
