@@ -450,7 +450,13 @@ object SparkEntry {
     // Gopher/C4-style repetition quality filters: duplicate-unigram
     // and top-bigram fractions per doc.
     "q47_repetition" -> q((s, d) =>
-      TextAnalysis.repetitionStats(Tables.documents(s, d), "doc_id", "text"))
+      TextAnalysis.repetitionStats(Tables.documents(s, d), "doc_id", "text")),
+
+    // Sequence packing: per-shard token-budget bins (training-window
+    // layout; sharded so the prefix sums parallelize).
+    "q48_pack_bins" -> q((s, d) =>
+      TextAnalysis.packIntoBins(Tables.documents(s, d), "doc_id", "text",
+        budgetTokens = 4096, shards = 8))
   ) ++ NonSqlQueries.queries
 
   // ---- DuckDB oracles -------------------------------------------------
@@ -781,6 +787,18 @@ object SparkEntry {
          SELECT b.doc_id, b.dup_unigram_frac,
            coalesce(t2.top_bigram_frac, 0.0) AS top_bigram_frac
          FROM base b LEFT JOIN top t2 ON b.doc_id = t2.doc_id""",
+
+    "q48_pack_bins" ->
+      """SELECT doc_id, doc_id % 8 AS shard,
+         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tok,
+         SUM(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT))
+           OVER (PARTITION BY doc_id % 8 ORDER BY doc_id
+                 ROWS UNBOUNDED PRECEDING) AS cum,
+         (SUM(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT))
+           OVER (PARTITION BY doc_id % 8 ORDER BY doc_id
+                 ROWS UNBOUNDED PRECEDING)
+          - CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)) // 4096 AS bin
+         FROM documents""",
 
     // ---- x-queries DuckDB CAN replay (list lambdas + HUGEINT) --------
     // These started as rows-only checks; the oracles below replicate

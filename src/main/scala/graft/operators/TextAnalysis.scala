@@ -106,6 +106,26 @@ object TextAnalysis {
       .withColumn("top_bigram_frac", coalesce(col("top_bigram_frac"), lit(0.0)))
   }
 
+  // ---- sequence packing ------------------------------------------------
+
+  /** Assigns each doc to a contiguous token-budget bin — the sequence-
+    * packing step that turns a corpus into fixed-size training windows
+    * (concatenate-and-split packing: a doc may straddle its bin
+    * boundary; `bin` is where it starts). Sharded BY DESIGN: the
+    * running token sum is a window cumsum, and a single global window
+    * would serialize onto one partition at corpus scale — per-shard
+    * packing keeps every shard's prefix sum independent and parallel,
+    * which is how packed pretraining shards are actually laid out. */
+  def packIntoBins(df: DataFrame, idCol: String, textCol: String,
+                   budgetTokens: Int, shards: Int = 64): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col(idCol))
+    df.select(col(idCol), pmod(col(idCol), lit(shards)).as("shard"),
+        TextStats.wordCount(col(textCol)).cast("long").as("n_tok"))
+      .withColumn("cum", sum(col("n_tok")).over(w))
+      .withColumn("bin", expr(s"(cum - n_tok) div $budgetTokens"))
+  }
+
   // ---- fingerprinting --------------------------------------------------
 
   private val rollingHashUdf = udf { (s: String) =>
