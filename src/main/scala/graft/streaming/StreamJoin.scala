@@ -16,20 +16,28 @@ import org.apache.spark.sql.functions._
   */
 object StreamJoin {
 
-  /** Inner interval join: rows of `left` matched with `right` rows of
-    * the same key whose time falls in [leftTime − lookback, leftTime].
+  /** Interval join: rows of `left` matched with `right` rows of the
+    * same key whose time falls in [leftTime − lookback, leftTime].
     * Key columns must be distinct names (rename before calling); both
     * inputs may be streaming. `delay` is the max event lateness either
-    * side tolerates before its state is evicted. */
+    * side tolerates before its state is evicted.
+    *
+    * `joinType` "inner" (default) or "left_outer": outer emits the
+    * unmatched left row with nulls once the watermark passes the point
+    * where a match could still arrive — so outer results are delayed
+    * by (lookback + delay), the price of a correct "no match ever"
+    * verdict on an unbounded stream. */
   def intervalJoin(left: DataFrame, right: DataFrame,
                    leftKey: String, rightKey: String,
                    leftTime: String, rightTime: String,
-                   lookback: String, delay: String): DataFrame = {
+                   lookback: String, delay: String,
+                   joinType: String = "inner"): DataFrame = {
     val l = left.withWatermark(leftTime, delay)
     val r = right.withWatermark(rightTime, delay)
     l.join(r,
       col(leftKey) === col(rightKey) &&
         col(rightTime) >= col(leftTime) - expr(s"INTERVAL $lookback") &&
-        col(rightTime) <= col(leftTime))
+        col(rightTime) <= col(leftTime),
+      joinType)
   }
 }
