@@ -456,7 +456,15 @@ object SparkEntry {
     // layout; sharded so the prefix sums parallelize).
     "q48_pack_bins" -> q((s, d) =>
       TextAnalysis.packIntoBins(Tables.documents(s, d), "doc_id", "text",
-        budgetTokens = 4096, shards = 8))
+        budgetTokens = 4096, shards = 8)),
+
+    // Corpus n-gram statistics: global top-k bigrams (explode →
+    // map-side-combined count → TakeOrdered; deterministic tiebreak).
+    "q49_top_ngrams" -> q((s, d) =>
+      Tables.documents(s, d)
+        .select(explode(DedupApprox.shingles(col("text"), 2)).as("bigram"))
+        .groupBy(col("bigram")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("bigram")).limit(20))
   ) ++ NonSqlQueries.queries
 
   // ---- DuckDB oracles -------------------------------------------------
@@ -799,6 +807,20 @@ object SparkEntry {
                  ROWS UNBOUNDED PRECEDING)
           - CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)) // 4096 AS bin
          FROM documents""",
+
+    "q49_top_ngrams" ->
+      """WITH t AS (
+           SELECT list_filter(regexp_split_to_array(lower(text), '[^a-z0-9'']+'), x -> length(x) > 0) AS toks
+           FROM documents),
+         b AS (
+           SELECT unnest(list_distinct(CASE
+             WHEN len(toks) = 0 THEN []
+             WHEN len(toks) < 2 THEN [array_to_string(toks, ' ')]
+             ELSE [toks[i] || ' ' || toks[i + 1] for i in generate_series(1, len(toks) - 1)]
+           END)) AS bigram
+           FROM t)
+         SELECT bigram, count(*) AS n FROM b GROUP BY bigram
+         ORDER BY n DESC, bigram LIMIT 20""",
 
     // ---- x-queries DuckDB CAN replay (list lambdas + HUGEINT) --------
     // These started as rows-only checks; the oracles below replicate
