@@ -23,5 +23,17 @@ object GraftFunctions {
     spark.udf.register("simhash64", (t: String) => graft.operators.DedupApprox.simhashOf(t))
     spark.udf.register("word_shingles",
       (t: String, n: Int) => graft.operators.DedupApprox.shinglesOf(t, n))
+    spark.udf.register("rolling_fp64",
+      (t: String) => graft.operators.TextAnalysis.fingerprintOf(t))
+    spark.udf.register("lang_id",
+      (t: String) => graft.operators.TextAnalysis.langIdOf(t)._1)
+    spark.udf.register("analyze_en", (t: String) =>
+      if (t == null) Array.empty[String]
+      else t.toLowerCase.split("[^a-z0-9']+")
+        .filter(w => w.nonEmpty && !Analyzer.StopWords(w)).map(Porter.stem))
+    spark.udf.register("minhash_sig", (t: String, n: Int) =>
+      graft.operators.DedupApprox.minhashSigInt(
+        graft.operators.DedupApprox.shingleHashesOf(t, 3),
+        graft.operators.DedupApprox.perms(n)))
   }
 }

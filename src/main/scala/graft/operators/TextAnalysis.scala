@@ -23,6 +23,17 @@ object TextAnalysis {
     "fr" -> Seq("le", "la", "les", "de", "des", "et", "est", "une", "dans", "pour"),
     "it" -> Seq("il", "di", "che", "la", "per", "con", "del", "una", "sono", "non"))
 
+  /** Scalar form of [[withLangId]]: same distinct-token overlap,
+    * same (score, lang) argmax tie order. For the SQL registry. */
+  private[graft] def langIdOf(text: String): (String, Int) = {
+    val toks =
+      if (text == null) Set.empty[String]
+      else text.toLowerCase.split("[^a-z0-9']+").filter(_.nonEmpty).toSet
+    val (score, lang) = Profiles.toSeq.sortBy(_._1)
+      .map { case (l, words) => (words.count(toks), l) }.max
+    (if (score > 0) lang else "und", score)
+  }
+
   /** Language-ID: argmax over stopword-overlap scores. Emits
     * (lang_pred, lang_score). Unknown → "und". */
   def withLangId(df: DataFrame, textCol: String): DataFrame = {
@@ -128,22 +139,27 @@ object TextAnalysis {
 
   // ---- fingerprinting --------------------------------------------------
 
-  private val rollingHashUdf = udf { (s: String) =>
-    if (s == null) 0L
-    else {
-      // 64-bit wrapping polynomial hash, base 31 — the wide analog of
-      // String.hashCode. Wrapping (not mod-prime) keeps the recurrence
-      // exactly reproducible in any engine with 64-bit integers, which
-      // is what lets the DuckDB oracle replay it.
-      var h = 0L
-      var i = 0
-      while (i < s.length) {
-        h = h * 31 + s.charAt(i)
-        i += 1
-      }
-      h
+  /** 64-bit wrapping polynomial hash, base 31 — the wide analog of
+    * String.hashCode. Wrapping (not mod-prime) keeps the recurrence
+    * exactly reproducible in any engine with 64-bit integers, which
+    * is what lets the DuckDB oracle replay it. */
+  private[graft] def rollingHashOf(s: String): Long = {
+    if (s == null) return 0L
+    var h = 0L
+    var i = 0
+    while (i < s.length) {
+      h = h * 31 + s.charAt(i)
+      i += 1
     }
+    h
   }
+
+  /** Scalar form of [[fingerprint]] (same normalization + hash). */
+  private[graft] def fingerprintOf(text: String): Long =
+    if (text == null) 0L
+    else rollingHashOf(text.replaceAll("\\s+", " ").toLowerCase)
+
+  private val rollingHashUdf = udf { (s: String) => rollingHashOf(s) }
 
   /** Rolling-hash fingerprint of whitespace-normalized lowercase text.
     * (The md5 variant is oracle-checked as q24; this long-valued hash
