@@ -163,7 +163,13 @@ object NonSqlQueries {
       graft.functions.GraftFunctions.register(s)
       Tables.documents(s, d).createOrReplaceTempView("graft_docs_tmp")
       s.sql("""SELECT doc_id, vader_compound(text) AS compound,
-               porter_stem('running') AS stem FROM graft_docs_tmp""")
+               porter_stem('running') AS stem,
+               lang_id(text) AS lang_pred,
+               rolling_fp64(text) AS fp64,
+               simhash64(text) AS sh64,
+               size(analyze_en(text)) AS n_terms,
+               size(minhash_sig(text, 16)) AS sig_len
+               FROM graft_docs_tmp""")
     })
   )
 }
