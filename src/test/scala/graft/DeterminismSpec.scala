@@ -1,0 +1,28 @@
+package graft
+
+/** Partitioning invariance: the property that actually transfers from
+  * local[n] to a 1000-executor cluster. Every query must produce the
+  * same row SET regardless of `spark.sql.shuffle.partitions` — this
+  * catches nondeterminism (arbitrary tie-breaks, collect_list order,
+  * per-partition top-k) that small-scale runs hide. Representative
+  * sample: aggregates, window top-k, as-of join, repetition stats,
+  * and the LSH dedup family (checkpoint + broadcast paths). */
+class DeterminismSpec extends SparkSpec {
+
+  private val sample = Seq(
+    "q01_pricing_summary", "q21_window_topk", "q34_shipping_priority",
+    "q38_string_agg", "q44_asof_join", "q47_repetition", "q48_pack_bins",
+    "x09_minhash_dedup", "x10_simhash_dedup", "x18_dedup_verdicts")
+
+  private def run(name: String, partitions: Int): Seq[String] = {
+    spark.conf.set("spark.sql.shuffle.partitions", partitions)
+    try SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
+      .collect().map(_.toString).sorted.toSeq
+    finally spark.conf.set("spark.sql.shuffle.partitions", 4)
+  }
+
+  for (name <- sample)
+    test(s"$name: same rows at 2 and 13 shuffle partitions") {
+      assert(run(name, 2) == run(name, 13))
+    }
+}
