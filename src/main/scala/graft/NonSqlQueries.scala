@@ -103,17 +103,42 @@ object NonSqlQueries {
     }),
 
     // LSH-bucketed cosine top-k (the 100 TB scale path; recall<1).
+    // 8 planes = 256 buckets: the plane count must track log2(corpus /
+    // target-bucket) — 4 planes scanned 31% of this corpus, 16 would
+    // leave probed buckets emptier than k (bucket math in SCALING.md).
     "x13_cosine_topk_lsh" -> q((s, d) => {
       val emb = Tables.embeddings(s, d)
-      val planes = Similarity.hyperplanes(64, 4)
+      val planes = Similarity.hyperplanes(64, 8)
       val query = broadcast(
         Similarity.withBucket(emb.filter(col("vec_id") === 0), "embedding", planes)
           .select(col("embedding").cast("array<double>").as("qv"),
             col("bucket").as("qbucket")))
       Similarity.withBucket(emb.filter(col("vec_id") =!= 0), "embedding", planes)
         .crossJoin(query)
-        // multi-probe: include buckets within Hamming 1 of the query's
-        .filter(bit_count(col("bucket").bitwiseXOR(col("qbucket"))) <= 1)
+        // multi-probe: include buckets within Hamming 2 of the query's
+        // (37/256 bucket-equivalents ~ 14% expected scan fraction)
+        .filter(bit_count(col("bucket").bitwiseXOR(col("qbucket"))) <= 2)
+        .select(col("vec_id"),
+          Similarity.cosineFast(col("embedding").cast("array<double>"), col("qv")).as("cos"))
+        .orderBy(col("cos").desc, col("vec_id")).limit(20)
+    }),
+
+    // Multi-TABLE LSH top-k: 4 independent 8-plane tables, candidate =
+    // any table matches within Hamming 1. The 100 TB recall lever —
+    // each table is a partition-pruned read at scale; one scan locally.
+    "x20_cosine_topk_multitable" -> q((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val tables = Similarity.hyperplaneTables(64, 8, 4)
+      val nT = tables.length
+      val query = broadcast(
+        Similarity.withBuckets(emb.filter(col("vec_id") === 0), "embedding", tables)
+          .select(col("embedding").cast("array<double>").as("qv") +:
+            (0 until nT).map(t => col(s"bucket_$t").as(s"qbucket_$t")): _*))
+      Similarity.withBuckets(emb.filter(col("vec_id") =!= 0), "embedding", tables)
+        .crossJoin(query)
+        .filter((0 until nT).map(t =>
+            bit_count(col(s"bucket_$t").bitwiseXOR(col(s"qbucket_$t"))) <= 1)
+          .reduce(_ || _))
         .select(col("vec_id"),
           Similarity.cosineFast(col("embedding").cast("array<double>"), col("qv")).as("cos"))
         .orderBy(col("cos").desc, col("vec_id")).limit(20)

@@ -483,14 +483,16 @@ object SparkEntry {
 
   /** The engine's LSH hyperplanes (seeded, deterministic) rendered as
     * SQL literals — Double.toString round-trips, so the oracle buckets
-    * exactly as the engine does. */
-  private def sqlBucket(v: String): String = {
-    val planes = operators.Similarity.hyperplanes(64, 4)
+    * exactly as the engine does. Renders any plane set, so every
+    * plane-count / seed / table parameterization stays oracle-checked. */
+  private def sqlBucketOf(v: String, planes: Seq[Seq[Double]]): String =
     planes.zipWithIndex.map { case (p, i) =>
       val lit = p.map(_.toString).mkString("[", ", ", "]")
       s"(CASE WHEN ${sqlFold(v, lit)} >= 0 THEN ${1 << i} ELSE 0 END)"
     }.mkString(" + ")
-  }
+
+  private def sqlBucket(v: String): String =
+    sqlBucketOf(v, operators.Similarity.hyperplanes(64, 4))
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -799,13 +801,13 @@ object SparkEntry {
     "q48_pack_bins" ->
       """SELECT doc_id, doc_id % 8 AS shard,
          CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tok,
-         SUM(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT))
+         CAST(SUM(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT))
            OVER (PARTITION BY doc_id % 8 ORDER BY doc_id
-                 ROWS UNBOUNDED PRECEDING) AS cum,
-         (SUM(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT))
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+         CAST((SUM(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT))
            OVER (PARTITION BY doc_id % 8 ORDER BY doc_id
                  ROWS UNBOUNDED PRECEDING)
-          - CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)) // 4096 AS bin
+          - CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)) // 4096 AS BIGINT) AS bin
          FROM documents""",
 
     "q49_top_ngrams" ->
@@ -939,13 +941,31 @@ object SparkEntry {
 
     "x13_cosine_topk_lsh" ->
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-         b AS (SELECT vec_id, v, ${sqlBucket("v")} AS bucket FROM e),
+         b AS (SELECT vec_id, v, ${sqlBucketOf("v", operators.Similarity.hyperplanes(64, 8))} AS bucket FROM e),
          q AS (SELECT v AS qv, bucket AS qbucket FROM b WHERE vec_id = 0),
          sc AS (
            SELECT vec_id, ${sqlCos("v", "qv")} AS cos
            FROM b, q
-           WHERE vec_id <> 0 AND bit_count(CAST(xor(bucket, qbucket) AS BIGINT)) <= 1)
+           WHERE vec_id <> 0 AND bit_count(CAST(xor(bucket, qbucket) AS BIGINT)) <= 2)
          SELECT vec_id, cos FROM sc ORDER BY cos DESC, vec_id LIMIT 20""",
+
+    "x20_cosine_topk_multitable" -> {
+      val tables = operators.Similarity.hyperplaneTables(64, 8, 4)
+      val bucketCols = tables.zipWithIndex.map { case (p, t) =>
+        s"${sqlBucketOf("v", p)} AS bucket_$t"
+      }.mkString(", ")
+      val qCols = tables.indices.map(t => s"bucket_$t AS qbucket_$t").mkString(", ")
+      val anyTable = tables.indices.map(t =>
+        s"bit_count(CAST(xor(bucket_$t, qbucket_$t) AS BIGINT)) <= 1").mkString(" OR ")
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         b AS (SELECT vec_id, v, $bucketCols FROM e),
+         q AS (SELECT v AS qv, $qCols FROM b WHERE vec_id = 0),
+         sc AS (
+           SELECT vec_id, ${sqlCos("v", "qv")} AS cos
+           FROM b, q
+           WHERE vec_id <> 0 AND ($anyTable))
+         SELECT vec_id, cos FROM sc ORDER BY cos DESC, vec_id LIMIT 20"""
+    },
 
     "x14_embedding_neardup" ->
       s"""WITH e AS (SELECT CAST(vec_id AS BIGINT) AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),

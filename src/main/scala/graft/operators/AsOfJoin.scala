@@ -36,6 +36,17 @@ object AsOfJoin {
            rightTiebreak: Option[Column] = None): DataFrame = {
     val valNames = rightVals.map(_._1)
     val leftCols = left.columns.toSeq
+    // withColumn REPLACES an existing column of the same name — a
+    // collision would silently null out left-side data instead of
+    // failing, so reject it up front (reserved names included).
+    val reserved = Seq("__t", "__side", "__tie")
+    val collisions = (valNames ++ reserved).filter(leftCols.contains)
+    require(collisions.isEmpty,
+      s"asof: output/reserved names collide with left columns: " +
+        collisions.mkString(", "))
+    require(valNames.distinct.size == valNames.size,
+      s"asof: duplicate rightVals names: " +
+        valNames.diff(valNames.distinct).distinct.mkString(", "))
     val l = left
       .withColumn("__t", col(leftTime))
       .withColumn("__side", lit(1))

@@ -63,12 +63,19 @@ object DedupApprox {
     * positions, which inflated band buckets ~5× AND lost true pairs
     * when tried at sf0.1 — and the signature pass wasn't the
     * bottleneck anyway. a,b < 2³¹ keeps every product under 2⁶². */
-  private[graft] def perms(numHashes: Int): Array[(Long, Long)] = {
-    val rnd = new scala.util.Random(42)
-    Array.fill(numHashes)(
-      ((rnd.nextLong() & Long.MaxValue) % (HashMod - 1) + 1,
-       (rnd.nextLong() & Long.MaxValue) % HashMod))
-  }
+  private[graft] def perms(numHashes: Int): Array[(Long, Long)] =
+    permsCache.computeIfAbsent(numHashes, n => {
+      val rnd = new scala.util.Random(42)
+      Array.fill(n)(
+        ((rnd.nextLong() & Long.MaxValue) % (HashMod - 1) + 1,
+         (rnd.nextLong() & Long.MaxValue) % HashMod))
+    })
+
+  // Memoized per numHashes: the SQL-registry minhash_sig UDF calls
+  // perms() inside its per-row lambda — without the cache that drew
+  // 2n seeded longs per input ROW (deterministic but O(rows·n)).
+  private val permsCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, Array[(Long, Long)]]
 
   private[operators] def minhashSig(sh: Seq[String], ps: Array[(Long, Long)]): Array[Long] = {
     val out = Array.fill(ps.length)(EmptySentinel)
@@ -194,10 +201,12 @@ object DedupApprox {
     * sets with the candidates broadcast: the wide arrays never move.
     * (Near-dup candidates ≪ corpus is the regime this operator exists
     * for; for an adversarial corpus where candidates rival the corpus
-    * size, drop the broadcast hint and let AQE shuffle both sides.) */
+    * size, pass broadcastCandidates=false to drop the hints and let
+    * AQE shuffle both sides — same plan shape, no driver limit.) */
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
                    shingleN: Int = 3, numHashes: Int = 64, bands: Int = 16,
-                   threshold: Double = 0.5, maxBucket: Int = 500): DataFrame = {
+                   threshold: Double = 0.5, maxBucket: Int = 500,
+                   broadcastCandidates: Boolean = true): DataFrame = {
     val rows = numHashes / bands
     val ps = perms(numHashes)
     // band keys in ONE text→keys UDF: tokenize, hash-shingle, sign and
@@ -230,13 +239,18 @@ object DedupApprox {
     // candidate pair (a small fraction of the corpus), not corpus-wide;
     // the 32-bit hashed form makes the exact intersect/union integer ops.
     val shHashUdf = udf { (text: String) => shingleHashesOf(text, shingleN) }
+    // candidates ≪ corpus → broadcast; adversarial corpora (candidates
+    // rivaling corpus size would blow the broadcast/driver limit) set
+    // broadcastCandidates=false for identical semantics via shuffles.
+    val bc: DataFrame => DataFrame =
+      if (broadcastCandidates) broadcast else identity
     val candIds = cand.select(col("id_a").as("cid"))
       .unionByName(cand.select(col("id_b").as("cid"))).distinct()
-    val candSh = df.join(broadcast(candIds), col(idCol) === col("cid"))
+    val candSh = df.join(bc(candIds), col(idCol) === col("cid"))
       .select(col(idCol), shHashUdf(col(textCol)).as("sh"))
-    val withA = candSh.join(broadcast(cand), col(idCol) === col("id_a"))
+    val withA = candSh.join(bc(cand), col(idCol) === col("id_a"))
       .select(col("id_a"), col("id_b"), col("sh").as("sh_a"))
-    candSh.join(broadcast(withA), col(idCol) === col("id_b"))
+    candSh.join(bc(withA), col(idCol) === col("id_b"))
       .select(col("id_a"), col("id_b"),
         (size(array_intersect(col("sh_a"), col("sh"))).cast("double") /
          size(array_union(col("sh_a"), col("sh")))).as("jaccard"))

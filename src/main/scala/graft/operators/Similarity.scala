@@ -84,6 +84,26 @@ object Similarity {
                  planes: Seq[Seq[Double]]): DataFrame =
     df.withColumn("bucket", bucketOf(asDouble(col(vecCol)), planes))
 
+  /** One bucket column per LSH table (`bucket_0..bucket_{T-1}`), each
+    * from its own seeded plane set. Multi-TABLE is the recall lever
+    * that scales: probing Hamming<=r of ONE table's bucket caps recall
+    * by that table's planes, while T independent tables multiply the
+    * miss probability down (a vector is a candidate if ANY table
+    * agrees with the query) at T× the bucket-read cost. At 100 TB each
+    * table is a partition-pruned read of its own bucket-keyed layout;
+    * locally the same predicate runs as one scan — identical
+    * semantics, measured in SCALING.md. */
+  def withBuckets(df: DataFrame, vecCol: String,
+                  tables: Seq[Seq[Seq[Double]]]): DataFrame =
+    tables.zipWithIndex.foldLeft(df) { case (d, (planes, t)) =>
+      d.withColumn(s"bucket_$t", bucketOf(asDouble(col(vecCol)), planes))
+    }
+
+  /** Seeded plane sets for `numTables` independent LSH tables. */
+  def hyperplaneTables(dim: Int, numPlanes: Int, numTables: Int,
+                       seed: Long = 42L): Seq[Seq[Seq[Double]]] =
+    (0 until numTables).map(t => hyperplanes(dim, numPlanes, seed + 1000L * t))
+
   /** LSH-accelerated top-k: scan only the query's bucket (plus, with
     * `multiProbe` > 0, every bucket within that Hamming distance of it
     * — the standard recall knob: flipping the least-confident sign

@@ -61,7 +61,7 @@ class ValidateSpec extends SparkSpec {
   }
 
   test("sanitize is idempotent") {
-    val df = Seq((" a\u0000b ", "x"), ("c", " d ")).toDF("p", "q")
+    val df = Seq((" a" + 0.toChar + "b ", "x"), ("c", " d ")).toDF("p", "q")
     val once = Validate.sanitize(df).collect().toSeq
     val twice = Validate.sanitize(Validate.sanitize(df)).collect().toSeq
     assert(once == twice)
