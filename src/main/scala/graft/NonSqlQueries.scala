@@ -50,6 +50,13 @@ object NonSqlQueries {
         .filter(col("score") > 0)
         .orderBy(col("score").desc, col("doc_id")).limit(50)),
 
+    // X-10 first two stages, hash-verified: tokenize → stop-filter
+    // (pre-stem; Porter itself stays unit-vector-covered — x03 runs
+    // the full chain rows-only).
+    "x21_analyze_prestem" -> q((s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+        array_join(Analyzer.tokensNoStop(col("text")), " ").as("terms"))),
+
     // Language ID (stopword-profile heuristic).
     "x05_langid" -> q((s, d) =>
       TextAnalysis.withLangId(Tables.documents(s, d), "text")

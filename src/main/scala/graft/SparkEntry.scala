@@ -464,7 +464,14 @@ object SparkEntry {
       Tables.documents(s, d)
         .select(explode(DedupApprox.shingles(col("text"), 2)).as("bigram"))
         .groupBy(col("bigram")).agg(count(lit(1)).as("n"))
-        .orderBy(col("n").desc, col("bigram")).limit(20))
+        .orderBy(col("n").desc, col("bigram")).limit(20)),
+
+    // Q-2 fidelity: TF-IDF relevance ranking (ES multi_match behavior
+    // — rare terms dominate; one corpus-stats pass broadcast back).
+    "q50_tfidf_search" -> q((s, d) =>
+      Search.byKeywordRanked(Tables.documents(s, d), "doc_id",
+          Seq("text"), Seq("dup", "join", "scan"), k = 100)
+        .select(col("doc_id"), col("score")))
   ) ++ NonSqlQueries.queries
 
   // ---- DuckDB oracles -------------------------------------------------
@@ -824,6 +831,29 @@ object SparkEntry {
          SELECT bigram, count(*) AS n FROM b GROUP BY bigram
          ORDER BY n DESC, bigram LIMIT 20""",
 
+    // TF-IDF replay: same tokenizer, same single stats pass, same
+    // left-assoc double sum; ln matches Math.log bitwise (shared libm,
+    // verified over 2000 values — see Search.byKeywordRanked docs).
+    "q50_tfidf_search" ->
+      """WITH t AS (
+           SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9'']+'), x -> length(x) > 0) AS toks
+           FROM documents),
+         s AS (
+           SELECT CAST(count(*) AS DOUBLE) AS n,
+             CAST(count(*) FILTER (WHERE list_contains(toks, 'dup')) AS DOUBLE) AS df0,
+             CAST(count(*) FILTER (WHERE list_contains(toks, 'join')) AS DOUBLE) AS df1,
+             CAST(count(*) FILTER (WHERE list_contains(toks, 'scan')) AS DOUBLE) AS df2
+           FROM t),
+         sc AS (
+           SELECT doc_id,
+             (CASE WHEN df0 = 0 THEN 0.0 ELSE CAST(len(list_filter(toks, x -> x = 'dup')) AS DOUBLE) * ln(n / df0) END
+              + CASE WHEN df1 = 0 THEN 0.0 ELSE CAST(len(list_filter(toks, x -> x = 'join')) AS DOUBLE) * ln(n / df1) END
+              + CASE WHEN df2 = 0 THEN 0.0 ELSE CAST(len(list_filter(toks, x -> x = 'scan')) AS DOUBLE) * ln(n / df2) END) AS score
+           FROM t, s)
+         SELECT doc_id, score FROM sc WHERE score > 0.0
+         ORDER BY score DESC, doc_id LIMIT 100""",
+
     // ---- x-queries DuckDB CAN replay (list lambdas + HUGEINT) --------
     // These started as rows-only checks; the oracles below replicate
     // the exact operator semantics (tokenizer parity, df caps, wrapping
@@ -930,6 +960,18 @@ object SparkEntry {
     "x10_simhash_dedup" -> OracleLsh.x10Sql(),
     "x18_dedup_verdicts" -> OracleLsh.x18Sql,
     "x19_corpus_signature" -> OracleLsh.x19Sql,
+
+    // analyzer chain stages 1-2 (tokenize -> stop), stopwords rendered
+    // as literals; Porter (stage 3) is not SQL-replayable.
+    "x21_analyze_prestem" -> {
+      val stops = functions.Analyzer.StopWords.toSeq.sorted
+        .map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""SELECT doc_id, array_to_string(
+           list_filter(
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9'']+'), x -> length(x) > 0),
+             x -> NOT list_contains($stops, x)), ' ') AS terms
+         FROM documents"""
+    },
 
     "x12_cosine_topk" ->
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),

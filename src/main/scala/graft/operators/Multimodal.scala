@@ -8,14 +8,72 @@ import org.apache.spark.sql.types._
   * batch featurization plumbing (SURVEY/BASELINE north-star item).
   *
   * The Spark-side contract is real — schema, partition-preserving
-  * `mapPartitions` batching, output shape — while the media decode
-  * itself is STUBBED with a deterministic fake (this container has no
-  * image/audio codecs; a real deployment swaps `decodeStub` for a JNI /
+  * `mapPartitions` batching, output shape. Image DIMENSIONS are real:
+  * PNG (IHDR), JPEG (SOF marker scan) and GIF (logical screen
+  * descriptor) headers are parsed directly from the payload bytes —
+  * public container formats, no codec needed. Only pixel-level
+  * featurization (decode/resize/embed) is STUBBED with a
+  * deterministic fake (this container has no image/audio codecs; a
+  * real deployment swaps `decodeStub`'s feature vector for a JNI /
   * FFI decoder or runs the equivalent `mapInPandas` with PIL/ffmpeg).
-  * Payload bytes never shuffle: featurize runs scan-side before any
-  * exchange, and only the small feature struct flows on.
+  * Non-image payloads (the harness feeds text bytes) keep the stub's
+  * byte-derived dimensions. Payload bytes never shuffle: featurize
+  * runs scan-side before any exchange, and only the small feature
+  * struct flows on.
   */
 object Multimodal {
+
+  /** Parsed image header: (format, width, height). */
+  final case class ImageHeader(format: String, width: Int, height: Int)
+
+  private def u16be(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
+  private def u16le(b: Array[Byte], i: Int): Int =
+    ((b(i + 1) & 0xff) << 8) | (b(i) & 0xff)
+  private def i32be(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xff) << 24) | ((b(i + 1) & 0xff) << 16) |
+      ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
+
+  /** Width/height from PNG/JPEG/GIF container headers (format specs:
+    * PNG = 8-byte signature + IHDR chunk; JPEG = marker stream, dims in
+    * the first SOFn segment; GIF = 6-byte version + logical screen
+    * descriptor). None for anything else — malformed or non-image
+    * payloads never throw, they just don't decode. */
+  def imageHeader(b: Array[Byte]): Option[ImageHeader] = {
+    if (b == null) return None
+    // PNG: \x89PNG\r\n\x1a\n, IHDR length+type at 8..15, dims at 16/20
+    if (b.length >= 24 &&
+        (b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G' &&
+        b(12) == 'I' && b(13) == 'H' && b(14) == 'D' && b(15) == 'R')
+      return Some(ImageHeader("png", i32be(b, 16), i32be(b, 20)))
+    // GIF87a / GIF89a: dims = little-endian u16 pair at offset 6
+    if (b.length >= 10 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' &&
+        b(3) == '8' && (b(4) == '7' || b(4) == '9') && b(5) == 'a')
+      return Some(ImageHeader("gif", u16le(b, 6), u16le(b, 8)))
+    // JPEG: FFD8, then walk FFxx segments to the first SOFn (C0-CF
+    // minus C4/C8/CC which are not frame headers); dims at seg+5/+7
+    if (b.length >= 4 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8) {
+      var i = 2
+      while (i + 9 < b.length) {
+        if ((b(i) & 0xff) != 0xff) return None // marker desync
+        val m = b(i + 1) & 0xff
+        if (m == 0xd8 || (m >= 0xd0 && m <= 0xd7) || m == 0x01) {
+          i += 2 // standalone marker, no length field
+        } else {
+          val len = u16be(b, i + 2)
+          if (len < 2) return None
+          if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc) {
+            if (i + 8 < b.length)
+              return Some(ImageHeader("jpeg", u16be(b, i + 7), u16be(b, i + 5)))
+            return None
+          }
+          i += 2 + len
+        }
+      }
+      return None
+    }
+    None
+  }
 
   /** media row schema: payload + sidecar metadata (the usual lakehouse
     * layout for image/audio shards). */
@@ -37,14 +95,21 @@ object Multimodal {
     StructField("height", IntegerType, nullable = false),
     StructField("feature", ArrayType(FloatType, containsNull = false), nullable = false)))
 
-  /** STUB decode: deterministic pseudo-features from the payload bytes.
-    * Stands in for image decode / resize / frame-sample; same signature
-    * and batch shape as the real thing. */
+  /** Decode: REAL header dimensions when the payload is a recognized
+    * image container (PNG/JPEG/GIF via [[imageHeader]]); byte-derived
+    * stub dimensions otherwise (harness text payloads). The feature
+    * vector is the deterministic STUB in both paths — pixel decode
+    * needs a codec this container doesn't ship; same signature and
+    * batch shape as the real thing. */
   private[operators] def decodeStub(payload: Array[Byte], dim: Int): (Int, Int, Array[Float]) = {
     if (payload == null || payload.isEmpty) (0, 0, Array.fill(dim)(0.0f))
     else {
-      val w = 16 + (math.abs(payload(0).toInt) % 64)
-      val h = 16 + (math.abs(payload(payload.length - 1).toInt) % 64)
+      val (w, h) = imageHeader(payload) match {
+        case Some(hd) => (hd.width, hd.height)
+        case None =>
+          (16 + (math.abs(payload(0).toInt) % 64),
+           16 + (math.abs(payload(payload.length - 1).toInt) % 64))
+      }
       val f = new Array[Float](dim)
       var i = 0
       while (i < payload.length) {

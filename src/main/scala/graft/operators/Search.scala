@@ -51,4 +51,48 @@ object Search {
   /** Q-3/A-5: terms aggregation — the sentiment histogram. */
   def termsAgg(df: DataFrame, field: String): DataFrame =
     df.groupBy(col(field)).agg(count(lit(1)).as("doc_count"))
+
+  /** Q-2 fidelity upgrade: TF-IDF relevance ranking, matching ES
+    * multi_match's *behavior* (rare terms dominate; a doc stuffed with
+    * a common term doesn't outrank one matching a rare term) rather
+    * than byKeyword's raw occurrence count.
+    *
+    * score(d) = Σ_t tf(t,d) · ln(N / df(t)), summed in the given term
+    * order (parenthesized left fold — the oracle replays the exact
+    * double arithmetic; JVM Math.log bit-matches DuckDB ln on this
+    * libm, verified over 2000 values). Terms with df = 0 contribute 0.
+    *
+    * Scale shape: ONE corpus aggregation computes N and every df in a
+    * single pass (partial+final agg, one 1-row result), broadcast back
+    * to the scan; the per-doc side is scan-local tf counting + a
+    * TakeOrderedAndProject top-k. No per-term joins, no shuffle of the
+    * corpus. Plans as: scan → [1-row agg] → broadcast nested loop (1
+    * row) → top-k. */
+  def byKeywordRanked(df: DataFrame, idCol: String, fields: Seq[String],
+                      terms: Seq[String], k: Int = 100): DataFrame = {
+    require(terms.nonEmpty, "byKeywordRanked needs at least one term")
+    val toks = filter(
+      split(lower(concat_ws(" ", fields.map(col): _*)), "[^a-z0-9']+"),
+      x => length(x) > 0)
+    val withToks = df.withColumn("__toks", toks)
+    // N plus df(t) for every term, in ONE pass over the corpus
+    val stats = withToks.agg(
+      count(lit(1)).cast("double").as("__n"),
+      terms.zipWithIndex.map { case (t, i) =>
+        sum(when(array_contains(col("__toks"), t.toLowerCase), 1L)
+          .otherwise(0L)).cast("double").as(s"__df_$i")
+      }: _*)
+    val score = terms.zipWithIndex.map { case (t, i) =>
+      val tf = size(filter(col("__toks"), x => x === lit(t.toLowerCase)))
+        .cast("double")
+      when(col(s"__df_$i") === 0.0, 0.0)
+        .otherwise(tf * log(col("__n") / col(s"__df_$i")))
+    }.reduce(_ + _)
+    withToks.crossJoin(broadcast(stats))
+      .withColumn("score", score)
+      .filter(col("score") > 0.0)
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+      .drop(("__toks" +: "__n" +: terms.indices.map(i => s"__df_$i")): _*)
+  }
 }

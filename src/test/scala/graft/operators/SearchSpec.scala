@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Q-2 fidelity: TF-IDF ranking behavior (elasticsearch_handler.py:71-80
+  * ranks by relevance, not raw term count). */
+class SearchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "common common common common common"), // stuffed with the common term
+    (2L, "rare topic"),                         // one hit on the rare term
+    (3L, "common rare"),                        // one of each
+    (4L, "nothing relevant here"),
+    (5L, "common filler words"),
+    (6L, "common words again"),
+    (7L, "more common text")
+  ).toDF("doc_id", "text")
+
+  test("single rare-term hit outranks single common-term hit") {
+    val r = Search.byKeywordRanked(docs, "doc_id", Seq("text"),
+      Seq("common", "rare"), k = 10)
+      .select("doc_id").as[Long].collect()
+    // df(common)=5, df(rare)=2 of N=7: idf(rare)=ln(3.5) vs
+    // idf(common)=ln(1.4), so doc 2's one rare hit beats every
+    // single-common-hit doc (5,6,7) — byKeyword ties all four at 1
+    val pos = r.zipWithIndex.toMap
+    assert(pos(2L) < pos(5L) && pos(2L) < pos(6L) && pos(2L) < pos(7L))
+    // both-terms doc ranks above single-common docs too
+    assert(pos(3L) < pos(5L))
+    assert(!r.contains(4L)) // zero score rows filtered
+  }
+
+  test("byKeyword (count-ranked) puts the stuffed doc first — the gap q50 closes") {
+    val r = Search.byKeyword(docs, Seq("text"), Seq("common", "rare"),
+      tiebreak = "doc_id", k = 10)
+      .select("doc_id").as[Long].collect()
+    assert(r.head == 1L)
+  }
+
+  test("unknown terms contribute zero, not NaN") {
+    val r = Search.byKeywordRanked(docs, "doc_id", Seq("text"),
+      Seq("zzz_absent", "rare"), k = 10)
+      .select(col("doc_id"), col("score")).collect()
+    assert(r.forall(row => !row.getDouble(1).isNaN))
+    assert(r.map(_.getLong(0)).toSet == Set(2L, 3L))
+  }
+}

@@ -77,4 +77,63 @@ class MultimodalSpec extends SparkSpec {
     val again = Multimodal.featurize(media, dim = 8).collect()
     assert(rows.map(_.getLong(3)).toSeq == again.map(_.getLong(3)).toSeq)
   }
+
+  // -- real container-header parsing (public formats, pure bytes) ----
+
+  private def pngBytes(w: Int, h: Int): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(33)
+    bb.put(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+    bb.putInt(13).put("IHDR".getBytes("US-ASCII"))
+    bb.putInt(w).putInt(h)
+    bb.put(8.toByte).put(6.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+    bb.array()
+  }
+
+  private def gifBytes(w: Int, h: Int): Array[Byte] =
+    "GIF89a".getBytes("US-ASCII") ++ Array(
+      (w & 0xff).toByte, ((w >> 8) & 0xff).toByte,
+      (h & 0xff).toByte, ((h >> 8) & 0xff).toByte, 0.toByte, 0.toByte, 0.toByte)
+
+  private def jpegBytes(w: Int, h: Int): Array[Byte] = {
+    val app0 = Array(0xff, 0xe0, 0x00, 0x10).map(_.toByte) ++
+      new Array[Byte](14) // APP0 with 16-byte length
+    val sof0 = Array(0xff, 0xc0, 0x00, 0x11, 0x08,
+      (h >> 8) & 0xff, h & 0xff, (w >> 8) & 0xff, w & 0xff, 0x03).map(_.toByte) ++
+      new Array[Byte](12)
+    Array(0xff.toByte, 0xd8.toByte) ++ app0 ++ sof0
+  }
+
+  test("imageHeader parses PNG IHDR, JPEG SOF0, GIF LSD dimensions") {
+    assert(Multimodal.imageHeader(pngBytes(640, 480))
+      .contains(Multimodal.ImageHeader("png", 640, 480)))
+    assert(Multimodal.imageHeader(gifBytes(320, 200))
+      .contains(Multimodal.ImageHeader("gif", 320, 200)))
+    assert(Multimodal.imageHeader(jpegBytes(1920, 1080))
+      .contains(Multimodal.ImageHeader("jpeg", 1920, 1080)))
+    // non-images and malformed payloads decode to None, never throw
+    assert(Multimodal.imageHeader("plain text".getBytes).isEmpty)
+    assert(Multimodal.imageHeader(Array[Byte](0xff.toByte, 0xd8.toByte)).isEmpty)
+    assert(Multimodal.imageHeader(pngBytes(1, 1).take(20)).isEmpty)
+    assert(Multimodal.imageHeader(null).isEmpty)
+  }
+
+  test("featurize reports real dimensions for image payloads") {
+    import spark.implicits._
+    val media = Seq(
+      (1L, pngBytes(100, 50)),
+      (2L, jpegBytes(64, 32)),
+      (3L, gifBytes(12, 34)),
+      (4L, "not an image".getBytes)
+    ).toDF("media_id", "payload")
+      .select(col("media_id"), org.apache.spark.sql.functions.lit("image").as("modality"),
+        col("payload"))
+    val out = Multimodal.featurize(media, dim = 4).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(4), r.getInt(5)))).toMap
+    assert(out(1L) == ((100, 50)))
+    assert(out(2L) == ((64, 32)))
+    assert(out(3L) == ((12, 34)))
+    // stub path for the non-image payload: byte-derived dims
+    val b = "not an image".getBytes
+    assert(out(4L) == ((16 + (b.head.toInt % 64), 16 + (b.last.toInt % 64))))
+  }
 }
