@@ -9,6 +9,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -46,7 +47,8 @@ class ArticlesSource extends TableProvider with DataSourceRegister {
 /** Reader options: `pages` feed pages of `page_size` articles each,
   * served by the `fetcher` implementation (FQCN). */
 final case class ArticlesOptions(pages: Int, pageSize: Int, fetcherClass: String,
-                                 sourceApi: String)
+                                 sourceApi: String, pagesPerBatch: Int,
+                                 maxPages: Int)
 
 object ArticlesOptions {
   def apply(m: Map[String, String]): ArticlesOptions = {
@@ -55,7 +57,9 @@ object ArticlesOptions {
       pages = ci.getOrElse("pages", "4").toInt,
       pageSize = ci.getOrElse("page_size", "100").toInt,
       fetcherClass = ci.getOrElse("fetcher", classOf[SyntheticFetcher].getName),
-      sourceApi = ci.getOrElse("source_api", "newsapi"))
+      sourceApi = ci.getOrElse("source_api", "newsapi"),
+      pagesPerBatch = ci.getOrElse("pages_per_batch", "1").toInt,
+      maxPages = ci.getOrElse("max_pages", Int.MaxValue.toString).toInt)
   }
 }
 
@@ -101,7 +105,7 @@ private final class ArticlesTable(opts: ArticlesOptions) extends Table with Supp
   override def name(): String = s"graft-articles(${opts.sourceApi})"
   override def schema(): StructType = Articles.articleSchema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ArticlesScanBuilder(opts)
 }
@@ -132,6 +136,52 @@ private final class ArticlesScan(opts: ArticlesOptions, required: StructType,
 
   override def createReaderFactory(): PartitionReaderFactory =
     new ArticlesReaderFactory(opts, required, limit)
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new ArticlesMicroBatchStream(opts, required)
+}
+
+/** T-1 live mode: each trigger admits the next `pages_per_batch` feed
+  * pages (the reference polls its feeds every 300 s and takes whatever
+  * the page returns; here the page counter IS the offset, so restarts
+  * resume from the checkpointed page — the at-least-once the reference
+  * approximates with its processed-url set falls out of offsets).
+  * `max_pages` bounds the feed for tests; a live fetcher leaves it
+  * unbounded and blocks in fetch() until the API has a fresh page. */
+private final class ArticlesMicroBatchStream(opts: ArticlesOptions,
+                                             required: StructType)
+    extends MicroBatchStream {
+
+  private case class PageOffset(page: Long) extends Offset {
+    override def json(): String = page.toString
+  }
+
+  @volatile private var planned: Long = 0L
+
+  override def initialOffset(): Offset = PageOffset(0L)
+
+  override def latestOffset(): Offset = {
+    planned = math.min(planned + opts.pagesPerBatch, opts.maxPages.toLong)
+    PageOffset(planned)
+  }
+
+  override def deserializeOffset(json: String): Offset = {
+    val p = json.toLong
+    planned = math.max(planned, p) // resume the admission counter
+    PageOffset(p)
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[PageOffset].page
+    val e = end.asInstanceOf[PageOffset].page
+    (s until e).map(p => ArticlesPartition(p.toInt): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ArticlesReaderFactory(opts, required, Int.MaxValue)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 private final case class ArticlesPartition(page: Int) extends InputPartition

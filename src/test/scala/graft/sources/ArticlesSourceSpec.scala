@@ -57,6 +57,23 @@ class ArticlesSourceSpec extends SparkSpec {
     assert(a.sameElements(b))
   }
 
+  test("micro-batch read: page counter as offset, bounded by max_pages") {
+    val q = spark.readStream.format("graft-articles")
+      .option("page_size", "10")
+      .option("pages_per_batch", "2")
+      .option("max_pages", "5")
+      .load()
+      .select("url")
+      .writeStream.format("memory").queryName("articles_stream")
+      .start()
+    try {
+      q.processAllAvailable()
+      val urls = spark.table("articles_stream").collect().map(_.getString(0))
+      assert(urls.length == 50) // 5 pages x 10 rows, then the feed is dry
+      assert(urls.distinct.length == 50) // no page re-admitted
+    } finally q.stop()
+  }
+
   test("the validate pipeline composes on the live source") {
     val flat = Articles.flatten(read())
     val ok = graft.operators.Validate.requiredFields(flat, "url",
