@@ -151,6 +151,19 @@ object NonSqlQueries {
         .orderBy(col("cos").desc, col("vec_id")).limit(20)
     }),
 
+    // Symmetric int8 quantization stats per embedding (scale, L2
+    // reconstruction error, integer checksum of the q vector).
+    "x22_int8_quant" -> q((s, d) =>
+      Similarity.quantizeStats(Tables.embeddings(s, d), "vec_id", "embedding")),
+
+    // IVF ANN: 8-cell coarse quantizer (smallest-id centroids), probe
+    // the query's 3 nearest cells, exact re-rank — the FAISS-IVF
+    // layout; at rest the corpus partitions by `assigned` so the probe
+    // is partition pruning.
+    "x23_ivf_topk" -> q((s, d) =>
+      Similarity.ivfTopK(Tables.embeddings(s, d), "vec_id", "embedding",
+        queryId = 0L, numCentroids = 8, nprobe = 3, k = 20)),
+
     // Embedding-cosine near-duplicate pairs via shared LSH bucket.
     "x14_embedding_neardup" -> q((s, d) =>
       Similarity.nearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding",

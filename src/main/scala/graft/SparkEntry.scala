@@ -471,7 +471,43 @@ object SparkEntry {
     "q50_tfidf_search" -> q((s, d) =>
       Search.byKeywordRanked(Tables.documents(s, d), "doc_id",
           Seq("text"), Seq("dup", "join", "scan"), k = 100)
-        .select(col("doc_id"), col("score")))
+        .select(col("doc_id"), col("score"))),
+
+    // Q-2 final fidelity: Okapi BM25 — the scoring ES multi_match
+    // actually runs (tf saturation + doc-length normalization). The
+    // idf's ln is the one transcendental: Spark codegens StrictMath
+    // (fdlibm) while DuckDB uses glibc libm, 1 ulp apart on some
+    // arguments (measured — see Search.bm25Scored), so BOTH sides
+    // rank/compare on the score rounded to integer nano-units.
+    "q51_bm25_search" -> q((s, d) =>
+      Search.bm25Scored(Tables.documents(s, d),
+          Seq("text"), Seq("window", "vector", "stream"))
+        .withColumn("score_q",
+          floor(col("score") * 1000000000.0 + 0.5).cast("long"))
+        .filter(col("score_q") > 0)
+        .orderBy(col("score_q").desc, col("doc_id"))
+        .limit(100)
+        .select(col("doc_id"), col("score_q"))),
+
+    // Domain balancing: keep at most 20 docs per source (C4/RefinedWeb
+    // per-host caps), deterministic order, rank kept for inspection.
+    "q52_source_caps" -> q((s, d) =>
+      Sampling.capPerGroup(Tables.documents(s, d),
+          "source", "n_chars", "doc_id", n = 20)
+        .select(col("doc_id"), col("source"), col("rank"))),
+
+    // Span-level cross-doc dedup signal (line-dedup analog: CCNet /
+    // RefinedWeb) — fraction of each doc's 8-token spans that also
+    // occur elsewhere in the corpus.
+    "q53_span_dedup" -> q((s, d) =>
+      TextAnalysis.spanDedupStats(Tables.documents(s, d),
+        "doc_id", "text", spanTokens = 8)),
+
+    // Benchmark decontamination: flag training docs sharing any
+    // trigram with the held-out eval subset (doc_id % 97 = 0).
+    "q54_decontaminate" -> q((s, d) =>
+      Dedup.decontaminate(Tables.documents(s, d), "doc_id", "text",
+        isBenchmark = col("doc_id") % 97 === 0, n = 3))
   ) ++ NonSqlQueries.queries
 
   // ---- DuckDB oracles -------------------------------------------------
@@ -854,6 +890,99 @@ object SparkEntry {
          SELECT doc_id, score FROM sc WHERE score > 0.0
          ORDER BY score DESC, doc_id LIMIT 100""",
 
+    // BM25 replay: same tokenizer, same single stats pass (avgdl from
+    // an exact integer token-sum), same left-assoc double arithmetic;
+    // constants fold identically ((1.2 + 1.0) computed, not 2.2).
+    "q51_bm25_search" ->
+      """WITH t AS (
+           SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9'']+'), x -> length(x) > 0) AS toks
+           FROM documents),
+         td AS (SELECT doc_id, toks, CAST(len(toks) AS DOUBLE) AS dl FROM t),
+         s AS (
+           SELECT CAST(count(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(len(toks) AS BIGINT)) AS DOUBLE) AS sumdl,
+             CAST(count(*) FILTER (WHERE list_contains(toks, 'window')) AS DOUBLE) AS df0,
+             CAST(count(*) FILTER (WHERE list_contains(toks, 'vector')) AS DOUBLE) AS df1,
+             CAST(count(*) FILTER (WHERE list_contains(toks, 'stream')) AS DOUBLE) AS df2
+           FROM t),
+         sc AS (
+           SELECT doc_id,
+             (CASE WHEN df0 = 0 THEN 0.0 ELSE
+                ln((n - df0 + 0.5) / (df0 + 0.5) + 1.0)
+                * ((CAST(len(list_filter(toks, x -> x = 'window')) AS DOUBLE) * (1.2 + 1.0))
+                   / (CAST(len(list_filter(toks, x -> x = 'window')) AS DOUBLE)
+                      + 1.2 * (1.0 - 0.75 + 0.75 * (dl / (sumdl / n))))) END
+              + CASE WHEN df1 = 0 THEN 0.0 ELSE
+                ln((n - df1 + 0.5) / (df1 + 0.5) + 1.0)
+                * ((CAST(len(list_filter(toks, x -> x = 'vector')) AS DOUBLE) * (1.2 + 1.0))
+                   / (CAST(len(list_filter(toks, x -> x = 'vector')) AS DOUBLE)
+                      + 1.2 * (1.0 - 0.75 + 0.75 * (dl / (sumdl / n))))) END
+              + CASE WHEN df2 = 0 THEN 0.0 ELSE
+                ln((n - df2 + 0.5) / (df2 + 0.5) + 1.0)
+                * ((CAST(len(list_filter(toks, x -> x = 'stream')) AS DOUBLE) * (1.2 + 1.0))
+                   / (CAST(len(list_filter(toks, x -> x = 'stream')) AS DOUBLE)
+                      + 1.2 * (1.0 - 0.75 + 0.75 * (dl / (sumdl / n))))) END) AS score
+           FROM td, s),
+         scq AS (
+           SELECT doc_id, CAST(floor(score * 1000000000.0 + 0.5) AS BIGINT) AS score_q
+           FROM sc)
+         SELECT doc_id, score_q FROM scq WHERE score_q > 0
+         ORDER BY score_q DESC, doc_id LIMIT 100""",
+
+    "q52_source_caps" ->
+      """SELECT doc_id, source, rank FROM (
+           SELECT doc_id, source,
+             CAST(ROW_NUMBER() OVER (PARTITION BY source
+               ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rank
+           FROM documents)
+         WHERE rank <= 20""",
+
+    // Span replay: consecutive 8-token spans (ragged tail), counted
+    // with multiplicity corpus-wide; a span instance is "dup" when its
+    // global count exceeds 1. Same join-back + per-doc agg shape.
+    "q53_span_dedup" ->
+      """WITH t AS (
+           SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9'']+'), x -> length(x) > 0) AS toks
+           FROM documents),
+         sp AS (
+           SELECT doc_id, unnest(CASE WHEN len(toks) = 0 THEN []
+             ELSE [array_to_string(list_slice(toks, (i - 1) * 8 + 1, (i - 1) * 8 + 8), ' ')
+                   for i in generate_series(1, CAST((len(toks) + 7) // 8 AS BIGINT))] END) AS span
+           FROM t),
+         c AS (SELECT span, count(*) AS cnt FROM sp GROUP BY span),
+         j AS (SELECT doc_id, cnt FROM sp JOIN c USING (span))
+         SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_spans,
+           CAST(SUM(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+           CAST(SUM(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) AS dup_span_frac
+         FROM j GROUP BY doc_id""",
+
+    // Decontamination replay: distinct trigrams per doc (the engine's
+    // shingle set), benchmark = doc_id % 97 = 0, count of shared grams.
+    "q54_decontaminate" ->
+      """WITH t AS (
+           SELECT doc_id, (doc_id % 97 = 0) AS bench,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9'']+'), x -> length(x) > 0) AS toks
+           FROM documents),
+         g AS (
+           SELECT doc_id, bench, list_distinct(CASE WHEN len(toks) = 0 THEN []
+             WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+             ELSE [array_to_string(list_slice(toks, i, i + 2), ' ')
+                   for i in generate_series(1, len(toks) - 2)] END) AS grams
+           FROM t),
+         bg AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE bench),
+         tg AS (SELECT doc_id, unnest(grams) AS gram FROM g WHERE NOT bench),
+         hits AS (SELECT doc_id, count(*) AS n_contaminated
+                  FROM tg JOIN bg USING (gram) GROUP BY doc_id)
+         SELECT g.doc_id,
+           CAST(COALESCE(hits.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+           COALESCE(hits.n_contaminated, 0) > 0 AS contaminated
+         FROM g LEFT JOIN hits ON g.doc_id = hits.doc_id
+         WHERE NOT g.bench""",
+
     // ---- x-queries DuckDB CAN replay (list lambdas + HUGEINT) --------
     // These started as rows-only checks; the oracles below replicate
     // the exact operator semantics (tokenizer parity, df caps, wrapping
@@ -1019,6 +1148,48 @@ object SparkEntry {
            JOIN ok ON a.bucket = ok.bucket),
          p AS (SELECT id_a, id_b, ${sqlCos("va", "vb")} AS cos FROM cand)
          SELECT id_a, id_b, cos FROM p WHERE cos >= 0.35""",
+
+    // int8 quantization replay: amax via order-independent list_max;
+    // err/qsum as index-order left folds (the kernel's loop order);
+    // floor is an exact IEEE op so q matches bit-for-bit.
+    "x22_int8_quant" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         m AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale FROM e),
+         qq AS (SELECT vec_id, v, scale,
+           CASE WHEN scale = 0 THEN NULL
+                ELSE [floor(v[i] / scale + 0.5) for i in generate_series(1, len(v))] END AS q
+           FROM m)
+         SELECT vec_id, scale,
+           CASE WHEN scale = 0 THEN 0.0 ELSE
+             sqrt(list_reduce(list_prepend(0.0,
+               [(v[i] - q[i] * scale) * (v[i] - q[i] * scale) for i in generate_series(1, len(v))]),
+               (x, y) -> x + y)) END AS err,
+           CASE WHEN scale = 0 THEN 0 ELSE
+             CAST(list_reduce(list_prepend(0.0,
+               [q[i] * i for i in generate_series(1, len(q))]),
+               (x, y) -> x + y) AS BIGINT) END AS qsum
+         FROM qq""",
+
+    // IVF replay: same centroid choice (8 smallest ids), same argmax
+    // tie order (cos DESC, cid ASC == the kernel's ascending-id strict
+    // replace), same probe set, same exact re-rank fold.
+    "x23_ivf_topk" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         c AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 8),
+         q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+         probes AS (
+           SELECT cid FROM (
+             SELECT cid, ROW_NUMBER() OVER (ORDER BY ${sqlCos("qv", "cv")} DESC, cid) AS rn
+             FROM c, q) WHERE rn <= 3),
+         assign AS (
+           SELECT vec_id, cid AS assigned FROM (
+             SELECT e.vec_id, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY ${sqlCos("e.v", "c.cv")} DESC, c.cid) AS rn
+             FROM e, c WHERE e.vec_id <> 0) WHERE rn = 1),
+         cand AS (SELECT a.vec_id, a.assigned FROM assign a JOIN probes p ON a.assigned = p.cid)
+         SELECT cand.vec_id, cand.assigned, ${sqlCos("e.v", "qv")} AS cos
+         FROM cand JOIN e ON cand.vec_id = e.vec_id, q
+         ORDER BY cos DESC, cand.vec_id LIMIT 20""",
 
     "x15_multimodal_features" ->
       """WITH t AS (SELECT doc_id, text AS s FROM documents),

@@ -107,4 +107,36 @@ object Dedup {
     comps.join(keepers, "comp")
       .select(col("id"), col("comp"), (col("id") === col("keeper")).as("keep"))
   }
+
+  /** Benchmark decontamination — flag training docs that share any
+    * word `n`-gram with a held-out evaluation set (the standard
+    * pre-training hygiene pass; GPT-3 used 13-gram overlap, Brown et
+    * al. 2020 §C). Emits every NON-benchmark doc with its count of
+    * distinct contaminated n-grams and a boolean verdict.
+    *
+    * Scale shape: the benchmark side collapses to DISTINCT n-grams —
+    * eval suites are tiny relative to a pretraining corpus, so that
+    * set broadcasts and the training side never shuffles for the
+    * probe (BroadcastHashJoin inner); the only wide shuffle is the
+    * per-doc count keyed on the doc id. For an adversarially large
+    * benchmark set `broadcastBenchmark=false` degrades to a plain
+    * shuffle join on the gram, same semantics. */
+  def decontaminate(docs: DataFrame, idCol: String, textCol: String,
+                    isBenchmark: Column, n: Int = 13,
+                    broadcastBenchmark: Boolean = true): DataFrame = {
+    val flagged = docs.withColumn("__bench", isBenchmark)
+    val benchGrams = flagged.filter(col("__bench"))
+      .select(explode(DedupApprox.shingles(col(textCol), n)).as("gram"))
+      .distinct()
+    val maybeBcast: DataFrame => DataFrame =
+      if (broadcastBenchmark) broadcast else identity
+    val trainGrams = flagged.filter(!col("__bench"))
+      .select(col(idCol), explode(DedupApprox.shingles(col(textCol), n)).as("gram"))
+    val hits = trainGrams.join(maybeBcast(benchGrams), Seq("gram"))
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_contaminated"))
+    flagged.filter(!col("__bench")).select(col(idCol))
+      .join(hits, Seq(idCol), "left")
+      .withColumn("n_contaminated", coalesce(col("n_contaminated"), lit(0L)))
+      .withColumn("contaminated", col("n_contaminated") > 0)
+  }
 }

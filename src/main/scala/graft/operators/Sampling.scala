@@ -39,4 +39,27 @@ object Sampling {
     }
     df.filter(bucketOf(col(idCol)) < rate)
   }
+
+  /** Per-group document cap — the domain-balancing step of web-corpus
+    * pipelines (e.g. C4 / RefinedWeb keep at most N pages per host so
+    * boilerplate-heavy domains can't dominate the mix). Keeps the top
+    * `n` rows of each group under (orderCol desc, tiebreak asc) —
+    * fully deterministic — and emits the 1-based `rank` kept.
+    *
+    * Scale shape: one shuffle on the group key, then a per-group sort
+    * inside each partition (window rank + filter; sort spills, nothing
+    * collects). A skewed mega-domain serializes into one task ONLY for
+    * its own group — with AQE skew splitting unavailable for windows,
+    * the escape hatch at 100 TB is a pre-pass partial top-n per
+    * partition (groupBy + slice(array_sort(collect_list))) feeding the
+    * same window, which bounds any task at partitions·n rows. That
+    * pre-pass is cap-dependent, so it stays opt-in rather than default. */
+  def capPerGroup(df: DataFrame, groupCol: String, orderCol: String,
+                  tiebreak: String, n: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(col(orderCol).desc, col(tiebreak))
+    df.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= n)
+  }
 }

@@ -95,4 +95,71 @@ object Search {
       .limit(k)
       .drop(("__toks" +: "__n" +: terms.indices.map(i => s"__df_$i")): _*)
   }
+
+  /** Q-2 fidelity, final form: Okapi BM25 — the scoring function ES
+    * `multi_match` actually uses (Robertson & Zaragoza 2009; Lucene's
+    * `BM25Similarity`). Beyond TF-IDF it saturates term frequency
+    * (k1) and normalizes by document length (b), so a short doc that
+    * matches once can outrank a long doc stuffed with the term.
+    *
+    *   idf(t)    = ln((N − df + 0.5) / (df + 0.5) + 1)     [Lucene form,
+    *                                                        always ≥ 0]
+    *   score(d)  = Σ_t idf(t) · (tf·(k1+1)) / (tf + k1·(1 − b + b·dl/avgdl))
+    *
+    * Oracle parity: avgdl is an integer token-sum divided once (order-
+    * independent), every double op replays left-assoc in the oracle
+    * SQL, and ln bit-matches DuckDB (shared libm, see byKeywordRanked).
+    *
+    * Scale shape — identical to [[byKeywordRanked]]: ONE partial+final
+    * corpus agg (N, Σdl, df per term) → 1-row broadcast → scan-local
+    * scoring → TakeOrderedAndProject. The corpus never shuffles. */
+  def byKeywordBm25(df: DataFrame, idCol: String, fields: Seq[String],
+                    terms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
+                    k: Int = 100): DataFrame =
+    bm25Scored(df, fields, terms, k1, b)
+      .filter(col("score") > 0.0)
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+
+  /** The BM25-scored frame without the top-k, for callers that rank or
+    * threshold differently (every input row, `score` ≥ 0 appended).
+    *
+    * Cross-engine caveat (why the oracle-checked query quantizes):
+    * Spark's `log` codegens to StrictMath.log (fdlibm), glibc-based
+    * engines use libm `ln`, and the two differ by 1 ulp on some
+    * arguments (measured: ln(1.27976…) → …0f9 vs …0fa). idf is the
+    * only transcendental here, so scores can carry a 1-ulp wobble;
+    * exact-hash comparisons should round to a fixed grid first. */
+  def bm25Scored(df: DataFrame, fields: Seq[String], terms: Seq[String],
+                 k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25Scored needs at least one term")
+    val toks = filter(
+      split(lower(concat_ws(" ", fields.map(col): _*)), "[^a-z0-9']+"),
+      x => length(x) > 0)
+    val withToks = df.withColumn("__toks", toks)
+      .withColumn("__dl", size(col("__toks")).cast("double"))
+    // N, avgdl numerator (exact integer sum), df(t): one corpus pass
+    val aggCols = Seq(
+      count(lit(1)).cast("double").as("__n"),
+      sum(size(col("__toks")).cast("long")).cast("double").as("__sumdl")) ++
+      terms.zipWithIndex.map { case (t, i) =>
+        sum(when(array_contains(col("__toks"), t.toLowerCase), 1L)
+          .otherwise(0L)).cast("double").as(s"__df_$i")
+      }
+    val stats = withToks.agg(aggCols.head, aggCols.tail: _*)
+    val avgdl = col("__sumdl") / col("__n")
+    val score = terms.zipWithIndex.map { case (t, i) =>
+      val tf = size(filter(col("__toks"), x => x === lit(t.toLowerCase)))
+        .cast("double")
+      val idf = log((col("__n") - col(s"__df_$i") + lit(0.5))
+        / (col(s"__df_$i") + lit(0.5)) + lit(1.0))
+      val norm = tf + lit(k1) * (lit(1.0) - lit(b) + lit(b) * (col("__dl") / avgdl))
+      when(col(s"__df_$i") === 0.0, 0.0)
+        .otherwise(idf * ((tf * lit(k1 + 1.0)) / norm))
+    }.reduce(_ + _)
+    withToks.crossJoin(broadcast(stats))
+      .withColumn("score", score)
+      .drop(("__toks" +: "__dl" +: "__n" +: "__sumdl" +:
+        terms.indices.map(i => s"__df_$i")): _*)
+  }
 }

@@ -126,6 +126,123 @@ object Similarity {
       .limit(k)
   }
 
+  // ---- int8 quantization ----------------------------------------------
+
+  /** Symmetric per-vector int8 quantization kernel: scale = max|vᵢ|/127,
+    * qᵢ = floor(vᵢ/scale + 0.5) ∈ [−127, 127] (round-half-up — `floor`
+    * is an exact IEEE op, identical in every engine, unlike
+    * banker's-rounding `round` variants). Returns (scale, L2
+    * reconstruction error in index order, Σ qᵢ·(i+1) as an exact
+    * integer checksum of the quantized vector — the driver comparator
+    * needs scalar cells, so the q vector itself is summarized, not
+    * emitted). Zero vector → all zeros. */
+  private[graft] def quantOf(v: Seq[Double]): (Double, Double, Long) = {
+    var amax = 0.0
+    var i = 0
+    val n = v.length
+    while (i < n) { val a = math.abs(v(i)); if (a > amax) amax = a; i += 1 }
+    val scale = amax / 127.0
+    if (scale == 0.0) return (0.0, 0.0, 0L)
+    var err = 0.0
+    var qsum = 0L
+    i = 0
+    while (i < n) {
+      val q = math.floor(v(i) / scale + 0.5)
+      val d = v(i) - q * scale
+      err += d * d
+      qsum += q.toLong * (i + 1)
+      i += 1
+    }
+    (scale, math.sqrt(err), qsum)
+  }
+
+  private val quantUdf = udf { (v: Seq[Double]) =>
+    if (v == null) null else {
+      val (s, e, c) = quantOf(v); (s, e, c)
+    }
+  }
+
+  /** Per-row int8 quantization stats: (vec_id, scale, err, qsum).
+    * Scan-local (no shuffle, no state); the production path would
+    * additionally emit the q bytes as a `binary` column — 4× smaller
+    * shuffle/storage for ANN candidate generation, with `err`
+    * quantifying the recall cost. */
+  def quantizeStats(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.select(col(idCol),
+        quantUdf(asDouble(col(vecCol))).as("__q"))
+      .select(col(idCol), col("__q._1").as("scale"),
+        col("__q._2").as("err"), col("__q._3").as("qsum"))
+
+  // ---- IVF (inverted-file) ANN ----------------------------------------
+
+  /** IVF assignment kernel: nearest centroid by cosine, smallest
+    * centroid id on ties (iterates ids ascending, strict `>` replace —
+    * the SQL replay's `ORDER BY cos DESC, centroid_id` equivalent). */
+  private[graft] def ivfAssignOf(v: Seq[Double],
+                                 cents: Seq[(Long, Seq[Double])]): Long = {
+    var bestId = -1L
+    var best = Double.NegativeInfinity
+    cents.sortBy(_._1).foreach { case (id, c) =>
+      val cos = cosineOf(v, c)
+      if (cos > best) { best = cos; bestId = id }
+    }
+    bestId
+  }
+
+  /** Top-`nprobe` centroid ids for a query vector (cos desc, id asc). */
+  private[graft] def ivfProbeOf(v: Seq[Double],
+                                cents: Seq[(Long, Seq[Double])],
+                                nprobe: Int): Seq[Long] =
+    cents.map { case (id, c) => (id, cosineOf(v, c)) }
+      .sortBy { case (id, cos) => (-cos, id) }
+      .take(nprobe).map(_._1)
+
+  private def centsOf(rows: Seq[org.apache.spark.sql.Row]): Seq[(Long, Seq[Double])] =
+    rows.map(r => (r.getLong(0), r.getSeq[Double](1)))
+
+  private val assignUdf = udf { (v: Seq[Double], cents: Seq[org.apache.spark.sql.Row]) =>
+    ivfAssignOf(v, centsOf(cents))
+  }
+  private val probeUdf = udf { (v: Seq[Double], cents: Seq[org.apache.spark.sql.Row], nprobe: Int) =>
+    ivfProbeOf(v, centsOf(cents), nprobe)
+  }
+
+  /** IVF-accelerated cosine top-k — the other classic ANN layout
+    * (FAISS `IVF`): a coarse quantizer of `numCentroids` centroids
+    * partitions the corpus into cells; a query probes only its
+    * `nprobe` nearest cells, then re-ranks exactly.
+    *
+    * Centroid choice here is the `numCentroids` smallest-id vectors —
+    * deterministic and engine-replayable; production would run k-means
+    * (Lloyd iterations are groupBy-avg over the same assignment step)
+    * and the query shape would not change.
+    *
+    * Scale shape: the centroid table is tiny by construction (√n cells
+    * for n vectors ⇒ MBs at 100 TB), so it rides along as ONE
+    * broadcast 1-row list; assignment is scan-local (fused JVM argmax
+    * per row, no shuffle, no row blowup — a centroid crossJoin would
+    * 8× the scan). At rest the corpus would be PARTITIONED BY the
+    * assigned cell, turning the probe filter into partition pruning —
+    * locally the same predicate runs as one scan. */
+  def ivfTopK(df: DataFrame, idCol: String, vecCol: String, queryId: Long,
+              numCentroids: Int = 8, nprobe: Int = 3, k: Int = 20): DataFrame = {
+    val cents = df.orderBy(col(idCol)).limit(numCentroids)
+      .select(col(idCol).cast("long").as("cid"), asDouble(col(vecCol)).as("cvec"))
+      .agg(collect_list(struct(col("cid"), col("cvec"))).as("cents"))
+      .localCheckpoint() // materialize: broadcast of a live subtree re-runs it per exchange
+    val query = df.filter(col(idCol) === queryId).crossJoin(broadcast(cents))
+      .select(asDouble(col(vecCol)).as("qv"),
+        probeUdf(asDouble(col(vecCol)), col("cents"), lit(nprobe)).as("probes"))
+    df.filter(col(idCol) =!= queryId).crossJoin(broadcast(cents))
+      .withColumn("assigned", assignUdf(asDouble(col(vecCol)), col("cents")))
+      .crossJoin(broadcast(query))
+      .filter(array_contains(col("probes"), col("assigned")))
+      .select(col(idCol), col("assigned"),
+        cosineFast(asDouble(col(vecCol)), col("qv")).as("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Embedding-cosine near-duplicate pairs via LSH buckets: pairs that
     * share a bucket AND pass the exact cosine threshold. One groupBy
     * shuffle on the bucket key; in-bucket pairs are enumerated

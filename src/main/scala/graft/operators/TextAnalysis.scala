@@ -137,6 +137,43 @@ object TextAnalysis {
       .withColumn("bin", expr(s"(cum - n_tok) div $budgetTokens"))
   }
 
+  // ---- span-level cross-doc dedup (line-dedup analog) -----------------
+
+  /** Span-level duplication signal — the fixed-width analog of the
+    * line-level dedup pass in CCNet (Wenzek et al. 2020) and RefinedWeb
+    * (Penedo et al. 2023): chop each doc into consecutive
+    * `spanTokens`-token spans (ragged tail kept) and report, per doc,
+    * how many of its spans also occur elsewhere in the corpus. High
+    * `dup_span_frac` ⇒ boilerplate/mirror content even when full-doc
+    * hashes differ.
+    *
+    * Scale shape: explode → count agg on the span (map-side combine
+    * collapses repeats before the shuffle) → hash-join the span ids
+    * back → per-doc agg. Three shuffles, each keyed on span or doc id;
+    * the doc bodies themselves never move. At 100 TB the span STRING
+    * would be replaced by its 64-bit rolling hash as the shuffle key
+    * (same plan, ~10× narrower shuffle; collision odds ≈ n²/2⁶⁵) —
+    * the string key here keeps the operator exactly oracle-replayable. */
+  def spanDedupStats(df: DataFrame, idCol: String, textCol: String,
+                     spanTokens: Int = 8): DataFrame = {
+    val base = df.select(col(idCol), Analyzer.tokenize(col(textCol)).as("toks"))
+      .withColumn("__nsp",
+        expr(s"(size(toks) + ${spanTokens - 1}) div $spanTokens"))
+    val spans = base.select(col(idCol),
+      explode(when(col("__nsp") > 0,
+        transform(sequence(lit(1), col("__nsp")),
+          i => concat_ws(" ",
+            slice(col("toks"), (i - 1) * spanTokens + 1, lit(spanTokens)))))
+        .otherwise(array())).as("span"))
+    val counts = spans.groupBy(col("span")).agg(count(lit(1)).as("__c"))
+    spans.join(counts, Seq("span"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("__c") > 1, 1L).otherwise(0L)).as("n_dup_spans"))
+      .withColumn("dup_span_frac",
+        col("n_dup_spans").cast("double") / col("n_spans").cast("double"))
+  }
+
   // ---- fingerprinting --------------------------------------------------
 
   /** 64-bit wrapping polynomial hash, base 31 — the wide analog of
