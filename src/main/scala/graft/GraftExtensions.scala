@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{LexiconPolarityExpr, VaderCompoundExpr}
+import graft.functions.{CosineSimExpr, LexiconPolarityExpr, VaderCompoundExpr}
 
 /** Cluster-wide registration entry point:
   *
@@ -27,6 +27,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("textblob_polarity"),
       new ExpressionInfo(classOf[LexiconPolarityExpr].getName, "textblob_polarity"),
       exprs => LexiconPolarityExpr(exprs.head)))
+    e.injectFunction((
+      FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSimExpr].getName, "cosine_sim"),
+      exprs => CosineSimExpr(exprs(0), exprs(1))))
     e.injectOptimizerRule(_ => graft.rules.SimplifyLabelFilter)
   }
 }

@@ -44,13 +44,13 @@ object Similarity {
     if (denom == 0.0) 0.0 else d / denom
   }
 
-  private val cosineUdf = udf { (a: Seq[Double], b: Seq[Double]) =>
-    if (a == null || b == null) null.asInstanceOf[java.lang.Double]
-    else java.lang.Double.valueOf(cosineOf(a, b))
-  }
-
-  /** Cosine via the fused kernel (use in per-pair re-rank loops). */
-  def cosineFast(a: Column, b: Column): Column = cosineUdf(a, b)
+  /** Cosine via the fused kernel as a NATIVE codegen expression
+    * (graft.functions.CosineSimExpr): stays inside whole-stage
+    * codegen, reads ArrayData primitives directly — no ScalaUDF
+    * deserialization of boxed Seq[Double] per call. Bit-identical
+    * arithmetic to [[cosineOf]]. */
+  def cosineFast(a: Column, b: Column): Column =
+    graft.functions.CosineSimExpr(a, b)
 
   private def asDouble(c: Column): Column = c.cast("array<double>")
 
