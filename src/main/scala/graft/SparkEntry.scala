@@ -507,7 +507,13 @@ object SparkEntry {
     // trigram with the held-out eval subset (doc_id % 97 = 0).
     "q54_decontaminate" -> q((s, d) =>
       Dedup.decontaminate(Tables.documents(s, d), "doc_id", "text",
-        isBenchmark = col("doc_id") % 97 === 0, n = 3))
+        isBenchmark = col("doc_id") % 97 === 0, n = 3)),
+
+    // Span-dedup REWRITE: drop every non-first span occurrence
+    // corpus-wide and reassemble the surviving text per doc.
+    "q55_span_rewrite" -> q((s, d) =>
+      TextAnalysis.spanDedupRewrite(Tables.documents(s, d),
+        "doc_id", "text", spanTokens = 8))
   ) ++ NonSqlQueries.queries
 
   // ---- DuckDB oracles -------------------------------------------------
@@ -982,6 +988,35 @@ object SparkEntry {
            COALESCE(hits.n_contaminated, 0) > 0 AS contaminated
          FROM g LEFT JOIN hits ON g.doc_id = hits.doc_id
          WHERE NOT g.bench""",
+
+    // Span-rewrite replay: same spans, same BIGINT first-occurrence
+    // key (doc_id·2^20 + idx), ordered reassembly via string_agg.
+    "q55_span_rewrite" ->
+      """WITH t AS (
+           SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9'']+'), x -> length(x) > 0) AS toks
+           FROM documents),
+         sp0 AS (
+           SELECT doc_id, unnest(CASE WHEN len(toks) = 0 THEN []
+             ELSE [{'idx': i - 1,
+                    'span': array_to_string(list_slice(toks, (i - 1) * 8 + 1, (i - 1) * 8 + 8), ' ')}
+                   for i in generate_series(1, CAST((len(toks) + 7) // 8 AS BIGINT))] END) AS u
+           FROM t),
+         sp AS (SELECT doc_id, u.idx AS idx, u.span AS span,
+                  doc_id * 1048576 + u.idx AS ord FROM sp0),
+         w AS (SELECT span, min(ord) AS w_ord FROM sp GROUP BY span),
+         k AS (SELECT sp.doc_id, sp.idx, sp.span, sp.ord = w.w_ord AS keep
+               FROM sp JOIN w ON sp.span = w.span),
+         p AS (SELECT doc_id,
+                 CAST(count(*) AS BIGINT) AS total_spans,
+                 CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS kept_spans,
+                 COALESCE(string_agg(span, ' ' ORDER BY idx) FILTER (WHERE keep), '') AS text_dedup
+               FROM k GROUP BY doc_id)
+         SELECT d.doc_id,
+           COALESCE(p.total_spans, 0) AS total_spans,
+           COALESCE(p.kept_spans, 0) AS kept_spans,
+           COALESCE(p.text_dedup, '') AS text_dedup
+         FROM documents d LEFT JOIN p ON d.doc_id = p.doc_id""",
 
     // ---- x-queries DuckDB CAN replay (list lambdas + HUGEINT) --------
     // These started as rows-only checks; the oracles below replicate

@@ -62,4 +62,27 @@ object Sampling {
     df.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= n)
   }
+
+  /** Skew-safe [[capPerGroup]]: a partial top-n per (input-partition,
+    * group) runs first, so the final per-group window receives at most
+    * `partitions·n` rows for ANY group — a mega-domain that holds half
+    * the corpus contributes n rows per scan partition instead of
+    * serializing its entire membership into one window task. The
+    * global top-n of a group is always contained in the union of its
+    * per-partition top-ns, so results are identical (equivalence is
+    * spec-tested). Costs one extra skew-FREE exchange on
+    * (partition-id, group); worth it only when a group can exceed an
+    * executor's sort budget — which is why it's a separate entry
+    * point, not the default. */
+  def capPerGroupSkewSafe(df: DataFrame, groupCol: String, orderCol: String,
+                          tiebreak: String, n: Int): DataFrame = {
+    val w1 = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__pid"), col(groupCol))
+      .orderBy(col(orderCol).desc, col(tiebreak))
+    val survivors = df.withColumn("__pid", spark_partition_id())
+      .withColumn("__r", row_number().over(w1))
+      .filter(col("__r") <= n)
+      .drop("__r", "__pid")
+    capPerGroup(survivors, groupCol, orderCol, tiebreak, n)
+  }
 }

@@ -174,6 +174,56 @@ object TextAnalysis {
         col("n_dup_spans").cast("double") / col("n_spans").cast("double"))
   }
 
+  /** Span-level dedup REWRITE — the transform [[spanDedupStats]] only
+    * measures: every span instance that is not the corpus-wide FIRST
+    * occurrence of its value (first = smallest (doc_id, span_idx)) is
+    * removed, and each doc's surviving spans are reassembled in
+    * order. This is the line-dedup pass of RefinedWeb §3.3 / CCNet at
+    * span granularity: boilerplate repeated across docs survives in
+    * exactly one place.
+    *
+    * Winner selection keys on `doc_id·2²⁰ + span_idx` — one BIGINT
+    * min per span value (a plain min-agg, order-independent,
+    * engine-portable; span_idx < 2²⁰ holds for any document whose
+    * token count fits the corpus's own length filters, and doc ids up
+    * to 2⁴³ stay overflow-free).
+    *
+    * Scale shape: posexplode → min-agg on the span value (map-side
+    * combine) → join back on span → per-doc ordered reassembly (one
+    * groupBy; sort_array over each doc's own spans only — no global
+    * sort, no window). Four narrow shuffles; doc bodies shuffle once
+    * (the reassembly carries only surviving span strings). */
+  def spanDedupRewrite(df: DataFrame, idCol: String, textCol: String,
+                       spanTokens: Int = 8): DataFrame = {
+    val base = df.select(col(idCol), Analyzer.tokenize(col(textCol)).as("toks"))
+      .withColumn("__nsp",
+        expr(s"(size(toks) + ${spanTokens - 1}) div $spanTokens"))
+    val spans = base.select(col(idCol),
+      posexplode(when(col("__nsp") > 0,
+        transform(sequence(lit(1), col("__nsp")),
+          i => concat_ws(" ",
+            slice(col("toks"), (i - 1) * spanTokens + 1, lit(spanTokens)))))
+        .otherwise(array())))
+      .withColumnRenamed("pos", "idx").withColumnRenamed("col", "span")
+      .withColumn("__ord", col(idCol) * lit(1L << 20) + col("idx"))
+    val winners = spans.groupBy(col("span")).agg(min(col("__ord")).as("__w"))
+    val kept = spans.join(winners, Seq("span"))
+      .withColumn("__keep", col("__ord") === col("__w"))
+    val perDoc = kept.groupBy(col(idCol)).agg(
+      count(lit(1)).as("total_spans"),
+      sum(when(col("__keep"), 1L).otherwise(0L)).as("kept_spans"),
+      array_join(
+        transform(
+          array_sort(collect_list(when(col("__keep"),
+            struct(col("idx"), col("span"))))),
+          s => s.getField("span")),
+        " ").as("text_dedup"))
+    df.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .withColumn("total_spans", coalesce(col("total_spans"), lit(0L)))
+      .withColumn("kept_spans", coalesce(col("kept_spans"), lit(0L)))
+      .withColumn("text_dedup", coalesce(col("text_dedup"), lit("")))
+  }
+
   // ---- fingerprinting --------------------------------------------------
 
   /** 64-bit wrapping polynomial hash, base 31 — the wide analog of

@@ -64,6 +64,19 @@ class CapPerGroupSpec extends SparkSpec {
     // group a ordered (300,2),(300,4),(200,3),(100,1) → keep 2 & 4
     assert(r == Map(2L -> 1L, 4L -> 2L, 5L -> 1L))
   }
+
+  test("skew-safe two-phase cap is identical to the single-window cap") {
+    // one mega-group (70% of rows) + many small ones, ties included
+    val df = spark.range(0, 2000, 1, 8).select(
+      when($"id" % 10 < 7, "mega").otherwise(concat(lit("g"), $"id" % 10)).as("source"),
+      $"id".as("doc_id"),
+      ($"id" * 37 % 101).as("n_chars"))
+    val a = Sampling.capPerGroup(df, "source", "n_chars", "doc_id", n = 5)
+      .select($"doc_id", $"rank").as[(Long, Long)].collect().toSet
+    val b = Sampling.capPerGroupSkewSafe(df, "source", "n_chars", "doc_id", n = 5)
+      .select($"doc_id", $"rank").as[(Long, Long)].collect().toSet
+    assert(a == b && a.nonEmpty)
+  }
 }
 
 class SpanDedupSpec extends SparkSpec {
@@ -147,6 +160,31 @@ class IvfSpec extends SparkSpec {
       .select($"vec_id").as[Long].collect()
     assert(r.head == 10L) // closest to the query direction
     assert(!r.contains(12L) || r.indexOf(12L) > r.indexOf(10L))
+  }
+}
+
+class SpanRewriteSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("first occurrence survives, later ones drop, text reassembles in order") {
+    // 2-token spans: doc1 = [a b][c d]; doc2 = [a b][e f]; doc3 = [e f][a b]
+    val df = Seq(
+      (1L, "a b c d"), (2L, "a b e f"), (3L, "e f a b")
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.spanDedupRewrite(df, "doc_id", "text", spanTokens = 2)
+      .select($"doc_id", $"total_spans", $"kept_spans", $"text_dedup")
+      .as[(Long, Long, Long, String)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    assert(r(1L) == ((2L, 2L, "a b c d")))   // owns first "a b"
+    assert(r(2L) == ((2L, 1L, "e f")))       // "a b" lost to doc 1
+    assert(r(3L) == ((2L, 0L, "")))          // both spans seen earlier
+  }
+
+  test("within-doc repeat keeps only the first instance") {
+    val df = Seq((7L, "x y x y")).toDF("doc_id", "text")
+    val r = TextAnalysis.spanDedupRewrite(df, "doc_id", "text", spanTokens = 2)
+      .select($"kept_spans", $"text_dedup").as[(Long, String)].head()
+    assert(r == ((1L, "x y")))
   }
 }
 
