@@ -207,6 +207,67 @@ object Similarity {
     ivfProbeOf(v, centsOf(cents), nprobe)
   }
 
+  /** Spherical k-means trainer for IVF cells (Lloyd iterations on the
+    * cosine assignment): init = the `k` smallest-id vectors, then
+    * iterate [assign each vector to its nearest centroid] →
+    * [centroid := element-wise mean of its members]. Means are
+    * computed DISTRIBUTED: posexplode to (cell, dim, value) → one
+    * partial+final avg per (cell, dim) → rebuild arrays — no vector
+    * ever collects to the driver; the k×dim centroid table does (it
+    * is the model, MBs at any corpus size). A cell that loses all
+    * members keeps its previous centroid. Not oracle-replayable BY
+    * DESIGN: the per-(cell,dim) double sum has engine-defined
+    * accumulation order; training quality is spec-tested instead and
+    * the downstream query path (ivfTopKWith) stays centroid-agnostic. */
+  def kmeansCentroids(df: DataFrame, idCol: String, vecCol: String,
+                      k: Int, iters: Int = 5): DataFrame = {
+    var cents = df.orderBy(col(idCol)).limit(k)
+      .select(col(idCol).cast("long").as("cid"), asDouble(col(vecCol)).as("cvec"))
+      .withColumn("cid",
+        row_number().over(org.apache.spark.sql.expressions.Window.orderBy(col("cid")))
+          .cast("long") - 1)
+      .localCheckpoint()
+    val vecs = df.select(asDouble(col(vecCol)).as("v")).localCheckpoint()
+    for (_ <- 1 to iters) {
+      val centList = cents.agg(collect_list(struct(col("cid"), col("cvec"))).as("cents"))
+        .localCheckpoint()
+      val assigned = vecs.crossJoin(broadcast(centList))
+        .select(assignUdf(col("v"), col("cents")).as("cell"), col("v"))
+      val means = assigned
+        .select(col("cell"), posexplode(col("v")))
+        .groupBy(col("cell"), col("pos")).agg(avg(col("col")).as("m"))
+        .groupBy(col("cell"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m")).as("mvec"))
+      cents = cents.join(means, cents("cid") === means("cell"), "left")
+        .select(col("cid"), coalesce(col("mvec"), col("cvec")).as("cvec"))
+        .localCheckpoint()
+    }
+    cents
+  }
+
+  /** [[ivfTopK]] against an explicit centroid table (cid, cvec) — the
+    * entry point for trained (k-means) cells. */
+  def ivfTopKWith(df: DataFrame, idCol: String, vecCol: String,
+                  centroids: DataFrame, queryId: Long,
+                  nprobe: Int = 3, k: Int = 20): DataFrame = {
+    val cents = centroids
+      .select(col("cid"), col("cvec"))
+      .agg(collect_list(struct(col("cid"), col("cvec"))).as("cents"))
+      .localCheckpoint() // materialize: broadcast of a live subtree re-runs it per exchange
+    val query = df.filter(col(idCol) === queryId).crossJoin(broadcast(cents))
+      .select(asDouble(col(vecCol)).as("qv"),
+        probeUdf(asDouble(col(vecCol)), col("cents"), lit(nprobe)).as("probes"))
+    df.filter(col(idCol) =!= queryId).crossJoin(broadcast(cents))
+      .withColumn("assigned", assignUdf(asDouble(col(vecCol)), col("cents")))
+      .crossJoin(broadcast(query))
+      .filter(array_contains(col("probes"), col("assigned")))
+      .select(col(idCol), col("assigned"),
+        cosineFast(asDouble(col(vecCol)), col("qv")).as("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
+
   /** IVF-accelerated cosine top-k — the other classic ANN layout
     * (FAISS `IVF`): a coarse quantizer of `numCentroids` centroids
     * partitions the corpus into cells; a query probes only its
@@ -225,23 +286,11 @@ object Similarity {
     * assigned cell, turning the probe filter into partition pruning —
     * locally the same predicate runs as one scan. */
   def ivfTopK(df: DataFrame, idCol: String, vecCol: String, queryId: Long,
-              numCentroids: Int = 8, nprobe: Int = 3, k: Int = 20): DataFrame = {
-    val cents = df.orderBy(col(idCol)).limit(numCentroids)
-      .select(col(idCol).cast("long").as("cid"), asDouble(col(vecCol)).as("cvec"))
-      .agg(collect_list(struct(col("cid"), col("cvec"))).as("cents"))
-      .localCheckpoint() // materialize: broadcast of a live subtree re-runs it per exchange
-    val query = df.filter(col(idCol) === queryId).crossJoin(broadcast(cents))
-      .select(asDouble(col(vecCol)).as("qv"),
-        probeUdf(asDouble(col(vecCol)), col("cents"), lit(nprobe)).as("probes"))
-    df.filter(col(idCol) =!= queryId).crossJoin(broadcast(cents))
-      .withColumn("assigned", assignUdf(asDouble(col(vecCol)), col("cents")))
-      .crossJoin(broadcast(query))
-      .filter(array_contains(col("probes"), col("assigned")))
-      .select(col(idCol), col("assigned"),
-        cosineFast(asDouble(col(vecCol)), col("qv")).as("cos"))
-      .orderBy(col("cos").desc, col(idCol))
-      .limit(k)
-  }
+              numCentroids: Int = 8, nprobe: Int = 3, k: Int = 20): DataFrame =
+    ivfTopKWith(df, idCol, vecCol,
+      df.orderBy(col(idCol)).limit(numCentroids)
+        .select(col(idCol).cast("long").as("cid"), asDouble(col(vecCol)).as("cvec")),
+      queryId, nprobe, k)
 
   /** Embedding-cosine near-duplicate pairs via LSH buckets: pairs that
     * share a bucket AND pass the exact cosine threshold. One groupBy

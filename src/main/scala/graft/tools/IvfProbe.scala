@@ -48,6 +48,24 @@ object IvfProbe {
       val q = queryIds.size
       println(f"[ivfprobe] cells=$cells%3d nprobe=$nprobe%2d scan=${scanned.toDouble / (n * q)}%6.3f recall@20=${recall / q}%5.2f")
     }
+
+    // trained (k-means) vs untrained cells at the same scan budget
+    for (cells <- Seq(8, 16); nprobe <- Seq(1, 3)) {
+      val cents = Similarity.kmeansCentroids(emb, "vec_id", "embedding",
+        k = cells, iters = 5).localCheckpoint()
+      var recall = 0.0
+      var scanned = 0L
+      for (qid <- queryIds) {
+        val r = Similarity.ivfTopKWith(emb, "vec_id", "embedding", cents,
+          queryId = qid, nprobe = nprobe, k = 20)
+          .collect().map(_.getLong(0)).toSet
+        recall += r.intersect(exactTop(qid)).size.toDouble / 20.0
+        scanned += Similarity.ivfTopKWith(emb, "vec_id", "embedding", cents,
+          queryId = qid, nprobe = nprobe, k = Int.MaxValue).count()
+      }
+      val q = queryIds.size
+      println(f"[ivfprobe] TRAINED cells=$cells%3d nprobe=$nprobe%2d scan=${scanned.toDouble / (n * q)}%6.3f recall@20=${recall / q}%5.2f")
+    }
     spark.stop()
   }
 }

@@ -188,6 +188,53 @@ class SpanRewriteSpec extends SparkSpec {
   }
 }
 
+class KmeansIvfSpec extends SparkSpec {
+  import spark.implicits._
+
+  // three well-separated directions in 4-d, 20 members each, small
+  // deterministic jitter
+  private def clustered() = {
+    val dirs = Seq(Seq(1.0, 0.0, 0.0, 0.0), Seq(0.0, 1.0, 0.0, 0.0),
+      Seq(0.0, 0.0, 1.0, 0.0))
+    val rows = for {
+      (dir, c) <- dirs.zipWithIndex
+      i <- 0 until 20
+    } yield {
+      val j = 0.05 * ((i * 7 + c * 3) % 10) / 10.0
+      val v = dir.zipWithIndex.map { case (x, d) =>
+        (x + (if (d == (c + 1) % 4) j else 0.0)).toFloat }
+      ((c * 20 + i).toLong, v)
+    }
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("Lloyd iterations recover the three planted clusters") {
+    val df = clustered()
+    val cents = Similarity.kmeansCentroids(df, "vec_id", "embedding", k = 3, iters = 4)
+    assert(cents.count() == 3)
+    // purity: every vector of a planted cluster lands in the same cell
+    val centList = cents.collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+    val assigns = df.select($"vec_id", $"embedding".cast("array<double>"))
+      .as[(Long, Seq[Double])].collect()
+      .map { case (id, v) => (id / 20, Similarity.ivfAssignOf(v, centList)) }
+    assigns.groupBy(_._1).foreach { case (_, members) =>
+      assert(members.map(_._2).distinct.size == 1)
+    }
+    // and distinct planted clusters land in distinct cells
+    assert(assigns.map(_._2).distinct.length == 3)
+  }
+
+  test("ivfTopKWith on trained centroids finds same-cluster neighbors") {
+    val df = clustered()
+    val cents = Similarity.kmeansCentroids(df, "vec_id", "embedding", k = 3, iters = 4)
+    val r = Similarity.ivfTopKWith(df, "vec_id", "embedding", cents,
+      queryId = 0L, nprobe = 1, k = 5)
+      .select($"vec_id").as[Long].collect()
+    assert(r.length == 5)
+    assert(r.forall(_ / 20 == 0)) // all neighbors from the query's cluster
+  }
+}
+
 class DecontaminateSpec extends SparkSpec {
   import spark.implicits._
 
