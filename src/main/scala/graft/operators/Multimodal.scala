@@ -75,6 +75,47 @@ object Multimodal {
     None
   }
 
+  /** Parsed audio header (WAV/RIFF): channels, sample rate, bit depth,
+    * and duration derived from the data-chunk size. */
+  final case class AudioHeader(format: String, channels: Int,
+                               sampleRateHz: Int, bitsPerSample: Int,
+                               durationMs: Long)
+
+  private def u32le(b: Array[Byte], i: Int): Long =
+    ((b(i + 3) & 0xffL) << 24) | ((b(i + 2) & 0xffL) << 16) |
+      ((b(i + 1) & 0xffL) << 8) | (b(i) & 0xffL)
+
+  /** WAV (RIFF) header parse — chunk walk from offset 12; `fmt ` gives
+    * channels/rate/depth, `data` gives the payload size that fixes the
+    * duration. Same never-throws contract as [[imageHeader]]. */
+  def audioHeader(b: Array[Byte]): Option[AudioHeader] = {
+    if (b == null || b.length < 44) return None
+    if (!(b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+          b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E')) return None
+    var channels = 0; var rate = 0; var bits = 0; var dataLen = -1L
+    var i = 12
+    while (i + 8 <= b.length && (channels == 0 || dataLen < 0)) {
+      val id = new String(b, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      val len = u32le(b, i + 4)
+      if (id == "fmt " && i + 8 + 16 <= b.length) {
+        channels = u16le(b, i + 10)
+        rate = u32le(b, i + 12).toInt
+        bits = u16le(b, i + 22)
+      } else if (id == "data") {
+        dataLen = len
+      }
+      // chunks are word-aligned: odd sizes carry one pad byte
+      i += 8 + len.toInt + (len.toInt & 1)
+      if (len < 0 || len > Int.MaxValue - 16) return None
+    }
+    if (channels <= 0 || rate <= 0 || bits <= 0 || dataLen < 0) None
+    else {
+      val bytesPerSec = rate.toLong * channels * (bits / 8)
+      val durMs = if (bytesPerSec == 0) 0L else dataLen * 1000L / bytesPerSec
+      Some(AudioHeader("wav", channels, rate, bits, durMs))
+    }
+  }
+
   /** media row schema: payload + sidecar metadata (the usual lakehouse
     * layout for image/audio shards). */
   val mediaSchema: StructType = StructType(Seq(

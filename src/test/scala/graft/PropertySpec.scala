@@ -72,4 +72,37 @@ class PropertySpec extends AnyFunSuite {
       Seq("positive", "negative", "neutral").count(_ == label) == 1
     })
   }
+
+  private val vec: Gen[Seq[Double]] =
+    Gen.nonEmptyListOf(Gen.chooseNum(-10.0, 10.0)).map(_.toSeq)
+
+  test("int8 quant: scale = max|v|/127, per-element error <= scale/2, checksum bounded") {
+    import graft.operators.Similarity
+    check(forAll(vec) { v =>
+      val (scale, err, qsum) = Similarity.quantOf(v)
+      val amax = v.map(math.abs).max
+      val scaleOk = scale == amax / 127.0
+      // round-half-up keeps every element within half a step, so the
+      // L2 error is bounded by sqrt(n)·scale/2 (+ float slack)
+      val errOk = err <= math.sqrt(v.length) * (scale / 2.0) + 1e-9
+      val qsumOk = math.abs(qsum) <= 127L * v.length * (v.length + 1) / 2
+      scaleOk && errOk && qsumOk
+    })
+  }
+
+  test("ivf: assignment equals the top-1 probe; probes are distinct known ids") {
+    import graft.operators.Similarity
+    val cents: Gen[Seq[(Long, Seq[Double])]] =
+      Gen.nonEmptyListOf(Gen.chooseNum(0L, 50L))
+        .map(_.distinct.map(id => (id, Seq.tabulate(4)(d => ((id + d) % 7).toDouble - 3.0))))
+        .suchThat(_.nonEmpty)
+    val v4: Gen[Seq[Double]] = Gen.listOfN(4, Gen.chooseNum(-5.0, 5.0)).map(_.toSeq)
+    check(forAll(v4, cents) { (v, cs) =>
+      val assigned = Similarity.ivfAssignOf(v, cs)
+      val probes = Similarity.ivfProbeOf(v, cs, 3)
+      assigned == probes.head &&
+        probes.distinct.length == probes.length &&
+        probes.toSet.subsetOf(cs.map(_._1).toSet)
+    })
+  }
 }

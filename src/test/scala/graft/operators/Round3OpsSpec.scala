@@ -186,6 +186,22 @@ class SpanRewriteSpec extends SparkSpec {
       .select($"kept_spans", $"text_dedup").as[(Long, String)].head()
     assert(r == ((1L, "x y")))
   }
+
+  test("corpus invariant: Σ kept_spans == distinct span values (sf0.001)") {
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val kept = TextAnalysis.spanDedupRewrite(docs, "doc_id", "text", spanTokens = 8)
+      .agg(sum($"kept_spans")).as[Long].head()
+    // exactly one instance of every distinct span value survives
+    val base = docs.select($"doc_id",
+      graft.functions.Analyzer.tokenize($"text").as("toks"))
+      .withColumn("__nsp", expr("(size(toks) + 7) div 8"))
+    val distinctSpans = base.select(explode(when($"__nsp" > 0,
+        transform(sequence(lit(1), $"__nsp"),
+          i => concat_ws(" ", slice($"toks", (i - 1) * 8 + 1, lit(8)))))
+        .otherwise(array())).as("span"))
+      .select(countDistinct($"span")).as[Long].head()
+    assert(kept == distinctSpans && kept > 0)
+  }
 }
 
 class KmeansIvfSpec extends SparkSpec {

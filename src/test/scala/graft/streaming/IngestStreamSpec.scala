@@ -117,6 +117,31 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.imageHeader(null).isEmpty)
   }
 
+  private def wavBytes(channels: Int, rate: Int, bits: Int,
+                       dataLen: Int): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes); bb.putInt(36 + dataLen); bb.put("WAVE".getBytes)
+    bb.put("fmt ".getBytes); bb.putInt(16)
+    bb.putShort(1.toShort); bb.putShort(channels.toShort)
+    bb.putInt(rate); bb.putInt(rate * channels * bits / 8)
+    bb.putShort((channels * bits / 8).toShort); bb.putShort(bits.toShort)
+    bb.put("data".getBytes); bb.putInt(dataLen)
+    bb.array()
+  }
+
+  test("audioHeader parses WAV fmt/data chunks and derives duration") {
+    // 1 s of 16-bit stereo at 8 kHz = 32000 data bytes
+    val h = Multimodal.audioHeader(wavBytes(2, 8000, 16, 32000))
+    assert(h.contains(Multimodal.AudioHeader("wav", 2, 8000, 16, 1000L)))
+    // half a second mono
+    val m = Multimodal.audioHeader(wavBytes(1, 16000, 16, 16000))
+    assert(m.exists(_.durationMs == 500L))
+    assert(Multimodal.audioHeader("RIFFxxxxWAVE".getBytes).isEmpty) // truncated
+    assert(Multimodal.audioHeader("not audio at all, truly not".getBytes ++ new Array[Byte](40)).isEmpty)
+    assert(Multimodal.audioHeader(null).isEmpty)
+  }
+
   test("featurize reports real dimensions for image payloads") {
     import spark.implicits._
     val media = Seq(
