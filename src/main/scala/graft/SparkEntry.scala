@@ -468,10 +468,17 @@ object SparkEntry {
 
     // Q-2 fidelity: TF-IDF relevance ranking (ES multi_match behavior
     // — rare terms dominate; one corpus-stats pass broadcast back).
+    // Score nano-quantized on both sides: ln is 1 ulp apart between
+    // StrictMath and glibc on some arguments (sf0.001 hit one).
     "q50_tfidf_search" -> q((s, d) =>
-      Search.byKeywordRanked(Tables.documents(s, d), "doc_id",
-          Seq("text"), Seq("dup", "join", "scan"), k = 100)
-        .select(col("doc_id"), col("score"))),
+      Search.tfidfScored(Tables.documents(s, d),
+          Seq("text"), Seq("dup", "join", "scan"))
+        .withColumn("score_q",
+          floor(col("score") * 1000000000.0 + 0.5).cast("long"))
+        .filter(col("score_q") > 0)
+        .orderBy(col("score_q").desc, col("doc_id"))
+        .limit(100)
+        .select(col("doc_id"), col("score_q"))),
 
     // Q-2 final fidelity: Okapi BM25 — the scoring ES multi_match
     // actually runs (tf saturation + doc-length normalization). The
@@ -513,7 +520,38 @@ object SparkEntry {
     // corpus-wide and reassemble the surviving text per doc.
     "q55_span_rewrite" -> q((s, d) =>
       TextAnalysis.spanDedupRewrite(Tables.documents(s, d),
-        "doc_id", "text", spanTokens = 8))
+        "doc_id", "text", spanTokens = 8)),
+
+    // PII scrub: scan-local detect + redact (zero shuffles). The
+    // synthetic corpus has no digits, so the query plants
+    // deterministic PII derived from doc_id — same expressions in
+    // the oracle — before scanning; counts/redaction then have real
+    // nonzero signal to hash-check.
+    "q56_pii_scan" -> q((s, d) => {
+      val id = col("doc_id")
+      val aug = concat(
+        col("text"),
+        when(id % 7 === 0, concat(lit(" contact user"),
+          id.cast("string"), lit("@example.com"))).otherwise(""),
+        when(id % 11 === 0, concat(lit(" host 10."),
+          (id % 256).cast("string"), lit(".0."),
+          (id % 250).cast("string"))).otherwise(""),
+        when(id % 13 === 0, concat(lit(" call +1 555 "),
+          (id % 900 + 100).cast("string"), lit(" "),
+          (id % 9000 + 1000).cast("string"))).otherwise(""))
+      Pii.piiStats(
+        Tables.documents(s, d).select(id, aug.as("text_aug")),
+        "doc_id", "text_aug")
+    }),
+
+    // Mixture upsampling: fractional-epoch repetition per language
+    // (en 1.0× / de 2.6× / fr 3.25×, rest drop), hash-decided extra
+    // copies, scatter shuffle_key for training order. Scan-local row
+    // multiplication — zero shuffles.
+    "q57_upsample" -> q((s, d) =>
+      Sampling.upsample(Tables.documents(s, d).select("doc_id", "lang"),
+        "doc_id", "lang",
+        Map("en" -> 1000, "de" -> 2600, "fr" -> 3250)))
   ) ++ NonSqlQueries.queries
 
   // ---- DuckDB oracles -------------------------------------------------
@@ -874,8 +912,8 @@ object SparkEntry {
          ORDER BY n DESC, bigram LIMIT 20""",
 
     // TF-IDF replay: same tokenizer, same single stats pass, same
-    // left-assoc double sum; ln matches Math.log bitwise (shared libm,
-    // verified over 2000 values — see Search.byKeywordRanked docs).
+    // left-assoc double sum; score nano-quantized BOTH sides because
+    // ln(StrictMath) vs ln(glibc) differ 1 ulp on some arguments.
     "q50_tfidf_search" ->
       """WITH t AS (
            SELECT doc_id,
@@ -893,8 +931,9 @@ object SparkEntry {
               + CASE WHEN df1 = 0 THEN 0.0 ELSE CAST(len(list_filter(toks, x -> x = 'join')) AS DOUBLE) * ln(n / df1) END
               + CASE WHEN df2 = 0 THEN 0.0 ELSE CAST(len(list_filter(toks, x -> x = 'scan')) AS DOUBLE) * ln(n / df2) END) AS score
            FROM t, s)
-         SELECT doc_id, score FROM sc WHERE score > 0.0
-         ORDER BY score DESC, doc_id LIMIT 100""",
+         SELECT doc_id, CAST(floor(score * 1000000000.0 + 0.5) AS BIGINT) AS score_q
+         FROM sc WHERE floor(score * 1000000000.0 + 0.5) > 0
+         ORDER BY score_q DESC, doc_id LIMIT 100""",
 
     // BM25 replay: same tokenizer, same single stats pass (avgdl from
     // an exact integer token-sum), same left-assoc double arithmetic;
@@ -1017,6 +1056,60 @@ object SparkEntry {
            COALESCE(p.kept_spans, 0) AS kept_spans,
            COALESCE(p.text_dedup, '') AS text_dedup
          FROM documents d LEFT JOIN p ON d.doc_id = p.doc_id""",
+
+    // PII replay: same synthetic augmentation, same three regexes in
+    // the same stage order (each stage counts on the text as redacted
+    // by the previous stages). Patterns avoid alternation/lookaround
+    // so Java regex (Spark) and RE2 (DuckDB) agree span-for-span.
+    "q56_pii_scan" ->
+      """WITH aug AS (
+           SELECT doc_id,
+             text
+             || CASE WHEN doc_id % 7 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END
+             || CASE WHEN doc_id % 11 = 0 THEN ' host 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.' || CAST(doc_id % 250 AS VARCHAR) ELSE '' END
+             || CASE WHEN doc_id % 13 = 0 THEN ' call +1 555 ' || CAST(doc_id % 900 + 100 AS VARCHAR) || ' ' || CAST(doc_id % 9000 + 1000 AS VARCHAR) ELSE '' END
+             AS t
+           FROM documents),
+         s1 AS (
+           SELECT doc_id,
+             len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+             regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+           FROM aug),
+         s2 AS (
+           SELECT doc_id, n_email,
+             len(regexp_extract_all(t1, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS n_ip,
+             regexp_replace(t1, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g') AS t2
+           FROM s1),
+         s3 AS (
+           SELECT doc_id, n_email, n_ip,
+             len(regexp_extract_all(t2, '\+?[0-9][0-9(). -]{6,}[0-9]')) AS n_phone,
+             regexp_replace(t2, '\+?[0-9][0-9(). -]{6,}[0-9]', '<PHONE>', 'g') AS t3
+           FROM s2)
+         SELECT doc_id,
+           CAST(n_email AS BIGINT) AS n_email,
+           CAST(n_ip AS BIGINT) AS n_ip,
+           CAST(n_phone AS BIGINT) AS n_phone,
+           CAST(length(t3) AS BIGINT) AS red_len,
+           md5(t3) AS red_md5
+         FROM s3""",
+
+    // Upsample replay: same permille factors, same md5(id:epoch)
+    // fractional coin (q46's hex-bucket idiom), same scatter key.
+    "q57_upsample" ->
+      """WITH f AS (
+           SELECT doc_id, lang,
+             CASE lang WHEN 'en' THEN 1000 WHEN 'de' THEN 2600
+                       WHEN 'fr' THEN 3250 ELSE 0 END AS fp
+           FROM documents),
+         e AS (
+           SELECT doc_id, lang, fp,
+             unnest(generate_series(0, fp // 1000)) AS epoch
+           FROM f)
+         SELECT doc_id, lang, CAST(epoch AS BIGINT) AS epoch,
+           md5(CAST(doc_id AS VARCHAR) || ':' || CAST(epoch AS VARCHAR)) AS shuffle_key
+         FROM e
+         WHERE epoch < fp // 1000
+            OR CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(epoch AS VARCHAR)), 1, 6) AS BIGINT) % 1000 < fp % 1000""",
 
     // ---- x-queries DuckDB CAN replay (list lambdas + HUGEINT) --------
     // These started as rows-only checks; the oracles below replicate

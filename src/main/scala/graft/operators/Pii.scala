@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** PII detection and redaction — the standard pretraining-corpus
+  * scrub (emails, IPv4 addresses, phone-like digit runs) as pure
+  * native column expressions: codegen'd regexp over the scan, zero
+  * shuffles, so at 100 TB it is bandwidth-bound like any other
+  * filter stage.
+  *
+  * Stages apply in a fixed order (email → ip → phone) and each
+  * stage counts matches on the text AS ALREADY REDACTED by the
+  * previous stages. That makes the per-class counts well-defined
+  * even where patterns overlap (an IPv4 is also a phone-like digit
+  * run): each character is attributed to exactly one class, the
+  * first stage that claims it.
+  *
+  * The patterns avoid alternation, backreferences, and lookaround,
+  * so the same strings mean the same thing to Java's regex engine
+  * (Spark codegen) and RE2 (DuckDB oracle) — leftmost-greedy on
+  * these constructs is identical in both.
+  */
+object Pii {
+
+  /** (class name, pattern, replacement token), applied in order. */
+  val Stages: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b", "<IP>"),
+    ("phone", "\\+?[0-9][0-9(). -]{6,}[0-9]", "<PHONE>"))
+
+  /** Chained redaction: text with every stage's matches replaced by
+    * its token, in stage order. */
+  def redact(text: Column): Column =
+    Stages.foldLeft(coalesce(text, lit(""))) { case (t, (_, pat, tok)) =>
+      regexp_replace(t, lit(pat), lit(tok))
+    }
+
+  /** Per-document scrub report: match count per class (counted
+    * post-previous-redactions, see class doc), plus the redacted
+    * text's length and md5 so the full output is hash-checkable
+    * without shipping the text.
+    *
+    * One projection over the scan; Spark's subexpression elimination
+    * shares the intermediate redacted-text expressions across the
+    * count and replace uses inside the generated code.
+    */
+  def piiStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t0 = coalesce(col(textCol), lit(""))
+    val (cols, redacted) =
+      Stages.foldLeft((Vector.empty[Column], t0)) {
+        case ((acc, t), (name, pat, tok)) =>
+          (acc :+ regexp_count(t, lit(pat)).cast("long").as(s"n_$name"),
+           regexp_replace(t, lit(pat), lit(tok)))
+      }
+    df.select(
+      (col(idCol) +: cols) ++ Seq(
+        length(redacted).cast("long").as("red_len"),
+        md5(redacted.cast("binary")).as("red_md5")): _*)
+  }
+}

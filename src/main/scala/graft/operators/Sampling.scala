@@ -40,6 +40,44 @@ object Sampling {
     df.filter(bucketOf(col(idCol)) < rate)
   }
 
+  /** Epoch-aware deterministic upsampling — the mixing step that
+    * repeats under-represented strata (a curated source run for 2.6
+    * epochs while web data runs once). Factors are permille: 2600 =
+    * 2.6 epochs. Each row emits floor(factor) full copies plus one
+    * more iff hash(id, epoch) falls under the fractional part — no
+    * RNG, so the result is bit-reproducible across engines, reruns
+    * and repartitionings, and each doc's "extra" copy is an
+    * independent coin rather than a corpus-wide stripe. Unlisted
+    * strata drop (factor 0).
+    *
+    * Emits `epoch` (0-based copy index) and `shuffle_key` =
+    * md5(id:epoch), so downstream training order is "sort by
+    * shuffle_key" — a rangepartitioned sort at scale that scatters a
+    * doc's repeats across the whole order instead of leaving them
+    * adjacent.
+    *
+    * Scale shape: the row multiplication is an explode of a ≤
+    * ⌈factor⌉-element sequence in the scan projection — zero
+    * shuffles, zero joins; output size is exactly the token budget
+    * the mixture calls for. */
+  def upsample(df: DataFrame, idCol: String, stratumCol: String,
+               factorPermilleByStratum: Map[String, Int]): DataFrame = {
+    require(factorPermilleByStratum.values.forall(_ >= 0),
+      "upsample factors must be >= 0 permille")
+    val factor = factorPermilleByStratum.foldLeft(lit(0)) {
+      case (acc, (k, v)) => when(col(stratumCol) === k, lit(v)).otherwise(acc)
+    }
+    val full = floor(factor.cast("double") / 1000.0).cast("int")
+    val fracPermille = factor % 1000
+    df.withColumn("epoch", explode(sequence(lit(0), full)))
+      .withColumn("epoch", col("epoch").cast("long"))
+      .withColumn("__key",
+        concat(col(idCol).cast("string"), lit(":"), col("epoch").cast("string")))
+      .filter(col("epoch") < full || bucketOf(col("__key")) < fracPermille)
+      .withColumn("shuffle_key", md5(col("__key")))
+      .drop("__key")
+  }
+
   /** Per-group document cap — the domain-balancing step of web-corpus
     * pipelines (e.g. C4 / RefinedWeb keep at most N pages per host so
     * boilerplate-heavy domains can't dominate the mix). Keeps the top

@@ -59,8 +59,10 @@ object Search {
     *
     * score(d) = Σ_t tf(t,d) · ln(N / df(t)), summed in the given term
     * order (parenthesized left fold — the oracle replays the exact
-    * double arithmetic; JVM Math.log bit-matches DuckDB ln on this
-    * libm, verified over 2000 values). Terms with df = 0 contribute 0.
+    * double arithmetic). Terms with df = 0 contribute 0. The ln is
+    * NOT cross-engine bit-exact (StrictMath vs glibc, 1 ulp on some
+    * arguments — sf0.001's corpus stats hit one), so the oracle-checked
+    * query quantizes the score to a nano grid, like BM25.
     *
     * Scale shape: ONE corpus aggregation computes N and every df in a
     * single pass (partial+final agg, one 1-row result), broadcast back
@@ -69,8 +71,19 @@ object Search {
     * corpus. Plans as: scan → [1-row agg] → broadcast nested loop (1
     * row) → top-k. */
   def byKeywordRanked(df: DataFrame, idCol: String, fields: Seq[String],
-                      terms: Seq[String], k: Int = 100): DataFrame = {
-    require(terms.nonEmpty, "byKeywordRanked needs at least one term")
+                      terms: Seq[String], k: Int = 100): DataFrame =
+    tfidfScored(df, fields, terms)
+      .filter(col("score") > 0.0)
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+
+  /** The TF-IDF-scored frame without the top-k, for callers that rank
+    * or threshold differently (every input row, `score` ≥ 0 appended).
+    * Same 1-ulp ln caveat as [[bm25Scored]] — exact-hash comparisons
+    * should quantize to a fixed grid first. */
+  def tfidfScored(df: DataFrame, fields: Seq[String],
+                  terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty, "tfidfScored needs at least one term")
     val toks = filter(
       split(lower(concat_ws(" ", fields.map(col): _*)), "[^a-z0-9']+"),
       x => length(x) > 0)
@@ -90,9 +103,6 @@ object Search {
     }.reduce(_ + _)
     withToks.crossJoin(broadcast(stats))
       .withColumn("score", score)
-      .filter(col("score") > 0.0)
-      .orderBy(col("score").desc, col(idCol))
-      .limit(k)
       .drop(("__toks" +: "__n" +: terms.indices.map(i => s"__df_$i")): _*)
   }
 

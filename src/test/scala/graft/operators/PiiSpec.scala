@@ -1,0 +1,44 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** PII scrub: per-class counts attribute each span to exactly one
+  * class (stage order email → ip → phone), redaction replaces every
+  * occurrence, and clean text passes through untouched. */
+class PiiSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def statsOf(text: String) =
+    Pii.piiStats(Seq((1L, text)).toDF("doc_id", "text"), "doc_id", "text")
+      .select("n_email", "n_ip", "n_phone").as[(Long, Long, Long)].head()
+
+  test("detects emails, IPs, and phone-like runs") {
+    assert(statsOf("mail a.smith+x@sub.example.co.uk now") === ((1L, 0L, 0L)))
+    assert(statsOf("hosts 10.0.0.1 and 192.168.255.3") === ((0L, 2L, 0L)))
+    assert(statsOf("call +1 555 214 3001 today") === ((0L, 0L, 1L)))
+    assert(statsOf("x@y.io from 10.1.2.3, dial 555-214-3001") === ((1L, 1L, 1L)))
+  }
+
+  test("overlapping spans go to the first claiming stage only") {
+    // an IPv4 is also a phone-like digit run; the ip stage claims it
+    // and the phone count must not double-count the redacted span
+    assert(statsOf("ping 172.16.254.101 ok") === ((0L, 1L, 0L)))
+  }
+
+  test("redaction replaces all occurrences and leaves clean text alone") {
+    val out = Seq(("a@b.io then c@d.io at 10.0.0.7", "no pii here"))
+      .toDF("t1", "t2")
+      .select(Pii.redact(col("t1")).as("r1"), Pii.redact(col("t2")).as("r2"))
+      .as[(String, String)].head()
+    assert(out._1 === "<EMAIL> then <EMAIL> at <IP>")
+    assert(out._2 === "no pii here")
+  }
+
+  test("null text is treated as empty") {
+    val r = Pii.piiStats(
+      Seq((1L, null: String)).toDF("doc_id", "text"), "doc_id", "text")
+      .select("n_email", "red_len").as[(Long, Long)].head()
+    assert(r === ((0L, 0L)))
+  }
+}

@@ -32,4 +32,38 @@ class SamplingSpec extends SparkSpec {
     assert(out.filter(col("s") === "b").isEmpty)
     assert(out.filter(col("s") === "c").isEmpty)
   }
+
+  test("upsample: whole factors copy exactly, fractions land near rate") {
+    val df = ids.withColumn("s", when(col("id") % 2 === 0, "whole")
+      .otherwise("frac"))
+    val out = Sampling.upsample(df, "id", "s",
+      Map("whole" -> 2000, "frac" -> 2500)).cache()
+    // factor 2.0: exactly 2 copies of each doc, epochs 0 and 1
+    assert(out.filter(col("s") === "whole").count() == 2 * 2500)
+    assert(out.filter(col("s") === "whole").groupBy("id").count()
+      .filter(col("count") =!= 2).isEmpty)
+    // factor 2.5: every doc 2 or 3 copies, mean near 2.5
+    val fracCounts = out.filter(col("s") === "frac").groupBy("id").count()
+    assert(fracCounts.filter(col("count") < 2 || col("count") > 3).isEmpty)
+    val total = out.filter(col("s") === "frac").count()
+    assert(math.abs(total - 2500 * 2.5) / (2500 * 2.5) < 0.1, s"got $total")
+    out.unpersist()
+  }
+
+  test("upsample: unlisted strata drop; shuffle keys are unique") {
+    val df = ids.withColumn("s", lit("unknown"))
+    assert(Sampling.upsample(df, "id", "s", Map("x" -> 1000)).isEmpty)
+    val up = Sampling.upsample(ids.withColumn("s", lit("x")), "id", "s",
+      Map("x" -> 3000))
+    assert(up.select("shuffle_key").distinct().count() == up.count())
+  }
+
+  test("upsample is invariant under repartitioning") {
+    val df = ids.withColumn("s", lit("x"))
+    val a = Sampling.upsample(df, "id", "s", Map("x" -> 1700))
+      .select("id", "epoch").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = Sampling.upsample(df.repartition(13), "id", "s", Map("x" -> 1700))
+      .select("id", "epoch").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a == b)
+  }
 }

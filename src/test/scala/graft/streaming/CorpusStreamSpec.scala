@@ -4,7 +4,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
-import graft.operators.TextAnalysis
+import graft.operators.{Pii, Sampling, TextAnalysis}
 
 case class Doc(doc_id: Long, text: String)
 
@@ -57,5 +57,36 @@ class CorpusStreamSpec extends SparkSpec {
     assert(repOut(3L) > 0.8)  // six identical tokens
     assert(repOut(1L) < 0.2)  // "the" repeats once in nine tokens
     assert(repOut(4L) == 0.0)
+  }
+
+  test("PII scrub and mixture upsample are stream-compatible too") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Doc]
+    mem.addData(
+      Doc(1L, "reach me at jane.doe@example.org or 10.1.2.3"),
+      Doc(2L, "nothing sensitive here"))
+
+    // both are stateless projections (PII: codegen'd regexp; upsample:
+    // sequence-explode), so they append-stream without watermarks
+    val scrubbed = Pii.piiStats(mem.toDF(), "doc_id", "text")
+    val mixed = Sampling.upsample(
+      mem.toDF().withColumn("stratum", lit("a")),
+      "doc_id", "stratum", Map("a" -> 2000))
+
+    val q1 = scrubbed.writeStream.format("memory").queryName("scrubbed")
+      .outputMode("append").trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q1.awaitTermination()
+    val q2 = mixed.writeStream.format("memory").queryName("mixed")
+      .outputMode("append").trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q2.awaitTermination()
+
+    val pii = spark.table("scrubbed").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_email"), r.getAs[Long]("n_ip")))).toMap
+    assert(pii(1L) == ((1L, 1L)))
+    assert(pii(2L) == ((0L, 0L)))
+    assert(spark.table("mixed").count() == 4L)  // factor 2.0 → 2 copies each
   }
 }
