@@ -47,8 +47,11 @@ object NonSqlQueries {
       Tables.documents(s, d)
         .select(col("doc_id"),
           Analyzer.analyzedMatchCount(col("text"), "sorted merging windows").as("score"))
-        .filter(col("score") > 0)
-        .orderBy(col("score").desc, col("doc_id")).limit(50)),
+        .orderBy(col("score").desc, col("doc_id")).limit(50)
+        // after top-k (equivalent: sort is score-desc) — a pre-sort
+        // filter pushes through the projection and runs the whole
+        // stem chain TWICE per row (measured, Search.byKeyword doc)
+        .filter(col("score") > 0)),
 
     // X-10 first two stages, hash-verified: tokenize → stop-filter
     // (pre-stem; Porter itself stays unit-vector-covered — x03 runs

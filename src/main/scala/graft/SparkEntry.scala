@@ -475,9 +475,9 @@ object SparkEntry {
           Seq("text"), Seq("dup", "join", "scan"))
         .withColumn("score_q",
           floor(col("score") * 1000000000.0 + 0.5).cast("long"))
-        .filter(col("score_q") > 0)
         .orderBy(col("score_q").desc, col("doc_id"))
         .limit(100)
+        .filter(col("score_q") > 0)  // after top-k: Search.byKeyword doc
         .select(col("doc_id"), col("score_q"))),
 
     // Q-2 final fidelity: Okapi BM25 — the scoring ES multi_match
@@ -491,9 +491,9 @@ object SparkEntry {
           Seq("text"), Seq("window", "vector", "stream"))
         .withColumn("score_q",
           floor(col("score") * 1000000000.0 + 0.5).cast("long"))
-        .filter(col("score_q") > 0)
         .orderBy(col("score_q").desc, col("doc_id"))
         .limit(100)
+        .filter(col("score_q") > 0)  // after top-k: Search.byKeyword doc
         .select(col("doc_id"), col("score_q"))),
 
     // Domain balancing: keep at most 20 docs per source (C4/RefinedWeb

@@ -38,14 +38,21 @@ object Search {
       }
     }.reduce(_ + _)
 
-  /** Q-2: OR-of-terms keyword search ranked by match count. */
+  /** Q-2: OR-of-terms keyword search ranked by match count.
+    *
+    * Filter AFTER the top-k, not before: a `filter` on an aliased
+    * score pushes through the projection and duplicates the whole
+    * score expression per row (measured 2× on x04's stem chain).
+    * Since the sort is score-descending, non-positive rows can only
+    * occupy top-k slots no positive row wanted — filtering the k
+    * survivors is equivalent and evaluates the score ONCE. */
   def byKeyword(df: DataFrame, fields: Seq[String], terms: Seq[String],
                 tiebreak: String, k: Int = 50): DataFrame = {
     val score = keywordScore(fields.map(col), terms).cast("int")
     df.withColumn("score", score)
-      .filter(col("score") > 0)
       .orderBy(col("score").desc, col(tiebreak))
       .limit(k)
+      .filter(col("score") > 0)
   }
 
   /** Q-3/A-5: terms aggregation — the sentiment histogram. */
@@ -73,9 +80,9 @@ object Search {
   def byKeywordRanked(df: DataFrame, idCol: String, fields: Seq[String],
                       terms: Seq[String], k: Int = 100): DataFrame =
     tfidfScored(df, fields, terms)
-      .filter(col("score") > 0.0)
       .orderBy(col("score").desc, col(idCol))
       .limit(k)
+      .filter(col("score") > 0.0)  // after top-k: see byKeyword
 
   /** The TF-IDF-scored frame without the top-k, for callers that rank
     * or threshold differently (every input row, `score` ≥ 0 appended).
@@ -127,9 +134,9 @@ object Search {
                     terms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
                     k: Int = 100): DataFrame =
     bm25Scored(df, fields, terms, k1, b)
-      .filter(col("score") > 0.0)
       .orderBy(col("score").desc, col(idCol))
       .limit(k)
+      .filter(col("score") > 0.0)  // after top-k: see byKeyword
 
   /** The BM25-scored frame without the top-k, for callers that rank or
     * threshold differently (every input row, `score` ≥ 0 appended).
