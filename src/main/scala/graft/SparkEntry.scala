@@ -551,7 +551,21 @@ object SparkEntry {
     "q57_upsample" -> q((s, d) =>
       Sampling.upsample(Tables.documents(s, d).select("doc_id", "lang"),
         "doc_id", "lang",
-        Map("en" -> 1000, "de" -> 2600, "fr" -> 3250)))
+        Map("en" -> 1000, "de" -> 2600, "fr" -> 3250))),
+
+    // C4 line cleaning: the synthetic corpus has no newlines or
+    // punctuation, so the query plants deterministic line structure
+    // (literal replaces, identical in the oracle) — ' table ' starts
+    // a punctuated line break, ' data ' an unpunctuated one — then
+    // applies the terminal-punct / min-words / blocklist rules.
+    "q58_line_clean" -> q((s, d) => {
+      val aug = replace(
+        replace(col("text"), lit(" table "), lit(" table.\n")),
+        lit(" data "), lit(" data\n"))
+      TextAnalysis.c4LineClean(
+        Tables.documents(s, d).select(col("doc_id"), aug.as("text_lines")),
+        "doc_id", "text_lines")
+    })
   ) ++ NonSqlQueries.queries
 
   // ---- DuckDB oracles -------------------------------------------------
@@ -1110,6 +1124,33 @@ object SparkEntry {
          FROM e
          WHERE epoch < fp // 1000
             OR CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(epoch AS VARCHAR)), 1, 6) AS BIGINT) % 1000 < fp % 1000""",
+
+    // C4 line-clean replay: same planted line structure (literal
+    // sequential replaces), same three keep-rules, same reassembly.
+    "q58_line_clean" ->
+      """WITH aug AS (
+           SELECT doc_id,
+             replace(replace(text, ' table ', ' table.' || chr(10)),
+                     ' data ', ' data' || chr(10)) AS t
+           FROM documents),
+         l AS (
+           SELECT doc_id, string_split(t, chr(10)) AS lines FROM aug),
+         k AS (
+           SELECT doc_id, lines,
+             list_filter(lines, x ->
+               regexp_matches(trim(x), '[.!?]$')
+               AND len(list_filter(regexp_split_to_array(trim(x), ' +'), w -> length(w) > 0)) >= 3
+               AND NOT contains(lower(trim(x)), 'javascript')
+               AND NOT contains(lower(trim(x)), 'lorem ipsum')
+               AND NOT contains(lower(trim(x)), '{')) AS keep
+           FROM l)
+         SELECT doc_id,
+           CAST(len(lines) AS BIGINT) AS n_lines,
+           CAST(len(keep) AS BIGINT) AS n_kept,
+           -- array_to_string of an EMPTY list is NULL in DuckDB, '' in Spark
+           CAST(length(COALESCE(array_to_string(keep, chr(10)), '')) AS BIGINT) AS cleaned_len,
+           md5(COALESCE(array_to_string(keep, chr(10)), '')) AS cleaned_md5
+         FROM k""",
 
     // ---- x-queries DuckDB CAN replay (list lambdas + HUGEINT) --------
     // These started as rows-only checks; the oracles below replicate

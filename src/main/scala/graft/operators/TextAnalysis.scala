@@ -154,6 +154,40 @@ object TextAnalysis {
       .withColumn("bin", expr(s"(cum - n_tok) div $budgetTokens"))
   }
 
+  // ---- line-level cleaning (C4 rules) ---------------------------------
+
+  /** C4-style line cleaning (Raffel et al. 2020 §2.2): keep a line
+    * only if it (a) ends in terminal punctuation, (b) has at least
+    * `minWords` words, and (c) contains none of the blocklist
+    * phrases (case-insensitive; C4 uses "javascript", "lorem ipsum",
+    * "{"); reassemble the survivors. Emits per-doc
+    * (n_lines, n_kept, cleaned_len, cleaned_md5) — the counts feed
+    * corpus dashboards, the md5 makes the rewrite hash-checkable
+    * without shipping text.
+    *
+    * Scale shape: pure projection over the scan (split → HOF filter
+    * → reassemble; every lambda references only its own variable, so
+    * nothing re-evaluates per element). Zero shuffles at any corpus
+    * size. */
+  def c4LineClean(df: DataFrame, idCol: String, textCol: String,
+                  minWords: Int = 3,
+                  blocklist: Seq[String] = Seq("javascript", "lorem ipsum", "{"))
+      : DataFrame = {
+    val lines = split(coalesce(col(textCol), lit("")), "\n")
+    val keep = filter(lines, l => {
+      val t = trim(l)
+      val words = filter(split(t, " +"), w => length(w) > 0)
+      val blocked = blocklist.map(p => contains(lower(t), lit(p)))
+        .reduce(_ || _)
+      t.rlike("[.!?]$") && size(words) >= minWords && !blocked
+    })
+    df.select(col(idCol),
+      size(lines).cast("long").as("n_lines"),
+      size(keep).cast("long").as("n_kept"),
+      length(array_join(keep, "\n")).cast("long").as("cleaned_len"),
+      md5(array_join(keep, "\n").cast("binary")).as("cleaned_md5"))
+  }
+
   // ---- span-level cross-doc dedup (line-dedup analog) -----------------
 
   /** Span-level duplication signal — the fixed-width analog of the
