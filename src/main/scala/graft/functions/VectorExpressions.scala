@@ -79,3 +79,41 @@ object CosineSimExpr {
     GraftBridge.column(
       CosineSimExpr(GraftBridge.expression(a), GraftBridge.expression(b)))
 }
+
+/** `vec_dot(array<double>, array<double>) -> double` as a native
+  * codegen expression — the LSH bucketing hot path: bucketOf computes
+  * one dot per hyperplane per ROW over the whole corpus, and the
+  * zip_with/aggregate HOF formulation is CodegenFallback, which kicks
+  * the entire bucketing projection out of whole-stage codegen. Fold
+  * order matches the HOF version exactly (pairwise left-to-right). */
+case class DotExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if ((left.dataType == ArrayType(DoubleType, false) ||
+         left.dataType == ArrayType(DoubleType, true)) &&
+        (right.dataType == ArrayType(DoubleType, false) ||
+         right.dataType == ArrayType(DoubleType, true)))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName: both sides must be array<double>")
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vec_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.VectorKernels.dot($a, $b)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): DotExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+object DotExpr {
+  def apply(a: Column, b: Column): Column =
+    GraftBridge.column(
+      DotExpr(GraftBridge.expression(a), GraftBridge.expression(b)))
+}

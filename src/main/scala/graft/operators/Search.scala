@@ -91,9 +91,10 @@ object Search {
   def tfidfScored(df: DataFrame, fields: Seq[String],
                   terms: Seq[String]): DataFrame = {
     require(terms.nonEmpty, "tfidfScored needs at least one term")
-    val toks = filter(
-      split(lower(concat_ws(" ", fields.map(col): _*)), "[^a-z0-9']+"),
-      x => length(x) > 0)
+    // HOF-free tokenizer (Analyzer.tokenize): one CodegenFallback
+    // expression would de-codegen the whole scoring projection
+    val toks = graft.functions.Analyzer.tokenize(
+      concat_ws(" ", fields.map(col): _*))
     val withToks = df.withColumn("__toks", toks)
     // N plus df(t) for every term, in ONE pass over the corpus
     val stats = withToks.agg(
@@ -103,8 +104,10 @@ object Search {
           .otherwise(0L)).cast("double").as(s"__df_$i")
       }: _*)
     val score = terms.zipWithIndex.map { case (t, i) =>
-      val tf = size(filter(col("__toks"), x => x === lit(t.toLowerCase)))
-        .cast("double")
+      // tf = |toks| - |toks with t removed|: one native codegen'd
+      // array pass per term (the HOF filter form is CodegenFallback)
+      val tf = (size(col("__toks")) -
+        size(array_remove(col("__toks"), t.toLowerCase))).cast("double")
       when(col(s"__df_$i") === 0.0, 0.0)
         .otherwise(tf * log(col("__n") / col(s"__df_$i")))
     }.reduce(_ + _)
@@ -150,9 +153,10 @@ object Search {
   def bm25Scored(df: DataFrame, fields: Seq[String], terms: Seq[String],
                  k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty, "bm25Scored needs at least one term")
-    val toks = filter(
-      split(lower(concat_ws(" ", fields.map(col): _*)), "[^a-z0-9']+"),
-      x => length(x) > 0)
+    // HOF-free tokenizer (Analyzer.tokenize): one CodegenFallback
+    // expression would de-codegen the whole scoring projection
+    val toks = graft.functions.Analyzer.tokenize(
+      concat_ws(" ", fields.map(col): _*))
     val withToks = df.withColumn("__toks", toks)
       .withColumn("__dl", size(col("__toks")).cast("double"))
     // N, avgdl numerator (exact integer sum), df(t): one corpus pass
@@ -166,8 +170,10 @@ object Search {
     val stats = withToks.agg(aggCols.head, aggCols.tail: _*)
     val avgdl = col("__sumdl") / col("__n")
     val score = terms.zipWithIndex.map { case (t, i) =>
-      val tf = size(filter(col("__toks"), x => x === lit(t.toLowerCase)))
-        .cast("double")
+      // tf = |toks| - |toks with t removed|: one native codegen'd
+      // array pass per term (the HOF filter form is CodegenFallback)
+      val tf = (size(col("__toks")) -
+        size(array_remove(col("__toks"), t.toLowerCase))).cast("double")
       val idf = log((col("__n") - col(s"__df_$i") + lit(0.5))
         / (col(s"__df_$i") + lit(0.5)) + lit(1.0))
       val norm = tf + lit(k1) * (lit(1.0) - lit(b) + lit(b) * (col("__dl") / avgdl))

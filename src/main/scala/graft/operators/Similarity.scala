@@ -16,12 +16,14 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Σ aᵢbᵢ over two double arrays — native. */
+  /** Σ aᵢbᵢ over two double arrays — a native codegen expression
+    * (same left-to-right fold as the zip_with/aggregate HOF form it
+    * replaced; HOFs are CodegenFallback and de-codegen'd the whole
+    * LSH bucketing projection). */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    graft.functions.DotExpr(a, b)
 
-  def norm(a: Column): Column =
-    sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, v) => acc + v))
+  def norm(a: Column): Column = sqrt(dot(a, a))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
