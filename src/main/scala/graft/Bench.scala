@@ -38,18 +38,30 @@ object Bench {
       val (t1, ok1) = once(); val (t2, ok2) = once()
       name -> (if (ok1 && ok2) math.min(t1, t2) else -1.0)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
-    println(json)
-    // Also persist to a file: stdout can be truncated by the capture
-    // harness (BENCH_r02's tail cut q01-q07), the file never is.
+    // Full-precision line → file (the harness commits it whole).
+    val qsFull = results.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val jsonFull = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"failed":$failed,"sf":"$sfDir"}"""
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(out),
-      (json + "\n").getBytes("UTF-8"))
+      (jsonFull + "\n").getBytes("UTF-8"))
+    // stdout line: the capture harness keeps only the LAST 2000 chars
+    // of stdout (every BENCH_r* so far has parsed:null because the
+    // line's head — metric/value — fell off the front). Two
+    // mitigations: compact 2-decimal per-query values, and the
+    // summary fields AFTER the queries map (JSON objects are
+    // unordered) so total/failed/sf always land inside the tail
+    // window even if the head of the queries map is clipped.
+    def fmt(v: Double): String = {
+      val s = f"$v%.2f"
+      if (s.contains('.')) s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse else s
+    }
+    val qsCompact = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    println(s"""{"queries":$qsCompact,"failed":$failed,"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir"}""")
     spark.stop()
   }
 }

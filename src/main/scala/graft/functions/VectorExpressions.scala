@@ -42,6 +42,38 @@ object VectorKernels {
     while (i < n) { d += a.getDouble(i) * b.getDouble(i); i += 1 }
     d
   }
+
+  /** Null-element-aware variants, called only when the static schema
+    * says `containsNull=true`: `ArrayData.getDouble` on a null slot
+    * silently reads 0.0, which would make `cosine_sim` return a wrong
+    * number where the HOF/UDF formulation returns NULL. A null slot on
+    * either side poisons the whole result to null instead. The
+    * non-nullable fast path above keeps its branch-free loop. */
+  def cosineNullable(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var d = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val x = a.getDouble(i); val y = b.getDouble(i)
+      d += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    java.lang.Double.valueOf(if (denom == 0.0) 0.0 else d / denom)
+  }
+
+  def dotNullable(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var d = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      d += a.getDouble(i) * b.getDouble(i)
+      i += 1
+    }
+    java.lang.Double.valueOf(d)
+  }
 }
 
 /** `cosine_sim(array<double>, array<double>) -> double` as a native
@@ -62,12 +94,30 @@ case class CosineSimExpr(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_sim"
 
+  private def elemsNullable: Boolean = Seq(left, right).exists(_.dataType match {
+    case ArrayType(_, cn) => cn
+    case _                => true
+  })
+  override def nullable: Boolean = left.nullable || right.nullable || elemsNullable
+
   override def nullSafeEval(a: Any, b: Any): Any =
-    VectorKernels.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    if (elemsNullable)
+      VectorKernels.cosineNullable(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    else
+      VectorKernels.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev,
-      (a, b) => s"graft.functions.VectorKernels.cosine($a, $b)")
+    if (!elemsNullable)
+      defineCodeGen(ctx, ev,
+        (a, b) => s"graft.functions.VectorKernels.cosine($a, $b)")
+    else nullSafeCodeGen(ctx, ev, (a, b) => {
+      val tmp = ctx.freshName("cos")
+      s"""
+         |java.lang.Double $tmp = graft.functions.VectorKernels.cosineNullable($a, $b);
+         |if ($tmp == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $tmp.doubleValue(); }
+       """.stripMargin
+    })
 
   override protected def withNewChildrenInternal(newLeft: Expression,
                                                  newRight: Expression): CosineSimExpr =
@@ -100,12 +150,30 @@ case class DotExpr(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "vec_dot"
 
+  private def elemsNullable: Boolean = Seq(left, right).exists(_.dataType match {
+    case ArrayType(_, cn) => cn
+    case _                => true
+  })
+  override def nullable: Boolean = left.nullable || right.nullable || elemsNullable
+
   override def nullSafeEval(a: Any, b: Any): Any =
-    VectorKernels.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    if (elemsNullable)
+      VectorKernels.dotNullable(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    else
+      VectorKernels.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev,
-      (a, b) => s"graft.functions.VectorKernels.dot($a, $b)")
+    if (!elemsNullable)
+      defineCodeGen(ctx, ev,
+        (a, b) => s"graft.functions.VectorKernels.dot($a, $b)")
+    else nullSafeCodeGen(ctx, ev, (a, b) => {
+      val tmp = ctx.freshName("dotv")
+      s"""
+         |java.lang.Double $tmp = graft.functions.VectorKernels.dotNullable($a, $b);
+         |if ($tmp == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $tmp.doubleValue(); }
+       """.stripMargin
+    })
 
   override protected def withNewChildrenInternal(newLeft: Expression,
                                                  newRight: Expression): DotExpr =

@@ -56,6 +56,11 @@ object Multimodal {
       var i = 2
       while (i + 9 < b.length) {
         if ((b(i) & 0xff) != 0xff) return None // marker desync
+        // ITU-T T.81 §B.1.1.2: any number of 0xFF fill bytes may pad
+        // before a marker code — skip the run so padding between
+        // segments is not misread as desync or a bogus 0xFF marker
+        while (i + 2 < b.length && (b(i + 1) & 0xff) == 0xff) i += 1
+        if (i + 9 >= b.length) return None
         val m = b(i + 1) & 0xff
         if (m == 0xd8 || (m >= 0xd0 && m <= 0xd7) || m == 0x01) {
           i += 2 // standalone marker, no length field

@@ -111,7 +111,19 @@ object Sampling {
     * spec-tested). Costs one extra skew-FREE exchange on
     * (partition-id, group); worth it only when a group can exceed an
     * executor's sort budget — which is why it's a separate entry
-    * point, not the default. */
+    * point, not the default.
+    *
+    * REQUIRES `(orderCol, tiebreak)` to be a total order within each
+    * group (in practice: `tiebreak` is a unique key, like `doc_id`).
+    * With ties, both entry points keep SOME n rows with the same
+    * `(orderCol, tiebreak)` prefix, but which tied row survives can
+    * differ: the per-partition pre-pass ranks within a
+    * nondeterministic `spark_partition_id` slice, so a tie broken one
+    * way there may be broken the other way by the single global
+    * window. The equivalence spec covers the unique-tiebreak case
+    * only — with a non-unique tiebreak this function is still a
+    * correct top-n-per-group, just not row-identical to
+    * [[capPerGroup]]. */
   def capPerGroupSkewSafe(df: DataFrame, groupCol: String, orderCol: String,
                           tiebreak: String, n: Int): DataFrame = {
     val w1 = org.apache.spark.sql.expressions.Window

@@ -33,7 +33,10 @@ object Search {
   def keywordScore(fields: Seq[Column], terms: Seq[String]): Column =
     fields.flatMap { f =>
       terms.map { t =>
-        val lc = lower(f)
+        // coalesce: a null field must score 0, not poison the whole
+        // sum to null (a null score silently drops the row through
+        // the score>0 filter instead of ranking it last)
+        val lc = lower(coalesce(f, lit("")))
         (length(lc) - length(regexp_replace(lc, java.util.regex.Pattern.quote(t.toLowerCase), ""))) / t.length
       }
     }.reduce(_ + _)

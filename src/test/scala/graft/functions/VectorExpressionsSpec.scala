@@ -47,6 +47,23 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(!plan.contains("ScalaUDF"))
   }
 
+  test("a null ELEMENT poisons the result to null, never reads as 0.0") {
+    // Seq[Option[Double]] encodes as array<double> with containsNull=true;
+    // before the nullable-kernel fix the null slot was silently read as
+    // 0.0 via ArrayData.getDouble, producing a wrong number.
+    val df = Seq(
+      (1L, Seq(Option(1.0), None, Option(3.0)), Seq(Option(4.0), Option(5.0), Option(6.0))),
+      (2L, Seq(Option(1.0), Option(2.0)), Seq(Option(3.0), Option(4.0)))
+    ).toDF("id", "a", "b")
+    val rows = df.select($"id", CosineSimExpr($"a", $"b").as("cos"),
+      DotExpr($"a", $"b").as("dot")).orderBy($"id").collect()
+    assert(rows(0).isNullAt(1) && rows(0).isNullAt(2))
+    // the clean row still computes, and matches the interpreted kernel
+    assert(java.lang.Double.doubleToLongBits(rows(1).getDouble(1)) ==
+      java.lang.Double.doubleToLongBits(Similarity.cosineOf(Seq(1.0, 2.0), Seq(3.0, 4.0))))
+    assert(rows(1).getDouble(2) == 11.0)
+  }
+
   test("mismatched lengths use the shorter prefix (kernel semantics)") {
     val c = Seq((Seq(1.0, 2.0), Seq(1.0, 2.0, 99.0))).toDF("a", "b")
       .select(CosineSimExpr($"a", $"b")).as[Double].head()

@@ -47,4 +47,21 @@ class SearchSpec extends SparkSpec {
     assert(r.forall(row => !row.getDouble(1).isNaN))
     assert(r.map(_.getLong(0)).toSet == Set(2L, 3L))
   }
+
+  test("null text scores 0, never null, in every scored frame") {
+    // contract: the scored frames append score >= 0 to EVERY input
+    // row; a null score would silently drop the row through score>0
+    // filters instead of ranking it last
+    val withNull = docs.union(Seq((8L, null: String)).toDF("doc_id", "text"))
+    val kw = withNull.select(col("doc_id"),
+      Search.keywordScore(Seq(col("text")), Seq("common")).as("score"))
+      .where(col("doc_id") === 8L).collect()
+    assert(!kw(0).isNullAt(1) && kw(0).getDouble(1) == 0.0)
+    for (scored <- Seq(
+        Search.tfidfScored(withNull, Seq("text"), Seq("common")),
+        Search.bm25Scored(withNull, Seq("text"), Seq("common")))) {
+      val row = scored.where(col("doc_id") === 8L).select("score").collect()
+      assert(row.length == 1 && !row(0).isNullAt(0) && row(0).getDouble(0) == 0.0)
+    }
+  }
 }

@@ -117,6 +117,20 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.imageHeader(null).isEmpty)
   }
 
+  test("imageHeader tolerates JPEG 0xFF fill bytes between segments") {
+    // ITU-T T.81 §B.1.1.2: markers may be preceded by any number of
+    // 0xFF fill bytes; real-world encoders emit them as padding
+    val base = jpegBytes(800, 600)
+    val soi = base.take(2)
+    val rest = base.drop(2)
+    val fill = Array.fill(5)(0xff.toByte)
+    val padded = soi ++ fill ++ rest.take(18) ++ fill ++ rest.drop(18)
+    assert(Multimodal.imageHeader(padded)
+      .contains(Multimodal.ImageHeader("jpeg", 800, 600)))
+    // a trailing all-0xFF run with no marker still decodes to None
+    assert(Multimodal.imageHeader(soi ++ Array.fill(16)(0xff.toByte)).isEmpty)
+  }
+
   private def wavBytes(channels: Int, rate: Int, bits: Int,
                        dataLen: Int): Array[Byte] = {
     val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
