@@ -565,7 +565,36 @@ object SparkEntry {
       TextAnalysis.c4LineClean(
         Tables.documents(s, d).select(col("doc_id"), aug.as("text_lines")),
         "doc_id", "text_lines")
-    })
+    }),
+
+    // RefinedWeb paragraph-level exact dedup: globally keep the FIRST
+    // occurrence of every distinct paragraph. Paragraph structure is
+    // planted like q58's lines (the synthetic corpus has no newlines);
+    // whole-doc duplicates in the corpus guarantee real cross-doc
+    // paragraph collisions for the operator to remove.
+    "q59_paragraph_dedup" -> q((s, d) => {
+      val planted = replace(
+        replace(col("text"), lit(" table "), lit(" table\n\n")),
+        lit(" data "), lit(" data\n\n"))
+      Dedup.paragraphDedup(
+        Tables.documents(s, d).select(col("doc_id"), planted.as("text_p")),
+        "doc_id", "text_p")
+    }),
+
+    // CCNet-style LM quality scoring: train a bigram MLE on the corpus
+    // and score every doc's mean bigram logprob under it, all in-engine.
+    "q60_lm_score" -> q((s, d) =>
+      LmScore.bigramScore(Tables.documents(s, d), "doc_id", "text")),
+
+    // Tokenizer-training prep: top-100 vocabulary with cumulative
+    // occurrence coverage.
+    "q61_vocab_coverage" -> q((s, d) =>
+      TextAnalysis.vocabCoverage(Tables.documents(s, d), "text", k = 100)),
+
+    // Batch-bucketing curriculum: deterministic decile bins over token
+    // counts with per-bin stats.
+    "q62_length_curriculum" -> q((s, d) =>
+      TextAnalysis.lengthCurriculum(Tables.documents(s, d), "doc_id", "text"))
   ) ++ NonSqlQueries.queries
 
   // ---- DuckDB oracles -------------------------------------------------
@@ -1151,6 +1180,111 @@ object SparkEntry {
            CAST(length(COALESCE(array_to_string(keep, chr(10)), '')) AS BIGINT) AS cleaned_len,
            md5(COALESCE(array_to_string(keep, chr(10)), '')) AS cleaned_md5
          FROM k""",
+
+    // Paragraph-dedup replay: same planted separators, same global
+    // first-wins rule (row_number over md5(para) ordered (doc_id,
+    // pos)), same in-order reassembly. Window/group sums cast BIGINT
+    // (DuckDB returns HUGEINT); string_agg skips the non-keeper NULLs
+    // exactly as Spark's collect_list does.
+    "q59_paragraph_dedup" ->
+      """WITH aug AS (
+           SELECT doc_id,
+             replace(replace(text, ' table ', ' table' || chr(10) || chr(10)),
+                     ' data ', ' data' || chr(10) || chr(10)) AS t
+           FROM documents),
+         l AS (SELECT doc_id, string_split(t, chr(10) || chr(10)) AS ps FROM aug),
+         e AS (
+           SELECT doc_id,
+             unnest(generate_series(1, len(ps))) AS pos1,
+             unnest(ps) AS para
+           FROM l),
+         r AS (
+           SELECT doc_id, pos1, para,
+             row_number() OVER (PARTITION BY md5(para)
+                                ORDER BY doc_id, pos1) AS rk
+           FROM e)
+         SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_paras,
+           CAST(sum(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           md5(COALESCE(string_agg(CASE WHEN rk = 1 THEN para END,
+                                   chr(10) || chr(10) ORDER BY pos1), ''))
+             AS cleaned_md5
+         FROM r GROUP BY doc_id""",
+
+    // Bigram-LM replay: same tokenizer, same MLE counts, same
+    // per-TYPE micro-nat quantization (ln's 1-ulp engine divergence
+    // is absorbed by the 1e6 grid), integer sums per doc (order-free),
+    // and the average as one division of identical operands.
+    "q60_lm_score" ->
+      """WITH t AS (
+           SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(COALESCE(text, '')), '[^a-z0-9'']+'),
+                         x -> length(x) > 0) AS toks
+           FROM documents),
+         bg AS (
+           SELECT doc_id,
+             unnest([{'w1': toks[i], 'w2': toks[i + 1]}
+                     for i in generate_series(1, len(toks) - 1)],
+                    recursive := true)
+           FROM t),
+         bc AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
+         cc AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM bc GROUP BY w1),
+         lm AS (
+           SELECT w1, w2,
+             CAST(floor(ln(CAST(c12 AS DOUBLE) / CAST(c1 AS DOUBLE))
+                        * 1000000.0 + 0.5) AS BIGINT) AS lp_q
+           FROM bc JOIN cc USING (w1)),
+         sc AS (
+           SELECT doc_id, count(*) AS n_bigrams, sum(lp_q) AS lp_sum_q
+           FROM bg JOIN lm USING (w1, w2) GROUP BY doc_id)
+         SELECT d.doc_id,
+           CAST(COALESCE(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           CAST(COALESCE(sc.lp_sum_q, 0) AS BIGINT) AS lp_sum_q,
+           CASE WHEN COALESCE(sc.n_bigrams, 0) = 0 THEN 0.0
+                ELSE CAST(COALESCE(sc.lp_sum_q, 0) AS DOUBLE)
+                     / CAST(sc.n_bigrams AS DOUBLE) END AS avg_lp_q
+         FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id""",
+
+    // Vocab-coverage replay: same (freq desc, token) total order for
+    // rank/limit/cumsum; coverage = division of identical BIGINTs.
+    "q61_vocab_coverage" ->
+      """WITH t AS (
+           SELECT list_filter(regexp_split_to_array(lower(COALESCE(text, '')), '[^a-z0-9'']+'),
+                              x -> length(x) > 0) AS toks
+           FROM documents),
+         c AS (SELECT unnest(toks) AS token FROM t),
+         f AS (SELECT token, count(*) AS freq FROM c GROUP BY token),
+         tot AS (SELECT CAST(sum(freq) AS BIGINT) AS total FROM f),
+         k AS (SELECT token, freq FROM f ORDER BY freq DESC, token LIMIT 100),
+         r AS (
+           SELECT token, CAST(freq AS BIGINT) AS freq,
+             CAST(row_number() OVER (ORDER BY freq DESC, token) AS BIGINT) AS rank,
+             CAST(sum(freq) OVER (ORDER BY freq DESC, token
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_freq
+           FROM k)
+         SELECT rank, token, freq, cum_freq,
+           CAST(cum_freq AS DOUBLE) / CAST(total AS DOUBLE) AS coverage
+         FROM r, tot""",
+
+    // Length-curriculum replay: ntile over the same (n_tokens, doc_id)
+    // total order — SQL-standard ntile (larger buckets first) on both
+    // engines, so bin assignment matches row-for-row.
+    "q62_length_curriculum" ->
+      """WITH t AS (
+           SELECT doc_id,
+             len(list_filter(regexp_split_to_array(lower(COALESCE(text, '')), '[^a-z0-9'']+'),
+                             x -> length(x) > 0)) AS n_tokens
+           FROM documents),
+         b AS (
+           SELECT doc_id, n_tokens,
+             ntile(10) OVER (ORDER BY n_tokens, doc_id) AS bin
+           FROM t)
+         SELECT CAST(bin AS BIGINT) AS bin,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(n_tokens) AS BIGINT) AS min_tokens,
+           CAST(max(n_tokens) AS BIGINT) AS max_tokens,
+           CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+         FROM b GROUP BY bin""",
 
     // ---- x-queries DuckDB CAN replay (list lambdas + HUGEINT) --------
     // These started as rows-only checks; the oracles below replicate

@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.Analyzer
+
+/** Corpus-trained n-gram language-model scoring — the CCNet-style
+  * quality filter (Wenzek et al. 2020: score each document under a
+  * language model and drop/segment the worst tail; KenLM plays the
+  * model there). Here the model is a bigram MLE trained ON the corpus
+  * being scored, entirely inside the engine — the "train a model over
+  * 100 TB, then apply it to the same 100 TB" shape that a pretraining
+  * pipeline runs daily.
+  *
+  * Model: logprob(w2 | w1) = ln(C(w1 w2) / C(w1 ·)) over corpus bigram
+  * counts (MLE, no smoothing needed — every scored bigram was counted,
+  * so C > 0 by construction). A document's score is its mean bigram
+  * logprob; higher = more typical text, the low tail is boilerplate /
+  * noise / wrong-language contamination.
+  *
+  * Cross-engine determinism: summing raw `ln` doubles across an
+  * unordered aggregation is nondeterministic (float addition does not
+  * commute), and `ln` itself differs by 1 ulp between StrictMath and
+  * glibc on some arguments. Both traps are closed the established way
+  * (see q50/q51): each bigram TYPE's logprob is quantized once to an
+  * integer micro-nat grid (`floor(ln(p)·1e6 + 0.5)`), and documents
+  * sum integers — order-free, overflow-free (|lp_q| ≤ ~30e6, docs
+  * have < 2^30 bigrams), and exactly replayable in SQL. The 1e6 grid
+  * keeps the per-value boundary-flip probability ≈ ulp/grid ≈ 2e-9
+  * (negligible over ~1e5 bigram types), where a nano grid would not.
+  *
+  * Scale shape (three narrow shuffles, nothing collects):
+  *   1. tokenize in the scan → posexplode bigrams → count by
+  *      (w1, w2): map-side partial aggregation shrinks the shuffle to
+  *      the bigram-TYPE cardinality (vocab-bounded, sublinear in
+  *      corpus size);
+  *   2. unigram-context counts roll up FROM the bigram table
+  *      (C(w1 ·) = Σ_w2 C(w1 w2)) — a second agg over the already-tiny
+  *      type table, not a second pass over the corpus;
+  *   3. doc bigrams join the scored type table on (w1, w2) — the type
+  *      table is vocab-sized, so AQE broadcasts it while it fits and
+  *      falls back to a sort-merge join on the same key when a 100 TB
+  *      vocab cap pushes it past the threshold — then one groupBy on
+  *      the doc id aggregates the integer sum.
+  */
+object LmScore {
+
+  /** Per-doc bigram LM score. Emits `(idCol, n_bigrams, lp_sum_q,
+    * avg_lp_q)`: the bigram count, the integer micro-nat logprob sum,
+    * and their ratio as one double division of identical operands
+    * (IEEE-identical on both engines). Docs with < 2 tokens carry
+    * n_bigrams = 0 and a 0.0 average (not null — see the scored-frame
+    * contract in [[Search]]). */
+  def bigramScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = Analyzer.tokenize(coalesce(col(textCol), lit("")))
+    val docToks = df.select(col(idCol), toks.as("__toks"))
+
+    // (doc, w1, w2) occurrences: zip the token array with its own
+    // tail in the scan, THEN explode — one pass, no self-join, no
+    // window, and the array never leaves the scan stage
+    val slid = docToks.select(col(idCol),
+      explode(zip_with(
+        slice(col("__toks"), lit(1), greatest(size(col("__toks")) - 1, lit(0))),
+        slice(col("__toks"), lit(2), greatest(size(col("__toks")) - 1, lit(0))),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("__bg"))
+      .select(col(idCol), col("__bg.w1").as("w1"), col("__bg.w2").as("w2"))
+
+    // bigram types with their corpus counts; unigram-context counts
+    // roll up from the type table (shuffle 1 + tiny shuffle 2)
+    val bigramCounts = slid.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c12"))
+    val contextCounts = bigramCounts.groupBy(col("w1"))
+      .agg(sum(col("c12")).as("c1"))
+    val lmTable = bigramCounts.join(contextCounts, "w1")
+      .withColumn("lp_q",
+        floor(log(col("c12").cast("double") / col("c1").cast("double"))
+          * 1000000.0 + 0.5).cast("long"))
+      .select(col("w1"), col("w2"), col("lp_q"))
+
+    // apply: join occurrences to the type table, sum integers per doc
+    val scored = slid.join(lmTable, Seq("w1", "w2"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("lp_q")).as("lp_sum_q"))
+
+    // left join restores short docs (0/1 tokens: no bigrams)
+    df.select(col(idCol))
+      .join(scored, Seq(idCol), "left")
+      .withColumn("n_bigrams", coalesce(col("n_bigrams"), lit(0L)))
+      .withColumn("lp_sum_q", coalesce(col("lp_sum_q"), lit(0L)))
+      .withColumn("avg_lp_q",
+        when(col("n_bigrams") === 0, 0.0)
+          .otherwise(col("lp_sum_q").cast("double") / col("n_bigrams").cast("double")))
+  }
+}

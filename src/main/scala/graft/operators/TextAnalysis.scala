@@ -310,4 +310,76 @@ object TextAnalysis {
     * is the cheap shuffle key for exact dedup at scale.) */
   def fingerprint(text: Column): Column =
     rollingHashUdf(lower(regexp_replace(text, "\\s+", " ")))
+
+  /** Tokenizer-training prep: the top-`k` corpus vocabulary with
+    * cumulative coverage — "how many word types does a vocab of size
+    * k cover, and what fraction of all token OCCURRENCES do they
+    * absorb?" The curve that fixes a subword tokenizer's vocab size
+    * (and the word-level baseline every BPE run is measured against,
+    * Sennrich et al. 2016 §3).
+    *
+    * Emits `(rank, token, freq, cum_freq, coverage)`, ranked by
+    * `(freq desc, token)` — a total order, so ranks and cumulative
+    * sums are deterministic. `coverage` is a double division of
+    * identical BIGINT operands (cum_freq / total), IEEE-identical
+    * across engines — no transcendentals, no quantization needed.
+    *
+    * Scale shape: tokenize in the scan → ONE wide shuffle (token
+    * counts, map-side partial agg shrinks it to the vocab size) →
+    * top-k via TakeOrderedAndProject (never a global sort of the
+    * corpus, only of k rows on the driver-bound side) → the running
+    * sum windows over k rows, and the corpus-total scalar broadcasts.
+    * The only thing that scales with the corpus is the first shuffle,
+    * whose payload is the VOCAB, sublinear in corpus bytes. */
+  def vocabCoverage(df: DataFrame, textCol: String, k: Int = 100): DataFrame = {
+    val counts = df
+      .select(explode(Analyzer.tokenize(coalesce(col(textCol), lit("")))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("freq"))
+    val total = counts.agg(sum(col("freq")).as("__total"))
+    val topk = counts.orderBy(col("freq").desc, col("token")).limit(k)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("freq").desc, col("token"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    topk.crossJoin(broadcast(total))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("freq").desc, col("token"))).cast("long"))
+      .withColumn("cum_freq", sum(col("freq")).over(w))
+      .withColumn("coverage",
+        col("cum_freq").cast("double") / col("__total").cast("double"))
+      .select(col("rank"), col("token"), col("freq"), col("cum_freq"), col("coverage"))
+  }
+
+  /** Length-curriculum binning (batch-bucketing prep: group docs of
+    * similar token counts so packed training batches waste minimal
+    * padding; also the usual "schedule short docs first" curriculum
+    * split). `ntile(n)` over `(n_tokens, id)` — the id tiebreak makes
+    * the order total, so bin assignment is deterministic and
+    * engine-portable.
+    *
+    * Emits per-bin stats: doc count, min/max/total token counts.
+    *
+    * Scale note: ntile is a single global window — the one operator
+    * class that cannot shard by key. At 100 TB the same curriculum
+    * comes from a FIXED-BOUNDARY variant: one pass computes the
+    * approx quantiles of n_tokens (`approx_percentile`, a mergeable
+    * sketch), and a scan-local `CASE` assigns bins — no global sort
+    * at all. The exact-ntile form stays the oracle-checkable contract
+    * (approx sketches are not replayable); both bin docs of similar
+    * length together, which is all packing needs. */
+  def lengthCurriculum(df: DataFrame, idCol: String, textCol: String,
+                       bins: Int = 10): DataFrame = {
+    val nToks = size(Analyzer.tokenize(coalesce(col(textCol), lit(""))))
+      .cast("long")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n_tokens"), col(idCol))
+    df.select(col(idCol), nToks.as("n_tokens"))
+      .withColumn("bin", ntile(bins).over(w).cast("long"))
+      .groupBy(col("bin"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        min(col("n_tokens")).as("min_tokens"),
+        max(col("n_tokens")).as("max_tokens"),
+        sum(col("n_tokens")).as("sum_tokens"))
+  }
 }
