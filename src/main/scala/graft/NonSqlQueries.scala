@@ -173,6 +173,14 @@ object NonSqlQueries {
         threshold = 0.35, numPlanes = 4, dim = 64)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // SemDeDup: IVF cells → in-cell cosine near-dup groups → one
+    // representative per group (deterministic smallest-id centroids,
+    // so the whole chain — assignment, pairs, components — replays
+    // in SQL).
+    "x24_semdedup" -> q((s, d) =>
+      Similarity.semDedup(Tables.embeddings(s, d), "vec_id", "embedding",
+        numCells = 8, threshold = 0.35)),
+
     // Multimodal plumbing: binary payload + metadata → batch featurize
     // (decode stubbed; schema/partitioning/batch shape real).
     "x15_multimodal_features" -> q((s, d) =>

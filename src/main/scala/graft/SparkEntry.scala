@@ -1494,6 +1494,41 @@ object SparkEntry {
          FROM cand JOIN e ON cand.vec_id = e.vec_id, q
          ORDER BY cos DESC, cand.vec_id LIMIT 20""",
 
+    // SemDeDup replay: same smallest-id centroids and argmax tie
+    // order as x23's assignment, exact-fold cosine for the in-cell
+    // pair threshold (bit-identical doubles), then the x18
+    // recursive-CTE component/keeper replay.
+    "x24_semdedup" ->
+      s"""WITH RECURSIVE
+         e AS (SELECT CAST(vec_id AS BIGINT) AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         c AS (SELECT id AS cid, v AS cv FROM e ORDER BY id LIMIT 8),
+         assign AS (
+           SELECT id, v, cid AS cell FROM (
+             SELECT e.id, e.v, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY e.id ORDER BY ${sqlCos("e.v", "c.cv")} DESC, c.cid) AS rn
+             FROM e, c) WHERE rn = 1),
+         ok AS (SELECT cell FROM assign GROUP BY cell HAVING count(*) BETWEEN 2 AND 8192),
+         pairs AS (
+           SELECT a.id AS id_a, b.id AS id_b
+           FROM assign a JOIN assign b ON a.cell = b.cell AND a.id < b.id
+           JOIN ok ON a.cell = ok.cell
+           WHERE ${sqlCos("a.v", "b.v")} >= 0.35),
+         edges AS (
+           SELECT id_a AS s, id_b AS d FROM pairs
+           UNION SELECT id_b, id_a FROM pairs),
+         reach(id, r) AS (
+           SELECT s, s FROM edges
+           UNION
+           SELECT ed.s, re.r FROM edges ed JOIN reach re ON ed.d = re.id),
+         comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY id),
+         keepers AS (SELECT comp, min(id) AS keeper FROM comp GROUP BY comp)
+         SELECT a.id AS vec_id, a.cell,
+           coalesce(cm.comp, a.id) AS comp,
+           CASE WHEN cm.comp IS NULL THEN true ELSE a.id = k.keeper END AS keep
+         FROM assign a
+         LEFT JOIN comp cm ON a.id = cm.id
+         LEFT JOIN keepers k ON cm.comp = k.comp""",
+
     "x15_multimodal_features" ->
       """WITH t AS (SELECT doc_id, text AS s FROM documents),
          h AS (

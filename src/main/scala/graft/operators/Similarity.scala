@@ -328,4 +328,70 @@ object Similarity {
       }
       .toDF("id_a", "id_b", "cos")
   }
+
+  /** SemDeDup (Abbas et al. 2023): semantic deduplication — cluster
+    * the embedding space coarsely, then mark cosine-near-duplicate
+    * GROUPS within each cluster and keep one representative per
+    * group. Composes the engine's existing pieces end-to-end:
+    * IVF-style cell assignment ([[ivfAssignOf]], same argmax tie
+    * order as x23) → in-cell exact-cosine pairs (the
+    * [[nearDupPairs]] flatMapGroups machinery, keyed on the cell) →
+    * [[Dedup.clusterVerdicts]] min-label components.
+    *
+    * Centroids are the `numCells` smallest-id vectors — deterministic
+    * and oracle-replayable, like [[ivfTopK]]; swap in
+    * [[kmeansCentroids]] output via the same assignment path for
+    * trained cells (not oracle-replayable, spec-covered).
+    *
+    * Emits every input row: `(id, cell, comp, keep)` — docs outside
+    * any near-dup group keep themselves.
+    *
+    * Scale shape: assignment is scan-local (broadcast centroid list,
+    * fused JVM argmax — no shuffle, no row blowup); the only wide
+    * shuffle keys on the CELL (vectors cross the wire once); in-cell
+    * pairs enumerate imperatively and emit only survivors (the
+    * declarative pair-expansion would materialize every candidate
+    * pair with both 0.5 KB vectors before the threshold filter).
+    * `maxCell` bounds the quadratic term per task — at 100 TB,
+    * numCells scales as √n (FAISS practice), keeping cells near
+    * constant size; the assignment table is checkpointed because two
+    * consumers (pair generation, verdict join) would otherwise
+    * re-scan the corpus. Components converge in O(log diameter)
+    * rounds — near-dup clusters are dense, diameters tiny. */
+  def semDedup(df: DataFrame, idCol: String, vecCol: String,
+               numCells: Int = 8, threshold: Double = 0.95,
+               maxCell: Int = 8192): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cents = df.orderBy(col(idCol)).limit(numCells)
+      .select(col(idCol).cast("long").as("cid"), asDouble(col(vecCol)).as("cvec"))
+      .agg(collect_list(struct(col("cid"), col("cvec"))).as("cents"))
+      .localCheckpoint() // broadcast of a live subtree re-runs it per exchange
+    val assigned = df.crossJoin(broadcast(cents))
+      .select(col(idCol).cast("long").as("id"), asDouble(col(vecCol)).as("v"),
+        assignUdf(asDouble(col(vecCol)), col("cents")).as("cell"))
+      .localCheckpoint()
+    val pairs = assigned
+      .as[(Long, Seq[Double], Long)]
+      .groupByKey(_._3)
+      .flatMapGroups { (_, it) =>
+        val members = it.take(maxCell + 1).map { case (id, v, _) => (id, v.toArray) }.toArray
+        if (members.length < 2 || members.length > maxCell) Iterator.empty
+        else {
+          java.util.Arrays.sort(members, Ordering.by((m: (Long, Array[Double])) => m._1))
+          for {
+            i <- members.indices.iterator
+            j <- (i + 1 until members.length).iterator
+            if cosineOf(members(i)._2, members(j)._2) >= threshold
+          } yield (members(i)._1, members(j)._1)
+        }
+      }
+      .toDF("id_a", "id_b")
+    val verdicts = Dedup.clusterVerdicts(pairs)
+    assigned.select(col("id"), col("cell"))
+      .join(verdicts, Seq("id"), "left")
+      .select(col("id").as(idCol), col("cell"),
+        coalesce(col("comp"), col("id")).as("comp"),
+        coalesce(col("keep"), lit(true)).as("keep"))
+  }
 }

@@ -89,6 +89,50 @@ class LmScoreSpec extends SparkSpec {
   }
 }
 
+class SemDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  // two tight clusters around orthogonal axes + one isolated vector;
+  // ids 0 and 1 double as the two cell centroids (smallest ids)
+  private val vecs = Seq(
+    (0L, Seq(1.0, 0.0, 0.0, 0.0)),
+    (1L, Seq(0.0, 1.0, 0.0, 0.0)),
+    (2L, Seq(0.999, 0.04, 0.0, 0.0)),   // near-dup of 0
+    (3L, Seq(0.998, 0.06, 0.0, 0.0)),   // near-dup of 0 and 2
+    (4L, Seq(0.05, 0.998, 0.0, 0.0)),   // near-dup of 1
+    (5L, Seq(0.6, 0.8, 0.0, 0.0))       // in cell 1, but not near anything
+  ).toDF("vec_id", "embedding")
+
+  private def run(t: Double) =
+    Similarity.semDedup(vecs, "vec_id", "embedding", numCells = 2, threshold = t)
+      .orderBy("vec_id")
+      .select($"vec_id", $"cell", $"comp", $"keep")
+      .as[(Long, Long, Long, Boolean)].collect()
+
+  test("one representative survives per in-cell near-dup group") {
+    val r = run(0.99).map(x => x._1 -> x).toMap
+    assert(r(0L) == ((0L, 0L, 0L, true)))   // keeper of {0,2,3}
+    assert(r(2L) == ((2L, 0L, 0L, false)))
+    assert(r(3L) == ((3L, 0L, 0L, false)))
+    assert(r(1L) == ((1L, 1L, 1L, true)))   // keeper of {1,4}
+    assert(r(4L) == ((4L, 1L, 1L, false)))
+    assert(r(5L)._4 && r(5L)._3 == 5L)      // isolated: keeps itself
+  }
+
+  test("threshold 1.0+ keeps everything (no pairs survive)") {
+    val r = run(1.01)
+    assert(r.length == 6 && r.forall(_._4))
+  }
+
+  test("deterministic under input partitioning") {
+    val a = Similarity.semDedup(vecs.repartition(5), "vec_id", "embedding",
+      numCells = 2, threshold = 0.99).orderBy("vec_id").collect().toSeq
+    val b = Similarity.semDedup(vecs.coalesce(1), "vec_id", "embedding",
+      numCells = 2, threshold = 0.99).orderBy("vec_id").collect().toSeq
+    assert(a == b)
+  }
+}
+
 class VocabCoverageSpec extends SparkSpec {
   import spark.implicits._
 
