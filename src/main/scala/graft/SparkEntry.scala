@@ -594,7 +594,15 @@ object SparkEntry {
     // Batch-bucketing curriculum: deterministic decile bins over token
     // counts with per-bin stats.
     "q62_length_curriculum" -> q((s, d) =>
-      TextAnalysis.lengthCurriculum(Tables.documents(s, d), "doc_id", "text"))
+      TextAnalysis.lengthCurriculum(Tables.documents(s, d), "doc_id", "text")),
+
+    // Sharded-export manifest: the per-shard contract (membership by
+    // md5 bucket, counts, id ranges, payload totals) that writeShards
+    // materializes as files — the assignment expression is shared, so
+    // verifying the manifest verifies the export.
+    "q63_shard_manifest" -> q((s, d) =>
+      Export.manifest(Tables.documents(s, d), "doc_id", "text",
+        numShards = 16))
   ) ++ NonSqlQueries.queries
 
   // ---- DuckDB oracles -------------------------------------------------
@@ -1285,6 +1293,20 @@ object SparkEntry {
            CAST(max(n_tokens) AS BIGINT) AS max_tokens,
            CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
          FROM b GROUP BY bin""",
+
+    // Shard-manifest replay: q46's md5-bucket recipe with a 16-way
+    // modulus; group sums cast BIGINT (DuckDB HUGEINT).
+    "q63_shard_manifest" ->
+      """WITH s AS (
+           SELECT doc_id, text,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6) AS BIGINT) % 16 AS shard
+           FROM documents)
+         SELECT shard,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(min(doc_id) AS BIGINT) AS min_id,
+           CAST(max(doc_id) AS BIGINT) AS max_id,
+           CAST(sum(length(COALESCE(text, ''))) AS BIGINT) AS payload_chars
+         FROM s GROUP BY shard""",
 
     // ---- x-queries DuckDB CAN replay (list lambdas + HUGEINT) --------
     // These started as rows-only checks; the oracles below replicate

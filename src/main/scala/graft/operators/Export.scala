@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Sharded corpus export — the last step of a training-data pipeline:
+  * pack the cleaned corpus into a FIXED number of deterministic,
+  * reproducible shard files that a training job reads back with no
+  * coordination (shard i of N by filename).
+  *
+  * Shard assignment is an md5 bucket of the id — the same
+  * engine-portable recipe as [[Sampling]]'s splits (q46): any system
+  * that can md5 a string reproduces the exact membership, so the
+  * engine, the trainer's data loader, and the SQL oracle all agree on
+  * which rows live in which shard, forever, with no stored mapping.
+  *
+  * Scale shape: ONE shuffle, keyed on the shard (repartition by the
+  * shard column into exactly `numShards` partitions), rows sorted
+  * within each shard by id (`sortWithinPartitions` — a per-partition
+  * sort, NO global sort / range exchange), then a partitioned parquet
+  * write. Each shard is one task writing one directory —
+  * `maxRecordsPerFile` splits oversized shards into numbered parts
+  * without re-shuffling. Reproducible end-to-end: same input → same
+  * shard membership, same in-file row order.
+  */
+object Export {
+
+  /** Deterministic shard id ∈ [0, numShards): first 6 md5 hex chars
+    * of the id, mod numShards (uniform for any numShards ≪ 2^24 —
+    * the q46/q57 bucket recipe). */
+  def shardKey(id: Column, numShards: Int): Column =
+    conv(substring(md5(id.cast("string")), 1, 6), 16, 10)
+      .cast("long") % numShards
+
+  /** The export plan: input rows + their shard assignment,
+    * repartitioned so shard == Spark partition, sorted by id within
+    * each shard. Exposed separately so the assignment is testable and
+    * oracle-checkable without touching a filesystem. */
+  def sharded(df: DataFrame, idCol: String, numShards: Int): DataFrame =
+    df.withColumn("shard", shardKey(col(idCol), numShards))
+      .repartition(numShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col(idCol))
+
+  /** Write `df` as `numShards` deterministic shards under `dir`
+    * (`dir/shard=N/part-*.parquet`). Readers prune by shard directory
+    * (`spark.read.parquet(dir).where(col("shard") === i)` never
+    * touches other shards' files). */
+  def writeShards(df: DataFrame, idCol: String, dir: String,
+                  numShards: Int, maxRecordsPerFile: Long = 0L): Unit =
+    sharded(df, idCol, numShards)
+      .write
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy("shard")
+      .mode("overwrite")
+      .parquet(dir)
+
+  /** The shard manifest a pipeline records next to the data: per-shard
+    * row count, id range, and byte-ish payload total. Computed from
+    * the same assignment expression, so it is exact for the files
+    * [[writeShards]] writes — and SQL-replayable, which keeps the
+    * whole export contract oracle-verified. */
+  def manifest(df: DataFrame, idCol: String, payloadCol: String,
+               numShards: Int): DataFrame =
+    df.withColumn("shard", shardKey(col(idCol), numShards))
+      .groupBy(col("shard"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        min(col(idCol)).as("min_id"),
+        max(col(idCol)).as("max_id"),
+        sum(length(coalesce(col(payloadCol), lit(""))).cast("long"))
+          .as("payload_chars"))
+}

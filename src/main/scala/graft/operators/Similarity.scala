@@ -360,11 +360,24 @@ object Similarity {
     * rounds — near-dup clusters are dense, diameters tiny. */
   def semDedup(df: DataFrame, idCol: String, vecCol: String,
                numCells: Int = 8, threshold: Double = 0.95,
-               maxCell: Int = 8192): DataFrame = {
+               maxCell: Int = 8192): DataFrame =
+    semDedupWith(df, idCol, vecCol,
+      df.orderBy(col(idCol)).limit(numCells)
+        .select(col(idCol).cast("long").as("cid"), asDouble(col(vecCol)).as("cvec")),
+      threshold, maxCell)
+
+  /** [[semDedup]] against an explicit `(cid, cvec)` centroid table —
+    * the entry point for TRAINED cells ([[kmeansCentroids]] output
+    * plugs in directly, like [[ivfTopKWith]] for ANN). Trained cells
+    * are not oracle-replayable (spec-covered); the verdict semantics
+    * are identical. */
+  def semDedupWith(df: DataFrame, idCol: String, vecCol: String,
+                   centroids: DataFrame, threshold: Double,
+                   maxCell: Int = 8192): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val cents = df.orderBy(col(idCol)).limit(numCells)
-      .select(col(idCol).cast("long").as("cid"), asDouble(col(vecCol)).as("cvec"))
+    val cents = centroids
+      .select(col("cid"), col("cvec"))
       .agg(collect_list(struct(col("cid"), col("cvec"))).as("cents"))
       .localCheckpoint() // broadcast of a live subtree re-runs it per exchange
     val assigned = df.crossJoin(broadcast(cents))

@@ -131,6 +131,22 @@ class SemDedupSpec extends SparkSpec {
       numCells = 2, threshold = 0.99).orderBy("vec_id").collect().toSeq
     assert(a == b)
   }
+
+  test("trained (k-means) cells plug into the same verdict path") {
+    val trained = Similarity.kmeansCentroids(vecs, "vec_id", "embedding",
+      k = 2, iters = 3)
+    val r = Similarity.semDedupWith(vecs, "vec_id", "embedding",
+      trained, threshold = 0.99)
+      .orderBy("vec_id")
+      .select($"vec_id", $"comp", $"keep")
+      .as[(Long, Long, Boolean)].collect()
+      .map(x => x._1 -> (x._2, x._3)).toMap
+    // cell ids are training artifacts, but the near-dup GROUPS and
+    // keep-one-per-group verdicts must match the deterministic path
+    assert(r(0L) == ((0L, true)) && r(2L) == ((0L, false)) && r(3L) == ((0L, false)))
+    assert(r(1L) == ((1L, true)) && r(4L) == ((1L, false)))
+    assert(r(5L) == ((5L, true)))
+  }
 }
 
 class VocabCoverageSpec extends SparkSpec {
