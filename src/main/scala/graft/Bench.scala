@@ -56,7 +56,9 @@ object Bench {
     // unordered) so total/failed/sf always land inside the tail
     // window even if the head of the queries map is clipped.
     def fmt(v: Double): String = {
-      val s = f"$v%.2f"
+      // explicit ROOT locale: a comma-decimal default (de_DE etc.)
+      // would emit "0,53" — invalid JSON
+      val s = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
       if (s.contains('.')) s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse else s
     }
     val qsCompact = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }

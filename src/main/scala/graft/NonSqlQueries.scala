@@ -213,6 +213,15 @@ object NonSqlQueries {
         threshold = 0.5)
         .select(col("doc_id"), col("comp"), col("keep"))),
 
+    // Scale-path length curriculum: approx-quantile boundaries +
+    // scan-local bin assignment (no global window). Sketch boundaries
+    // are not SQL-replayable, so rows-only here; q62's exact ntile
+    // stays the oracle-checked contract and LengthCurriculumSpec
+    // proves the two agree doc-for-doc on tie-free distributions.
+    "x25_length_curriculum_approx" -> q((s, d) =>
+      TextAnalysis.lengthCurriculumApprox(Tables.documents(s, d),
+        "doc_id", "text")),
+
     // SQL-registration surface smoke: the library's functions usable
     // from spark.sql.
     "x17_sql_functions" -> q((s, d) => {

@@ -1197,7 +1197,7 @@ object SparkEntry {
     "q59_paragraph_dedup" ->
       """WITH aug AS (
            SELECT doc_id,
-             replace(replace(text, ' table ', ' table' || chr(10) || chr(10)),
+             replace(replace(COALESCE(text, ''), ' table ', ' table' || chr(10) || chr(10)),
                      ' data ', ' data' || chr(10) || chr(10)) AS t
            FROM documents),
          l AS (SELECT doc_id, string_split(t, chr(10) || chr(10)) AS ps FROM aug),

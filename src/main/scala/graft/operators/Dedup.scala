@@ -164,8 +164,11 @@ object Dedup {
     * twice. */
   def paragraphDedup(df: DataFrame, idCol: String, textCol: String,
                      sep: String = "\n\n"): DataFrame = {
+    // coalesce keeps the one-row-per-input-doc contract for NULL text
+    // (split(NULL) would explode to zero rows and silently drop the
+    // doc); a NULL doc becomes one empty paragraph, like ''
     val paras = df
-      .select(col(idCol), posexplode(split(col(textCol),
+      .select(col(idCol), posexplode(split(coalesce(col(textCol), lit("")),
         java.util.regex.Pattern.quote(sep))).as(Seq("pos", "para")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(md5(col("para").cast("binary")))

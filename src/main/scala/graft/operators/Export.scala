@@ -18,24 +18,36 @@ import org.apache.spark.sql.functions._
   * shard column into exactly `numShards` partitions), rows sorted
   * within each shard by id (`sortWithinPartitions` — a per-partition
   * sort, NO global sort / range exchange), then a partitioned parquet
-  * write. Each shard is one task writing one directory —
-  * `maxRecordsPerFile` splits oversized shards into numbered parts
-  * without re-shuffling. Reproducible end-to-end: same input → same
-  * shard membership, same in-file row order.
+  * write. Hash partitioning may co-locate several shard values in one
+  * task (and leave other tasks empty) — that is fine: `partitionBy`
+  * still writes each shard to its own directory, the `(shard, id)`
+  * within-partition sort keeps every directory's row order
+  * deterministic, and `maxRecordsPerFile` splits oversized shards
+  * into numbered parts without re-shuffling. Reproducible
+  * end-to-end: same input → same shard membership, same in-file row
+  * order.
   */
 object Export {
 
   /** Deterministic shard id ∈ [0, numShards): first 6 md5 hex chars
     * of the id, mod numShards (uniform for any numShards ≪ 2^24 —
-    * the q46/q57 bucket recipe). */
-  def shardKey(id: Column, numShards: Int): Column =
+    * the q46/q57 bucket recipe). The uniformity precondition is
+    * enforced: 2^20 keeps the worst-case modulus bias below
+    * 2^20/2^24 ≈ 6%, and no real export wants a million shards. */
+  def shardKey(id: Column, numShards: Int): Column = {
+    require(numShards > 0 && numShards < (1 << 20),
+      s"numShards must be in [1, 2^20) for an unbiased md5-prefix " +
+        s"modulus (got $numShards)")
     conv(substring(md5(id.cast("string")), 1, 6), 16, 10)
       .cast("long") % numShards
+  }
 
   /** The export plan: input rows + their shard assignment,
-    * repartitioned so shard == Spark partition, sorted by id within
-    * each shard. Exposed separately so the assignment is testable and
-    * oracle-checkable without touching a filesystem. */
+    * repartitioned on the shard key (each Spark partition holds whole
+    * shards — possibly more than one, hash collisions permitting),
+    * sorted by `(shard, id)` within each partition. Exposed separately
+    * so the assignment is testable and oracle-checkable without
+    * touching a filesystem. */
   def sharded(df: DataFrame, idCol: String, numShards: Int): DataFrame =
     df.withColumn("shard", shardKey(col(idCol), numShards))
       .repartition(numShards, col("shard"))

@@ -361,12 +361,13 @@ object TextAnalysis {
     *
     * Scale note: ntile is a single global window — the one operator
     * class that cannot shard by key. At 100 TB the same curriculum
-    * comes from a FIXED-BOUNDARY variant: one pass computes the
+    * comes from [[lengthCurriculumApprox]]: one pass computes the
     * approx quantiles of n_tokens (`approx_percentile`, a mergeable
-    * sketch), and a scan-local `CASE` assigns bins — no global sort
-    * at all. The exact-ntile form stays the oracle-checkable contract
-    * (approx sketches are not replayable); both bin docs of similar
-    * length together, which is all packing needs. */
+    * sketch), and a scan-local comparison chain assigns bins — no
+    * global sort at all. The exact-ntile form stays the
+    * oracle-checkable contract (approx sketches are not replayable);
+    * both bin docs of similar length together, which is all packing
+    * needs. */
   def lengthCurriculum(df: DataFrame, idCol: String, textCol: String,
                        bins: Int = 10): DataFrame = {
     val nToks = size(Analyzer.tokenize(coalesce(col(textCol), lit(""))))
@@ -382,4 +383,60 @@ object TextAnalysis {
         max(col("n_tokens")).as("max_tokens"),
         sum(col("n_tokens")).as("sum_tokens"))
   }
+
+  /** Per-doc bin assignment for the SCALE-PATH curriculum — the
+    * fixed-boundary variant [[lengthCurriculum]]'s Scaladoc promises.
+    * One aggregation computes the `bins-1` approximate quantile
+    * boundaries of `n_tokens` (`percentile_approx`, a mergeable
+    * Greenwald-Khanna sketch — only sketch partials shuffle, never
+    * rows), the 1-row boundary frame broadcasts, and a scan-local
+    * chain of `bins-1` comparisons assigns each doc its bin. NO
+    * global sort, NO un-partitioned window — every corpus-sized
+    * stage is embarrassingly parallel.
+    *
+    * Bin semantics: `bin = 1 + |{i : n_tokens > boundary_i}|`, so
+    * ties at a boundary all land in the lower bin — assignment is a
+    * deterministic monotone function of `n_tokens` (equal lengths
+    * always share a bin, unlike exact ntile which splits ties to
+    * even out populations). Populations are near-decile to sketch
+    * accuracy; the comparison chain is static (`element_at` per
+    * term), so the whole assignment stays inside WholeStageCodegen —
+    * no higher-order-function fallback.
+    *
+    * Emits `(idCol, n_tokens, bin)` — one row per input doc. */
+  def lengthCurriculumApproxAssign(df: DataFrame, idCol: String,
+                                   textCol: String, bins: Int = 10,
+                                   accuracy: Int = 10000): DataFrame = {
+    require(bins >= 2, s"need at least 2 bins (got $bins)")
+    val nToks = size(Analyzer.tokenize(coalesce(col(textCol), lit(""))))
+      .cast("long")
+    val lens = df.select(col(idCol), nToks.as("n_tokens"))
+    val probs = (1 until bins).map(i => lit(i.toDouble / bins))
+    val bnd = lens.agg(percentile_approx(col("n_tokens"),
+      array(probs: _*), lit(accuracy)).as("__bnd"))
+    val binExpr = (1 until bins)
+      .map(i => when(col("n_tokens") > element_at(col("__bnd"), i), 1L)
+        .otherwise(0L))
+      .foldLeft(lit(1L))(_ + _)
+    lens.crossJoin(broadcast(bnd))
+      .withColumn("bin", binExpr)
+      .select(col(idCol), col("n_tokens"), col("bin"))
+  }
+
+  /** Per-bin curriculum stats from the approx assignment — the same
+    * output shape as [[lengthCurriculum]] (`bin, n_docs, min_tokens,
+    * max_tokens, sum_tokens`), produced without any global sort: the
+    * only wide shuffle is the bins-row final aggregation, shrunk to
+    * `bins` rows per task by map-side partial aggregation. This is
+    * the 100 TB form; the exact-ntile twin remains the oracle
+    * contract (sketches are not SQL-replayable). */
+  def lengthCurriculumApprox(df: DataFrame, idCol: String, textCol: String,
+                             bins: Int = 10, accuracy: Int = 10000): DataFrame =
+    lengthCurriculumApproxAssign(df, idCol, textCol, bins, accuracy)
+      .groupBy(col("bin"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        min(col("n_tokens")).as("min_tokens"),
+        max(col("n_tokens")).as("max_tokens"),
+        sum(col("n_tokens")).as("sum_tokens"))
 }

@@ -83,4 +83,11 @@ class ExportSpec extends SparkSpec {
     assert(files.length >= 8)
     assert(spark.read.parquet(dir).count() == 200)
   }
+
+  test("shardKey enforces its uniformity precondition") {
+    intercept[IllegalArgumentException] { Export.shardKey($"doc_id", 0) }
+    intercept[IllegalArgumentException] { Export.shardKey($"doc_id", 1 << 20) }
+    // boundary value just inside the contract still builds
+    Export.shardKey($"doc_id", (1 << 20) - 1)
+  }
 }
