@@ -602,7 +602,17 @@ object SparkEntry {
     // verifying the manifest verifies the export.
     "q63_shard_manifest" -> q((s, d) =>
       Export.manifest(Tables.documents(s, d), "doc_id", "text",
-        numShards = 16))
+        numShards = 16)),
+
+    // CCNet deployment shape: train the bigram LM on HALF the corpus
+    // (even doc ids), score EVERY doc under it — odd docs hit
+    // out-of-model bigrams and get charged the floor logprob, with
+    // the miss count surfaced as n_oov.
+    "q64_lm_score_holdout" -> q((s, d) => {
+      val docs = Tables.documents(s, d)
+      LmScore.bigramScoreWith(docs, "doc_id", "text",
+        LmScore.train(docs.filter(col("doc_id") % 2 === 0), "doc_id", "text"))
+    })
   ) ++ NonSqlQueries.queries
 
   // ---- DuckDB oracles -------------------------------------------------
@@ -1247,6 +1257,44 @@ object SparkEntry {
            FROM bg JOIN lm USING (w1, w2) GROUP BY doc_id)
          SELECT d.doc_id,
            CAST(COALESCE(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           CAST(COALESCE(sc.lp_sum_q, 0) AS BIGINT) AS lp_sum_q,
+           CASE WHEN COALESCE(sc.n_bigrams, 0) = 0 THEN 0.0
+                ELSE CAST(COALESCE(sc.lp_sum_q, 0) AS DOUBLE)
+                     / CAST(sc.n_bigrams AS DOUBLE) END AS avg_lp_q
+         FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id""",
+
+    // Holdout-LM replay: q60's pipeline with the model trained on the
+    // even-id half only, applied via LEFT join — unseen bigrams take
+    // the quantized floor literal (DefaultFloorLpQ), so the miss
+    // penalty is integer-exact on both engines.
+    "q64_lm_score_holdout" ->
+      s"""WITH t AS (
+           SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(COALESCE(text, '')), '[^a-z0-9'']+'),
+                         x -> length(x) > 0) AS toks
+           FROM documents),
+         bg AS (
+           SELECT doc_id,
+             unnest([{'w1': toks[i], 'w2': toks[i + 1]}
+                     for i in generate_series(1, len(toks) - 1)],
+                    recursive := true)
+           FROM t),
+         bc AS (SELECT w1, w2, count(*) AS c12 FROM bg
+                WHERE doc_id % 2 = 0 GROUP BY w1, w2),
+         cc AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM bc GROUP BY w1),
+         lm AS (
+           SELECT w1, w2,
+             CAST(floor(ln(CAST(c12 AS DOUBLE) / CAST(c1 AS DOUBLE))
+                        * 1000000.0 + 0.5) AS BIGINT) AS lp_q
+           FROM bc JOIN cc USING (w1)),
+         sc AS (
+           SELECT doc_id, count(*) AS n_bigrams,
+             sum(CASE WHEN lp_q IS NULL THEN 1 ELSE 0 END) AS n_oov,
+             sum(COALESCE(lp_q, ${operators.LmScore.DefaultFloorLpQ})) AS lp_sum_q
+           FROM bg LEFT JOIN lm USING (w1, w2) GROUP BY doc_id)
+         SELECT d.doc_id,
+           CAST(COALESCE(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           CAST(COALESCE(sc.n_oov, 0) AS BIGINT) AS n_oov,
            CAST(COALESCE(sc.lp_sum_q, 0) AS BIGINT) AS lp_sum_q,
            CASE WHEN COALESCE(sc.n_bigrams, 0) = 0 THEN 0.0
                 ELSE CAST(COALESCE(sc.lp_sum_q, 0) AS DOUBLE)

@@ -11,11 +11,16 @@ import graft.functions.Analyzer
   * model there). Here the model is a bigram MLE trained ON the corpus
   * being scored, entirely inside the engine — the "train a model over
   * 100 TB, then apply it to the same 100 TB" shape that a pretraining
-  * pipeline runs daily.
+  * pipeline runs daily. Both deployment shapes are first-class:
+  * [[LmScore.bigramScore]] trains and scores the same corpus in one
+  * call; [[LmScore.train]] + [[LmScore.bigramScoreWith]] split the
+  * phases so a model trained on reference corpus A scores held-out
+  * corpus B, with unseen bigrams charged a floor logprob.
   *
   * Model: logprob(w2 | w1) = ln(C(w1 w2) / C(w1 ·)) over corpus bigram
-  * counts (MLE, no smoothing needed — every scored bigram was counted,
-  * so C > 0 by construction). A document's score is its mean bigram
+  * counts (MLE; in the self-train shape every scored bigram was
+  * counted, so C > 0 by construction and no smoothing is needed — the
+  * held-out shape floors misses instead). A document's score is its mean bigram
   * logprob; higher = more typical text, the low tail is boilerplate /
   * noise / wrong-language contamination.
   *
@@ -46,50 +51,92 @@ import graft.functions.Analyzer
   */
 object LmScore {
 
-  /** Per-doc bigram LM score. Emits `(idCol, n_bigrams, lp_sum_q,
-    * avg_lp_q)`: the bigram count, the integer micro-nat logprob sum,
-    * and their ratio as one double division of identical operands
-    * (IEEE-identical on both engines). Docs with < 2 tokens carry
-    * n_bigrams = 0 and a 0.0 average (not null — see the scored-frame
-    * contract in [[Search]]). */
-  def bigramScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  /** Default out-of-vocabulary penalty: -20 nats in the micro-nat
+    * grid (p ≈ 2e-9 — well below any MLE estimate a real corpus
+    * produces, so unseen bigrams always score WORSE than seen ones;
+    * CCNet's KenLM plays the same card with its <unk> backoff). */
+  val DefaultFloorLpQ: Long = -20000000L
+
+  /** Sliding (id, w1, w2) bigram occurrences: zip the token array
+    * with its own tail in the scan, THEN explode — one pass, no
+    * self-join, no window, and the array never leaves the scan
+    * stage. */
+  private def slidingBigrams(df: DataFrame, idCol: String,
+                             textCol: String): DataFrame = {
     val toks = Analyzer.tokenize(coalesce(col(textCol), lit("")))
-    val docToks = df.select(col(idCol), toks.as("__toks"))
-
-    // (doc, w1, w2) occurrences: zip the token array with its own
-    // tail in the scan, THEN explode — one pass, no self-join, no
-    // window, and the array never leaves the scan stage
-    val slid = docToks.select(col(idCol),
-      explode(zip_with(
-        slice(col("__toks"), lit(1), greatest(size(col("__toks")) - 1, lit(0))),
-        slice(col("__toks"), lit(2), greatest(size(col("__toks")) - 1, lit(0))),
-        (a, b) => struct(a.as("w1"), b.as("w2")))).as("__bg"))
+    df.select(col(idCol), toks.as("__toks"))
+      .select(col(idCol),
+        explode(zip_with(
+          slice(col("__toks"), lit(1), greatest(size(col("__toks")) - 1, lit(0))),
+          slice(col("__toks"), lit(2), greatest(size(col("__toks")) - 1, lit(0))),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("__bg"))
       .select(col(idCol), col("__bg.w1").as("w1"), col("__bg.w2").as("w2"))
+  }
 
-    // bigram types with their corpus counts; unigram-context counts
-    // roll up from the type table (shuffle 1 + tiny shuffle 2)
+  /** Train a bigram MLE on `df` and return the quantized LM table
+    * `(w1, w2, lp_q)` — the model artifact. Persist it, hand it to
+    * [[bigramScoreWith]], ship it to another corpus: the table IS the
+    * model, vocab-sized and engine-portable (integer micro-nats).
+    *
+    * Shuffle shape: bigram-type counts (map-side partial agg shrinks
+    * the shuffle to the TYPE cardinality) + the tiny context rollup —
+    * the corpus itself never moves. */
+  def train(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val slid = slidingBigrams(df, idCol, textCol)
     val bigramCounts = slid.groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).as("c12"))
     val contextCounts = bigramCounts.groupBy(col("w1"))
       .agg(sum(col("c12")).as("c1"))
-    val lmTable = bigramCounts.join(contextCounts, "w1")
+    bigramCounts.join(contextCounts, "w1")
       .withColumn("lp_q",
         floor(log(col("c12").cast("double") / col("c1").cast("double"))
           * 1000000.0 + 0.5).cast("long"))
       .select(col("w1"), col("w2"), col("lp_q"))
+  }
 
-    // apply: join occurrences to the type table, sum integers per doc
-    val scored = slid.join(lmTable, Seq("w1", "w2"))
+  /** Score `df` under a PRE-TRAINED LM table — the actual CCNet
+    * deployment shape (train on reference corpus A, score held-out
+    * corpus B). Bigrams absent from the model take `floorLpQ` via a
+    * LEFT join, so OOV-heavy junk is PENALIZED, never silently
+    * skipped: `n_bigrams` counts every bigram the doc has, `n_oov`
+    * how many missed the model, and the sum charges each miss the
+    * floor. (An inner join here would drop unseen bigrams from both
+    * count and sum — inflating scores for exactly the documents a
+    * quality filter exists to catch.)
+    *
+    * Emits `(idCol, n_bigrams, n_oov, lp_sum_q, avg_lp_q)`; docs with
+    * < 2 tokens carry zeros and a 0.0 average (not null — the
+    * scored-frame contract in [[Search]]). The model table joins on
+    * (w1, w2): AQE broadcasts it while vocab-sized and falls back to
+    * a sort-merge join past the threshold. */
+  def bigramScoreWith(df: DataFrame, idCol: String, textCol: String,
+                      lmTable: DataFrame,
+                      floorLpQ: Long = DefaultFloorLpQ): DataFrame = {
+    val slid = slidingBigrams(df, idCol, textCol)
+    val scored = slid.join(lmTable, Seq("w1", "w2"), "left")
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_bigrams"), sum(col("lp_q")).as("lp_sum_q"))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        sum(when(col("lp_q").isNull, 1L).otherwise(0L)).as("n_oov"),
+        sum(coalesce(col("lp_q"), lit(floorLpQ))).as("lp_sum_q"))
 
     // left join restores short docs (0/1 tokens: no bigrams)
     df.select(col(idCol))
       .join(scored, Seq(idCol), "left")
       .withColumn("n_bigrams", coalesce(col("n_bigrams"), lit(0L)))
+      .withColumn("n_oov", coalesce(col("n_oov"), lit(0L)))
       .withColumn("lp_sum_q", coalesce(col("lp_sum_q"), lit(0L)))
       .withColumn("avg_lp_q",
         when(col("n_bigrams") === 0, 0.0)
           .otherwise(col("lp_sum_q").cast("double") / col("n_bigrams").cast("double")))
   }
+
+  /** Per-doc bigram LM score under a model trained ON the scored
+    * corpus itself (the self-train shape — every bigram was counted,
+    * so C > 0 and the OOV floor never fires; `n_oov` is identically
+    * 0 and is dropped to keep the q60 contract). Emits `(idCol,
+    * n_bigrams, lp_sum_q, avg_lp_q)`. */
+  def bigramScore(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    bigramScoreWith(df, idCol, textCol, train(df, idCol, textCol))
+      .select(col(idCol), col("n_bigrams"), col("lp_sum_q"), col("avg_lp_q"))
 }

@@ -87,6 +87,37 @@ class LmScoreSpec extends SparkSpec {
     val out = LmScore.bigramScore(docs, "doc_id", "text")
     assert(out.count() == 6 && out.select("doc_id").distinct().count() == 6)
   }
+
+  test("train/apply split: OOV bigrams floored and counted, not dropped") {
+    // model knows only "a b"; held-out doc 9 is pure OOV junk
+    val model = LmScore.train(docs.filter($"doc_id" <= 2L), "doc_id", "text")
+    val held = Seq(
+      (8L, "a b a b"),          // 3 bigrams: (a b) seen, (b a) unseen
+      (9L, "zz qq zz")          // 2 bigrams, all unseen
+    ).toDF("doc_id", "text")
+    val r = LmScore.bigramScoreWith(held, "doc_id", "text", model)
+      .select($"doc_id", $"n_bigrams", $"n_oov", $"lp_sum_q", $"avg_lp_q")
+      .as[(Long, Long, Long, Long, Double)].collect()
+      .map(t => t._1 -> (t._2, t._3, t._4, t._5)).toMap
+    val f = LmScore.DefaultFloorLpQ
+    // model: C(a b)=2, C(a .)=2 -> lp(b|a)=ln(1)=0 quantized
+    assert(r(8L) == ((3L, 1L, 2L * q(1.0) + f, (2L * q(1.0) + f) / 3.0)))
+    assert(r(9L) == ((2L, 2L, 2L * f, f.toDouble)))
+    // OOV-heavy junk scores strictly worse than in-model text —
+    // the property the inner join silently inverted
+    assert(r(9L)._4 < r(8L)._4)
+  }
+
+  test("self-train shape: bigramScore ≡ scoreWith(train(self)), n_oov = 0") {
+    val viaSplit = LmScore.bigramScoreWith(docs, "doc_id", "text",
+      LmScore.train(docs, "doc_id", "text"))
+    assert(viaSplit.filter($"n_oov" =!= 0L).count() == 0)
+    val a = LmScore.bigramScore(docs, "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq
+    val b = viaSplit.select($"doc_id", $"n_bigrams", $"lp_sum_q", $"avg_lp_q")
+      .orderBy("doc_id").collect().toSeq
+    assert(a == b)
+  }
 }
 
 class SemDedupSpec extends SparkSpec {
