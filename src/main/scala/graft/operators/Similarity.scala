@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Similarity search over embedding columns (array<float>): exact
@@ -284,15 +284,76 @@ object Similarity {
     * for n vectors ⇒ MBs at 100 TB), so it rides along as ONE
     * broadcast 1-row list; assignment is scan-local (fused JVM argmax
     * per row, no shuffle, no row blowup — a centroid crossJoin would
-    * 8× the scan). At rest the corpus would be PARTITIONED BY the
-    * assigned cell, turning the probe filter into partition pruning —
-    * locally the same predicate runs as one scan. */
+    * 8× the scan). At rest the corpus PARTITIONS BY the assigned cell
+    * ([[writeIvfPartitioned]]), turning the probe filter into
+    * partition pruning ([[ivfTopKAtRest]] — IvfAtRestSpec proves only
+    * nprobe directories are read). */
   def ivfTopK(df: DataFrame, idCol: String, vecCol: String, queryId: Long,
               numCentroids: Int = 8, nprobe: Int = 3, k: Int = 20): DataFrame =
     ivfTopKWith(df, idCol, vecCol,
       df.orderBy(col(idCol)).limit(numCentroids)
         .select(col(idCol).cast("long").as("cid"), asDouble(col(vecCol)).as("cvec")),
       queryId, nprobe, k)
+
+  // ---- IVF at rest: cell-partitioned corpus layout --------------------
+
+  /** The `numCentroids` smallest-id vectors as an explicit centroid
+    * table — the deterministic coarse quantizer [[ivfTopK]] uses,
+    * exposed so the SAME cells drive both the in-memory probe and the
+    * at-rest layout. */
+  def smallestIdCentroids(df: DataFrame, idCol: String, vecCol: String,
+                          numCentroids: Int): DataFrame =
+    df.orderBy(col(idCol)).limit(numCentroids)
+      .select(col(idCol).cast("long").as("cid"), asDouble(col(vecCol)).as("cvec"))
+
+  /** Write the corpus PARTITIONED BY its IVF cell — the inverted-file
+    * layout materialized as directory structure (`dir/cell=N/…`), so
+    * a probe becomes partition PRUNING instead of a filter over a
+    * full scan. This is the at-rest claim of [[ivfTopK]]'s Scaladoc
+    * made real: assignment is the same scan-local broadcast argmax
+    * (one pass, no shuffle beyond the cell-keyed repartition before
+    * the write), and [[ivfTopKAtRest]] reads back only `nprobe`
+    * directories — at 100 TB, the difference between scanning
+    * everything and scanning nprobe/numCells of it. */
+  def writeIvfPartitioned(df: DataFrame, idCol: String, vecCol: String,
+                          centroids: DataFrame, dir: String): Unit = {
+    val cents = centroids
+      .agg(collect_list(struct(col("cid"), col("cvec"))).as("cents"))
+      .localCheckpoint() // broadcast of a live subtree re-runs it per exchange
+    df.crossJoin(broadcast(cents))
+      .withColumn("cell", assignUdf(asDouble(col(vecCol)), col("cents")))
+      .drop("cents")
+      .repartition(col("cell"))
+      .write.partitionBy("cell").mode("overwrite").parquet(dir)
+  }
+
+  /** IVF top-k over a [[writeIvfPartitioned]] layout: pick the query's
+    * `nprobe` nearest cells, read ONLY those cell directories
+    * (`cell IN (…)` is a literal predicate, so it lands in the scan's
+    * PartitionFilters — untouched cells contribute no files, no I/O),
+    * and exact-rank the survivors. Two driver-side scalars by design,
+    * both model-sized, never corpus-sized: the centroid table (the
+    * model — k×dim doubles) and the single query vector (its point
+    * lookup pushes `idCol = queryId` down to the parquet scan).
+    * Emits `(idCol, assigned, cos)` — the [[ivfTopK]] schema, so the
+    * two paths are interchangeable. */
+  def ivfTopKAtRest(spark: SparkSession, dir: String, idCol: String,
+                    vecCol: String, centroids: DataFrame, queryId: Long,
+                    nprobe: Int = 3, k: Int = 20): DataFrame = {
+    val cents = centroids.select(col("cid"), col("cvec"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+    val corpus = spark.read.parquet(dir)
+    val qv = corpus.filter(col(idCol) === queryId)
+      .select(asDouble(col(vecCol))).head().getSeq[Double](0)
+    val probes = ivfProbeOf(qv, cents, nprobe)
+    val qvLit = typedLit[Seq[Double]](qv)
+    corpus
+      .filter(col("cell").isin(probes: _*) && col(idCol) =!= queryId)
+      .select(col(idCol), col("cell").cast("long").as("assigned"),
+        cosineFast(asDouble(col(vecCol)), qvLit).as("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
 
   /** Embedding-cosine near-duplicate pairs via LSH buckets: pairs that
     * share a bucket AND pass the exact cosine threshold. One groupBy
