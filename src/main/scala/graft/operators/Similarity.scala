@@ -202,7 +202,7 @@ object Similarity {
   private def centsOf(rows: Seq[org.apache.spark.sql.Row]): Seq[(Long, Seq[Double])] =
     rows.map(r => (r.getLong(0), r.getSeq[Double](1)))
 
-  private val assignUdf = udf { (v: Seq[Double], cents: Seq[org.apache.spark.sql.Row]) =>
+  private[graft] val assignUdf = udf { (v: Seq[Double], cents: Seq[org.apache.spark.sql.Row]) =>
     ivfAssignOf(v, centsOf(cents))
   }
   private val probeUdf = udf { (v: Seq[Double], cents: Seq[org.apache.spark.sql.Row], nprobe: Int) =>
