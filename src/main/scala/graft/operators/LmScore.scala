@@ -131,6 +131,49 @@ object LmScore {
           .otherwise(col("lp_sum_q").cast("double") / col("n_bigrams").cast("double")))
   }
 
+  /** Broadcast-model apply — [[bigramScoreWith]] semantics as ONE
+    * scan-local projection: the quantized LM table (the model
+    * artifact, vocab-sized BY DESIGN — the same k×dim-class driver
+    * collect as [[Similarity.kmeansCentroids]]' centroid table)
+    * collects to a map and rides a broadcast variable; each row's
+    * (n_bigrams, n_oov, lp_sum_q) comes from a single integer pass
+    * over its token array. No joins, no aggregation, no state — the
+    * form that drops into an append-mode Structured Streaming chain,
+    * where bigramScoreWith's per-doc groupBy would demand
+    * watermark-windowed state. Unlike bigramScoreWith it KEEPS the
+    * input columns (it is a projection), so cleaning stages chain
+    * through it. Integer micro-nat sums are order-free, so the two
+    * forms agree bit-for-bit (LmScoreSpec asserts it). */
+  def bigramScoreBroadcast(df: DataFrame, textCol: String,
+                           lmTable: DataFrame,
+                           floorLpQ: Long = DefaultFloorLpQ): DataFrame = {
+    val model: Map[(String, String), Long] = lmTable
+      .select(col("w1"), col("w2"), col("lp_q"))
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    val bc = df.sparkSession.sparkContext.broadcast(model)
+    val scoreUdf = udf { (toks: Seq[String]) =>
+      var n = 0L; var oov = 0L; var s = 0L
+      var i = 0
+      while (i < toks.length - 1) {
+        bc.value.get((toks(i), toks(i + 1))) match {
+          case Some(v) => s += v
+          case None    => oov += 1; s += floorLpQ
+        }
+        n += 1; i += 1
+      }
+      (n, oov, s)
+    }
+    df.withColumn("__sc",
+        scoreUdf(Analyzer.tokenize(coalesce(col(textCol), lit("")))))
+      .withColumn("n_bigrams", col("__sc._1"))
+      .withColumn("n_oov", col("__sc._2"))
+      .withColumn("lp_sum_q", col("__sc._3"))
+      .withColumn("avg_lp_q",
+        when(col("n_bigrams") === 0, 0.0)
+          .otherwise(col("lp_sum_q").cast("double") / col("n_bigrams").cast("double")))
+      .drop("__sc")
+  }
+
   /** Per-doc bigram LM score under a model trained ON the scored
     * corpus itself (the self-train shape — every bigram was counted,
     * so C > 0 and the OOV floor never fires; `n_oov` is identically

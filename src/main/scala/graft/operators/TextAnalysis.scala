@@ -119,6 +119,12 @@ object TextAnalysis {
 
   private val repetitionUdf = udf { (text: String) => repetitionOf(text) }
 
+  /** The repetition kernel as a bare column — `(dup_unigram_frac,
+    * top_bigram_frac)` struct over any text column, for call sites
+    * that gate inline instead of taking [[repetitionStats]]'
+    * two-column projection (e.g. the streaming cleaning chain). */
+  def repetitionColumn(text: Column): Column = repetitionUdf(text)
+
   /** Per-doc repetition signals used as pretraining quality filters
     * (Rae et al. 2021 "Gopher" §A1.1: fraction of duplicated n-grams;
     * Raffel et al. 2020 "C4" dedup rules):
@@ -175,24 +181,45 @@ object TextAnalysis {
     * → reassemble; every lambda references only its own variable, so
     * nothing re-evaluates per element). Zero shuffles at any corpus
     * size. */
-  def c4LineClean(df: DataFrame, idCol: String, textCol: String,
-                  minWords: Int = 3,
-                  blocklist: Seq[String] = Seq("javascript", "lorem ipsum", "{"))
-      : DataFrame = {
-    val lines = split(coalesce(col(textCol), lit("")), "\n")
-    val keep = filter(lines, l => {
+  private def c4Lines(textCol: String): Column =
+    split(coalesce(col(textCol), lit("")), "\n")
+
+  private def c4Keep(textCol: String, minWords: Int,
+                     blocklist: Seq[String]): Column =
+    filter(c4Lines(textCol), l => {
       val t = trim(l)
       val words = filter(split(t, " +"), w => length(w) > 0)
       val blocked = blocklist.map(p => contains(lower(t), lit(p)))
         .reduce(_ || _)
       t.rlike("[.!?]$") && size(words) >= minWords && !blocked
     })
+
+  def c4LineClean(df: DataFrame, idCol: String, textCol: String,
+                  minWords: Int = 3,
+                  blocklist: Seq[String] = Seq("javascript", "lorem ipsum", "{"))
+      : DataFrame = {
+    val lines = c4Lines(textCol)
+    val keep = c4Keep(textCol, minWords, blocklist)
     df.select(col(idCol),
       size(lines).cast("long").as("n_lines"),
       size(keep).cast("long").as("n_kept"),
       length(array_join(keep, "\n")).cast("long").as("cleaned_len"),
       md5(array_join(keep, "\n").cast("binary")).as("cleaned_md5"))
   }
+
+  /** The REWRITE twin of [[c4LineClean]]: same keep rules, but emits
+    * the cleaned text itself (plus the untouched input columns) so
+    * downstream cleaning stages can chain on it — the form the
+    * streaming corpus pipeline consumes. Still a pure projection:
+    * zero shuffles, append-stream safe. ([[c4LineClean]]'s md5 digest
+    * stays the oracle-checkable contract; this emits what the digest
+    * summarizes.) */
+  def c4LineCleanText(df: DataFrame, textCol: String,
+                      outCol: String = "text_clean", minWords: Int = 3,
+                      blocklist: Seq[String] = Seq("javascript", "lorem ipsum", "{"))
+      : DataFrame =
+    df.withColumn(outCol,
+      array_join(c4Keep(textCol, minWords, blocklist), "\n"))
 
   // ---- span-level cross-doc dedup (line-dedup analog) -----------------
 

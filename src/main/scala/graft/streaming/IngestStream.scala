@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
 import org.apache.spark.sql.Row
 
-import graft.operators.{Dedup, Validate}
+import graft.operators.{Dedup, Envelope, Validate}
 
 /** The reference's ingest + landing paths as Structured Streaming
   * (SURVEY.md §2 T-1..T-5, §3.1/§3.2).
@@ -73,6 +73,36 @@ object IngestStream {
   def withProducerTrigger[T](w: DataStreamWriter[T],
                              intervalSeconds: Int = 300): DataStreamWriter[T] =
     w.trigger(Trigger.ProcessingTime(s"$intervalSeconds seconds"))
+
+  /** The reference's RESERVED `news-processed` output topic
+    * (create_topics.sh:23-30, kafka_config.py:9 — declared at setup
+    * but never produced to), wired for real: analyzed envelopes leave
+    * as a KEYED stream in the Kafka sink shape — `key` = the F-4
+    * message key (`source_url`), `value` = the A.3 processed doc as
+    * JSON. A pure projection, so it runs identically over the batch
+    * DAG's output and a streaming analyze chain; downstream consumers
+    * partition by the same key the ingest topic used, so one
+    * article's raw and processed records ride the same partition. */
+  def processedEnvelopes(analyzed: DataFrame): DataFrame =
+    analyzed.select(
+      Envelope.messageKey(col("source_api"), col("article.url")).as("key"),
+      to_json(struct(
+        col("source_api"),
+        Envelope.isoTimestamp(col("fetched_at")).as("fetched_at"),
+        Envelope.isoTimestamp(col("processed_at")).as("processed_at"),
+        col("article"), col("sentiment"))).as("value"))
+
+  /** Publish the processed stream exactly-once: the same checkpointed
+    * idempotent-anti-join sink as the landing path, keyed on the
+    * message key (a parquet dir stands in for the topic, as
+    * elsewhere). Redelivered or re-analyzed envelopes land nothing
+    * new. */
+  def runProcessedPublish(analyzed: DataFrame, targetDir: String,
+                          checkpointDir: String): StreamingQuery =
+    idempotentSink(processedEnvelopes(analyzed), targetDir, "key",
+      checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
 
   /** Full landing pipeline for tests/local: stream → validate/envelope →
     * watermark dedup → idempotent parquet sink, processed availableNow. */

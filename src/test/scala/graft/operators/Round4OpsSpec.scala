@@ -108,6 +108,20 @@ class LmScoreSpec extends SparkSpec {
     assert(r(9L)._4 < r(8L)._4)
   }
 
+  test("broadcast-model apply ≡ join-based apply, bit for bit") {
+    val model = LmScore.train(docs.filter($"doc_id" <= 3L), "doc_id", "text")
+    val held = docs.unionByName(Seq((9L, "zz qq")).toDF("doc_id", "text"))
+    val viaJoin = LmScore.bigramScoreWith(held, "doc_id", "text", model)
+      .orderBy("doc_id").collect().toSeq
+    val viaBcast = LmScore.bigramScoreBroadcast(held, "text", model)
+      .select($"doc_id", $"n_bigrams", $"n_oov", $"lp_sum_q", $"avg_lp_q")
+      .orderBy("doc_id").collect().toSeq
+    assert(viaJoin == viaBcast)
+    // and the broadcast form is a projection: input columns survive
+    val cols = LmScore.bigramScoreBroadcast(held, "text", model).columns.toSeq
+    assert(cols.startsWith(Seq("doc_id", "text")))
+  }
+
   test("self-train shape: bigramScore ≡ scoreWith(train(self)), n_oov = 0") {
     val viaSplit = LmScore.bigramScoreWith(docs, "doc_id", "text",
       LmScore.train(docs, "doc_id", "text"))

@@ -4,9 +4,11 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
-import graft.operators.{Pii, Sampling, TextAnalysis}
+import graft.operators.{LmScore, Pii, Sampling, TextAnalysis}
 
 case class Doc(doc_id: Long, text: String)
+
+case class TimedDoc(doc_id: Long, ts: java.sql.Timestamp, text: String)
 
 /** The training-data cleaning chain is stream-compatible: language ID,
   * quality scoring, token counts and repetition stats are stateless
@@ -57,6 +59,85 @@ class CorpusStreamSpec extends SparkSpec {
     assert(repOut(3L) > 0.8)  // six identical tokens
     assert(repOut(1L) < 0.2)  // "the" repeats once in nine tokens
     assert(repOut(4L) == 0.0)
+  }
+
+  test("full cleaning chain: line-clean → paragraph dedup (watermarked) → " +
+    "quality filters → LM score, as ONE streaming pipeline with late-data policy") {
+    implicit val sqlCtx = spark.sqlContext
+    val target = java.nio.file.Files.createTempDirectory("graft-chain").toString + "/t"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-chain-ckpt").toString
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+    // static pre-trained LM (the CCNet shape: model rides along)
+    val refCorpus = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog again and again.")
+    ).toDF("doc_id", "text")
+    val lm = LmScore.train(refCorpus, "doc_id", "text").localCheckpoint()
+
+    val mem = MemoryStream[TimedDoc]
+    // p1 appears in docs 1 AND 2 (cross-doc paragraph dup); doc 1 also
+    // carries a junk line the C4 rules drop (no terminal punct) and a
+    // repetition-heavy paragraph the quality gate drops
+    val p1 = "the quick brown fox jumps over the lazy dog."
+    val junk = "click here now"
+    val rep = "spam spam spam spam spam spam spam."
+    mem.addData(
+      TimedDoc(1L, ts("2024-01-01 10:00:00"), s"$p1\n$junk\n\n$rep"),
+      TimedDoc(2L, ts("2024-01-01 10:05:00"), s"$p1\n\nthe lazy dog naps."))
+
+    // ONE linear pipeline: every stage a projection/filter over the
+    // same stream (no self-joins); the paragraph dedup is the single
+    // stateful operator, bounded by the watermark. Paragraphs split
+    // FIRST (line cleaning then runs inside each paragraph — the
+    // other order erases the blank-line paragraph boundaries).
+    val paras = mem.toDF()
+      .select($"doc_id", $"ts",
+        posexplode(split($"text", "\n\n")).as(Seq("pos", "para_raw")))
+      .transform(TextAnalysis.c4LineCleanText(_, "para_raw", outCol = "para"))
+      .filter(length(trim($"para")) > 0)
+      .withColumn("para_md5", md5($"para".cast("binary")))
+      .withWatermark("ts", "30 minutes")
+      .dropDuplicatesWithinWatermark("para_md5")
+    val withRep = paras.withColumn("__rep",
+      TextAnalysis.repetitionColumn($"para"))
+    val gated = withRep
+      .filter($"__rep._1" < 0.5)
+      .drop("__rep")
+    val scored = LmScore.bigramScoreBroadcast(gated, "para", lm)
+      .filter($"n_bigrams" > 0)
+
+    def run() = scored.writeStream
+      .option("checkpointLocation", ckpt)
+      .format("parquet").option("path", target)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start().awaitTermination()
+    run()
+
+    val out1 = spark.read.parquet(target)
+    // p1 survived ONCE (doc 2's copy deduped), doc 2's unique paragraph
+    // survived, junk line removed by C4, spam paragraph gated out
+    assert(out1.count() == 2)
+    assert(out1.filter($"doc_id" === 1L).count() == 1)
+    val p1Row = out1.filter($"para" === p1).head()
+    assert(p1Row.getAs[Long]("n_bigrams") == 8L)
+    assert(p1Row.getAs[Long]("n_oov") == 0L)       // fully in-model
+    val uniqRow = out1.filter($"doc_id" === 2L).filter($"para" =!= p1).head()
+    assert(uniqRow.getAs[Long]("n_oov") > 0L)      // "naps" unseen
+
+    // advance the watermark well past the first batch...
+    mem.addData(TimedDoc(3L, ts("2024-01-01 12:00:00"), "fresh content arrives."))
+    run()
+    // ...then deliver LATE data (event time 9:00 < watermark 11:30):
+    // a duplicate of p1 AND a never-seen paragraph — the explicit
+    // late policy drops both at the stateful operator
+    mem.addData(TimedDoc(4L, ts("2024-01-01 09:00:00"),
+      s"$p1\n\nthis brand new late paragraph never appeared before."))
+    run()
+
+    val after = spark.read.parquet(target)
+    assert(after.count() == 3)                      // only doc 3 landed
+    assert(after.filter($"doc_id" === 4L).count() == 0)
   }
 
   test("PII scrub and mixture upsample are stream-compatible too") {

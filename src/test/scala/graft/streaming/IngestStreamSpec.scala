@@ -10,6 +10,9 @@ import graft.SparkSpec
 
 case class Msg(url: String, title: String, ts: Timestamp)
 
+case class RawArticle(url: String, title: String, description: String,
+                      content: String, ts: Timestamp)
+
 /** T-1..T-5 semantics via MemoryStream micro-batches (SURVEY.md §5.4):
   * effectively-once landing under duplicate delivery, validation drops,
   * idempotent re-processing. */
@@ -47,6 +50,57 @@ class IngestStreamSpec extends SparkSpec {
     val after = spark.read.parquet(target)
     assert(after.count() == 3)
     assert(after.filter($"key" === "newsapi_https://ex.com/a").count() == 1)
+  }
+
+  test("news-processed publish: keyed round-trip, exactly-once under redelivery") {
+    implicit val sqlCtx = spark.sqlContext
+    val target = Files.createTempDirectory("graft-proc").toString + "/t"
+    val ckpt = Files.createTempDirectory("graft-proc-ckpt").toString
+
+    val mem = MemoryStream[RawArticle]
+    mem.addData(
+      RawArticle("https://ex.com/good", "Great news", "wonderful happy success",
+        "the best outcome everyone loved it", ts("2024-01-01 10:00:00")),
+      RawArticle("https://ex.com/bad", "Terrible news", "awful sad failure",
+        "the worst disaster everyone hated it", ts("2024-01-01 10:01:00")))
+
+    def analyzed = graft.plans.BatchPipeline.analyze(
+      mem.toDF().select(
+        lit("newsapi").as("source_api"),
+        $"ts".as("fetched_at"),
+        struct($"url", $"title", $"description", $"content").as("article")))
+
+    IngestStream.runProcessedPublish(analyzed, target, ckpt).awaitTermination()
+
+    val out = spark.read.parquet(target)
+    assert(out.columns.toSeq == Seq("key", "value"))
+    assert(out.select("key").as[String].collect().toSet ==
+      Set("newsapi_https://ex.com/good", "newsapi_https://ex.com/bad"))
+    // the value is the A.3 processed doc as JSON: parseable, scored
+    val parsed = out.select(from_json($"value",
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "source_api STRING, fetched_at STRING, processed_at STRING, " +
+          "article STRUCT<url: STRING, title: STRING, description: STRING, " +
+          "content: STRING>, " +
+          "sentiment STRUCT<overall: STRING, confidence: DOUBLE, " +
+          "vader_compound: DOUBLE, textblob_polarity: DOUBLE>"))
+      .as("v"))
+    val byUrl = parsed.select($"v.article.url", $"v.sentiment.overall")
+      .as[(String, String)].collect().toMap
+    assert(byUrl("https://ex.com/good") == "positive")
+    assert(byUrl("https://ex.com/bad") == "negative")
+
+    // redelivery + one genuinely new article: exactly one new row lands
+    mem.addData(
+      RawArticle("https://ex.com/good", "Great news", "wonderful happy success",
+        "the best outcome everyone loved it", ts("2024-01-01 10:10:00")),
+      RawArticle("https://ex.com/new", "Neutral news", "a report",
+        "facts were stated", ts("2024-01-01 10:11:00")))
+    IngestStream.runProcessedPublish(analyzed, target, ckpt).awaitTermination()
+
+    val after = spark.read.parquet(target)
+    assert(after.count() == 3)
+    assert(after.filter($"key" === "newsapi_https://ex.com/good").count() == 1)
   }
 
   test("producerTransform shapes the envelope like the reference") {
