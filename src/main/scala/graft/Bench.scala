@@ -14,37 +14,58 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // session warm-up (codegen/JIT/FS init), not counted
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      // noop sink forces full materialization of every output column
-      // (a bare count() would let Catalyst prune the projections away);
-      // min of two runs damps the ±50% run-to-run JIT/GC noise measured
-      // at this scale (standard steady-state benching). A failed query
-      // reports -1, not its wall time — a regression must not read as
-      // a fast run.
-      def once(): (Double, Boolean) = {
-        val t0 = System.nanoTime()
-        val ok =
-          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-          catch { case e: Throwable =>
-            System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
-          }
-        ((System.nanoTime() - t0) / 1e9, ok)
-      }
+    def once(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : (Double, Boolean) = {
+      val t0 = System.nanoTime()
+      val ok =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
+        }
+      ((System.nanoTime() - t0) / 1e9, ok)
+    }
+    // noop sink forces full materialization of every output column
+    // (a bare count() would let Catalyst prune the projections away);
+    // min of two runs damps the ±50% run-to-run JIT/GC noise measured
+    // at this scale (standard steady-state benching). A failed query
+    // reports -1, not its wall time — a regression must not read as
+    // a fast run.
+    val firstPass = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // GC-settle between queries: BENCH_r02 recorded a 7x outlier on
       // x16 (both runs!) that X16Probe could not reproduce in steady
       // state (1.0 s vs the 6.7 s outlier); heavy allocators (x15's
       // content hashing) otherwise tax the next query's wall time.
       System.gc()
-      val (t1, ok1) = once(); val (t2, ok2) = once()
-      name -> (if (ok1 && ok2) math.min(t1, t2) else -1.0)
+      val (t1, ok1) = once(name, fn); val (t2, ok2) = once(name, fn)
+      (name, fn, Seq(t1, t2), ok1 && ok2)
+    }
+    // the ~10 most expensive entries get a THIRD run and report the
+    // median of 3: single-run deltas on these dominate round-over-
+    // round totals, and a median is readable where a min-of-2 under
+    // ±50% noise is not
+    val expensive = firstPass.filter(_._4)
+      .sortBy { case (_, _, ts, _) => -ts.min }
+      .take(10).map(_._1).toSet
+    val results = firstPass.map { case (name, fn, ts, ok) =>
+      if (!ok) name -> -1.0
+      else if (!expensive(name)) name -> ts.min
+      else {
+        System.gc()
+        val (t3, ok3) = once(name, fn)
+        if (!ok3) name -> -1.0
+        else name -> (ts :+ t3).sorted.apply(1) // median of 3
+      }
     }
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
+    val runsJson = results.collect {
+      case (k, v) if v >= 0 && expensive(k) => "\"" + k + "\":3"
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     // Full-precision line → file (the harness commits it whole).
     val qsFull = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val jsonFull = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"failed":$failed,"sf":"$sfDir"}"""
+    val jsonFull = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"failed":$failed,"runs":$runsJson,"sf":"$sfDir"}"""
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(out),
       (jsonFull + "\n").getBytes("UTF-8"))
@@ -63,7 +84,7 @@ object Bench {
     }
     val qsCompact = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    println(s"""{"queries":$qsCompact,"failed":$failed,"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir"}""")
+    println(s"""{"queries":$qsCompact,"failed":$failed,"runs":$runsJson,"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir"}""")
     spark.stop()
   }
 }
