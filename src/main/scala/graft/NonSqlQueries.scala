@@ -21,14 +21,18 @@ object NonSqlQueries {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
-    // X-1/X-2: full sentiment scores per document.
+    // X-1/X-2: full sentiment scores per document — VADER's four
+    // fields plus BOTH halves of TextBlob(text).sentiment (the
+    // reference reads only .polarity; subjectivity completes the
+    // library surface it calls).
     "x01_vader_scores" -> q((s, d) =>
       Tables.documents(s, d).select(col("doc_id"),
         Sentiment.vaderScores(col("text")).as("vader"),
-        Sentiment.lexiconPolarity(col("text")).as("textblob_polarity"))
+        Sentiment.lexiconSentiment(col("text")).as("tb"))
         .select(col("doc_id"), col("vader.neg").as("neg"), col("vader.neu").as("neu"),
           col("vader.pos").as("pos"), col("vader.compound").as("compound"),
-          col("textblob_polarity"))),
+          col("tb.polarity").as("textblob_polarity"),
+          col("tb.subjectivity").as("textblob_subjectivity"))),
 
     // The flagship plan at the given scale factor (entry() = sf0.001).
     "x02_sentiment_histogram" -> q((s, d) =>

@@ -19,6 +19,8 @@ object GraftFunctions {
       val s = Vader.polarityScores(t); (s.neg, s.neu, s.pos, s.compound)
     })
     spark.udf.register("textblob_polarity", (t: String) => LexiconPolarity.polarity(t))
+    spark.udf.register("textblob_subjectivity",
+      (t: String) => LexiconPolarity.sentiment(t)._2)
     spark.udf.register("porter_stem", (t: String) => Porter.stem(t))
     spark.udf.register("simhash64", (t: String) => graft.operators.DedupApprox.simhashOf(t))
     spark.udf.register("word_shingles",

@@ -22,6 +22,7 @@ object Sentiment {
 
   private val vaderCompoundUdf = udf { (text: String) => Vader.compound(text) }
   private val lexPolarityUdf = udf { (text: String) => LexiconPolarity.polarity(text) }
+  private val lexSentimentUdf = udf { (text: String) => LexiconPolarity.sentiment(text) }
 
   /** X-1: full VADER struct<neg,neu,pos,compound> (native expr). */
   def vaderScores(text: Column): Column =
@@ -39,6 +40,16 @@ object Sentiment {
   /** X-2: TextBlob-style lexicon polarity in [-1,1] (native expr). */
   def lexiconPolarity(text: Column): Column =
     SentimentExpressions.lexiconPolarity(text)
+
+  /** X-2 full contract: the BOTH halves of `TextBlob(text).sentiment`
+    * as struct<polarity, subjectivity> — the reference reads only
+    * `.polarity` (sentiment_analysis_dag.py:73), but the library
+    * surface it calls returns the pair, so a user switching engines
+    * keeps it. Subjectivity ∈ [0,1]: lexicon-matched assessments
+    * averaged, intensifiers counting as assessments (the pattern-en
+    * contract — factual text ≈ 0, opinionated ≈ 1). */
+  def lexiconSentiment(text: Column): Column =
+    lexSentimentUdf(text).cast("struct<polarity:double,subjectivity:double>")
 
   /** UDF fallbacks (kept for environments that forbid internal APIs). */
   def vaderCompoundUdfCol(text: Column): Column = vaderCompoundUdf(text)

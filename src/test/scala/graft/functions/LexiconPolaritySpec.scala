@@ -45,4 +45,20 @@ class LexiconPolaritySpec extends AnyFunSuite {
     assert(LexiconPolarity.sentiment("the chair and the table")._2 == 0.0)
     assert(LexiconPolarity.sentiment("absolutely amazing wonderful")._2 > 0.5)
   }
+
+  test("column surface: lexiconSentiment struct matches the kernel") {
+    val spark = graft.SparkSessionProvider.session
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val texts = Seq("good news everyone", "the chair and the table",
+      "not very good", null: String)
+    val rows = texts.toDF("text")
+      .select(Sentiment.lexiconSentiment(col("text")).as("s"))
+      .select($"s.polarity", $"s.subjectivity")
+      .as[(Double, Double)].collect()
+    texts.zip(rows).foreach { case (t, (pol, subj)) =>
+      val (ep, es) = LexiconPolarity.sentiment(t)
+      assert(pol == ep && subj == es, s"mismatch for '$t'")
+    }
+  }
 }
