@@ -217,6 +217,16 @@ object NonSqlQueries {
         threshold = 0.5)
         .select(col("doc_id"), col("comp"), col("keep"))),
 
+    // PQ ANN (Jégou et al. 2011): train per-subspace L2 codebooks,
+    // encode the corpus to m-byte codes, ADC-shortlist on codes
+    // alone, exact re-rank of the shortlist. Trained codebooks are
+    // float-mean artifacts (not SQL-replayable) — rows-only here;
+    // PqSpec pins codebook shape, lossless-corpus ADC exactness, and
+    // refine recall.
+    "x26_pq_topk" -> q((s, d) =>
+      Similarity.pqTopK(Tables.embeddings(s, d), "vec_id", "embedding",
+        queryId = 0L, m = 8, kCode = 16, k = 20, refine = 4)),
+
     // Scale-path length curriculum: approx-quantile boundaries +
     // scan-local bin assignment (no global window). Sketch boundaries
     // are not SQL-replayable, so rows-only here; q62's exact ntile

@@ -222,19 +222,31 @@ object Similarity {
     * accumulation order; training quality is spec-tested instead and
     * the downstream query path (ivfTopKWith) stays centroid-agnostic. */
   def kmeansCentroids(df: DataFrame, idCol: String, vecCol: String,
-                      k: Int, iters: Int = 5): DataFrame = {
-    var cents = df.orderBy(col(idCol)).limit(k)
-      .select(col(idCol).cast("long").as("cid"), asDouble(col(vecCol)).as("cvec"))
-      .withColumn("cid",
-        row_number().over(org.apache.spark.sql.expressions.Window.orderBy(col("cid")))
-          .cast("long") - 1)
-      .localCheckpoint()
-    val vecs = df.select(asDouble(col(vecCol)).as("v")).localCheckpoint()
+                      k: Int, iters: Int = 5): DataFrame =
+    lloyd(df.select(asDouble(col(vecCol)).as("v")).localCheckpoint(),
+      df.orderBy(col(idCol)).limit(k)
+        .select(col(idCol).cast("long").as("cid"), asDouble(col(vecCol)).as("cvec"))
+        .withColumn("cid",
+          row_number().over(org.apache.spark.sql.expressions.Window.orderBy(col("cid")))
+            .cast("long") - 1)
+        .localCheckpoint(),
+      iters, assignUdf)
+
+  /** The shared Lloyd loop: [assign each vector to its nearest
+    * centroid under `assign`] → [centroid := element-wise mean of its
+    * members], means computed DISTRIBUTED (posexplode → per-
+    * (cell,dim) avg → rebuild) — nothing corpus-sized ever collects.
+    * Metric is pluggable: cosine for IVF cells, per-subspace L2 for
+    * PQ codebooks. */
+  private def lloyd(vecs: DataFrame, init: DataFrame, iters: Int,
+                    assign: org.apache.spark.sql.expressions.UserDefinedFunction)
+      : DataFrame = {
+    var cents = init
     for (_ <- 1 to iters) {
       val centList = cents.agg(collect_list(struct(col("cid"), col("cvec"))).as("cents"))
         .localCheckpoint()
       val assigned = vecs.crossJoin(broadcast(centList))
-        .select(assignUdf(col("v"), col("cents")).as("cell"), col("v"))
+        .select(assign(col("v"), col("cents")).as("cell"), col("v"))
       val means = assigned
         .select(col("cell"), posexplode(col("v")))
         .groupBy(col("cell"), col("pos")).agg(avg(col("col")).as("m"))
@@ -351,6 +363,142 @@ object Similarity {
       .filter(col("cell").isin(probes: _*) && col(idCol) =!= queryId)
       .select(col(idCol), col("cell").cast("long").as("assigned"),
         cosineFast(asDouble(col(vecCol)), qvLit).as("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
+
+  // ---- Product quantization (Jégou et al. 2011, PQ / ADC) -------------
+
+  /** Squared L2 over a subrange — the PQ metric kernel. */
+  private[graft] def l2sqOf(a: Seq[Double], b: Seq[Double]): Double = {
+    var s = 0.0; var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { val d = a(i) - b(i); s += d * d; i += 1 }
+    s
+  }
+
+  private val pqAssignUdf = udf { (v: Seq[Double], cents: Seq[org.apache.spark.sql.Row]) =>
+    var bestId = -1L
+    var best = Double.PositiveInfinity
+    cents.map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1).foreach {
+      case (id, c) =>
+        val d = l2sqOf(v, c)
+        if (d < best) { best = d; bestId = id }
+    }
+    bestId
+  }
+
+  /** Train a product-quantization codebook: split the `dim`-dim space
+    * into `m` subspaces of dim/m and run L2 Lloyd iterations per
+    * subspace (init = the k smallest-id subvectors, deterministic like
+    * [[kmeansCentroids]]). Returns `(sub, cid, cvec)` — m×k rows of
+    * dim/m-dim centroids: the model, MBs at any corpus size.
+    *
+    * Scale shape: each subspace's training is the same distributed
+    * [[lloyd]] loop (slice in the scan, posexplode-avg means); the m
+    * subspaces train sequentially over a checkpointed slice — m scans
+    * of an already-narrow projection, nothing collects but the
+    * codebook. */
+  def pqTrain(df: DataFrame, idCol: String, vecCol: String,
+              m: Int = 8, k: Int = 16, iters: Int = 3): DataFrame = {
+    val dim = df.select(size(asDouble(col(vecCol)))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
+    val subDim = dim / m
+    (0 until m).map { sub =>
+      val sliced = df.select(col(idCol),
+        slice(asDouble(col(vecCol)), sub * subDim + 1, subDim).as("sv"))
+        .localCheckpoint()
+      lloyd(sliced.select(col("sv").as("v")),
+        sliced.orderBy(col(idCol)).limit(k)
+          .select(col(idCol).cast("long").as("cid"), col("sv").as("cvec"))
+          .withColumn("cid", row_number().over(
+            org.apache.spark.sql.expressions.Window.orderBy(col("cid")))
+            .cast("long") - 1)
+          .localCheckpoint(),
+        iters, pqAssignUdf)
+        .select(lit(sub).as("sub"), col("cid"), col("cvec"))
+    }.reduce(_ unionByName _)
+  }
+
+  private def codebookArrays(codebook: DataFrame)
+      : Array[Array[(Long, Seq[Double])]] =
+    codebook.select(col("sub"), col("cid"), col("cvec")).collect()
+      .groupBy(_.getInt(0))
+      .toSeq.sortBy(_._1)
+      .map(_._2.map(r => (r.getLong(1), r.getSeq[Double](2))).sortBy(_._1))
+      .toArray
+
+  /** Encode each vector as `m` small codes (nearest subspace centroid
+    * by L2, smallest cid on ties) — 8-byte-per-vector storage where
+    * the raw embedding was dim×8: the compression that lets a 100 TB
+    * embedding corpus live in RAM-adjacent storage. Scan-local: the
+    * codebook broadcasts, one UDF pass per row, zero shuffles. Emits
+    * the input columns + `codes` (array<int>, length m). */
+  def pqEncode(df: DataFrame, vecCol: String, codebook: DataFrame): DataFrame = {
+    val cb = codebookArrays(codebook)
+    val m = cb.length
+    val subDim = cb(0)(0)._2.length
+    val bc = df.sparkSession.sparkContext.broadcast(cb)
+    val encodeUdf = udf { (v: Seq[Double]) =>
+      Array.tabulate(m) { sub =>
+        val sv = v.slice(sub * subDim, (sub + 1) * subDim)
+        var bestId = 0L; var best = Double.PositiveInfinity
+        bc.value(sub).foreach { case (cid, c) =>
+          val d = l2sqOf(sv, c)
+          if (d < best) { best = d; bestId = cid }
+        }
+        bestId.toInt
+      }
+    }
+    df.withColumn("codes", encodeUdf(asDouble(col(vecCol))))
+  }
+
+  /** ADC (asymmetric distance) top-k over a PQ-encoded corpus: the
+    * query stays un-quantized; per subspace, its distance to every
+    * centroid precomputes into an m×k table (driver-side — the table
+    * is model-sized), and each encoded vector's approximate distance
+    * is m table lookups. Scan-local scoring, per-partition top-k via
+    * TakeOrderedAndProject — the corpus is touched once, reading only
+    * (id, codes): dim×8 → m bytes per row of I/O. Emits `(idCol,
+    * adc)` ascending (nearest first), id-tiebroken. */
+  def pqTopKAdc(codes: DataFrame, idCol: String, codebook: DataFrame,
+                queryVec: Seq[Double], k: Int = 20): DataFrame = {
+    val cb = codebookArrays(codebook)
+    val subDim = cb(0)(0)._2.length
+    val table: Array[Array[Double]] = cb.zipWithIndex.map { case (cents, sub) =>
+      val qs = queryVec.slice(sub * subDim, (sub + 1) * subDim)
+      cents.map { case (_, c) => l2sqOf(qs, c) }.toArray
+    }
+    val bc = codes.sparkSession.sparkContext.broadcast(table)
+    val adcUdf = udf { (cs: Seq[Int]) =>
+      var s = 0.0; var i = 0
+      while (i < cs.length) { s += bc.value(i)(cs(i)); i += 1 }
+      s
+    }
+    codes.select(col(idCol), adcUdf(col("codes")).as("adc"))
+      .orderBy(col("adc"), col(idCol))
+      .limit(k)
+  }
+
+  /** End-to-end PQ ANN with exact re-rank (the FAISS `IVFPQ` refine
+    * step, sans cells — compose with [[writeIvfPartitioned]] for the
+    * cell-pruned layout): train → encode → ADC-shortlist `refine × k`
+    * candidates on codes alone → join ONLY the shortlist back to its
+    * raw vectors → exact cosine top-k. The expensive exactness is
+    * paid on refine×k rows, never the corpus. */
+  def pqTopK(df: DataFrame, idCol: String, vecCol: String, queryId: Long,
+             m: Int = 8, kCode: Int = 16, k: Int = 20,
+             refine: Int = 4): DataFrame = {
+    val codebook = pqTrain(df, idCol, vecCol, m, kCode).localCheckpoint()
+    val qv = df.filter(col(idCol) === queryId)
+      .select(asDouble(col(vecCol))).head().getSeq[Double](0)
+    val encoded = pqEncode(df.filter(col(idCol) =!= queryId), vecCol, codebook)
+    val shortlist = pqTopKAdc(
+      encoded.select(col(idCol), col("codes")), idCol, codebook,
+      qv, k = refine * k)
+    encoded.join(broadcast(shortlist.select(col(idCol))), Seq(idCol))
+      .select(col(idCol), cosineFast(asDouble(col(vecCol)),
+        typedLit[Seq[Double]](qv)).as("cos"))
       .orderBy(col("cos").desc, col(idCol))
       .limit(k)
   }
