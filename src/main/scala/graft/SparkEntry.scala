@@ -612,7 +612,15 @@ object SparkEntry {
       val docs = Tables.documents(s, d)
       LmScore.bigramScoreWith(docs, "doc_id", "text",
         LmScore.train(docs.filter(col("doc_id") % 2 === 0), "doc_id", "text"))
-    })
+    }),
+
+    // GPT-3-style temperature mixture: per-source copy counts derived
+    // from corpus statistics (α = 0.5 square-root flattening), every
+    // copy decision a deterministic md5 coin.
+    "q65_temperature_mix" -> q((s, d) =>
+      Sampling.temperatureMix(Tables.documents(s, d), "doc_id", "source")
+        .select(col("source"), col("doc_id"), col("copy"),
+          col("n_group"), col("target")))
   ) ++ NonSqlQueries.queries
 
   // ---- DuckDB oracles -------------------------------------------------
@@ -1300,6 +1308,38 @@ object SparkEntry {
                 ELSE CAST(COALESCE(sc.lp_sum_q, 0) AS DOUBLE)
                      / CAST(sc.n_bigrams AS DOUBLE) END AS avg_lp_q
          FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id""",
+
+    // Temperature-mix replay: targets = one IEEE sqrt of an exact
+    // integer product (cross-engine identical), copy counts integer
+    // div/mod, the fractional coin an exact HUGEINT product compare
+    // (Spark side uses decimal(19,0) — same exact integers).
+    "q65_temperature_mix" ->
+      """WITH c AS (
+           SELECT source, CAST(count(*) AS BIGINT) AS n_group
+           FROM documents GROUP BY source),
+         m AS (SELECT max(n_group) AS nmax FROM c),
+         t AS (
+           SELECT source, n_group,
+             CAST(floor(sqrt(CAST(n_group * nmax AS DOUBLE)) + 0.5) AS BIGINT)
+               AS target
+           FROM c, m),
+         j AS (
+           SELECT d.doc_id, t.source, t.n_group, t.target,
+             CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 6) AS BIGINT)
+               AS b
+           FROM documents d JOIN t ON d.source = t.source),
+         e AS (
+           SELECT doc_id, source, n_group, target,
+             (target // n_group)
+             + CASE WHEN CAST(b AS HUGEINT) * n_group <
+                         CAST(target - (target // n_group) * n_group AS HUGEINT)
+                         * 16777216
+                    THEN 1 ELSE 0 END AS total
+           FROM j)
+         SELECT source, doc_id,
+           CAST(unnest(generate_series(0, total - 1)) AS BIGINT) AS copy,
+           n_group, target
+         FROM e""",
 
     // Vocab-coverage replay: same (freq desc, token) total order for
     // rank/limit/cumsum; coverage = division of identical BIGINTs.

@@ -78,6 +78,57 @@ object Sampling {
       .drop("__key")
   }
 
+  /** Temperature-flattened mixture (the multinomial α-reweighting of
+    * GPT-3 §2.2 / XLM-R: sample domain g with probability ∝ n_g^α,
+    * α < 1 flattening the size distribution so big domains stop
+    * drowning small ones). Normalized so the LARGEST group keeps
+    * weight 1.0 — every group's target count t_g = n_g^α·n_max^(1-α)
+    * ≥ n_g, realized as ⌊t_g/n_g⌋ full copies per doc plus one extra
+    * iff the doc's md5 bucket falls under the fractional remainder —
+    * [[upsample]]'s deterministic-coin recipe, with the factors
+    * DERIVED from corpus statistics instead of hand-fed.
+    *
+    * Engine-portable BY CONSTRUCTION at α = 0.5 (the common "square
+    * root temperature"): t_g = ⌊√(n_g·n_max) + 0.5⌋ is one IEEE
+    * (correctly-rounded, so cross-engine-identical) sqrt of an exact
+    * integer product, copy counts are integer div/mod, and the
+    * fractional coin compares exact decimal products — the whole
+    * plan replays in SQL (q65). Other α use `pow` (same shape, no
+    * oracle guarantee — pow is not correctly rounded).
+    *
+    * Emits one row per kept COPY: the input row + `copy` (0-based) +
+    * `n_group`/`target` for mixture dashboards.
+    *
+    * Scale shape: one group-count aggregate (rows = number of
+    * domains) broadcasts back; the copy expansion is a scan-local
+    * sequence-explode. Zero corpus-sized shuffles. */
+  def temperatureMix(df: DataFrame, idCol: String, groupCol: String,
+                     alpha: Double = 0.5): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0, 1] (got $alpha)")
+    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("n_group"))
+    val nmax = counts.agg(max(col("n_group")).as("__nmax"))
+    val weight =
+      if (alpha == 0.5) sqrt((col("n_group") * col("__nmax")).cast("double"))
+      else pow(col("n_group").cast("double"), alpha) *
+        pow(col("__nmax").cast("double"), 1.0 - alpha)
+    val targets = counts.crossJoin(broadcast(nmax))
+      .withColumn("target", floor(weight + lit(0.5)).cast("long"))
+      .select(col(groupCol), col("n_group"), col("target"))
+      .localCheckpoint() // broadcast of a live subtree re-runs it per exchange
+    val bucket24 = conv(substring(md5(col(idCol).cast("string")), 1, 6), 16, 10)
+      .cast("long")
+    df.join(broadcast(targets), Seq(groupCol))
+      .withColumn("__base", expr("target div n_group"))
+      .withColumn("__rem", col("target") - col("__base") * col("n_group"))
+      .withColumn("__extra",
+        when(bucket24.cast("decimal(19,0)") * col("n_group").cast("decimal(19,0)") <
+          col("__rem").cast("decimal(19,0)") * lit(16777216L).cast("decimal(19,0)"),
+          1L).otherwise(0L))
+      .withColumn("copy",
+        explode(sequence(lit(0L), col("__base") + col("__extra") - 1)))
+      .drop("__base", "__rem", "__extra")
+  }
+
   /** Per-group document cap — the domain-balancing step of web-corpus
     * pipelines (e.g. C4 / RefinedWeb keep at most N pages per host so
     * boilerplate-heavy domains can't dominate the mix). Keeps the top

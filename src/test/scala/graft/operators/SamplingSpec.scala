@@ -66,4 +66,49 @@ class SamplingSpec extends SparkSpec {
       .select("id", "epoch").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(a == b)
   }
+
+  test("temperatureMix: α=0.5 flattens toward √n targets, α=1 is identity") {
+    import spark.implicits._
+    // 400-doc big group vs 100-doc small group; ids disjoint
+    val docs = ((0L until 400L).map(i => (i, "big")) ++
+      (1000L until 1100L).map(i => (i, "small"))).toDF("doc_id", "source")
+    val out = Sampling.temperatureMix(docs, "doc_id", "source")
+    val byGroup = out.groupBy("source")
+      .agg(count(lit(1)).as("kept"),
+        first("n_group").as("n"), first("target").as("t"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // targets: big = √(400·400) = 400 (kept in full, one copy each);
+    // small = ⌊√(100·400)+0.5⌋ = 200 (two copies each, rem 0)
+    assert(byGroup("big") == ((400L, 400L, 400L)))
+    assert(byGroup("small") == ((200L, 100L, 200L)))
+    // copy indices are dense 0-based per doc
+    assert(out.filter($"source" === "small").groupBy("doc_id").count()
+      .filter($"count" =!= 2L).count() == 0)
+
+    // α = 1: every group's target = its size -> exactly one copy per doc
+    val id = Sampling.temperatureMix(docs, "doc_id", "source", alpha = 1.0)
+    assert(id.count() == 500)
+    assert(id.select(max($"copy")).as[Long].head() == 0L)
+  }
+
+  test("temperatureMix: fractional targets realized by deterministic coins") {
+    import spark.implicits._
+    // sizes chosen so the small group's target is NOT a multiple of n:
+    // n=7, nmax=50 -> t = ⌊√350+0.5⌋ = 19 = 2·7 + 5 -> each doc gets 2
+    // copies, ~5 docs a third
+    val docs = ((0L until 50L).map(i => (i, "big")) ++
+      (200L until 207L).map(i => (i, "small"))).toDF("doc_id", "source")
+    val out = Sampling.temperatureMix(docs, "doc_id", "source")
+    val small = out.filter($"source" === "small")
+    val copies = small.groupBy("doc_id").count()
+      .select($"count").as[Long].collect()
+    assert(copies.forall(c => c == 2L || c == 3L))
+    // deterministic: same input -> identical output, any partitioning
+    val again = Sampling.temperatureMix(docs.repartition(7), "doc_id", "source")
+      .select("source", "doc_id", "copy").orderBy("doc_id", "copy")
+      .collect().toSeq
+    assert(again == out.select("source", "doc_id", "copy")
+      .orderBy("doc_id", "copy").collect().toSeq)
+  }
 }
