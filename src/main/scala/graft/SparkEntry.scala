@@ -620,7 +620,19 @@ object SparkEntry {
     "q65_temperature_mix" -> q((s, d) =>
       Sampling.temperatureMix(Tables.documents(s, d), "doc_id", "source")
         .select(col("source"), col("doc_id"), col("copy"),
-          col("n_group"), col("target")))
+          col("n_group"), col("target"))),
+
+    // GPT-3-style quality classifier trained IN-ENGINE: logistic
+    // regression over md5-hashed bag-of-words, 2 full-batch
+    // iterations on the integer micro-logit grid, then score every
+    // doc. Label = text mentions "data" (a deterministic stand-in
+    // for the curated-corpus positives the reference pipelines use).
+    "q66_quality_classifier" -> q((s, d) => {
+      val docs = Tables.documents(s, d)
+      LogReg.trainScore(docs, "doc_id", "text",
+        lower(coalesce(col("text"), lit(""))).contains("data"),
+        dim = 256, iters = 2)
+    })
   ) ++ NonSqlQueries.queries
 
   // ---- DuckDB oracles -------------------------------------------------
@@ -1340,6 +1352,73 @@ object SparkEntry {
            CAST(unnest(generate_series(0, total - 1)) AS BIGINT) AS copy,
            n_group, target
          FROM e""",
+
+    // Quality-classifier replay: the two training iterations unroll
+    // as CTEs. Iteration 1 is w=0 ⇒ p=0.5 ⇒ e = 5e5 − y·1e6 exactly;
+    // iteration 2 reads margins off the integer grid, quantizes the
+    // sigmoid to micro units (exp's 1-ulp wobble absorbed), and the
+    // update is the same sign-split truncating division. Final
+    // margins under w2 are pure integer sums.
+    "q66_quality_classifier" ->
+      """WITH tok AS (
+           SELECT doc_id,
+             unnest(list_filter(regexp_split_to_array(lower(COALESCE(text, '')), '[^a-z0-9'']+'),
+                                t -> length(t) > 0)) AS token
+           FROM documents),
+         feats AS (
+           SELECT doc_id,
+             CAST('0x' || substr(md5(token), 1, 6) AS BIGINT) % 256 AS f,
+             CAST(count(*) AS BIGINT) AS x
+           FROM tok GROUP BY doc_id, f),
+         lab AS (
+           SELECT doc_id,
+             CASE WHEN contains(lower(COALESCE(text, '')), 'data')
+                  THEN 1 ELSE 0 END AS y
+           FROM documents),
+         n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+         e1 AS (SELECT doc_id, 500000 - y * 1000000 AS e FROM lab),
+         g1 AS (
+           SELECT f, CAST(sum(e * x) AS BIGINT) AS g
+           FROM feats JOIN e1 USING (doc_id) GROUP BY f),
+         w1 AS (
+           SELECT f,
+             CAST(CASE WHEN g >= 0 THEN -(g // n)
+                       ELSE (-g) // n END AS BIGINT) AS w
+           FROM g1, n),
+         m2 AS (
+           SELECT l.doc_id,
+             CAST(COALESCE(sum(w1.w * ft.x), 0) AS BIGINT) AS m
+           FROM lab l
+           LEFT JOIN feats ft ON l.doc_id = ft.doc_id
+           LEFT JOIN w1 ON ft.f = w1.f
+           GROUP BY l.doc_id),
+         e2 AS (
+           SELECT m2.doc_id,
+             CAST(floor(1000000.0 /
+                   (1.0 + exp(-(CAST(m AS DOUBLE) / 1000000.0))) + 0.5)
+               AS BIGINT) - y * 1000000 AS e
+           FROM m2 JOIN lab ON m2.doc_id = lab.doc_id),
+         g2 AS (
+           SELECT f, CAST(sum(e * x) AS BIGINT) AS g
+           FROM feats JOIN e2 USING (doc_id) GROUP BY f),
+         w2 AS (
+           SELECT w1.f,
+             CAST(w1.w - CASE WHEN g2.g >= 0 THEN (g2.g // n)
+                              ELSE -((-g2.g) // n) END AS BIGINT) AS w
+           FROM w1 JOIN g2 ON w1.f = g2.f, n),
+         m3 AS (
+           SELECT l.doc_id,
+             CAST(COALESCE(sum(w2.w * ft.x), 0) AS BIGINT) AS margin_q
+           FROM lab l
+           LEFT JOIN feats ft ON l.doc_id = ft.doc_id
+           LEFT JOIN w2 ON ft.f = w2.f
+           GROUP BY l.doc_id)
+         SELECT l.doc_id, CAST(l.y AS BIGINT) AS y, m3.margin_q,
+           CAST(floor(1000000.0 /
+                 (1.0 + exp(-(CAST(m3.margin_q AS DOUBLE) / 1000000.0))) + 0.5)
+             AS BIGINT) AS p_q,
+           m3.margin_q > 0 AS pred
+         FROM lab l JOIN m3 ON l.doc_id = m3.doc_id""",
 
     // Vocab-coverage replay: same (freq desc, token) total order for
     // rank/limit/cumsum; coverage = division of identical BIGINTs.
