@@ -503,6 +503,48 @@ object Similarity {
       .limit(k)
   }
 
+  /** Full FAISS-IVFPQ composition: coarse cells prune the corpus to
+    * the query's `nprobe` cells (scan-local argmax against broadcast
+    * centroids — or partition pruning under the
+    * [[writeIvfPartitioned]] layout), PQ codes ADC-shortlist within
+    * the probed cells, and only `refine × k` survivors pay the exact
+    * cosine. At 100 TB: the scan reads nprobe/numCells of the
+    * corpus, the shortlist phase reads m bytes per row of it, and
+    * exactness costs refine×k rows — three nested reductions, each
+    * independently verified (IvfAtRestSpec, PqSpec; equivalence here
+    * in IvfPqSpec: with an exhaustive refine budget this equals
+    * [[ivfTopKWith]] row-for-row, because re-ranking every in-cell
+    * candidate exactly IS the IVF probe). */
+  def ivfPqTopK(df: DataFrame, idCol: String, vecCol: String, queryId: Long,
+                numCells: Int = 8, nprobe: Int = 3,
+                m: Int = 8, kCode: Int = 16, k: Int = 20,
+                refine: Int = 4): DataFrame = {
+    val cents = smallestIdCentroids(df, idCol, vecCol, numCells)
+      .localCheckpoint()
+    val centSeq = cents.collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+    val centList = cents
+      .agg(collect_list(struct(col("cid"), col("cvec"))).as("cents"))
+      .localCheckpoint()
+    val qv = df.filter(col(idCol) === queryId)
+      .select(asDouble(col(vecCol))).head().getSeq[Double](0)
+    val probes = ivfProbeOf(qv, centSeq, nprobe)
+    val inCells = df.filter(col(idCol) =!= queryId)
+      .crossJoin(broadcast(centList))
+      .withColumn("assigned", assignUdf(asDouble(col(vecCol)), col("cents")))
+      .filter(col("assigned").isin(probes: _*))
+      .drop("cents")
+    val codebook = pqTrain(df, idCol, vecCol, m, kCode).localCheckpoint()
+    val encoded = pqEncode(inCells, vecCol, codebook).localCheckpoint()
+    val shortlist = pqTopKAdc(
+      encoded.select(col(idCol), col("codes")), idCol, codebook,
+      qv, k = refine * k)
+    encoded.join(broadcast(shortlist.select(col(idCol))), Seq(idCol))
+      .select(col(idCol), col("assigned"),
+        cosineFast(asDouble(col(vecCol)), typedLit[Seq[Double]](qv)).as("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Embedding-cosine near-duplicate pairs via LSH buckets: pairs that
     * share a bucket AND pass the exact cosine threshold. One groupBy
     * shuffle on the bucket key; in-bucket pairs are enumerated
