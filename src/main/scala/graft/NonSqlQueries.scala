@@ -105,6 +105,13 @@ object NonSqlQueries {
         shingleN = 5, threshold = 0.5, maxNgramDf = 20)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // BATCH exact cosine top-k: 4 queries ride one corpus scan;
+    // TopKAgg bounds the shuffle to k structs per query per map
+    // partition (the serving shape for embedding retrieval).
+    "x27_cosine_topk_batch" -> q((s, d) =>
+      Similarity.topKBatch(Tables.embeddings(s, d), "vec_id", "embedding",
+        queryIds = Seq(0L, 1L, 2L, 3L), k = 10)),
+
     // Exact cosine top-k against vec_id=0 (query joined in-plan).
     "x12_cosine_topk" -> q((s, d) => {
       val emb = Tables.embeddings(s, d)

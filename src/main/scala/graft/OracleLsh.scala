@@ -94,6 +94,29 @@ object OracleLsh {
        LEFT JOIN comp c ON d.doc_id = c.id
        LEFT JOIN keepers k ON c.comp = k.comp"""
 
+  /** q69: same pairs + components as x18, but the keeper per cluster
+    * is the QUALITY argmax (token count DESC, id ASC) instead of the
+    * min id. */
+  def q69Sql: String =
+    s"""WITH RECURSIVE ${minhashPairsCtes()},
+       edges AS (
+         SELECT id_a AS s, id_b AS d FROM pairs
+         UNION SELECT id_b, id_a FROM pairs),
+       reach(id, r) AS (
+         SELECT s, s FROM edges
+         UNION
+         SELECT e.s, re.r FROM edges e JOIN reach re ON e.d = re.id),
+       comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY id),
+       scored AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS score FROM t0),
+       wc AS (SELECT s.doc_id, coalesce(c.comp, s.doc_id) AS comp, s.score
+              FROM scored s LEFT JOIN comp c ON s.doc_id = c.id),
+       k AS (SELECT comp, doc_id AS keeper FROM (
+               SELECT comp, doc_id,
+                 ROW_NUMBER() OVER (PARTITION BY comp ORDER BY score DESC, doc_id) AS rn
+               FROM wc) WHERE rn = 1)
+       SELECT wc.doc_id, wc.comp, wc.score, wc.doc_id = k.keeper AS keep
+       FROM wc JOIN k ON wc.comp = k.comp"""
+
   // ---- simhash (wrapping-64 arithmetic via HUGEINT) -------------------
 
   private val K = "6364136223846793005" // MMIX LCG multiplier

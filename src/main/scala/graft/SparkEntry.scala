@@ -632,6 +632,42 @@ object SparkEntry {
       LogReg.trainScore(docs, "doc_id", "text",
         lower(coalesce(col("text"), lit(""))).contains("data"),
         dim = 256, iters = 2)
+    }),
+
+    // ExactSubstr dedup (Lee et al. 2022): sliding 8-token windows,
+    // corpus-wide first occurrence survives, every other instance's
+    // positions removed and the doc reassembled.
+    "q67_substring_dedup" -> q((s, d) =>
+      TextAnalysis.substringDedup(Tables.documents(s, d), "doc_id", "text",
+        k = 8)),
+
+    // Scan-local decontamination: benchmark grams collapse to a
+    // broadcast Bloom artifact probed with no join. At 2^20 bits the
+    // FP set is EMPTY for this corpus (BloomSpec verifies equality
+    // with the exact operator), so the exact contract is the oracle.
+    "q68_decontaminate_bloom" -> q((s, d) =>
+      Dedup.decontaminateBloom(Tables.documents(s, d), "doc_id", "text",
+        isBenchmark = col("doc_id") % 97 === 0, n = 3)),
+
+    // Near-dup dedup with QUALITY keeper selection: same LSH pairs +
+    // components as x18, but each cluster's survivor is the
+    // highest-token-count doc (ties → smaller id), the
+    // SemDeDup/RefinedWeb keep-the-best-representative contract.
+    "q69_dedup_quality_keeper" -> q((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.clusterVerdictsBy(docs, "doc_id",
+        DedupApprox.minhashPairs(docs, "doc_id", "text", threshold = 0.5),
+        size(graft.functions.Analyzer.tokenize(col("text"))).cast("long"))
+    }),
+
+    // Interpolated trigram LM (Jelinek–Mercer fixed weights), trained
+    // on HALF the corpus, scoring EVERY doc — odd docs exercise the
+    // full tri → bigram → unigram → floor backoff chain.
+    "q70_trigram_lm" -> q((s, d) => {
+      val docs = Tables.documents(s, d)
+      LmScore.trigramScoreWith(docs, "doc_id", "text",
+        LmScore.trainTrigram(docs.filter(col("doc_id") % 2 === 0),
+          "doc_id", "text"))
     })
   ) ++ NonSqlQueries.queries
 
@@ -1109,6 +1145,31 @@ object SparkEntry {
          FROM g LEFT JOIN hits ON g.doc_id = hits.doc_id
          WHERE NOT g.bench""",
 
+    // Bloom decontamination replay: the FP set is empty at this filter
+    // size for this corpus (BloomSpec proves bloom == exact), so the
+    // oracle is the exact q54 semantics under the bloom op's column
+    // names.
+    "q68_decontaminate_bloom" ->
+      """WITH t AS (
+           SELECT doc_id, (doc_id % 97 = 0) AS bench,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9'']+'), x -> length(x) > 0) AS toks
+           FROM documents),
+         g AS (
+           SELECT doc_id, bench, list_distinct(CASE WHEN len(toks) = 0 THEN []
+             WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+             ELSE [array_to_string(list_slice(toks, i, i + 2), ' ')
+                   for i in generate_series(1, len(toks) - 2)] END) AS grams
+           FROM t),
+         bg AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE bench),
+         tg AS (SELECT doc_id, unnest(grams) AS gram FROM g WHERE NOT bench),
+         hits AS (SELECT doc_id, count(*) AS n_flagged
+                  FROM tg JOIN bg USING (gram) GROUP BY doc_id)
+         SELECT g.doc_id,
+           CAST(COALESCE(hits.n_flagged, 0) AS BIGINT) AS n_flagged,
+           COALESCE(hits.n_flagged, 0) > 0 AS contaminated
+         FROM g LEFT JOIN hits ON g.doc_id = hits.doc_id
+         WHERE NOT g.bench""",
+
     // Span-rewrite replay: same spans, same BIGINT first-occurrence
     // key (doc_id·2^20 + idx), ordered reassembly via string_agg.
     "q55_span_rewrite" ->
@@ -1420,6 +1481,139 @@ object SparkEntry {
            m3.margin_q > 0 AS pred
          FROM lab l JOIN m3 ON l.doc_id = m3.doc_id""",
 
+    // ExactSubstr replay: same sliding 8-grams, same BIGINT
+    // first-occurrence key (doc_id·2^20 + start), covered positions
+    // via a lateral generate_series, ordered reassembly.
+    "q67_substring_dedup" ->
+      """WITH t AS (
+           SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9'']+'), x -> length(x) > 0) AS toks
+           FROM documents),
+         g0 AS (
+           SELECT doc_id, unnest(CASE WHEN len(toks) >= 8
+             THEN [{'s': i - 1,
+                    'gram': array_to_string(list_slice(toks, i, i + 7), ' ')}
+                   for i in generate_series(1, len(toks) - 7)]
+             ELSE [] END) AS u
+           FROM t),
+         g AS (SELECT doc_id, u.s AS s, u.gram AS gram,
+                 doc_id * 1048576 + u.s AS ord FROM g0),
+         w AS (SELECT gram, min(ord) AS w_ord FROM g GROUP BY gram),
+         losers AS (SELECT g.doc_id, g.s FROM g
+                    JOIN w ON g.gram = w.gram AND g.ord <> w.w_ord),
+         cov AS (SELECT DISTINCT doc_id, s + j AS p
+                 FROM losers, generate_series(0, 7) AS gs(j)),
+         pos0 AS (
+           SELECT doc_id, unnest(CASE WHEN len(toks) = 0 THEN []
+             ELSE [{'p': i - 1, 'tok': toks[i]}
+                   for i in generate_series(1, len(toks))] END) AS u
+           FROM t),
+         pos AS (SELECT doc_id, u.p AS p, u.tok AS tok FROM pos0),
+         kept AS (SELECT pos.doc_id, pos.p, pos.tok FROM pos
+                  LEFT JOIN cov ON pos.doc_id = cov.doc_id AND pos.p = cov.p
+                  WHERE cov.p IS NULL),
+         agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+                   string_agg(tok, ' ' ORDER BY p) AS text_dedup
+                 FROM kept GROUP BY doc_id)
+         SELECT t.doc_id,
+           CAST(len(t.toks) AS BIGINT) AS n_tokens,
+           CAST(len(t.toks) - COALESCE(agg.n_kept, 0) AS BIGINT) AS n_removed,
+           COALESCE(agg.text_dedup, '') AS text_dedup
+         FROM t LEFT JOIN agg ON t.doc_id = agg.doc_id""",
+
+    // Trigram-LM replay: counts + pre-interpolated quantized logprobs
+    // per level (same fixed-order double arithmetic: λ·ratio products
+    // summed left-to-right, one ln, micro-nat floor), then the
+    // 3-level backoff coalesce and per-doc integer sums.
+    "q70_trigram_lm" ->
+      """WITH tt AS (
+           SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(COALESCE(text, '')), '[^a-z0-9'']+'), x -> length(x) > 0) AS toks
+           FROM documents WHERE doc_id % 2 = 0),
+         uc AS (
+           SELECT w3, CAST(count(*) AS BIGINT) AS c3
+           FROM (SELECT unnest(toks) AS w3 FROM tt) GROUP BY w3),
+         tot AS (SELECT CAST(sum(c3) AS BIGINT) AS n_total FROM uc),
+         bg0 AS (
+           SELECT unnest(CASE WHEN len(toks) >= 2
+             THEN [{'w2': toks[i], 'w3': toks[i + 1]}
+                   for i in generate_series(1, len(toks) - 1)]
+             ELSE [] END) AS u
+           FROM tt),
+         bc AS (SELECT u.w2 AS w2, u.w3 AS w3,
+                  CAST(count(*) AS BIGINT) AS c12
+                FROM bg0 GROUP BY u.w2, u.w3),
+         c2 AS (SELECT w2, CAST(sum(c12) AS BIGINT) AS c2ctx
+                FROM bc GROUP BY w2),
+         tg0 AS (
+           SELECT unnest(CASE WHEN len(toks) >= 3
+             THEN [{'w1': toks[i], 'w2': toks[i + 1], 'w3': toks[i + 2]}
+                   for i in generate_series(1, len(toks) - 2)]
+             ELSE [] END) AS u
+           FROM tt),
+         tc AS (SELECT u.w1 AS w1, u.w2 AS w2, u.w3 AS w3,
+                  CAST(count(*) AS BIGINT) AS c123
+                FROM tg0 GROUP BY u.w1, u.w2, u.w3),
+         c12t AS (SELECT w1, w2, CAST(sum(c123) AS BIGINT) AS c12ctx
+                  FROM tc GROUP BY w1, w2),
+         unim AS (
+           SELECT w3,
+             CAST(floor(ln(0.1 * (CAST(c3 AS DOUBLE) / CAST(n_total AS DOUBLE)))
+               * 1000000.0 + 0.5) AS BIGINT) AS lp1
+           FROM uc, tot),
+         bigm AS (
+           SELECT bc.w2, bc.w3,
+             CAST(floor(ln(0.2 * (CAST(c12 AS DOUBLE) / CAST(c2ctx AS DOUBLE))
+               + 0.1 * (CAST(c3 AS DOUBLE) / CAST(n_total AS DOUBLE)))
+               * 1000000.0 + 0.5) AS BIGINT) AS lp2
+           FROM bc JOIN c2 USING (w2) JOIN uc USING (w3), tot),
+         trm AS (
+           SELECT tc.w1, tc.w2, tc.w3,
+             CAST(floor(ln(0.7 * (CAST(c123 AS DOUBLE) / CAST(c12ctx AS DOUBLE))
+               + 0.2 * (CAST(c12 AS DOUBLE) / CAST(c2ctx AS DOUBLE))
+               + 0.1 * (CAST(c3 AS DOUBLE) / CAST(n_total AS DOUBLE)))
+               * 1000000.0 + 0.5) AS BIGINT) AS lp3
+           FROM tc JOIN c12t USING (w1, w2) JOIN bc USING (w2, w3)
+             JOIN c2 USING (w2) JOIN uc USING (w3), tot),
+         st AS (
+           SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(COALESCE(text, '')), '[^a-z0-9'']+'), x -> length(x) > 0) AS toks
+           FROM documents),
+         sg AS (
+           SELECT doc_id, u.w1 AS w1, u.w2 AS w2, u.w3 AS w3
+           FROM (SELECT doc_id, unnest(CASE WHEN len(toks) >= 3
+             THEN [{'w1': toks[i], 'w2': toks[i + 1], 'w3': toks[i + 2]}
+                   for i in generate_series(1, len(toks) - 2)]
+             ELSE [] END) AS u
+           FROM st)),
+         j AS (
+           SELECT sg.doc_id, t.lp3, b.lp2, un.lp1,
+             COALESCE(t.lp3, b.lp2, un.lp1, -20000000) AS lp
+           FROM sg
+           LEFT JOIN trm t ON sg.w1 = t.w1 AND sg.w2 = t.w2 AND sg.w3 = t.w3
+           LEFT JOIN bigm b ON sg.w2 = b.w2 AND sg.w3 = b.w3
+           LEFT JOIN unim un ON sg.w3 = un.w3),
+         agg AS (
+           SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_trigrams,
+             CAST(sum(CASE WHEN lp3 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_tri_hit,
+             CAST(sum(CASE WHEN lp3 IS NULL AND lp2 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_bg_backoff,
+             CAST(sum(CASE WHEN lp3 IS NULL AND lp2 IS NULL AND lp1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_ug_backoff,
+             CAST(sum(CASE WHEN lp3 IS NULL AND lp2 IS NULL AND lp1 IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+             CAST(sum(lp) AS BIGINT) AS lp_sum_q
+           FROM j GROUP BY doc_id)
+         SELECT d.doc_id,
+           COALESCE(agg.n_trigrams, 0) AS n_trigrams,
+           COALESCE(agg.n_tri_hit, 0) AS n_tri_hit,
+           COALESCE(agg.n_bg_backoff, 0) AS n_bg_backoff,
+           COALESCE(agg.n_ug_backoff, 0) AS n_ug_backoff,
+           COALESCE(agg.n_oov, 0) AS n_oov,
+           COALESCE(agg.lp_sum_q, 0) AS lp_sum_q,
+           CASE WHEN COALESCE(agg.n_trigrams, 0) = 0 THEN 0.0
+                ELSE CAST(agg.lp_sum_q AS DOUBLE) / CAST(agg.n_trigrams AS DOUBLE)
+           END AS avg_lp_q
+         FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id""",
+
     // Vocab-coverage replay: same (freq desc, token) total order for
     // rank/limit/cumsum; coverage = division of identical BIGINTs.
     "q61_vocab_coverage" ->
@@ -1580,6 +1774,7 @@ object SparkEntry {
     "x09_minhash_dedup" -> OracleLsh.x09Sql,
     "x10_simhash_dedup" -> OracleLsh.x10Sql(),
     "x18_dedup_verdicts" -> OracleLsh.x18Sql,
+    "q69_dedup_quality_keeper" -> OracleLsh.q69Sql,
     "x19_corpus_signature" -> OracleLsh.x19Sql,
 
     // analyzer chain stages 1-2 (tokenize -> stop), stopwords rendered
@@ -1601,6 +1796,21 @@ object SparkEntry {
            SELECT vec_id, ${sqlCos("v", "qv")} AS cos
            FROM e, q WHERE vec_id <> 0)
          SELECT vec_id, cos FROM sc ORDER BY cos DESC, vec_id LIMIT 20""",
+
+    // Batch replay: same fold cosine, same (cos DESC, vec_id) order,
+    // per-query rank window.
+    "x27_cosine_topk_batch" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id IN (0, 1, 2, 3)),
+         sc AS (
+           SELECT q.query_id, e.vec_id, ${sqlCos("e.v", "q.qv")} AS cos
+           FROM e, q WHERE e.vec_id <> q.query_id),
+         r AS (
+           SELECT query_id, vec_id, cos,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rnk
+           FROM sc)
+         SELECT query_id, CAST(rnk AS BIGINT) AS rank, vec_id, cos
+         FROM r WHERE rnk <= 10""",
 
     "x13_cosine_topk_lsh" ->
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),

@@ -131,6 +131,33 @@ object Dedup {
     connectedComponents(pairs)
       .select(col("id"), col("comp"), (col("id") === col("comp")).as("keep"))
 
+  /** [[clusterVerdicts]] with a caller-supplied QUALITY keeper: the
+    * surviving doc per near-dup cluster is the argmax of `score`
+    * (ties → smaller id), not the minimum id — what production dedup
+    * actually wants (SemDeDup §4, RefinedWeb §4.3 keep the
+    * best-quality representative, not an arbitrary one). Takes the
+    * full `universe` so singletons (ids in no pair) are emitted with
+    * `keep=true`, mirroring [[graft.operators.DedupApprox.dedupCorpus]].
+    *
+    * Keeper selection is one `max(struct(score, -id))` per component —
+    * a plain agg with map-side combine plus one comp-keyed join
+    * (unavoidable here: argmax-by-quality is not the CC fixpoint
+    * invariant the min-id fast path exploits). Pass an integer-valued
+    * score if oracle-grade cross-engine exactness matters; float
+    * scores work but tie behavior then rides IEEE comparison. */
+  def clusterVerdictsBy(universe: DataFrame, idCol: String, pairs: DataFrame,
+                        score: Column): DataFrame = {
+    val scored = universe.select(col(idCol).as("id"), score.as("score"))
+    val withComp = scored.join(connectedComponents(pairs), Seq("id"), "left")
+      .withColumn("comp", coalesce(col("comp"), col("id")))
+    val keepers = withComp.groupBy(col("comp"))
+      .agg(max(struct(col("score"), (-col("id")).as("nid"))).as("__b"))
+      .select(col("comp"), (-col("__b.nid")).as("__keeper"))
+    withComp.join(keepers, Seq("comp"))
+      .select(col("id").as(idCol), col("comp"), col("score"),
+        (col("id") === col("__keeper")).as("keep"))
+  }
+
   /** Benchmark decontamination — flag training docs that share any
     * word `n`-gram with a held-out evaluation set (the standard
     * pre-training hygiene pass; GPT-3 used 13-gram overlap, Brown et
@@ -161,6 +188,40 @@ object Dedup {
       .join(hits, Seq(idCol), "left")
       .withColumn("n_contaminated", coalesce(col("n_contaminated"), lit(0L)))
       .withColumn("contaminated", col("n_contaminated") > 0)
+  }
+
+  /** [[decontaminate]]'s 100 TB shape: the benchmark gram set collapses
+    * to a BLOOM FILTER (fixed `numBits/8`-byte artifact — a 10⁷-gram
+    * eval suite fits 2 MB at 1% FP where the string set is gigabytes),
+    * shipped as a literal, probed scan-locally inside whole-stage
+    * codegen with NO join on the training side. The verdict is a
+    * SUPERSET of the exact operator's (no false negatives — every
+    * truly contaminated doc is flagged; FP rate ≈ (1−e^(−h·n/m))^h
+    * flags a few clean docs, the safe direction for hygiene filters).
+    * The only wide shuffle left is the per-doc hit count keyed on the
+    * doc id. Building the artifact is one mergeable aggregate
+    * ([[graft.functions.BloomAgg]], map-side OR-combine); collecting
+    * it is a model-artifact collect like kmeansCentroids, bytes not
+    * rows. */
+  def decontaminateBloom(docs: DataFrame, idCol: String, textCol: String,
+                         isBenchmark: Column, n: Int = 13,
+                         numBits: Int = 1 << 20,
+                         numHashes: Int = 5): DataFrame = {
+    val flagged = docs.withColumn("__bench", isBenchmark)
+    val artifact: Array[Byte] = flagged.filter(col("__bench"))
+      .select(explode(DedupApprox.shingles(col(textCol), n)).as("gram"))
+      .agg(graft.functions.Bloom.bloomAgg(col("gram"), numBits, numHashes)
+        .as("b"))
+      .head.getAs[Array[Byte]](0)
+    val hits = flagged.filter(!col("__bench"))
+      .select(col(idCol),
+        explode(DedupApprox.shingles(col(textCol), n)).as("gram"))
+      .filter(graft.functions.Bloom.mightContain(lit(artifact), col("gram")))
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_flagged"))
+    flagged.filter(!col("__bench")).select(col(idCol))
+      .join(hits, Seq(idCol), "left")
+      .withColumn("n_flagged", coalesce(col("n_flagged"), lit(0L)))
+      .withColumn("contaminated", col("n_flagged") > 0)
   }
 
   /** Corpus-wide paragraph-level exact dedup (the RefinedWeb /

@@ -182,4 +182,150 @@ object LmScore {
   def bigramScore(df: DataFrame, idCol: String, textCol: String): DataFrame =
     bigramScoreWith(df, idCol, textCol, train(df, idCol, textCol))
       .select(col(idCol), col("n_bigrams"), col("lp_sum_q"), col("avg_lp_q"))
+
+  // ---- interpolated trigram LM (KenLM-grade backoff chain) ------------
+
+  /** The trigram model artifact: three vocab-bounded type tables, each
+    * carrying a PRE-INTERPOLATED quantized logprob —
+    *   tri  (w1, w2, w3, lp_q):  ln(λ₃·p₃ + λ₂·p₂ + λ₁·p₁)
+    *   big  (w2, w3, lp_q):      ln(λ₂·p₂ + λ₁·p₁)   (trigram missed)
+    *   uni  (w3, lp_q):          ln(λ₁·p₁)            (bigram missed too)
+    * where p₃ = C(w1w2w3)/C(w1w2·), p₂ = C(w2w3)/C(w2·), p₁ = C(w3)/N.
+    * Pre-interpolating at TRAIN time keeps apply a pure coalesce
+    * chain — no float arithmetic crosses the score join. */
+  final case class TrigramModel(tri: DataFrame, big: DataFrame, uni: DataFrame)
+
+  /** Default interpolation weights (λ₃, λ₂, λ₁). Exact decimal
+    * literals: both engines parse them to the same IEEE doubles, so
+    * the interpolation sum replays bit-for-bit. */
+  val DefaultLambdas: (Double, Double, Double) = (0.7, 0.2, 0.1)
+
+  /** Sliding (id, w1, w2, w3) trigram occurrences, same
+    * explode-in-scan shape as [[slidingBigrams]]. */
+  private def slidingTrigrams(df: DataFrame, idCol: String,
+                              textCol: String): DataFrame = {
+    val toks = Analyzer.tokenize(coalesce(col(textCol), lit("")))
+    df.select(col(idCol), toks.as("__toks"))
+      .select(col(idCol),
+        explode(when(size(col("__toks")) >= 3,
+          transform(sequence(lit(1), size(col("__toks")) - 2),
+            i => struct(
+              element_at(col("__toks"), i).as("w1"),
+              element_at(col("__toks"), i + 1).as("w2"),
+              element_at(col("__toks"), i + 2).as("w3"))))
+          .otherwise(array())).as("__tg"))
+      .select(col(idCol), col("__tg.w1").as("w1"),
+        col("__tg.w2").as("w2"), col("__tg.w3").as("w3"))
+  }
+
+  /** Train the interpolated trigram MLE (Jelinek–Mercer fixed-weight
+    * interpolation — the closed-form heart of CCNet's KenLM filter,
+    * minus its Kneser–Ney discounting). Counts come from three
+    * map-side-combined type aggregations (trigram, bigram, unigram);
+    * denominators roll up FROM the type tables, so the corpus is
+    * read once and never shuffled — only types move.
+    *
+    * Interpolation math is fixed-order double arithmetic
+    * (λ₃·p₃ + λ₂·p₂ + λ₁·p₁, left-to-right) on exact integer-count
+    * ratios, then one ln quantized to the micro-nat grid — the same
+    * cross-engine determinism treatment as [[train]]. */
+  def trainTrigram(df: DataFrame, idCol: String, textCol: String,
+                   lambdas: (Double, Double, Double) = DefaultLambdas)
+      : TrigramModel = {
+    val (l3, l2, l1) = lambdas
+    val quant = (x: org.apache.spark.sql.Column) =>
+      floor(log(x) * 1000000.0 + 0.5).cast("long")
+
+    val uniCounts = df
+      .select(explode(Analyzer.tokenize(coalesce(col(textCol), lit("")))).as("w3"))
+      .groupBy(col("w3")).agg(count(lit(1)).as("c3"))
+    // N as a 1-row frame joined in (a literal would collect; a scalar
+    // broadcast-join is the plan-native form)
+    val total = uniCounts.agg(sum(col("c3")).as("n_total"))
+
+    val bigCounts = slidingBigrams(df, idCol, textCol)
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val ctx2 = bigCounts.groupBy(col("w1")).agg(sum(col("c12")).as("c2ctx"))
+      .withColumnRenamed("w1", "w2")
+
+    val triCounts = slidingTrigrams(df, idCol, textCol)
+      .groupBy(col("w1"), col("w2"), col("w3")).agg(count(lit(1)).as("c123"))
+    val ctx12 = triCounts.groupBy(col("w1"), col("w2"))
+      .agg(sum(col("c123")).as("c12ctx"))
+
+    val p1 = col("c3").cast("double") / col("n_total").cast("double")
+    val uni = uniCounts.crossJoin(broadcast(total))
+      .withColumn("lp_q", quant(lit(l1) * p1))
+      .select(col("w3"), col("lp_q"))
+
+    val p2 = col("c12").cast("double") / col("c2ctx").cast("double")
+    val big = bigCounts
+      .withColumnRenamed("w1", "w2_").withColumnRenamed("w2", "w3")
+      .withColumnRenamed("w2_", "w2")
+      .join(ctx2, "w2")
+      .join(uniCounts, "w3").crossJoin(broadcast(total))
+      .withColumn("lp_q", quant(lit(l2) * p2 + lit(l1) * p1))
+      .select(col("w2"), col("w3"), col("lp_q"))
+
+    val p3 = col("c123").cast("double") / col("c12ctx").cast("double")
+    val tri = triCounts
+      .join(ctx12, Seq("w1", "w2"))
+      .join(bigCounts.select(col("w1").as("w2"), col("w2").as("w3"),
+        col("c12")), Seq("w2", "w3"))
+      .join(ctx2, "w2")
+      .join(uniCounts, "w3").crossJoin(broadcast(total))
+      .withColumn("lp_q", quant(lit(l3) * p3 + lit(l2) * p2 + lit(l1) * p1))
+      .select(col("w1"), col("w2"), col("w3"), col("lp_q"))
+
+    TrigramModel(tri, big, uni)
+  }
+
+  /** Score `df` under a pre-trained [[TrigramModel]]: each trigram
+    * position takes the FIRST hit in the backoff chain
+    * tri(w1,w2,w3) → big(w2,w3) → uni(w3) → `floorLpQ` — three LEFT
+    * joins against vocab-bounded type tables (AQE broadcasts them
+    * while small, sort-merge past the threshold) and a coalesce; the
+    * per-level miss counts are surfaced (`n_tri_hit`, `n_bg_backoff`,
+    * `n_ug_backoff`, `n_oov`). Docs with < 3 tokens carry zeros.
+    * Integer micro-nat sums keep the aggregation order-free. */
+  def trigramScoreWith(df: DataFrame, idCol: String, textCol: String,
+                       model: TrigramModel,
+                       floorLpQ: Long = DefaultFloorLpQ): DataFrame = {
+    val slid = slidingTrigrams(df, idCol, textCol)
+    val scored = slid
+      .join(model.tri.withColumnRenamed("lp_q", "lp3"),
+        Seq("w1", "w2", "w3"), "left")
+      .join(model.big.withColumnRenamed("lp_q", "lp2"),
+        Seq("w2", "w3"), "left")
+      .join(model.uni.withColumnRenamed("lp_q", "lp1"),
+        Seq("w3"), "left")
+      .withColumn("__lp", coalesce(col("lp3"), col("lp2"), col("lp1"),
+        lit(floorLpQ)))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_trigrams"),
+        sum(when(col("lp3").isNotNull, 1L).otherwise(0L)).as("n_tri_hit"),
+        sum(when(col("lp3").isNull && col("lp2").isNotNull, 1L)
+          .otherwise(0L)).as("n_bg_backoff"),
+        sum(when(col("lp3").isNull && col("lp2").isNull && col("lp1").isNotNull,
+          1L).otherwise(0L)).as("n_ug_backoff"),
+        sum(when(col("lp1").isNull && col("lp2").isNull && col("lp3").isNull,
+          1L).otherwise(0L)).as("n_oov"),
+        sum(col("__lp")).as("lp_sum_q"))
+    df.select(col(idCol))
+      .join(scored, Seq(idCol), "left")
+      .na.fill(0L, Seq("n_trigrams", "n_tri_hit", "n_bg_backoff",
+        "n_ug_backoff", "n_oov", "lp_sum_q"))
+      .withColumn("avg_lp_q",
+        when(col("n_trigrams") === 0, 0.0)
+          .otherwise(col("lp_sum_q").cast("double") / col("n_trigrams").cast("double")))
+  }
+
+  /** Self-train interpolated trigram score (train and score the same
+    * corpus; backoff still fires only for trigrams the training pass
+    * saw — i.e. never — so this shape exercises the interpolation,
+    * not the chain; [[trigramScoreWith]] under a holdout split
+    * exercises both). */
+  def trigramScore(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    trigramScoreWith(df, idCol, textCol, trainTrigram(df, idCol, textCol))
 }

@@ -67,6 +67,36 @@ object Similarity {
       .limit(k)
   }
 
+  /** BATCH exact cosine top-k: one scan of the corpus scores EVERY
+    * query (broadcast list), and [[graft.functions.TopKAgg]] keeps k
+    * survivors per query per map partition before the shuffle — the
+    * shuffle moves `queries × k × partitions` 16-byte structs, not
+    * the n×q scored cross product a window-rank plan would sort.
+    * This is the serving shape for embedding retrieval at scale: the
+    * corpus is read once no matter how many queries ride along.
+    *
+    * Output: (query_id, rank, idCol, cos), rank 1-based by
+    * (cos DESC, id ASC) — the same total order as [[topKBruteForce]],
+    * so single-query results agree row-for-row. */
+  def topKBatch(df: DataFrame, idCol: String, vecCol: String,
+                queryIds: Seq[Long], k: Int): DataFrame = {
+    require(queryIds.nonEmpty, "topKBatch needs at least one query id")
+    val queries = broadcast(df.filter(col(idCol).isin(queryIds: _*))
+      .select(col(idCol).cast("long").as("query_id"),
+        asDouble(col(vecCol)).as("__qv")))
+    df.select(col(idCol), asDouble(col(vecCol)).as("__v"))
+      .crossJoin(queries)
+      .filter(col(idCol) =!= col("query_id"))
+      .select(col("query_id"), col(idCol).cast("long").as("__id"),
+        cosineFast(col("__v"), col("__qv")).as("__cos"))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopKAgg.topk(col("__cos"), col("__id"), k)
+        .as("__top"))
+      .select(col("query_id"), posexplode(col("__top")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.id").as(idCol), col("col.score").as("cos"))
+  }
+
   /** Deterministic random hyperplanes (seeded) for sign-bit bucketing. */
   def hyperplanes(dim: Int, numPlanes: Int, seed: Long = 42L): Seq[Seq[Double]] = {
     val rnd = new scala.util.Random(seed)

@@ -308,6 +308,66 @@ object TextAnalysis {
       .withColumn("text_dedup", coalesce(col("text_dedup"), lit("")))
   }
 
+  /** Exact-substring dedup over SLIDING k-token windows — the
+    * ExactSubstr pass of Lee et al. 2022 ("Deduplicating Training Data
+    * Makes Language Models Better", §2.1) at word-token granularity:
+    * any k-token window whose text occurs more than once in the corpus
+    * is removed from every instance EXCEPT the corpus-wide first
+    * occurrence (first = smallest `doc_id·2²⁰ + start`, the same
+    * BIGINT order key as [[spanDedupRewrite]]; start < 2²⁰ assumed —
+    * callers' own length filters enforce it). A token survives iff no
+    * removed window covers its position; each doc's survivors are
+    * reassembled in order. Unlike [[spanDedupRewrite]] (aligned,
+    * non-overlapping spans) this catches duplicated passages at ANY
+    * offset — the contract real pretraining dedup needs.
+    *
+    * Output: (id, n_tokens, n_removed, text_dedup), one row per input
+    * doc (docs shorter than k tokens pass through untouched).
+    *
+    * Scale shape: five keyed shuffles, none global — (1) gram
+    * min-agg keyed on the gram text (map-side combine collapses
+    * repeats first); (2) join instances→winners on the gram; (3)
+    * covered-position distinct keyed (id, p) — payload two ints ×
+    * (dup instances · k); (4) anti-join positions vs covered on
+    * (id, p); (5) per-doc reassembly keyed on id. Token bodies cross
+    * the wire once (stage 4→5), the same budget as spanDedupRewrite;
+    * coverage is O(dups·k), never O(n²). At 100 TB the gram string
+    * key would shrink to its 64-bit rolling hash (collision odds
+    * ≈ n²/2⁶⁵); the string key here keeps the operator exactly
+    * oracle-replayable (q67). */
+  def substringDedup(df: DataFrame, idCol: String, textCol: String,
+                     k: Int = 8): DataFrame = {
+    require(k >= 2, s"window must span at least 2 tokens (got $k)")
+    val base = df.select(col(idCol), Analyzer.tokenize(col(textCol)).as("toks"))
+    val grams = base.filter(size(col("toks")) >= k)
+      .select(col(idCol), posexplode(
+        transform(sequence(lit(1), size(col("toks")) - (k - 1)),
+          i => concat_ws(" ", slice(col("toks"), i, lit(k))))))
+      .withColumnRenamed("pos", "s").withColumnRenamed("col", "gram")
+      .withColumn("__ord", col(idCol) * lit(1L << 20) + col("s"))
+    val winners = grams.groupBy(col("gram")).agg(min(col("__ord")).as("__w"))
+    val covered = grams.join(winners, Seq("gram"))
+      .filter(col("__ord") =!= col("__w"))
+      .select(col(idCol), explode(sequence(col("s"), col("s") + (k - 1))).as("p"))
+      .distinct()
+    val positions = base
+      .select(col(idCol), posexplode(col("toks")))
+      .withColumnRenamed("pos", "p").withColumnRenamed("col", "tok")
+    val perDoc = positions.join(covered, Seq(idCol, "p"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("__kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("p"), col("tok")))),
+            s => s.getField("tok")),
+          " ").as("text_dedup"))
+    base.select(col(idCol), size(col("toks")).cast("long").as("n_tokens"))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("__kept"), lit(0L))).as("n_removed"),
+        coalesce(col("text_dedup"), lit("")).as("text_dedup"))
+  }
+
   // ---- fingerprinting --------------------------------------------------
 
   /** 64-bit wrapping polynomial hash, base 31 — the wide analog of

@@ -13,9 +13,10 @@ class DeterminismSpec extends SparkSpec {
     "q01_pricing_summary", "q21_window_topk", "q34_shipping_priority",
     "q38_string_agg", "q44_asof_join", "q47_repetition", "q48_pack_bins",
     "q59_paragraph_dedup", "q60_lm_score", "q61_vocab_coverage",
-    "q64_lm_score_holdout",
+    "q64_lm_score_holdout", "q67_substring_dedup", "q68_decontaminate_bloom",
+    "q69_dedup_quality_keeper", "q70_trigram_lm",
     "x09_minhash_dedup", "x10_simhash_dedup", "x18_dedup_verdicts",
-    "x24_semdedup")
+    "x24_semdedup", "x27_cosine_topk_batch")
 
   private def run(name: String, partitions: Int): Seq[String] = {
     spark.conf.set("spark.sql.shuffle.partitions", partitions)
