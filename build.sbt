@@ -26,5 +26,16 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 24g default: local[32] shares ONE heap across driver + all 32
+  // executor threads; 8g left the allocation-heavy queries (simhash
+  // bucket loops, CC rounds, ~100 localCheckpoints per bench sweep)
+  // one GC hiccup from thrash. Note for benchmark forensics: the
+  // dominant run-to-run variance on this box is HOST-side CPU
+  // throttling under sustained load (round 5 measured x24 at 6.5 s /
+  // 8.8 s / 142 s across identical invocations bracketing an hour of
+  // continuous sbt load; the machine idles back to fast) — treat
+  // in-session bench numbers as upper bounds and the driver's
+  // fresh-round sweep as authoritative. The box has 128 GiB; a real
+  // cluster sizes executors itself.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

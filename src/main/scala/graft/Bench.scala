@@ -30,11 +30,23 @@ object Bench {
     // at this scale (standard steady-state benching). A failed query
     // reports -1, not its wall time — a regression must not read as
     // a fast run.
-    val firstPass = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      // GC-settle between queries: BENCH_r02 recorded a 7x outlier on
+    // optional args subset (diagnosis tool; the driver passes none)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => args.isEmpty || args.contains(n) }
+    val firstPass = selected.map { case (name, fn) =>
+      // Inter-query hygiene. (1) localCheckpoint blocks: the CC loops
+      // (x18/x24/q69) checkpoint per round, and those RDD blocks stay
+      // pinned in executor storage until the driver GC happens to
+      // collect the RDD handle — across ~100 queries that accumulated
+      // into enough heap pressure to inflate late-alphabet queries
+      // >10x (x24: 78 s in-bench vs 6.8 s standalone, round 5).
+      // Unpersist is deterministic where ContextCleaner is best-
+      // effort. (2) GC-settle: BENCH_r02 recorded a 7x outlier on
       // x16 (both runs!) that X16Probe could not reproduce in steady
       // state (1.0 s vs the 6.7 s outlier); heavy allocators (x15's
       // content hashing) otherwise tax the next query's wall time.
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
       System.gc()
       val (t1, ok1) = once(name, fn); val (t2, ok2) = once(name, fn)
       (name, fn, Seq(t1, t2), ok1 && ok2)
@@ -50,6 +62,8 @@ object Bench {
       if (!ok) name -> -1.0
       else if (!expensive(name)) name -> ts.min
       else {
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
         System.gc()
         val (t3, ok3) = once(name, fn)
         if (!ok3) name -> -1.0

@@ -668,6 +668,23 @@ object SparkEntry {
       LmScore.trigramScoreWith(docs, "doc_id", "text",
         LmScore.trainTrigram(docs.filter(col("doc_id") % 2 === 0),
           "doc_id", "text"))
+    }),
+
+    // Count-min frequency sketch probed for the exact top-20 tokens.
+    // CMS only ever OVERestimates; at depth 4 × width 2^18 the
+    // collision set is empty for this vocab (CountMinSpec + the gate
+    // itself prove est == exact), so the exact counts are the oracle.
+    "q71_cms_token_freq" -> q((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(explode(graft.functions.Analyzer.tokenize(
+          coalesce(col("text"), lit("")))).as("token"))
+      val artifact = toks
+        .agg(graft.functions.CountMin.cmsAgg(col("token")).as("a"))
+        .head.getAs[Array[Byte]](0)
+      toks.groupBy(col("token")).agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("token")).limit(20)
+        .withColumn("est",
+          graft.functions.CountMin.estimate(lit(artifact), col("token")))
     })
   ) ++ NonSqlQueries.queries
 
@@ -1613,6 +1630,18 @@ object SparkEntry {
                 ELSE CAST(agg.lp_sum_q AS DOUBLE) / CAST(agg.n_trigrams AS DOUBLE)
            END AS avg_lp_q
          FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id""",
+
+    // CMS replay: exact counts under the same (freq desc, token)
+    // total order; est == freq because the collision set is empty at
+    // this sketch size for this vocab (overestimate-only otherwise).
+    "q71_cms_token_freq" ->
+      """WITH tok AS (
+           SELECT unnest(list_filter(regexp_split_to_array(lower(COALESCE(text, '')), '[^a-z0-9'']+'), x -> length(x) > 0)) AS token
+           FROM documents),
+         c AS (SELECT token, CAST(count(*) AS BIGINT) AS freq
+               FROM tok GROUP BY token)
+         SELECT token, freq, freq AS est FROM c
+         ORDER BY freq DESC, token LIMIT 20""",
 
     // Vocab-coverage replay: same (freq desc, token) total order for
     // rank/limit/cumsum; coverage = division of identical BIGINTs.

@@ -170,4 +170,35 @@ class CorpusStreamSpec extends SparkSpec {
     assert(pii(2L) == ((0L, 0L)))
     assert(spark.table("mixed").count() == 4L)  // factor 2.0 → 2 copies each
   }
+
+  test("bloom decontamination probes a live stream (static artifact)") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.DedupApprox
+    import graft.functions.Bloom
+
+    // the benchmark set is batch-side: build the artifact once, then
+    // every micro-batch probes it as a pure projection — the
+    // streaming shape of Dedup.decontaminateBloom (no join, no state)
+    val bench = Seq("alpha beta gamma delta epsilon").toDF("text")
+    val artifact = bench
+      .select(explode(DedupApprox.shingles($"text", 3)).as("gram"))
+      .agg(Bloom.bloomAgg($"gram").as("b")).head.getAs[Array[Byte]](0)
+
+    val mem = MemoryStream[Doc]
+    mem.addData(
+      Doc(1L, "prefix alpha beta gamma suffix"), // shares a trigram
+      Doc(2L, "totally unrelated clean text"))
+    val flagged = mem.toDF().withColumn("contaminated",
+      exists(DedupApprox.shingles($"text", 3),
+        g => Bloom.mightContain(lit(artifact), g)))
+    val q = flagged.writeStream.format("memory").queryName("bloomed")
+      .outputMode("append").trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    val out = spark.table("bloomed").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("contaminated"))
+      .toMap
+    assert(out(1L) && !out(2L))
+  }
 }
