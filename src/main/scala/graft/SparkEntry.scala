@@ -685,7 +685,13 @@ object SparkEntry {
         .orderBy(col("freq").desc, col("token")).limit(20)
         .withColumn("est",
           graft.functions.CountMin.estimate(lit(artifact), col("token")))
-    })
+    }),
+
+    // BPE merge training (Sennrich 2016): 8 merge rounds over the
+    // corpus' word-type table. Pure integer counts + string equality,
+    // so the oracle (OracleBpe) unrolls and replays every round.
+    "q72_bpe_merges" -> q((s, d) =>
+      Bpe.trainMerges(Tables.documents(s, d), "text", nMerges = 8))
   ) ++ NonSqlQueries.queries
 
   // ---- DuckDB oracles -------------------------------------------------
@@ -1642,6 +1648,11 @@ object SparkEntry {
                FROM tok GROUP BY token)
          SELECT token, freq, freq AS est FROM c
          ORDER BY freq DESC, token LIMIT 20""",
+
+    // BPE training replay: every round unrolled (pair counts, the
+    // (c DESC, l, r) winner, greedy merge as run/parity windows) —
+    // see OracleBpe for the greedy-equivalence argument.
+    "q72_bpe_merges" -> OracleBpe.q72Sql(nMerges = 8),
 
     // Vocab-coverage replay: same (freq desc, token) total order for
     // rank/limit/cumsum; coverage = division of identical BIGINTs.

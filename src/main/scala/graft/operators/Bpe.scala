@@ -1,0 +1,160 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.Analyzer
+
+/** Byte-pair-encoding merge training (Sennrich et al. 2016, "Neural
+  * Machine Translation of Rare Words with Subword Units" §3.2) — the
+  * tokenizer-training half of a training-data pipeline, next to
+  * [[TextAnalysis.vocabCoverage]]'s corpus-side prep.
+  *
+  * The classic algorithm is a sequential loop over a WORD-TYPE table
+  * (word → corpus frequency), not the corpus: count adjacent symbol
+  * pairs weighted by word frequency, merge the most frequent pair
+  * everywhere, repeat. That structure is exactly what makes it
+  * distributable at 100 TB: the corpus crosses the shuffle ONCE, as
+  * word types with map-side-combined counts (the KenLM property —
+  * state is type-cardinality-bound, ~millions of rows for any corpus
+  * size), and each merge round touches only that small table.
+  *
+  * Per-round plan shape (nothing ever reaches the driver):
+  *   - pair counts: scan-local adjacent-pair expansion over the symbol
+  *     arrays (one `transform` over indices), ONE groupBy(l, r) shuffle
+  *     of pair types.
+  *   - winner: `orderBy(count DESC, l, r).limit(1)` — a TakeOrdered of
+  *     pair types, broadcast back as a 1-row build side.
+  *   - merge application: an `aggregate` fold over each symbol array —
+  *     scan-local, zero shuffle. The fold is exactly greedy
+  *     left-to-right non-overlapping replacement: a just-merged
+  *     element can never re-match as the left operand because the
+  *     merged symbol `l ++ r` cannot equal `l` (r is non-empty), so
+  *     fold-compare-last ≡ the classic walk-and-skip loop.
+  *   - `localCheckpoint` cuts the per-round lineage (same discipline as
+  *     the connected-components fixpoint in [[Dedup]]); without it
+  *     round n replays rounds 1..n−1 once per downstream exchange.
+  *
+  * The whole computation is integer counts and string equality — no
+  * floats anywhere — so the DuckDB oracle ([[graft.OracleBpe]]) replays
+  * every round bit-for-bit, with greedy merging rendered relationally
+  * (flag matching positions, group consecutive matches into runs,
+  * merge the even offsets — provably the same greedy semantics).
+  *
+  * Reference anchor: the reference pipeline tokenizes with a fixed
+  * off-the-shelf analyzer (sentiment_analysis_dag.py's TextBlob/VADER
+  * tokenizations); BPE training is the beyond-reference capability a
+  * training-data engine needs to BUILD such tokenizers from the corpus.
+  */
+object Bpe {
+
+  /** End-of-word marker symbol. Outside the tokenizer's `[a-z0-9']`
+    * alphabet, so it can never collide with a character symbol. */
+  val Marker = "_"
+
+  /** Corpus → word-type table (word, freq). The only pass over the
+    * corpus; map-side combine collapses occurrences before the one
+    * type-keyed shuffle. */
+  def wordTypes(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(Analyzer.tokenize(coalesce(col(textCol), lit(""))))
+        .as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+
+  /** Train `nMerges` BPE merges over the corpus' word types.
+    * Output: one row per learned merge, in order —
+    * (rank, lhs, rhs, pair_freq) with rank 1..nMerges. Ties on
+    * pair_freq break deterministically by (lhs, rhs) ascending. If the
+    * corpus exhausts (every word a single symbol) the output simply
+    * has fewer rows. */
+  def trainMerges(df: DataFrame, textCol: String, nMerges: Int): DataFrame = {
+    require(nMerges >= 1 && nMerges <= 64,
+      s"nMerges must be in [1, 64] — each merge is a driver-side round; " +
+        s"train larger vocabs in resumable chunks (got $nMerges)")
+    val spark = df.sparkSession
+
+    // word → initial symbol array: characters + end-of-word marker.
+    // substring-by-index (not split("")) for exact parity with the
+    // oracle's [word[i:i] for i in ...] rendering.
+    var words = wordTypes(df, textCol)
+      .select(col("word"), col("freq"),
+        concat(
+          transform(sequence(lit(1), length(col("word"))),
+            i => col("word").substr(i, lit(1))),
+          array(lit(Marker))).as("syms"))
+      .localCheckpoint()
+
+    var merges: Option[DataFrame] = None
+    var r = 1
+    var exhausted = false
+    while (r <= nMerges && !exhausted) {
+      // adjacent-pair types, weighted by word frequency. Fully-merged
+      // words (one symbol left) have no pairs — and must be filtered
+      // BEFORE sequence(1, size-1), which would otherwise descend
+      // ([1, 0]) and index out of bounds.
+      val pairCounts = words
+        .filter(size(col("syms")) >= 2)
+        .select(col("freq"),
+          explode(transform(sequence(lit(1), size(col("syms")) - 1),
+            i => struct(element_at(col("syms"), i).as("l"),
+              element_at(col("syms"), i + 1).as("r")))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("freq")).as("c"))
+      val best = pairCounts
+        .orderBy(col("c").desc, col("l"), col("r")).limit(1)
+        .localCheckpoint()
+      if (best.isEmpty) {
+        exhausted = true
+      } else {
+        val row = best.select(lit(r.toLong).as("rank"), col("l").as("lhs"),
+          col("r").as("rhs"), col("c").as("pair_freq"))
+        merges = Some(merges.fold(row)(_.unionByName(row)))
+        // greedy merge as a scan-local fold; see object Scaladoc for
+        // the fold ≡ greedy argument. get() (not element_at) so the
+        // empty initial accumulator yields null, not an ANSI error.
+        words = words
+          .crossJoin(broadcast(best.select(col("l").as("bl"), col("r").as("br"))))
+          .withColumn("syms",
+            aggregate(col("syms"), array().cast("array<string>"),
+              (acc, s) => when(
+                get(acc, size(acc) - 1) === col("bl") && s === col("br"),
+                concat(slice(acc, lit(1), size(acc) - 1),
+                  array(concat(col("bl"), col("br")))))
+                .otherwise(concat(acc, array(s)))))
+          .select(col("word"), col("freq"), col("syms"))
+          .localCheckpoint()
+      }
+      r += 1
+    }
+    merges.getOrElse {
+      import spark.implicits._
+      Seq.empty[(Long, String, String, Long)]
+        .toDF("rank", "lhs", "rhs", "pair_freq")
+    }
+  }
+
+  /** Segment each word of `textCol` with a learned merge table —
+    * the APPLY half (what a tokenizer does at training-data-prep
+    * time). Merges must be applied in rank order; each application is
+    * the same scan-local fold as training, so segmentation is one
+    * zero-shuffle projection per merge over the corpus scan.
+    * `mergeRows` is the (small, collected) merge table — model-sized,
+    * like a broadcast codebook. Output: input columns + `pieces`
+    * (array of subword symbols, marker-terminated). */
+  def segment(df: DataFrame, textCol: String,
+              mergeRows: Seq[(String, String)]): DataFrame = {
+    val base = df.withColumn("pieces",
+      flatten(transform(
+        Analyzer.tokenize(coalesce(col(textCol), lit(""))),
+        w => concat(
+          transform(sequence(lit(1), length(w)), i => w.substr(i, lit(1))),
+          array(lit(Marker))))))
+    mergeRows.foldLeft(base) { case (acc, (l, rr)) =>
+      acc.withColumn("pieces",
+        aggregate(col("pieces"), array().cast("array<string>"),
+          (a, s) => when(
+            get(a, size(a) - 1) === lit(l) && s === lit(rr),
+            concat(slice(a, lit(1), size(a) - 1), array(lit(l + rr))))
+            .otherwise(concat(a, array(s)))))
+    }
+  }
+}
