@@ -91,6 +91,19 @@ object NonSqlQueries {
         shingleN = 3, numHashes = 64, bands = 16, threshold = 0.5)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // Incremental dedup: a delta (every 3rd doc) against the LSH
+    // index of the REST of the corpus — the corpus-growth shape where
+    // the standing 100 TB is never re-scanned, only its band-key
+    // index is joined.
+    "x28_incremental_dedup" -> q((s, d) => {
+      val docs = Tables.documents(s, d)
+      val delta = docs.filter(col("doc_id") % 3 === 0)
+      val indexed = docs.filter(col("doc_id") % 3 =!= 0)
+      DedupApprox.minhashPairsAgainst(delta, "doc_id", "text",
+        DedupApprox.minhashIndex(indexed, "doc_id", "text"), indexed)
+        .orderBy(col("new_id"), col("idx_id"))
+    }),
+
     // SimHash near-dup pairs (Hamming <= 6 on 64-bit signatures).
     "x10_simhash_dedup" -> q((s, d) =>
       DedupApprox.simhashPairs(Tables.documents(s, d), "doc_id", "text",

@@ -117,6 +117,40 @@ object OracleLsh {
        SELECT wc.doc_id, wc.comp, wc.score, wc.doc_id = k.keeper AS keep
        FROM wc JOIN k ON wc.comp = k.comp"""
 
+  /** One side's doc → band-key chain, name-prefixed: the x09 t0..t3 +
+    * banded pipeline over a filtered slice of `documents`. */
+  private def sideCtes(pfx: String, where: String, shingleN: Int,
+                       numHashes: Int, bands: Int): String =
+    s"""${pfx}0 AS (SELECT doc_id, $toksSql AS toks FROM documents WHERE $where),
+       ${pfx}1 AS (SELECT doc_id, $th31Sql AS th FROM ${pfx}0),
+       ${pfx}2 AS (SELECT doc_id, ${shinglesSql(shingleN)} AS shs FROM ${pfx}1),
+       ${pfx}3 AS (SELECT doc_id, shs, ${sigSql(numHashes)} AS sig FROM ${pfx}2),
+       ${pfx}banded AS (
+         SELECT doc_id, gs.i AS band, (${bandsSql(bands, numHashes / bands)})[gs.i] AS bh
+         FROM ${pfx}3, generate_series(1, $bands) AS gs(i))"""
+
+  /** x28: incremental delta-vs-index dedup. Delta = doc_id % 3 = 0,
+    * indexed corpus = the rest; index buckets over `maxBucket` members
+    * are dropped (cap decided on the index side alone), candidates =
+    * delta keys ⋈ surviving index buckets, then exact-Jaccard verify —
+    * mirroring [[graft.operators.DedupApprox.minhashPairsAgainst]]. */
+  def x28Sql(shingleN: Int = 3, numHashes: Int = 64, bands: Int = 16,
+             threshold: Double = 0.5, maxBucket: Int = 500): String =
+    s"""WITH ${sideCtes("n", "doc_id % 3 = 0", shingleN, numHashes, bands)},
+       ${sideCtes("ix", "doc_id % 3 <> 0", shingleN, numHashes, bands)},
+       ok AS (SELECT band, bh FROM ixbanded GROUP BY band, bh HAVING count(*) <= $maxBucket),
+       cand AS (
+         SELECT DISTINCT n.doc_id AS new_id, i.doc_id AS idx_id
+         FROM nbanded n
+         JOIN ixbanded i ON n.band = i.band AND n.bh = i.bh
+         JOIN ok ON i.band = ok.band AND i.bh = ok.bh),
+       verif AS (
+         SELECT new_id, idx_id,
+           CAST(len(list_intersect(sn.shs, si.shs)) AS DOUBLE)
+             / (len(sn.shs) + len(si.shs) - len(list_intersect(sn.shs, si.shs))) AS jaccard
+         FROM cand JOIN n2 sn ON sn.doc_id = new_id JOIN ix2 si ON si.doc_id = idx_id)
+       SELECT new_id, idx_id, jaccard FROM verif WHERE jaccard >= $threshold"""
+
   // ---- simhash (wrapping-64 arithmetic via HUGEINT) -------------------
 
   private val K = "6364136223846793005" // MMIX LCG multiplier

@@ -1812,6 +1812,7 @@ object SparkEntry {
     // engine hash is overflow-free (or wrapping-64 via HUGEINT) — see
     // graft.OracleLsh.
     "x09_minhash_dedup" -> OracleLsh.x09Sql,
+    "x28_incremental_dedup" -> OracleLsh.x28Sql(),
     "x10_simhash_dedup" -> OracleLsh.x10Sql(),
     "x18_dedup_verdicts" -> OracleLsh.x18Sql,
     "q69_dedup_quality_keeper" -> OracleLsh.q69Sql,

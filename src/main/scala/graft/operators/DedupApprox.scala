@@ -203,16 +203,23 @@ object DedupApprox {
     * for; for an adversarial corpus where candidates rival the corpus
     * size, pass broadcastCandidates=false to drop the hints and let
     * AQE shuffle both sides — same plan shape, no driver limit.) */
-  def minhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   shingleN: Int = 3, numHashes: Int = 64, bands: Int = 16,
-                   threshold: Double = 0.5, maxBucket: Int = 500,
-                   broadcastCandidates: Boolean = true): DataFrame = {
+  /** LSH band-key index of a corpus: (idCol, band, band_hash) — bands
+    * rows per doc, each a 64-bit-safe fold of a signature slice. This
+    * is the AT-REST dedup artifact for a growing corpus: build it once
+    * per corpus build (the only pass over the text), persist it
+    * partitioned/bucketed by (band, band_hash), and dedup each
+    * incremental delta against it via [[minhashPairsAgainst]] — the
+    * delta never triggers a re-scan of the indexed 100 TB, and appends
+    * to the index are just more (id, band, band_hash) rows. Band keys
+    * are computed in ONE text→keys UDF (tokenize, hash-shingle, sign,
+    * band in a single pass); only (bands × i64) per doc ever reach a
+    * shuffle. */
+  def minhashIndex(df: DataFrame, idCol: String, textCol: String,
+                   shingleN: Int = 3, numHashes: Int = 64,
+                   bands: Int = 16): DataFrame = {
+    require(numHashes % bands == 0, s"bands ($bands) must divide numHashes ($numHashes)")
     val rows = numHashes / bands
     val ps = perms(numHashes)
-    // band keys in ONE text→keys UDF: tokenize, hash-shingle, sign and
-    // band in a single pass — no shingle strings are materialized in
-    // the LSH stage, and only (bands × i64) per doc ever reach the
-    // shuffle.
     val bandsUdf = udf { (text: String) =>
       val sig = minhashSigInt(shingleHashesOf(text, shingleN), ps)
       Array.tabulate(bands) { b =>
@@ -222,10 +229,79 @@ object DedupApprox {
         h
       }
     }
-    val banded = df
-      .select(col(idCol), posexplode(bandsUdf(col(textCol))))
+    df.select(col(idCol), posexplode(bandsUdf(col(textCol))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
       .select(col(idCol), col("band"), col("band_hash"))
+  }
+
+  /** Incremental (delta-vs-index) near-dup pairs: every doc of `delta`
+    * against an already-indexed corpus, WITHOUT re-scanning it. This is
+    * the corpus-growth shape at 100 TB — a daily crawl drop dedups
+    * against the standing index in O(delta), not O(corpus):
+    *
+    *   - `index` is [[minhashIndex]] output (persisted); only its
+    *     band-key rows move, never the indexed text.
+    *   - degenerate buckets (empty-shingle keys, boilerplate) are
+    *     capped on the INDEX side: buckets over `maxBucket` members
+    *     are dropped before the join — same recall/cost trade, and
+    *     the cap decision needs no delta-side information.
+    *   - candidates = delta band keys ⋈ surviving index buckets (the
+    *     index side arrives pre-grouped, so a bucketed/pre-partitioned
+    *     index makes this join shuffle-free on the big side).
+    *   - verification reads text ONLY for candidate ids on both sides
+    *     (broadcast semi-joins), exactly like [[minhashPairs]].
+    *
+    * `indexDocs` supplies the indexed corpus' text for the exact-
+    * Jaccard verification reads (in a deployment: the corpus table the
+    * index was built from). Output: (new_id, idx_id, jaccard) with
+    * jaccard >= threshold. Delta-internal duplicates are NOT emitted —
+    * compose with [[minhashPairs]](delta) for those. */
+  def minhashPairsAgainst(delta: DataFrame, idCol: String, textCol: String,
+                          index: DataFrame, indexDocs: DataFrame,
+                          shingleN: Int = 3, numHashes: Int = 64,
+                          bands: Int = 16, threshold: Double = 0.5,
+                          maxBucket: Int = 500,
+                          broadcastCandidates: Boolean = true): DataFrame = {
+    val deltaBanded = minhashIndex(delta, idCol, textCol, shingleN, numHashes, bands)
+    // index buckets arrive as (band, band_hash) -> member list, capped;
+    // one groupBy over the (already at-rest) index, no text anywhere.
+    val idxBuckets = index
+      .groupBy(col("band"), col("band_hash"))
+      .agg(collect_list(col(idCol)).as("ms"))
+      .filter(size(col("ms")) <= maxBucket)
+    val cand = deltaBanded
+      .join(idxBuckets, Seq("band", "band_hash"))
+      .select(col(idCol).as("new_id"), explode(col("ms")).as("idx_id"))
+      .dropDuplicates("new_id", "idx_id")
+      .localCheckpoint()
+    val shHashUdf = udf { (text: String) => shingleHashesOf(text, shingleN) }
+    val bc: DataFrame => DataFrame =
+      if (broadcastCandidates) broadcast else identity
+    val newSh = delta
+      .join(bc(cand.select(col("new_id").as("cid")).distinct()),
+        col(idCol) === col("cid"))
+      .select(col(idCol).as("new_id"), shHashUdf(col(textCol)).as("sh_n"))
+    val idxSh = indexDocs
+      .join(bc(cand.select(col("idx_id").as("cid")).distinct()),
+        col(idCol) === col("cid"))
+      .select(col(idCol).as("idx_id"), shHashUdf(col(textCol)).as("sh_i"))
+    cand
+      .join(newSh, Seq("new_id")).join(idxSh, Seq("idx_id"))
+      .select(col("new_id"), col("idx_id"),
+        (size(array_intersect(col("sh_n"), col("sh_i"))).cast("double") /
+          size(array_union(col("sh_n"), col("sh_i")))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  def minhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   shingleN: Int = 3, numHashes: Int = 64, bands: Int = 16,
+                   threshold: Double = 0.5, maxBucket: Int = 500,
+                   broadcastCandidates: Boolean = true): DataFrame = {
+    // band keys in ONE text→keys UDF: tokenize, hash-shingle, sign and
+    // band in a single pass — no shingle strings are materialized in
+    // the LSH stage, and only (bands × i64) per doc ever reach the
+    // shuffle.
+    val banded = minhashIndex(df, idCol, textCol, shingleN, numHashes, bands)
     // materialized once (localCheckpoint): the candidate set feeds two
     // broadcast joins, and a nested un-materialized broadcast re-runs
     // the whole LSH subtree per exchange.

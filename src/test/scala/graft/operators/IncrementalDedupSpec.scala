@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.sources.Tables
+
+/** Delta-vs-index incremental dedup: parity with the batch operator,
+  * index-side capping, at-rest reuse. */
+class IncrementalDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Tables.documents(spark, "/root/testdata/sf0.001")
+
+  test("delta-vs-index pairs == the cross slice of full-corpus pairs") {
+    val delta = docs.filter($"doc_id" % 3 === 0)
+    val indexed = docs.filter($"doc_id" % 3 =!= 0)
+    val inc = DedupApprox.minhashPairsAgainst(delta, "doc_id", "text",
+        DedupApprox.minhashIndex(indexed, "doc_id", "text"), indexed)
+      .select($"new_id", $"idx_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // full-corpus pairs restricted to (delta, indexed) memberships.
+    // Bucket caps can differ between the two runs (full corpus sees
+    // bigger buckets), but at sf0.001 no bucket approaches the cap —
+    // assert that precondition so this stays an equality test.
+    val full = DedupApprox.minhashPairs(docs, "doc_id", "text")
+      .select($"id_a", $"id_b").collect()
+      .flatMap(r => Seq((r.getLong(0), r.getLong(1)), (r.getLong(1), r.getLong(0))))
+      .filter { case (a, b) => a % 3 == 0 && b % 3 != 0 }
+      .toSet
+    val maxIdxBucket = DedupApprox.minhashIndex(indexed, "doc_id", "text")
+      .groupBy("band", "band_hash").count()
+      .agg(max("count")).head.getLong(0)
+    assert(maxIdxBucket <= 500, "cap precondition broken; pick smaller sf")
+    assert(inc == full)
+  }
+
+  test("indexed corpus text is read only for candidate ids") {
+    // structural: the verification joins are semi-joins on candidate
+    // ids — an empty delta must produce zero pairs without touching
+    // the index text at all
+    val indexed = docs
+    val out = DedupApprox.minhashPairsAgainst(
+      docs.filter($"doc_id" < 0), "doc_id", "text",
+      DedupApprox.minhashIndex(indexed, "doc_id", "text"), indexed)
+    assert(out.count() == 0L)
+  }
+
+  test("index round-trips through parquet (the at-rest artifact)") {
+    val dir = java.nio.file.Files.createTempDirectory("lshidx").toString
+    val indexed = docs.filter($"doc_id" % 3 =!= 0)
+    DedupApprox.minhashIndex(indexed, "doc_id", "text")
+      .write.mode("overwrite").parquet(dir)
+    val delta = docs.filter($"doc_id" % 3 === 0)
+    val fromDisk = DedupApprox.minhashPairsAgainst(delta, "doc_id", "text",
+      spark.read.parquet(dir), indexed)
+    val live = DedupApprox.minhashPairsAgainst(delta, "doc_id", "text",
+      DedupApprox.minhashIndex(indexed, "doc_id", "text"), indexed)
+    assert(fromDisk.orderBy("new_id", "idx_id").collect().toSeq ==
+      live.orderBy("new_id", "idx_id").collect().toSeq)
+  }
+
+  test("over-cap index buckets are dropped, delta-side sizes don't matter") {
+    // 10 identical indexed docs -> one bucket of 10 per band; cap 5
+    // drops them all, so even an exact-dup delta doc finds nothing
+    val indexed = (1L to 10L).map(i => (i, "the same boilerplate text"))
+      .toDF("doc_id", "text")
+    val delta = Seq((100L, "the same boilerplate text")).toDF("doc_id", "text")
+    val capped = DedupApprox.minhashPairsAgainst(delta, "doc_id", "text",
+      DedupApprox.minhashIndex(indexed, "doc_id", "text"), indexed,
+      maxBucket = 5)
+    assert(capped.count() == 0L)
+    val uncapped = DedupApprox.minhashPairsAgainst(delta, "doc_id", "text",
+      DedupApprox.minhashIndex(indexed, "doc_id", "text"), indexed,
+      maxBucket = 500)
+    assert(uncapped.count() == 10L)
+  }
+
+  test("appending to the index is a union, no rebuild") {
+    val first = docs.filter($"doc_id" % 3 === 1)
+    val second = docs.filter($"doc_id" % 3 === 2)
+    val indexed = docs.filter($"doc_id" % 3 =!= 0)
+    val delta = docs.filter($"doc_id" % 3 === 0)
+    val unioned = DedupApprox.minhashIndex(first, "doc_id", "text")
+      .unionByName(DedupApprox.minhashIndex(second, "doc_id", "text"))
+    val whole = DedupApprox.minhashIndex(indexed, "doc_id", "text")
+    val a = DedupApprox.minhashPairsAgainst(delta, "doc_id", "text", unioned, indexed)
+    val b = DedupApprox.minhashPairsAgainst(delta, "doc_id", "text", whole, indexed)
+    assert(a.orderBy("new_id", "idx_id").collect().toSeq ==
+      b.orderBy("new_id", "idx_id").collect().toSeq)
+  }
+}
