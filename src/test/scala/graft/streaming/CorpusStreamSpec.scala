@@ -201,4 +201,36 @@ class CorpusStreamSpec extends SparkSpec {
       .toMap
     assert(out(1L) && !out(2L))
   }
+
+  test("count-min sketch merges across micro-batches (streaming frequency)") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.functions.{CountMin, CountMinKernels}
+    import org.apache.spark.unsafe.types.UTF8String
+
+    // CMS merge is element-wise +, so a streaming complete-mode agg
+    // over N micro-batches must equal one batch build over the union:
+    // the per-executor partials and the state-store merge take the
+    // same code path (TypedImperativeAggregate.merge)
+    val mem = MemoryStream[Doc]
+    val toks = mem.toDF().select(
+      explode(graft.functions.Analyzer.tokenize(coalesce($"text", lit("")))).as("token"))
+    val q = toks.agg(CountMin.cmsAgg($"token", depth = 4, width = 1 << 12).as("art"))
+      .writeStream.format("memory").queryName("cms")
+      .outputMode("complete")
+      .start()
+    mem.addData(Doc(1L, "alpha beta alpha"), Doc(2L, "beta gamma"))
+    q.processAllAvailable()
+    mem.addData(Doc(3L, "alpha delta"))
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("cms").head.getAs[Array[Byte]]("art")
+    val batch = Seq("alpha beta alpha", "beta gamma", "alpha delta").toDF("text")
+      .select(explode(graft.functions.Analyzer.tokenize($"text")).as("token"))
+      .agg(CountMin.cmsAgg($"token", depth = 4, width = 1 << 12).as("art"))
+      .head.getAs[Array[Byte]]("art")
+    assert(java.util.Arrays.equals(streamed, batch))
+    assert(CountMinKernels.estimate(streamed, UTF8String.fromString("alpha")) == 3L)
+    assert(CountMinKernels.estimate(streamed, UTF8String.fromString("beta")) == 2L)
+  }
 }
