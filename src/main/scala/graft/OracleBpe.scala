@@ -70,4 +70,18 @@ object OracleBpe {
        $rounds
        $out"""
   }
+
+  /** q73 replay: the same unrolled rounds, but the OUTPUT is the final
+    * word-type segmentation table s{nMerges} — the apply path. */
+  def q73Sql(nMerges: Int): String = {
+    val rounds = (1 to nMerges).map(roundCtes).mkString(",\n       ")
+    s"""WITH tok AS (SELECT unnest($toksSql) AS word FROM documents),
+       w AS (SELECT word, CAST(count(*) AS BIGINT) AS freq FROM tok GROUP BY word),
+       s0 AS MATERIALIZED (
+         SELECT word, freq,
+           list_append([word[i:i] FOR i IN generate_series(1, len(word))], '_') AS syms
+         FROM w),
+       $rounds
+       SELECT word, freq, array_to_string(syms, ' ') AS pieces FROM s$nMerges"""
+  }
 }

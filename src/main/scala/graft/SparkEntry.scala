@@ -691,7 +691,13 @@ object SparkEntry {
     // corpus' word-type table. Pure integer counts + string equality,
     // so the oracle (OracleBpe) unrolls and replays every round.
     "q72_bpe_merges" -> q((s, d) =>
-      Bpe.trainMerges(Tables.documents(s, d), "text", nMerges = 8))
+      Bpe.trainMerges(Tables.documents(s, d), "text", nMerges = 8)),
+
+    // The apply half of q72: every corpus word type segmented under
+    // the 8 learned merges — the vocabulary table a tokenizer build
+    // persists next to the merge list.
+    "q73_bpe_segments" -> q((s, d) =>
+      Bpe.typeSegments(Tables.documents(s, d), "text", nMerges = 8))
   ) ++ NonSqlQueries.queries
 
   // ---- DuckDB oracles -------------------------------------------------
@@ -1653,6 +1659,9 @@ object SparkEntry {
     // (c DESC, l, r) winner, greedy merge as run/parity windows) —
     // see OracleBpe for the greedy-equivalence argument.
     "q72_bpe_merges" -> OracleBpe.q72Sql(nMerges = 8),
+
+    // Same unrolled replay, final segmentation table as the output.
+    "q73_bpe_segments" -> OracleBpe.q73Sql(nMerges = 8),
 
     // Vocab-coverage replay: same (freq desc, token) total order for
     // rank/limit/cumsum; coverage = division of identical BIGINTs.

@@ -66,7 +66,21 @@ object Bpe {
     * pair_freq break deterministically by (lhs, rhs) ascending. If the
     * corpus exhausts (every word a single symbol) the output simply
     * has fewer rows. */
-  def trainMerges(df: DataFrame, textCol: String, nMerges: Int): DataFrame = {
+  def trainMerges(df: DataFrame, textCol: String, nMerges: Int): DataFrame =
+    trainLoop(df, textCol, nMerges)._1
+
+  /** The trained word-type vocabulary: each corpus word with its
+    * frequency and its segmentation under the `nMerges` learned
+    * merges, space-joined ("l o w _" → "low _"). Gates the APPLY path
+    * end-to-end — this is trainMerges' final state table, the thing a
+    * tokenizer build would persist next to the merge list. */
+  def typeSegments(df: DataFrame, textCol: String, nMerges: Int): DataFrame =
+    trainLoop(df, textCol, nMerges)._2
+      .select(col("word"), col("freq"),
+        array_join(col("syms"), " ").as("pieces"))
+
+  private def trainLoop(df: DataFrame, textCol: String,
+                        nMerges: Int): (DataFrame, DataFrame) = {
     require(nMerges >= 1 && nMerges <= 64,
       s"nMerges must be in [1, 64] — each merge is a driver-side round; " +
         s"train larger vocabs in resumable chunks (got $nMerges)")
@@ -125,11 +139,12 @@ object Bpe {
       }
       r += 1
     }
-    merges.getOrElse {
+    val mergesDf = merges.getOrElse {
       import spark.implicits._
       Seq.empty[(Long, String, String, Long)]
         .toDF("rank", "lhs", "rhs", "pair_freq")
     }
+    (mergesDf, words)
   }
 
   /** Segment each word of `textCol` with a learned merge table —
