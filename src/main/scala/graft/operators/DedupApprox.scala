@@ -293,6 +293,66 @@ object DedupApprox {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** [[minhashPairsAgainst]] re-planned for a STREAMING delta: live
+    * ingest dedups against the standing corpus index with only
+    * stream-static inner joins (all append-mode legal — no stateful
+    * aggregation, no stream self-join, no checkpointed candidate set).
+    *
+    * Two deliberate divergences from the batch plan, both micro-batch
+    * trades:
+    *   - the delta's shingle hashes RIDE THE STREAM through the band
+    *     explode (×bands replication) instead of being joined back,
+    *     because the join-back would be a stream-stream self-join;
+    *     micro-batches are small, so KBs/doc × bands is immaterial.
+    *   - a pair matching in several bands emits several identical
+    *     verdict rows (the batch dropDuplicates is stateful): route
+    *     the sink through the engine's idempotent insert (the S-5/S-8
+    *     machinery) or `dropDuplicatesWithinWatermark`, exactly like
+    *     every other at-least-once output in the streaming layer.
+    *
+    * Cache the two static inputs (`index`, `indexDocs`) — Spark
+    * re-evaluates static sides per micro-batch otherwise. */
+  def minhashPairsAgainstStream(delta: DataFrame, idCol: String, textCol: String,
+                                index: DataFrame, indexDocs: DataFrame,
+                                shingleN: Int = 3, numHashes: Int = 64,
+                                bands: Int = 16, threshold: Double = 0.5,
+                                maxBucket: Int = 500): DataFrame = {
+    val rows = numHashes / bands
+    val ps = perms(numHashes)
+    // one text pass: shingle hashes once, signature + band keys from them
+    val keysUdf = udf { (text: String) =>
+      val sh = shingleHashesOf(text, shingleN)
+      val sig = minhashSigInt(sh, ps)
+      val bk = Array.tabulate(bands) { b =>
+        var h = 7L
+        var i = b * rows
+        while (i < (b + 1) * rows) { h = (h * 31 + sig(i)) % HashMod; i += 1 }
+        h
+      }
+      (sh, bk)
+    }
+    val banded = delta
+      .withColumn("k", keysUdf(col(textCol)))
+      .select(col(idCol).as("new_id"), col("k._1").as("sh_n"),
+        posexplode(col("k._2")))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
+    val idxBuckets = index
+      .groupBy(col("band"), col("band_hash"))
+      .agg(collect_list(col(idCol)).as("ms"))
+      .filter(size(col("ms")) <= maxBucket)
+    val shHashUdf = udf { (text: String) => shingleHashesOf(text, shingleN) }
+    val idxSh = indexDocs
+      .select(col(idCol).as("idx_id"), shHashUdf(col(textCol)).as("sh_i"))
+    banded
+      .join(idxBuckets, Seq("band", "band_hash"))
+      .select(col("new_id"), col("sh_n"), explode(col("ms")).as("idx_id"))
+      .join(idxSh, Seq("idx_id"))
+      .select(col("new_id"), col("idx_id"),
+        (size(array_intersect(col("sh_n"), col("sh_i"))).cast("double") /
+          size(array_union(col("sh_n"), col("sh_i")))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
                    shingleN: Int = 3, numHashes: Int = 64, bands: Int = 16,
                    threshold: Double = 0.5, maxBucket: Int = 500,

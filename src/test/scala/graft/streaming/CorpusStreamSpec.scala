@@ -233,4 +233,38 @@ class CorpusStreamSpec extends SparkSpec {
     assert(CountMinKernels.estimate(streamed, UTF8String.fromString("alpha")) == 3L)
     assert(CountMinKernels.estimate(streamed, UTF8String.fromString("beta")) == 2L)
   }
+
+  test("incremental dedup runs live: streamed delta vs the standing index") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.DedupApprox
+    import graft.sources.Tables
+
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val indexed = docs.filter($"doc_id" % 3 =!= 0).select($"doc_id", $"text").cache()
+    val index = DedupApprox.minhashIndex(indexed, "doc_id", "text").cache()
+    val delta = docs.filter($"doc_id" % 3 === 0).select($"doc_id", $"text")
+
+    val mem = MemoryStream[Doc]
+    val out = DedupApprox.minhashPairsAgainstStream(
+      mem.toDF(), "doc_id", "text", index, indexed)
+    val q = out.writeStream.format("memory").queryName("incdedup")
+      .outputMode("append").start()
+    val rows = delta.collect().map(r => Doc(r.getLong(0), r.getString(1)))
+    val (first, second) = rows.splitAt(rows.length / 2)
+    mem.addData(first.toIndexedSeq: _*); q.processAllAvailable()
+    mem.addData(second.toIndexedSeq: _*); q.processAllAvailable()
+    q.stop()
+
+    // per-band duplicate verdicts are the documented at-least-once
+    // contract; dedupe like the idempotent sink would
+    val streamed = spark.table("incdedup")
+      .select($"new_id", $"idx_id", $"jaccard").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val batch = DedupApprox.minhashPairsAgainst(delta, "doc_id", "text",
+        index, indexed).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty) // sf0.001 plants near-dups across the split
+    indexed.unpersist(); index.unpersist()
+  }
 }
