@@ -89,4 +89,39 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(a.orderBy("new_id", "idx_id").collect().toSeq ==
       b.orderBy("new_id", "idx_id").collect().toSeq)
   }
+
+  test("bucketed at-rest index: bucket-side aggregation has zero Exchange") {
+    // the Scaladoc claim made demonstrable: persist the index bucketed
+    // on (band, band_hash); the probe's index-side groupBy then reads
+    // pre-partitioned buckets with NO Exchange anywhere in its subtree
+    // — at 100 TB the standing index never reshuffles, only the delta
+    // moves
+    val indexed = docs.filter($"doc_id" % 3 =!= 0)
+    spark.sql("DROP TABLE IF EXISTS graft_lsh_index")
+    try {
+      DedupApprox.minhashIndex(indexed, "doc_id", "text")
+        .write.mode("overwrite")
+        .bucketBy(16, "band", "band_hash")
+        .saveAsTable("graft_lsh_index")
+
+      val atRest = spark.table("graft_lsh_index")
+      val idxBuckets = atRest
+        .groupBy($"band", $"band_hash")
+        .agg(collect_list($"doc_id").as("ms"))
+        .filter(size($"ms") <= 500)
+      val plan = idxBuckets.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), plan)
+
+      // and the full probe over the at-rest index equals the live one
+      val delta = docs.filter($"doc_id" % 3 === 0)
+      val a = DedupApprox.minhashPairsAgainst(delta, "doc_id", "text",
+        atRest, indexed)
+      val b = DedupApprox.minhashPairsAgainst(delta, "doc_id", "text",
+        DedupApprox.minhashIndex(indexed, "doc_id", "text"), indexed)
+      assert(a.orderBy("new_id", "idx_id").collect().toSeq ==
+        b.orderBy("new_id", "idx_id").collect().toSeq)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_lsh_index")
+    }
+  }
 }
