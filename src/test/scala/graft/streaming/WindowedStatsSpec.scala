@@ -90,6 +90,16 @@ class WindowedStatsSpec extends SparkSpec {
         .getOrCreate()
       val r = s2.sql("SELECT vader_compound('The food here is good.') AS c").head()
       assert(math.abs(r.getDouble(0) - 0.4404) < 1e-9)
+      // the sketch family: build the artifact in a SQL aggregate,
+      // probe it with the scan-local codegen call — all in SQL
+      val sk = s2.sql(
+        """WITH toks(t) AS (VALUES ('alpha'), ('alpha'), ('beta')),
+           art AS (SELECT cms_agg(t) AS a, bloom_agg(t) AS b FROM toks)
+           SELECT cms_estimate(a, 'alpha') AS n,
+                  bloom_contains(b, 'beta') AS inb,
+                  bloom_contains(b, 'zzz') AS outb
+           FROM art""").head()
+      assert(sk.getLong(0) == 2L && sk.getBoolean(1) && !sk.getBoolean(2))
     } finally {
       SparkSession.setDefaultSession(orig)
       SparkSession.setActiveSession(orig)
