@@ -287,9 +287,12 @@ object DedupApprox {
       .select(col(idCol).as("idx_id"), shHashUdf(col(textCol)).as("sh_i"))
     cand
       .join(newSh, Seq("new_id")).join(idxSh, Seq("idx_id"))
+      .withColumn("__u", size(array_union(col("sh_n"), col("sh_i"))))
+      // empty-vs-empty: undefined (null), dropped — see minhashPairs
       .select(col("new_id"), col("idx_id"),
-        (size(array_intersect(col("sh_n"), col("sh_i"))).cast("double") /
-          size(array_union(col("sh_n"), col("sh_i")))).as("jaccard"))
+        when(col("__u") > 0,
+          size(array_intersect(col("sh_n"), col("sh_i"))).cast("double") /
+            col("__u")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
@@ -347,9 +350,12 @@ object DedupApprox {
       .join(idxBuckets, Seq("band", "band_hash"))
       .select(col("new_id"), col("sh_n"), explode(col("ms")).as("idx_id"))
       .join(idxSh, Seq("idx_id"))
+      .withColumn("__u", size(array_union(col("sh_n"), col("sh_i"))))
+      // empty-vs-empty: undefined (null), dropped — see minhashPairs
       .select(col("new_id"), col("idx_id"),
-        (size(array_intersect(col("sh_n"), col("sh_i"))).cast("double") /
-          size(array_union(col("sh_n"), col("sh_i")))).as("jaccard"))
+        when(col("__u") > 0,
+          size(array_intersect(col("sh_n"), col("sh_i"))).cast("double") /
+            col("__u")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
@@ -386,10 +392,20 @@ object DedupApprox {
       .select(col(idCol), shHashUdf(col(textCol)).as("sh"))
     val withA = candSh.join(bc(cand), col(idCol) === col("id_a"))
       .select(col("id_a"), col("id_b"), col("sh").as("sh_a"))
+    // shingle-less pairs (both texts empty after upstream cleaning) have
+    // union 0: jaccard is undefined (null), the pair is dropped by the
+    // threshold filter — matching the oracle, where 0.0/0 is NaN and
+    // fails the filter the same way. The guard must live INSIDE the
+    // expression (CaseWhen evaluates lazily): a separate filter(__u>0)
+    // is not safe because predicate pushdown combines it with the
+    // threshold conjunct in unspecified order, and ANSI division
+    // throws before the guard runs.
     candSh.join(bc(withA), col(idCol) === col("id_b"))
+      .withColumn("__u", size(array_union(col("sh_a"), col("sh"))))
       .select(col("id_a"), col("id_b"),
-        (size(array_intersect(col("sh_a"), col("sh"))).cast("double") /
-         size(array_union(col("sh_a"), col("sh")))).as("jaccard"))
+        when(col("__u") > 0,
+          size(array_intersect(col("sh_a"), col("sh"))).cast("double") /
+            col("__u")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 

@@ -146,6 +146,14 @@ object TextAnalysis {
       .select(col(idCol), col("__r._1").as("dup_unigram_frac"),
         col("__r._2").as("top_bigram_frac"))
 
+  /** Column-APPENDING twin of [[repetitionStats]] for pipeline
+    * composition (same single-pass kernel, keeps the input columns). */
+  def withRepetition(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("__r", repetitionUdf(col(textCol)))
+      .withColumn("dup_unigram_frac", col("__r._1"))
+      .withColumn("top_bigram_frac", col("__r._2"))
+      .drop("__r")
+
   // ---- sequence packing ------------------------------------------------
 
   /** Assigns each doc to a contiguous token-budget bin — the sequence-
@@ -185,13 +193,16 @@ object TextAnalysis {
     split(coalesce(col(textCol), lit("")), "\n")
 
   private def c4Keep(textCol: String, minWords: Int,
-                     blocklist: Seq[String]): Column =
+                     blocklist: Seq[String],
+                     requireTerminalPunct: Boolean = true): Column =
     filter(c4Lines(textCol), l => {
       val t = trim(l)
       val words = filter(split(t, " +"), w => length(w) > 0)
       val blocked = blocklist.map(p => contains(lower(t), lit(p)))
         .reduce(_ || _)
-      t.rlike("[.!?]$") && size(words) >= minWords && !blocked
+      val punctOk =
+        if (requireTerminalPunct) t.rlike("[.!?]$") else lit(true)
+      punctOk && size(words) >= minWords && !blocked
     })
 
   def c4LineClean(df: DataFrame, idCol: String, textCol: String,
@@ -216,10 +227,11 @@ object TextAnalysis {
     * summarizes.) */
   def c4LineCleanText(df: DataFrame, textCol: String,
                       outCol: String = "text_clean", minWords: Int = 3,
-                      blocklist: Seq[String] = Seq("javascript", "lorem ipsum", "{"))
+                      blocklist: Seq[String] = Seq("javascript", "lorem ipsum", "{"),
+                      requireTerminalPunct: Boolean = true)
       : DataFrame =
     df.withColumn(outCol,
-      array_join(c4Keep(textCol, minWords, blocklist), "\n"))
+      array_join(c4Keep(textCol, minWords, blocklist, requireTerminalPunct), "\n"))
 
   // ---- span-level cross-doc dedup (line-dedup analog) -----------------
 

@@ -1,0 +1,134 @@
+package graft.plans
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, DedupApprox, Export, TextAnalysis}
+
+/** The canonical pretraining-corpus prep recipe — the published
+  * pipeline order (C4, Raffel et al. 2020 §2.2; CCNet, Wenzek et al.
+  * 2020; RefinedWeb, Penedo et al. 2023 §3; GPT-3 decontamination,
+  * Brown et al. 2020 §C) — composed from the engine's operators as ONE
+  * plan:
+  *
+  *   line-clean → language ID → quality heuristics → repetition
+  *   filters → fuzzy dedup (quality keeper) → benchmark
+  *   decontamination → sharded export
+  *
+  * The composition style is VERDICT COLUMNS, not successive filters:
+  * every stage ANNOTATES each doc with a boolean verdict (and its
+  * evidence columns), and only the final projection filters. That one
+  * choice buys three things at 100 TB:
+  *
+  *   - the funnel report (docs surviving each stage) is ONE aggregate
+  *     over the same plan — no per-stage count() actions, no second
+  *     pass over the corpus;
+  *   - rejected docs remain addressable with their rejection reason —
+  *     the audit/debugging surface every production corpus build
+  *     needs (why did doc X disappear?);
+  *   - stages stay independently toggleable downstream (a curriculum
+  *     that *weights* by quality instead of dropping reads the same
+  *     columns).
+  *
+  * Stage verdicts are causally ORDERED (each counts only docs that
+  * passed the previous) in [[funnel]], matching how the published
+  * pipelines report attrition.
+  *
+  * Shuffle budget = exactly the sum of the component floors measured
+  * in SCALING.md: the scan-local stages (clean/lang/quality/
+  * repetition) add zero; dedup contributes its band-key shuffles;
+  * decontamination its bloom-build partials; export its one
+  * shard-keyed exchange.
+  */
+object CorpusPipeline {
+
+  /** Tunable thresholds; defaults follow the cited recipes (Gopher's
+    * repetition bounds, C4's line rules, 0.5-Jaccard MinHash dedup). */
+  case class Config(
+      lang: String = "en",
+      // C4's terminal-punctuation line rule assumes prose; corpora
+      // without sentence punctuation (code, logs, this repo's
+      // synthetic tables) turn it off and keep the min-words +
+      // blocklist rules
+      lineRequireTerminalPunct: Boolean = true,
+      lineMinWords: Int = 3,
+      maxDupUnigramFrac: Double = 0.3,
+      maxTopBigramFrac: Double = 0.18,
+      dedupThreshold: Double = 0.5,
+      contamN: Int = 13,
+      numShards: Int = 8)
+
+  /** Annotate every NON-benchmark doc with per-stage verdicts.
+    * `isBenchmark` marks held-out eval docs (they feed the
+    * decontamination filter and are excluded from the corpus).
+    * Output: input columns + `text_clean`, stage evidence columns,
+    * `v_clean/v_lang/v_quality/v_repetition/v_dedup/v_decontam`,
+    * and `keep` = the conjunction. */
+  def withVerdicts(docs: DataFrame, idCol: String, textCol: String,
+                   isBenchmark: Column, cfg: Config = Config()): DataFrame = {
+    // scan-local stages: line cleaning + language + quality +
+    // repetition are pure projections over one corpus scan
+    val base = docs.filter(!isBenchmark)
+    val annotated = TextAnalysis.withRepetition(
+      TextAnalysis.withQuality(
+        TextAnalysis.withLangId(
+          TextAnalysis.c4LineCleanText(base, textCol,
+            minWords = cfg.lineMinWords,
+            requireTerminalPunct = cfg.lineRequireTerminalPunct),
+          "text_clean"),
+        "text_clean"),
+      "text_clean")
+
+    // fuzzy dedup verdict: LSH pairs over the CLEANED text (line noise
+    // must not block near-dup detection), keeper = highest token count
+    val pairs = DedupApprox.minhashPairs(
+      annotated.select(col(idCol), col("text_clean")), idCol, "text_clean",
+      threshold = cfg.dedupThreshold)
+    val dedupVerdicts = Dedup.clusterVerdictsBy(
+        annotated, idCol, pairs, col("q_n_tokens"))
+      .select(col(idCol), col("comp"), col("keep").as("v_dedup"))
+
+    // decontamination verdict: benchmark docs collapse to a bloom
+    // artifact; training docs probe it scan-locally
+    val contam = Dedup.decontaminateBloom(docs, idCol, textCol,
+        isBenchmark, n = cfg.contamN)
+      .select(col(idCol), col("n_flagged"), col("contaminated"))
+
+    annotated
+      .join(dedupVerdicts, Seq(idCol))
+      .join(contam, Seq(idCol))
+      .withColumn("v_clean", length(trim(col("text_clean"))) > 0)
+      .withColumn("v_lang", col("lang_pred") === cfg.lang)
+      .withColumn("v_quality", col("q_score") === 1.0)
+      .withColumn("v_repetition",
+        col("dup_unigram_frac") <= cfg.maxDupUnigramFrac &&
+          col("top_bigram_frac") <= cfg.maxTopBigramFrac)
+      .withColumn("v_decontam", !col("contaminated"))
+      .withColumn("keep",
+        col("v_clean") && col("v_lang") && col("v_quality") &&
+          col("v_repetition") && col("v_dedup") && col("v_decontam"))
+  }
+
+  /** The attrition funnel as ONE aggregate over the verdict plan:
+    * docs surviving each stage, counted causally (stage N counts only
+    * docs that passed stages 1..N-1). */
+  def funnel(verdicts: DataFrame): DataFrame = {
+    val stages = Seq("v_clean", "v_lang", "v_quality", "v_repetition",
+      "v_dedup", "v_decontam")
+    val cascades = stages.zipWithIndex.map { case (s, i) =>
+      val cond = stages.take(i + 1).map(col).reduce(_ && _)
+      sum(when(cond, 1L).otherwise(0L)).as(s"after_$s")
+    }
+    verdicts.agg(count(lit(1)).as("input"), cascades: _*)
+  }
+
+  /** Keep survivors and export them as training shards; returns the
+    * shard manifest (one row per shard). */
+  def materialize(verdicts: DataFrame, idCol: String, dir: String,
+                  cfg: Config = Config()): DataFrame = {
+    val kept = verdicts.filter(col("keep"))
+      .select(col(idCol), col("text_clean").as("text"))
+    Export.writeShards(kept, idCol, dir, cfg.numShards)
+    Export.manifest(kept, idCol, "text", cfg.numShards)
+  }
+}

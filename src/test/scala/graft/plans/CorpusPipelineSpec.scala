@@ -1,0 +1,72 @@
+package graft.plans
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.operators.DedupApprox
+import graft.sources.Tables
+
+/** End-to-end corpus prep: verdict columns, causal funnel, dedup
+  * fixpoint, decontamination, sharded export. */
+class CorpusPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Tables.documents(spark, "/root/testdata/sf0.001")
+  private val isBench = col("doc_id") % 97 === 0
+
+  // the synthetic corpus is unpunctuated word soup: C4's terminal-
+  // punct line rule would (correctly) reject all of it, so the spec
+  // exercises the recipe with that one rule off
+  private val cfg = CorpusPipeline.Config(lineRequireTerminalPunct = false)
+
+  private lazy val verdicts =
+    CorpusPipeline.withVerdicts(docs, "doc_id", "text", isBench, cfg).cache()
+
+  test("every non-benchmark doc gets exactly one verdict row") {
+    val expected = docs.filter(!isBench).count()
+    assert(verdicts.count() == expected)
+    assert(verdicts.select("doc_id").distinct().count() == expected)
+  }
+
+  test("funnel is causally monotone and ends at the keep count") {
+    val f = CorpusPipeline.funnel(verdicts).head()
+    val vals = f.toSeq.map(_.asInstanceOf[Long])
+    assert(vals.zip(vals.tail).forall { case (a, b) => b <= a },
+      s"funnel not monotone: $vals")
+    assert(vals.last == verdicts.filter($"keep").count())
+    assert(vals.last > 0, "recipe must keep a nonempty corpus at sf0.001")
+  }
+
+  test("survivors contain no near-dup pair at the dedup threshold") {
+    val kept = verdicts.filter($"keep")
+      .select($"doc_id", $"text_clean")
+    // keepers of distinct components can never pair (a pair would have
+    // merged their components); this asserts that property end-to-end
+    assert(DedupApprox.minhashPairs(kept, "doc_id", "text_clean").count() == 0L)
+  }
+
+  test("no contaminated doc survives, and benchmark docs are excluded") {
+    assert(verdicts.filter($"keep" && $"contaminated").count() == 0L)
+    assert(verdicts.filter(isBench).count() == 0L)
+  }
+
+  test("rejected docs carry their reason") {
+    val rejected = verdicts.filter(!$"keep")
+    // every rejected doc fails at least one named stage
+    val unexplained = rejected.filter(
+      $"v_clean" && $"v_lang" && $"v_quality" && $"v_repetition" &&
+        $"v_dedup" && $"v_decontam").count()
+    assert(unexplained == 0L)
+  }
+
+  test("materialize round-trips: shards on disk match the manifest") {
+    val dir = java.nio.file.Files.createTempDirectory("corpus-out").toString
+    val manifest = CorpusPipeline.materialize(verdicts, "doc_id", dir, cfg)
+      .orderBy("shard").collect()
+    val onDisk = spark.read.parquet(dir)
+    assert(onDisk.count() == manifest.map(_.getAs[Long]("n_rows")).sum)
+    assert(onDisk.count() == verdicts.filter($"keep").count())
+    // shard column materialized as a partition directory
+    assert(onDisk.columns.contains("shard"))
+  }
+}
