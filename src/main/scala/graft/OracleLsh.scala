@@ -48,10 +48,11 @@ object OracleLsh {
   /** The x09 CTE chain ending in verified (id_a, id_b, jaccard) pairs —
     * also the pair source for the x18 cluster verdicts. Parameters
     * mirror [[DedupApprox.minhashPairs]] defaults. */
-  private def minhashPairsCtes(shingleN: Int = 3, numHashes: Int = 64,
+  private[graft] def minhashPairsCtes(shingleN: Int = 3, numHashes: Int = 64,
                                bands: Int = 16, threshold: Double = 0.5,
-                               maxBucket: Int = 500): String =
-    s"""t0 AS (SELECT doc_id, $toksSql AS toks FROM documents),
+                               maxBucket: Int = 500,
+                               src: String = "documents"): String =
+    s"""t0 AS (SELECT doc_id, $toksSql AS toks FROM $src),
        t1 AS (SELECT doc_id, $th31Sql AS th FROM t0),
        t2 AS (SELECT doc_id, ${shinglesSql(shingleN)} AS shs FROM t1),
        t3 AS (SELECT doc_id, shs, ${sigSql(numHashes)} AS sig FROM t2),

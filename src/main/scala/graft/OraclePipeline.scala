@@ -1,0 +1,143 @@
+package graft
+
+/** DuckDB replay of [[graft.plans.CorpusPipeline]] END TO END — the
+  * composition oracle. Each stage reuses the SQL formulation already
+  * hash-proven by its component query (x05 langid, x06 quality, q47
+  * repetition, q58 line rules, x18/q69 LSH pairs + components +
+  * quality keeper via [[OracleLsh]], q54/q68 n-gram decontamination),
+  * re-based onto the pipeline's cleaned-text column where the engine
+  * does the same. The final funnel row is seven BIGINTs — a
+  * hash-match here certifies the whole recipe's composition, not just
+  * its parts. */
+object OraclePipeline {
+
+  private def toks(of: String) =
+    s"""list_filter(regexp_split_to_array(lower($of), '[^a-z0-9'']+'), x -> length(x) > 0)"""
+
+  /** q74: funnel counts for Config(lineRequireTerminalPunct = false),
+    * bench = doc_id % 97 = 0, defaults otherwise. */
+  def q74Sql: String =
+    s"""WITH RECURSIVE
+       raw AS (SELECT doc_id, COALESCE(text, '') AS text FROM documents WHERE doc_id % 97 <> 0),
+       -- C4 line rules, terminal-punct off: keep lines with >= 3
+       -- space-words and no blocklist hit; join survivors with \\n
+       ln AS (
+         SELECT doc_id,
+           array_to_string(
+             list_filter(string_split(text, chr(10)), l ->
+               len(list_filter(regexp_split_to_array(trim(l), ' +'), w -> length(w) > 0)) >= 3
+               AND NOT (contains(lower(trim(l)), 'javascript')
+                        OR contains(lower(trim(l)), 'lorem ipsum')
+                        OR contains(lower(trim(l)), '{'))),
+             chr(10)) AS clean
+         FROM raw),
+       cleaned AS (SELECT doc_id, clean AS text FROM ln),
+       tk AS (SELECT doc_id, clean, ${toks("clean")} AS toks FROM ln),
+       -- x05 langid over the cleaned text
+       lg AS (
+         SELECT doc_id,
+           CASE WHEN best = 0 THEN 'und'
+                WHEN s_it = best THEN 'it' WHEN s_fr = best THEN 'fr'
+                WHEN s_es = best THEN 'es' WHEN s_en = best THEN 'en'
+                ELSE 'de' END AS lang_pred
+         FROM (
+           SELECT doc_id, s_de, s_en, s_es, s_fr, s_it,
+             greatest(s_de, s_en, s_es, s_fr, s_it) AS best
+           FROM (
+             SELECT doc_id,
+               len(list_intersect(dtoks, ['der','die','und','das','ist','von','mit','den','nicht','ein'])) AS s_de,
+               len(list_intersect(dtoks, ['the','and','of','to','in','is','that','it','for','with'])) AS s_en,
+               len(list_intersect(dtoks, ['el','la','de','que','y','en','los','del','las','por'])) AS s_es,
+               len(list_intersect(dtoks, ['le','la','les','de','des','et','est','une','dans','pour'])) AS s_fr,
+               len(list_intersect(dtoks, ['il','di','che','la','per','con','del','una','sono','non'])) AS s_it
+             FROM (SELECT doc_id, list_distinct(toks) AS dtoks FROM tk)))),
+       -- x06 quality over the cleaned text
+       ql AS (
+         SELECT doc_id,
+           CAST(n_toks AS BIGINT) AS q_n_tokens,
+           CASE WHEN n_toks >= 5 AND (CASE WHEN n_chars > 0 THEN punct / n_chars ELSE 0.0 END) < 0.3
+                 AND (CASE WHEN n_toks > 0 THEN tot_len / n_toks ELSE 0.0 END) BETWEEN 2.0 AND 12.0
+                THEN 1.0 ELSE 0.0 END AS q_score
+         FROM (
+           SELECT doc_id,
+             CAST(len(toks) AS DOUBLE) AS n_toks,
+             CAST(length(clean) AS DOUBLE) AS n_chars,
+             CAST(length(regexp_replace(clean, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE) AS punct,
+             CAST(list_sum(list_transform(toks, x -> CAST(length(x) AS BIGINT))) AS DOUBLE) AS tot_len
+           FROM tk)),
+       -- q47 repetition over the cleaned text
+       rpb AS (
+         SELECT doc_id,
+           CASE WHEN len(toks) > 0
+             THEN 1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+             ELSE 0.0 END AS dup_unigram_frac,
+           CASE WHEN len(toks) >= 2
+             THEN [toks[i] || ' ' || toks[i + 1] for i in generate_series(1, len(toks) - 1)]
+             ELSE [] END AS bgs
+         FROM tk),
+       rp AS (
+         SELECT b.doc_id, b.dup_unigram_frac,
+           coalesce(t2.top_bigram_frac, 0.0) AS top_bigram_frac
+         FROM rpb b LEFT JOIN (
+           SELECT doc_id, CAST(max(n) AS DOUBLE) / sum(n) AS top_bigram_frac
+           FROM (SELECT doc_id, bg, count(*) AS n
+                 FROM (SELECT doc_id, unnest(bgs) AS bg FROM rpb)
+                 GROUP BY doc_id, bg)
+           GROUP BY doc_id) t2 ON b.doc_id = t2.doc_id),
+       -- x09/x18/q69 machinery over the cleaned text: pairs →
+       -- components → quality keeper (score = q_n_tokens)
+       ${OracleLsh.minhashPairsCtes(src = "cleaned")},
+       edges AS (
+         SELECT id_a AS s, id_b AS d FROM pairs
+         UNION SELECT id_b, id_a FROM pairs),
+       reach(id, r) AS (
+         SELECT s, s FROM edges
+         UNION
+         SELECT e.s, re.r FROM edges e JOIN reach re ON e.d = re.id),
+       comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY id),
+       wc AS (SELECT q.doc_id, coalesce(c.comp, q.doc_id) AS comp, q.q_n_tokens AS score
+              FROM ql q LEFT JOIN comp c ON q.doc_id = c.id),
+       kp AS (SELECT comp, doc_id AS keeper FROM (
+                SELECT comp, doc_id,
+                  ROW_NUMBER() OVER (PARTITION BY comp ORDER BY score DESC, doc_id) AS rn
+                FROM wc) WHERE rn = 1),
+       dd AS (SELECT wc.doc_id, wc.doc_id = kp.keeper AS v_dedup
+              FROM wc JOIN kp ON wc.comp = kp.comp),
+       -- q54/q68 decontamination over the RAW text, n = 13
+       ct AS (
+         SELECT doc_id, (doc_id % 97 = 0) AS bench, ${toks("COALESCE(text, '')")} AS toks
+         FROM documents),
+       cg AS (
+         SELECT doc_id, bench, list_distinct(CASE WHEN len(toks) = 0 THEN []
+           WHEN len(toks) < 13 THEN [array_to_string(toks, ' ')]
+           ELSE [array_to_string(list_slice(toks, i, i + 12), ' ')
+                 for i in generate_series(1, len(toks) - 12)] END) AS grams
+         FROM ct),
+       bgx AS (SELECT DISTINCT unnest(grams) AS gram FROM cg WHERE bench),
+       tgx AS (SELECT doc_id, unnest(grams) AS gram FROM cg WHERE NOT bench),
+       hits AS (SELECT doc_id, count(*) AS n FROM tgx JOIN bgx USING (gram) GROUP BY doc_id),
+       cm AS (
+         SELECT cg.doc_id, COALESCE(hits.n, 0) > 0 AS contaminated
+         FROM cg LEFT JOIN hits ON cg.doc_id = hits.doc_id
+         WHERE NOT cg.bench),
+       v AS (
+         SELECT ln.doc_id,
+           length(trim(ln.clean)) > 0 AS v_clean,
+           lg.lang_pred = 'en' AS v_lang,
+           ql.q_score = 1.0 AS v_quality,
+           rp.dup_unigram_frac <= 0.3 AND rp.top_bigram_frac <= 0.18 AS v_repetition,
+           dd.v_dedup AS v_dedup,
+           NOT cm.contaminated AS v_decontam
+         FROM ln
+         JOIN lg USING (doc_id) JOIN ql USING (doc_id) JOIN rp USING (doc_id)
+         JOIN dd USING (doc_id) JOIN cm USING (doc_id))
+       SELECT
+         CAST(count(*) AS BIGINT) AS input,
+         CAST(sum(CASE WHEN v_clean THEN 1 ELSE 0 END) AS BIGINT) AS after_v_clean,
+         CAST(sum(CASE WHEN v_clean AND v_lang THEN 1 ELSE 0 END) AS BIGINT) AS after_v_lang,
+         CAST(sum(CASE WHEN v_clean AND v_lang AND v_quality THEN 1 ELSE 0 END) AS BIGINT) AS after_v_quality,
+         CAST(sum(CASE WHEN v_clean AND v_lang AND v_quality AND v_repetition THEN 1 ELSE 0 END) AS BIGINT) AS after_v_repetition,
+         CAST(sum(CASE WHEN v_clean AND v_lang AND v_quality AND v_repetition AND v_dedup THEN 1 ELSE 0 END) AS BIGINT) AS after_v_dedup,
+         CAST(sum(CASE WHEN v_clean AND v_lang AND v_quality AND v_repetition AND v_dedup AND v_decontam THEN 1 ELSE 0 END) AS BIGINT) AS after_v_decontam
+       FROM v"""
+}

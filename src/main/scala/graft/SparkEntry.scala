@@ -697,7 +697,20 @@ object SparkEntry {
     // the 8 learned merges — the vocabulary table a tokenizer build
     // persists next to the merge list.
     "q73_bpe_segments" -> q((s, d) =>
-      Bpe.typeSegments(Tables.documents(s, d), "text", nMerges = 8))
+      Bpe.typeSegments(Tables.documents(s, d), "text", nMerges = 8)),
+
+    // The WHOLE corpus-prep recipe, end to end: the funnel row from
+    // CorpusPipeline's verdict plan (terminal-punct rule off for this
+    // unpunctuated corpus; exact decontamination for replayability —
+    // q68 separately proves bloom == exact). A hash match here
+    // certifies the COMPOSITION of x05+x06+q47+q58+x09/q69+q54, not
+    // just the parts.
+    "q74_corpus_funnel" -> q((s, d) =>
+      plans.CorpusPipeline.funnel(plans.CorpusPipeline.withVerdicts(
+        Tables.documents(s, d), "doc_id", "text",
+        col("doc_id") % 97 === 0,
+        plans.CorpusPipeline.Config(
+          lineRequireTerminalPunct = false, contamViaBloom = false))))
   ) ++ NonSqlQueries.queries
 
   // ---- DuckDB oracles -------------------------------------------------
@@ -1662,6 +1675,10 @@ object SparkEntry {
 
     // Same unrolled replay, final segmentation table as the output.
     "q73_bpe_segments" -> OracleBpe.q73Sql(nMerges = 8),
+
+    // The composition oracle: the full CorpusPipeline funnel replayed
+    // stage for stage (see OraclePipeline).
+    "q74_corpus_funnel" -> OraclePipeline.q74Sql,
 
     // Vocab-coverage replay: same (freq desc, token) total order for
     // rank/limit/cumsum; coverage = division of identical BIGINTs.

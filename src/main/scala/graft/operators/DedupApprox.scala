@@ -394,7 +394,7 @@ object DedupApprox {
       .select(col("id_a"), col("id_b"), col("sh").as("sh_a"))
     // shingle-less pairs (both texts empty after upstream cleaning) have
     // union 0: jaccard is undefined (null), the pair is dropped by the
-    // threshold filter — matching the oracle, where 0.0/0 is NaN and
+    // threshold filter — matching the oracle, where 0.0/0 is NULL in DuckDB and
     // fails the filter the same way. The guard must live INSIDE the
     // expression (CaseWhen evaluates lazily): a separate filter(__u>0)
     // is not safe because predicate pushdown combines it with the

@@ -56,6 +56,12 @@ object CorpusPipeline {
       maxTopBigramFrac: Double = 0.18,
       dedupThreshold: Double = 0.5,
       contamN: Int = 13,
+      // bloom probe (fixed-size artifact, the 100 TB shape) vs the
+      // exact broadcast gram set — identical verdicts when the bloom
+      // FP set is empty (q68/BloomSpec prove that for this corpus at
+      // the q68 size); the exact path is what the q74 composition
+      // oracle replays, bit-for-bit at any size
+      contamViaBloom: Boolean = true,
       numShards: Int = 8)
 
   /** Annotate every NON-benchmark doc with per-stage verdicts.
@@ -89,10 +95,15 @@ object CorpusPipeline {
       .select(col(idCol), col("comp"), col("keep").as("v_dedup"))
 
     // decontamination verdict: benchmark docs collapse to a bloom
-    // artifact; training docs probe it scan-locally
-    val contam = Dedup.decontaminateBloom(docs, idCol, textCol,
-        isBenchmark, n = cfg.contamN)
-      .select(col(idCol), col("n_flagged"), col("contaminated"))
+    // artifact (or an exact broadcast gram set); training docs probe
+    // it scan-locally
+    val contam = (if (cfg.contamViaBloom)
+        Dedup.decontaminateBloom(docs, idCol, textCol, isBenchmark,
+          n = cfg.contamN)
+      else
+        Dedup.decontaminate(docs, idCol, textCol, isBenchmark,
+          n = cfg.contamN))
+      .select(col(idCol), col("contaminated"))
 
     annotated
       .join(dedupVerdicts, Seq(idCol))
