@@ -16,7 +16,12 @@ class DeterminismSpec extends SparkSpec {
     "q64_lm_score_holdout", "q67_substring_dedup", "q68_decontaminate_bloom",
     "q69_dedup_quality_keeper", "q70_trigram_lm",
     "x09_minhash_dedup", "x10_simhash_dedup", "x18_dedup_verdicts",
-    "x24_semdedup", "x27_cosine_topk_batch")
+    "x24_semdedup", "x27_cosine_topk_batch",
+    // round-5 additions: driver-loop training rounds (BPE), the
+    // sketch aggregate, the cross-corpus probe, and the full-recipe
+    // funnel (every stage composed, incl. CC + keeper tie-breaks)
+    "q71_cms_token_freq", "q72_bpe_merges", "x28_incremental_dedup",
+    "q74_corpus_funnel")
 
   private def run(name: String, partitions: Int): Seq[String] = {
     spark.conf.set("spark.sql.shuffle.partitions", partitions)
