@@ -33,6 +33,15 @@ object Bench {
     // optional args subset (diagnosis tool; the driver passes none)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => args.isEmpty || args.contains(n) }
+    // untimed dry run of the first query: the lineitem-count warm-up
+    // above does not JIT the aggregate/codegen paths, and the
+    // alphabetically-first entry was paying ~3-4 s of first-query
+    // compilation in-sweep (q01 read 5.4 s in-sweep vs 1.4 s
+    // standalone, round 5) — a measurement artifact, not a plan cost
+    selected.headOption.foreach { case (_, fn) =>
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
+    }
     val firstPass = selected.map { case (name, fn) =>
       // Inter-query hygiene. (1) localCheckpoint blocks: the CC loops
       // (x18/x24/q69) checkpoint per round, and those RDD blocks stay
