@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 import graft.functions.{BloomAgg, BloomContainsExpr, CosineSimExpr,
   CountMinAgg, CountMinEstimateExpr, LexiconPolarityExpr, VaderCompoundExpr}
@@ -20,19 +20,27 @@ import org.apache.spark.sql.catalyst.expressions.Literal
   * additions. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
+  /** Builders receive whatever argument list the SQL analyzer parsed;
+    * silently dropping extras (exprs.head) would compute a DIFFERENT
+    * answer than the user asked for, so wrong arity fails analysis. */
+  private def arity(name: String, exprs: Seq[Expression], n: Int): Unit =
+    if (exprs.length != n)
+      throw new IllegalArgumentException(
+        s"$name expects $n argument(s), got ${exprs.length}")
+
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction((
       FunctionIdentifier("vader_compound"),
       new ExpressionInfo(classOf[VaderCompoundExpr].getName, "vader_compound"),
-      exprs => VaderCompoundExpr(exprs.head)))
+      exprs => { arity("vader_compound", exprs, 1); VaderCompoundExpr(exprs.head) }))
     e.injectFunction((
       FunctionIdentifier("textblob_polarity"),
       new ExpressionInfo(classOf[LexiconPolarityExpr].getName, "textblob_polarity"),
-      exprs => LexiconPolarityExpr(exprs.head)))
+      exprs => { arity("textblob_polarity", exprs, 1); LexiconPolarityExpr(exprs.head) }))
     e.injectFunction((
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimExpr].getName, "cosine_sim"),
-      exprs => CosineSimExpr(exprs(0), exprs(1))))
+      exprs => { arity("cosine_sim", exprs, 2); CosineSimExpr(exprs(0), exprs(1)) }))
     // the sketch family on the SQL surface: artifacts build in SQL
     // aggregates and probe as scan-local codegen calls — no UDF tier.
     // Sizes are the library defaults; SQL callers needing others use
@@ -40,19 +48,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((
       FunctionIdentifier("bloom_agg"),
       new ExpressionInfo(classOf[BloomAgg].getName, "bloom_agg"),
-      exprs => BloomAgg(exprs.head, numBits = 1 << 20, numHashes = 5)))
+      exprs => { arity("bloom_agg", exprs, 1)
+        BloomAgg(exprs.head, numBits = 1 << 20, numHashes = 5) }))
     e.injectFunction((
       FunctionIdentifier("bloom_contains"),
       new ExpressionInfo(classOf[BloomContainsExpr].getName, "bloom_contains"),
-      exprs => BloomContainsExpr(exprs(0), exprs(1))))
+      exprs => { arity("bloom_contains", exprs, 2); BloomContainsExpr(exprs(0), exprs(1)) }))
     e.injectFunction((
       FunctionIdentifier("cms_agg"),
       new ExpressionInfo(classOf[CountMinAgg].getName, "cms_agg"),
-      exprs => CountMinAgg(exprs.head, Literal(1L), depth = 4, width = 1 << 18)))
+      exprs => {
+        // cms_agg(key) or cms_agg(key, weight) — documented two-arg form.
+        if (exprs.length < 1 || exprs.length > 2)
+          throw new IllegalArgumentException(
+            s"cms_agg expects 1 or 2 arguments, got ${exprs.length}")
+        val weight = if (exprs.length == 2) exprs(1) else Literal(1L)
+        CountMinAgg(exprs.head, weight, depth = 4, width = 1 << 18)
+      }))
     e.injectFunction((
       FunctionIdentifier("cms_estimate"),
       new ExpressionInfo(classOf[CountMinEstimateExpr].getName, "cms_estimate"),
-      exprs => CountMinEstimateExpr(exprs(0), exprs(1))))
+      exprs => { arity("cms_estimate", exprs, 2); CountMinEstimateExpr(exprs(0), exprs(1)) }))
     e.injectOptimizerRule(_ => graft.rules.SimplifyLabelFilter)
   }
 }

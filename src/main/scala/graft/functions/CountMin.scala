@@ -35,10 +35,15 @@ object CountMinKernels {
   def estimate(artifact: Array[Byte], s: UTF8String): Long = {
     val bb = ByteBuffer.wrap(artifact)
     val d = bb.getInt; val w = bb.getInt
+    // Offsets stay in Long until proven < artifact.length (an Int), so
+    // d*w up to the byte[] ceiling can never wrap to a wrong counter.
+    require(8L + d.toLong * w * 8L == artifact.length,
+      s"malformed CMS artifact: header says d=$d w=$w but length=${artifact.length}")
     var min = Long.MaxValue
     var r = 0
     while (r < d) {
-      val c = bb.getLong(8 + (r.toLong * w + rowIndex(w, r, s)).toInt * 8)
+      val off = 8L + (r.toLong * w + rowIndex(w, r, s)) * 8L
+      val c = bb.getLong(off.toInt)
       if (c < min) min = c
       r += 1
     }
@@ -68,6 +73,9 @@ case class CountMinAgg(
   require(depth >= 1 && depth <= 16, s"depth must be in [1, 16] (got $depth)")
   require(width >= 16 && (width & (width - 1)) == 0,
     s"width must be a power of two >= 16 (got $width)")
+  require(depth.toLong * width <= (Int.MaxValue - 8) / 8,
+    s"depth*width=${depth.toLong * width} counters exceed the 2^28-ish " +
+      "byte[] artifact ceiling (8 + 8*d*w must fit an Int)")
 
   override def children: Seq[Expression] = Seq(key, weight)
   override def nullable: Boolean = false
@@ -175,4 +183,22 @@ object CountMin {
     GraftBridge.column(
       CountMinEstimateExpr(GraftBridge.expression(artifact),
         GraftBridge.expression(key)))
+
+  /** Probe factory carrying the artifact on a BROADCAST VARIABLE
+    * instead of a plan literal: a production-width sketch (d·w·8
+    * bytes — megabytes) embedded via `lit()` is serialized into the
+    * expression tree shipped with EVERY task and bloats explain
+    * output; broadcast ships it once per executor (the
+    * [[graft.operators.LmScore.bigramScoreBroadcast]] carrier
+    * pattern). Returns a Column → Column probe closed over the
+    * broadcast. */
+  def estimateBroadcast(spark: org.apache.spark.sql.SparkSession,
+                        artifact: Array[Byte]): Column => Column = {
+    val bc = spark.sparkContext.broadcast(artifact)
+    val probe = org.apache.spark.sql.functions.udf { (k: String) =>
+      if (k == null) 0L
+      else CountMinKernels.estimate(bc.value, UTF8String.fromString(k))
+    }
+    (key: Column) => probe(key)
+  }
 }

@@ -407,15 +407,23 @@ object Similarity {
     s
   }
 
-  private val pqAssignUdf = udf { (v: Seq[Double], cents: Seq[org.apache.spark.sql.Row]) =>
-    var bestId = -1L
-    var best = Double.PositiveInfinity
-    cents.map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1).foreach {
-      case (id, c) =>
-        val d = l2sqOf(v, c)
-        if (d < best) { best = d; bestId = id }
-    }
-    bestId
+  /** Joint-codebook assignment: nearest of THIS subspace's centroids
+    * by L2 (smallest cid on ties — same tiebreak as the IVF path). The
+    * broadcast list carries all m×k (sub, cid, cvec) rows; each row
+    * only scans its own subspace's k. */
+  private val pqAssignJointUdf = udf {
+    (sub: Int, sv: Seq[Double], cents: Seq[org.apache.spark.sql.Row]) =>
+      var bestId = -1L
+      var best = Double.PositiveInfinity
+      cents.view
+        .filter(_.getInt(0) == sub)
+        .map(r => (r.getLong(1), r.getSeq[Double](2)))
+        .toSeq.sortBy(_._1)
+        .foreach { case (id, c) =>
+          val d = l2sqOf(sv, c)
+          if (d < best) { best = d; bestId = id }
+        }
+      bestId
   }
 
   /** Train a product-quantization codebook: split the `dim`-dim space
@@ -424,30 +432,65 @@ object Similarity {
     * [[kmeansCentroids]]). Returns `(sub, cid, cvec)` — m×k rows of
     * dim/m-dim centroids: the model, MBs at any corpus size.
     *
-    * Scale shape: each subspace's training is the same distributed
-    * [[lloyd]] loop (slice in the scan, posexplode-avg means); the m
-    * subspaces train sequentially over a checkpointed slice — m scans
-    * of an already-narrow projection, nothing collects but the
-    * codebook. */
+    * Scale shape: ALL m subspaces train in ONE scan — the subvector
+    * slices posexplode to (sub, sv) rows and a single Lloyd loop runs
+    * keyed (sub, cid): per iteration one broadcast of the whole m×k
+    * codebook, one scan-local assignment, one (sub, cell, dim)-keyed
+    * mean. The corpus crosses once per iteration TOTAL, not once per
+    * subspace per iteration (the m-sequential form costs m×(iters+2)
+    * driver-coordinated job rounds and a checkpoint per subspace);
+    * nothing collects but the codebook. Per-subspace semantics are
+    * unchanged — subspaces never mix because assignment and means are
+    * both keyed by `sub` (PqSpec asserts parity with an independently
+    * computed per-subspace reference). */
   def pqTrain(df: DataFrame, idCol: String, vecCol: String,
               m: Int = 8, k: Int = 16, iters: Int = 3): DataFrame = {
     val dim = df.select(size(asDouble(col(vecCol)))).head().getInt(0)
     require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
     val subDim = dim / m
-    (0 until m).map { sub =>
-      val sliced = df.select(col(idCol),
-        slice(asDouble(col(vecCol)), sub * subDim + 1, subDim).as("sv"))
+    // ONE pass slices every subspace: (id, sub, sv)
+    val sliced = df
+      .select(col(idCol), asDouble(col(vecCol)).as("v"))
+      .select(col(idCol), posexplode(
+        transform(sequence(lit(0), lit(m - 1)),
+          sub => slice(col("v"), sub * subDim + 1, lit(subDim)))))
+      .withColumnRenamed("pos", "sub").withColumnRenamed("col", "sv")
+      .localCheckpoint()
+    // init: per subspace, the k smallest-id subvectors, cid = rank-1
+    // (the same k doc ids in every subspace — identical to slicing
+    // first and taking orderBy(id).limit(k) per slice)
+    val init = sliced
+      .withColumn("__rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("sub")).orderBy(col(idCol))))
+      .filter(col("__rk") <= k)
+      .select(col("sub"), (col("__rk") - 1).cast("long").as("cid"),
+        col("sv").as("cvec"))
+      .localCheckpoint()
+    var cents = init
+    for (_ <- 1 to iters) {
+      val centList = cents
+        .agg(collect_list(struct(col("sub"), col("cid"), col("cvec"))).as("cents"))
         .localCheckpoint()
-      lloyd(sliced.select(col("sv").as("v")),
-        sliced.orderBy(col(idCol)).limit(k)
-          .select(col(idCol).cast("long").as("cid"), col("sv").as("cvec"))
-          .withColumn("cid", row_number().over(
-            org.apache.spark.sql.expressions.Window.orderBy(col("cid")))
-            .cast("long") - 1)
-          .localCheckpoint(),
-        iters, pqAssignUdf)
-        .select(lit(sub).as("sub"), col("cid"), col("cvec"))
-    }.reduce(_ unionByName _)
+      val assigned = sliced.crossJoin(broadcast(centList))
+        .select(col("sub"),
+          pqAssignJointUdf(col("sub"), col("sv"), col("cents")).as("cell"),
+          col("sv"))
+      val means = assigned
+        .select(col("sub"), col("cell"), posexplode(col("sv")))
+        .groupBy(col("sub"), col("cell"), col("pos")).agg(avg(col("col")).as("m"))
+        .groupBy(col("sub"), col("cell"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m")).as("mvec"))
+        .withColumnRenamed("sub", "msub")
+      cents = cents.join(means,
+          cents("sub") === means("msub") && cents("cid") === means("cell"),
+          "left")
+        .select(cents("sub").as("sub"), col("cid"),
+          coalesce(col("mvec"), col("cvec")).as("cvec"))
+        .localCheckpoint()
+    }
+    cents
   }
 
   private def codebookArrays(codebook: DataFrame)

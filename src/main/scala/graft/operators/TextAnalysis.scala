@@ -350,7 +350,10 @@ object TextAnalysis {
   def substringDedup(df: DataFrame, idCol: String, textCol: String,
                      k: Int = 8): DataFrame = {
     require(k >= 2, s"window must span at least 2 tokens (got $k)")
-    val base = df.select(col(idCol), Analyzer.tokenize(col(textCol)).as("toks"))
+    // null text ⇒ zero tokens, not size(null) = -1 (sibling operators'
+    // contract; keeps n_tokens/n_removed non-negative and oracle-equal).
+    val base = df.select(col(idCol),
+      Analyzer.tokenize(coalesce(col(textCol), lit(""))).as("toks"))
     val grams = base.filter(size(col("toks")) >= k)
       .select(col(idCol), posexplode(
         transform(sequence(lit(1), size(col("toks")) - (k - 1)),

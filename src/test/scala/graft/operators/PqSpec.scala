@@ -69,6 +69,49 @@ class PqSpec extends SparkSpec {
     assert(distinctCodes == distinctVecs)
   }
 
+  /** The documented per-subspace algorithm, straight-line in memory:
+    * init = k smallest-id subvectors, assign = nearest by L2 with
+    * smallest-cid tiebreak, centroid = member mean, empty cell keeps
+    * its previous centroid. The independent reference the single-scan
+    * joint trainer must reproduce. */
+  private def refTrain(vecs: Seq[(Long, Seq[Double])], m: Int, k: Int,
+                       iters: Int): Map[(Int, Long), Seq[Double]] = {
+    val subDim = vecs.head._2.length / m
+    (0 until m).flatMap { sub =>
+      val svs = vecs.map { case (id, v) =>
+        (id, v.slice(sub * subDim, (sub + 1) * subDim)) }
+      var cents: Seq[(Long, Seq[Double])] = svs.sortBy(_._1).take(k)
+        .zipWithIndex.map { case ((_, sv), i) => (i.toLong, sv) }
+      for (_ <- 1 to iters) {
+        val assigned = svs.map { case (_, sv) =>
+          (cents.minBy { case (cid, c) =>
+            (Similarity.l2sqOf(sv, c), cid) }._1, sv)
+        }
+        cents = cents.map { case (cid, old) =>
+          val members = assigned.filter(_._1 == cid).map(_._2)
+          if (members.isEmpty) (cid, old)
+          else (cid, (0 until subDim).map(j =>
+            members.map(_(j)).sum / members.size))
+        }
+      }
+      cents.map { case (cid, c) => ((sub, cid), c) }
+    }.toMap
+  }
+
+  test("joint single-scan training == per-subspace reference, exactly") {
+    // lossless corpus values are small integers, so every mean's sum
+    // is exact in double and order-free — Spark's distributed avg and
+    // the sequential reference agree bit-for-bit
+    val cb = Similarity.pqTrain(lossless, "vec_id", "embedding",
+      m = 4, k = 4, iters = 3)
+      .collect().map(r => ((r.getInt(0), r.getLong(1)), r.getSeq[Double](2)))
+      .toMap
+    val ref = refTrain(
+      lossless.collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq,
+      m = 4, k = 4, iters = 3)
+    assert(cb == ref)
+  }
+
   test("real embeddings: refine step recovers the exact top-k head") {
     val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val k = 10
