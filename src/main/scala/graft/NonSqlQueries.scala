@@ -247,6 +247,16 @@ object NonSqlQueries {
       Similarity.pqTopK(Tables.embeddings(s, d), "vec_id", "embedding",
         queryId = 0L, m = 8, kCode = 16, k = 20, refine = 4)),
 
+    // ExactSubstr dedup, 100 TB key mode: stage 1-2 shuffle the
+    // 64-bit xxhash of each sliding gram instead of the k-token
+    // window TEXT (~k× fewer stage-1 bytes; collision odds ≈ n²/2⁶⁵).
+    // Rows-only here — the hash key is engine-specific; q67 gates the
+    // string-keyed replay and SubstringDedupSpec asserts the two
+    // modes are output-identical on the sf0.1 corpus.
+    "x29_substring_dedup_hash" -> q((s, d) =>
+      TextAnalysis.substringDedup(Tables.documents(s, d), "doc_id", "text",
+        k = 8)),
+
     // Scale-path length curriculum: approx-quantile boundaries +
     // scan-local bin assignment (no global window). Sketch boundaries
     // are not SQL-replayable, so rows-only here; q62's exact ntile

@@ -636,10 +636,12 @@ object SparkEntry {
 
     // ExactSubstr dedup (Lee et al. 2022): sliding 8-token windows,
     // corpus-wide first occurrence survives, every other instance's
-    // positions removed and the doc reassembled.
+    // positions removed and the doc reassembled. String-keyed mode so
+    // every stage replays in portable SQL; the default hash-keyed
+    // 100 TB shuffle shape runs as x29 (output-equal, spec-asserted).
     "q67_substring_dedup" -> q((s, d) =>
       TextAnalysis.substringDedup(Tables.documents(s, d), "doc_id", "text",
-        k = 8)),
+        k = 8, oracleReplayable = true)),
 
     // Scan-local decontamination: benchmark grams collapse to a
     // broadcast Bloom artifact probed with no join. The gate asserts

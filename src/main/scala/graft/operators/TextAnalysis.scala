@@ -337,18 +337,26 @@ object TextAnalysis {
     * doc (docs shorter than k tokens pass through untouched).
     *
     * Scale shape: five keyed shuffles, none global — (1) gram
-    * min-agg keyed on the gram text (map-side combine collapses
-    * repeats first); (2) join instances→winners on the gram; (3)
+    * min-agg keyed on the gram (map-side combine collapses repeats
+    * first); (2) join instances→winners on the gram key; (3)
     * covered-position distinct keyed (id, p) — payload two ints ×
     * (dup instances · k); (4) anti-join positions vs covered on
     * (id, p); (5) per-doc reassembly keyed on id. Token bodies cross
     * the wire once (stage 4→5), the same budget as spanDedupRewrite;
-    * coverage is O(dups·k), never O(n²). At 100 TB the gram string
-    * key would shrink to its 64-bit rolling hash (collision odds
-    * ≈ n²/2⁶⁵); the string key here keeps the operator exactly
-    * oracle-replayable (q67). */
+    * coverage is O(dups·k), never O(n²).
+    *
+    * The DEFAULT gram key is the 64-bit xxhash of the window text —
+    * the gram string never leaves the scan, so stages 1–2 shuffle
+    * 8 bytes + two ints per window instead of ~k tokens of text (~k×
+    * fewer stage-1 bytes; measured in SCALING.md). A collision would
+    * merge two distinct grams' winner election (odds ≈ n²/2⁶⁵ —
+    * vanishing below trillions of windows). `oracleReplayable = true`
+    * keeps the window TEXT as the key, making every stage exactly
+    * replayable in portable SQL — the mode q67 gates; hash mode ≡
+    * string mode is asserted output-for-output in SubstringDedupSpec
+    * on the sf0.1 corpus. */
   def substringDedup(df: DataFrame, idCol: String, textCol: String,
-                     k: Int = 8): DataFrame = {
+                     k: Int = 8, oracleReplayable: Boolean = false): DataFrame = {
     require(k >= 2, s"window must span at least 2 tokens (got $k)")
     // null text ⇒ zero tokens, not size(null) = -1 (sibling operators'
     // contract; keeps n_tokens/n_removed non-negative and oracle-equal).
@@ -359,9 +367,14 @@ object TextAnalysis {
         transform(sequence(lit(1), size(col("toks")) - (k - 1)),
           i => concat_ws(" ", slice(col("toks"), i, lit(k))))))
       .withColumnRenamed("pos", "s").withColumnRenamed("col", "gram")
+      // project the key BEFORE the shuffle: hash mode drops the gram
+      // text here, so stage 1-2 payloads are (key, id, s) only
+      .withColumn("__gk",
+        if (oracleReplayable) col("gram") else xxhash64(col("gram")))
+      .select(col(idCol), col("s"), col("__gk"))
       .withColumn("__ord", col(idCol) * lit(1L << 20) + col("s"))
-    val winners = grams.groupBy(col("gram")).agg(min(col("__ord")).as("__w"))
-    val covered = grams.join(winners, Seq("gram"))
+    val winners = grams.groupBy(col("__gk")).agg(min(col("__ord")).as("__w"))
+    val covered = grams.join(winners, Seq("__gk"))
       .filter(col("__ord") =!= col("__w"))
       .select(col(idCol), explode(sequence(col("s"), col("s") + (k - 1))).as("p"))
       .distinct()

@@ -79,4 +79,17 @@ class SubstringDedupSpec extends SparkSpec {
       .orderBy("doc_id").collect().toSeq
     assert(a == b)
   }
+
+  test("hash-keyed mode == string-keyed mode on the sf0.1 corpus") {
+    // the default 64-bit-hash shuffle key must elect the same winners
+    // (and therefore the same removals) as the exactly-replayable
+    // string key — row for row on the largest local corpus
+    val corpus = graft.sources.Tables.documents(spark, "/root/testdata/sf0.1")
+    val hash = TextAnalysis.substringDedup(corpus, "doc_id", "text", 8)
+      .orderBy("doc_id").collect().toSeq
+    val str = TextAnalysis.substringDedup(corpus, "doc_id", "text", 8,
+      oracleReplayable = true)
+      .orderBy("doc_id").collect().toSeq
+    assert(hash.nonEmpty && hash == str)
+  }
 }
