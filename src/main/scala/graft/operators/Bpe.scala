@@ -60,6 +60,14 @@ object Bpe {
         .as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
 
+  /** The persistable training state: `merges` — (rank, lhs, rhs,
+    * pair_freq), rank-ordered — and `words` — (word, freq, syms), the
+    * word-type table under the merges so far. Both are plain columnar
+    * tables (syms is array<string>), so the pair round-trips through
+    * parquet and training composes past the per-call round cap:
+    * checkpoint the state, [[Bpe.resumeMerges]] later. */
+  final case class BpeState(merges: DataFrame, words: DataFrame)
+
   /** Train `nMerges` BPE merges over the corpus' word types.
     * Output: one row per learned merge, in order —
     * (rank, lhs, rhs, pair_freq) with rank 1..nMerges. Ties on
@@ -67,7 +75,7 @@ object Bpe {
     * corpus exhausts (every word a single symbol) the output simply
     * has fewer rows. */
   def trainMerges(df: DataFrame, textCol: String, nMerges: Int): DataFrame =
-    trainLoop(df, textCol, nMerges)._1
+    trainState(df, textCol, nMerges).merges
 
   /** The trained word-type vocabulary: each corpus word with its
     * frequency and its segmentation under the `nMerges` learned
@@ -75,32 +83,54 @@ object Bpe {
     * end-to-end — this is trainMerges' final state table, the thing a
     * tokenizer build would persist next to the merge list. */
   def typeSegments(df: DataFrame, textCol: String, nMerges: Int): DataFrame =
-    trainLoop(df, textCol, nMerges)._2
+    trainState(df, textCol, nMerges).words
       .select(col("word"), col("freq"),
         array_join(col("syms"), " ").as("pieces"))
 
-  private def trainLoop(df: DataFrame, textCol: String,
-                        nMerges: Int): (DataFrame, DataFrame) = {
-    require(nMerges >= 1 && nMerges <= 64,
-      s"nMerges must be in [1, 64] — each merge is a driver-side round; " +
-        s"train larger vocabs in resumable chunks (got $nMerges)")
-    val spark = df.sparkSession
-
+  /** [[trainMerges]] returning the full resumable state. */
+  def trainState(df: DataFrame, textCol: String, nMerges: Int): BpeState = {
     // word → initial symbol array: characters + end-of-word marker.
     // substring-by-index (not split("")) for exact parity with the
     // oracle's [word[i:i] for i in ...] rendering.
-    var words = wordTypes(df, textCol)
+    val words0 = wordTypes(df, textCol)
       .select(col("word"), col("freq"),
         concat(
           transform(sequence(lit(1), length(col("word"))),
             i => col("word").substr(i, lit(1))),
           array(lit(Marker))).as("syms"))
       .localCheckpoint()
+    mergeRounds(words0, prior = None, startRank = 1L, nRounds = nMerges)
+  }
 
-    var merges: Option[DataFrame] = None
-    var r = 1
+  /** Continue training from a persisted state: `nMore` further merge
+    * rounds on top of an earlier run's (merges, words) pair — real
+    * tokenizers need 30k+ merges, far past any single call's round
+    * cap, so training runs as CHAINED CHUNKS with the state tables
+    * parquet-checkpointed between chunks (each chunk re-enters here
+    * with the tables read back). Chaining is exact: round n sees
+    * precisely the symbol state one longer run would have (BpeSpec
+    * proves 2×8 resumed ≡ 16 one-shot, through a parquet round-trip).
+    * New ranks continue from max(rank)+1. */
+  def resumeMerges(words: DataFrame, merges: DataFrame, nMore: Int): BpeState = {
+    val next = merges.agg(coalesce(max(col("rank")), lit(0L)))
+      .head.getLong(0) + 1
+    mergeRounds(words.localCheckpoint(), prior = Some(merges),
+      startRank = next, nRounds = nMore)
+  }
+
+  private def mergeRounds(words0: DataFrame, prior: Option[DataFrame],
+                          startRank: Long, nRounds: Int): BpeState = {
+    require(nRounds >= 1 && nRounds <= 64,
+      s"rounds per call must be in [1, 64] — each merge is a driver-side " +
+        s"round; train larger vocabs in chunks via resumeMerges (got $nRounds)")
+    val spark = words0.sparkSession
+
+    var words = words0
+    var merges: Option[DataFrame] = prior
+    var r = startRank
+    val endRank = startRank + nRounds - 1
     var exhausted = false
-    while (r <= nMerges && !exhausted) {
+    while (r <= endRank && !exhausted) {
       // adjacent-pair types, weighted by word frequency. Fully-merged
       // words (one symbol left) have no pairs — and must be filtered
       // BEFORE sequence(1, size-1), which would otherwise descend
@@ -119,7 +149,7 @@ object Bpe {
       if (best.isEmpty) {
         exhausted = true
       } else {
-        val row = best.select(lit(r.toLong).as("rank"), col("l").as("lhs"),
+        val row = best.select(lit(r).as("rank"), col("l").as("lhs"),
           col("r").as("rhs"), col("c").as("pair_freq"))
         merges = Some(merges.fold(row)(_.unionByName(row)))
         // greedy merge as a scan-local fold; see object Scaladoc for
@@ -144,7 +174,7 @@ object Bpe {
       Seq.empty[(Long, String, String, Long)]
         .toDF("rank", "lhs", "rhs", "pair_freq")
     }
-    (mergesDf, words)
+    BpeState(mergesDf, words)
   }
 
   /** Segment each word of `textCol` with a learned merge table —

@@ -97,6 +97,32 @@ class BpeSpec extends SparkSpec {
     assert(seg.contains("low" + Bpe.Marker) || seg.contains("low"))
   }
 
+  test("resume: chained 2×8 rounds through a parquet round-trip ≡ one-shot 16") {
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val oneShot = Bpe.trainState(docs, "text", 16)
+    // first chunk, state persisted like a real 30k-merge run would
+    val first = Bpe.trainState(docs, "text", 8)
+    val dir = java.nio.file.Files.createTempDirectory("bpe_state").toString
+    first.merges.write.mode("overwrite").parquet(s"$dir/merges")
+    first.words.write.mode("overwrite").parquet(s"$dir/words")
+    val resumed = Bpe.resumeMerges(
+      spark.read.parquet(s"$dir/words"),
+      spark.read.parquet(s"$dir/merges"), nMore = 8)
+    def mergeRows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("rank").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+        .toSeq
+    assert(mergeRows(resumed.merges) == mergeRows(oneShot.merges))
+    assert(mergeRows(resumed.merges).map(_._1) == (1L to 16L))
+    // the resumed symbol state must equal the one-shot state too —
+    // that is what makes a THIRD chunk exact
+    def wordRows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("word").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getSeq[String](2)))
+        .toSeq
+    assert(wordRows(resumed.words) == wordRows(oneShot.words))
+  }
+
   test("null and empty text contribute nothing") {
     val df = Seq(Some("ab ab"), None, Some("")).toDF("text")
     val out = Bpe.trainMerges(df, "text", 2).orderBy("rank").collect()
