@@ -591,11 +591,23 @@ object Similarity {
   def ivfPqTopK(df: DataFrame, idCol: String, vecCol: String, queryId: Long,
                 numCells: Int = 8, nprobe: Int = 3,
                 m: Int = 8, kCode: Int = 16, k: Int = 20,
-                refine: Int = 4): DataFrame = {
-    val cents = smallestIdCentroids(df, idCol, vecCol, numCells)
-      .localCheckpoint()
-    val centSeq = cents.collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
-    val centList = cents
+                refine: Int = 4): DataFrame =
+    ivfPqTopKWith(df, idCol, vecCol,
+      smallestIdCentroids(df, idCol, vecCol, numCells).localCheckpoint(),
+      pqTrain(df, idCol, vecCol, m, kCode).localCheckpoint(),
+      queryId, nprobe, k, refine)
+
+  /** [[ivfPqTopK]] against explicit models (centroids + PQ codebook) —
+    * the entry point for trained/persisted models, and what makes the
+    * at-rest path provably row-identical: the SAME model tables drive
+    * both ([[ivfPqTopKAtRest]], IvfPqAtRestSpec). */
+  def ivfPqTopKWith(df: DataFrame, idCol: String, vecCol: String,
+                    centroids: DataFrame, codebook: DataFrame,
+                    queryId: Long, nprobe: Int = 3, k: Int = 20,
+                    refine: Int = 4): DataFrame = {
+    val centSeq = centroids.select(col("cid"), col("cvec"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+    val centList = centroids
       .agg(collect_list(struct(col("cid"), col("cvec"))).as("cents"))
       .localCheckpoint()
     val qv = df.filter(col(idCol) === queryId)
@@ -606,13 +618,84 @@ object Similarity {
       .withColumn("assigned", assignUdf(asDouble(col(vecCol)), col("cents")))
       .filter(col("assigned").isin(probes: _*))
       .drop("cents")
-    val codebook = pqTrain(df, idCol, vecCol, m, kCode).localCheckpoint()
     val encoded = pqEncode(inCells, vecCol, codebook).localCheckpoint()
     val shortlist = pqTopKAdc(
       encoded.select(col(idCol), col("codes")), idCol, codebook,
       qv, k = refine * k)
     encoded.join(broadcast(shortlist.select(col(idCol))), Seq(idCol))
       .select(col(idCol), col("assigned"),
+        cosineFast(asDouble(col(vecCol)), typedLit[Seq[Double]](qv)).as("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** [[writeIvfPartitioned]] plus PQ codes: every row carries `codes`
+    * (array<int>, length m — m bytes of information per vector) next
+    * to its `cell` directory, completing the at-rest FAISS-IVFPQ
+    * layout: a probe prunes to nprobe cell directories, the ADC
+    * shortlist reads ONLY (id, codes) of those cells, and exactness
+    * is paid on refine×k re-read rows. Same scan-local broadcast
+    * assignment as the codes-less layout; encoding is one UDF pass in
+    * the same scan. */
+  def writeIvfPqPartitioned(df: DataFrame, idCol: String, vecCol: String,
+                            centroids: DataFrame, codebook: DataFrame,
+                            dir: String): Unit = {
+    val cents = centroids
+      .agg(collect_list(struct(col("cid"), col("cvec"))).as("cents"))
+      .localCheckpoint() // broadcast of a live subtree re-runs it per exchange
+    pqEncode(df, vecCol, codebook)
+      .crossJoin(broadcast(cents))
+      .withColumn("cell", assignUdf(asDouble(col(vecCol)), col("cents")))
+      .drop("cents")
+      .repartition(col("cell"))
+      .write.partitionBy("cell").mode("overwrite").parquet(dir)
+  }
+
+  /** The ADC phase over a [[writeIvfPqPartitioned]] layout, exposed so
+    * its I/O properties are plan-assertable: the scan carries the
+    * probed cells in PartitionFilters (untouched directories = no
+    * files) AND reads only (id, codes) — ReadSchema never mentions
+    * the vector column, so each probed row costs m code bytes, not
+    * dim×8 vector bytes. */
+  def pqShortlistAtRest(spark: SparkSession, dir: String, idCol: String,
+                        codebook: DataFrame, queryVec: Seq[Double],
+                        probes: Seq[Long], excludeId: Long,
+                        n: Int): DataFrame =
+    pqTopKAdc(
+      spark.read.parquet(dir)
+        .filter(col("cell").isin(probes: _*) && col(idCol) =!= excludeId)
+        .select(col(idCol), col("codes")),
+      idCol, codebook, queryVec, k = n)
+
+  /** Full FAISS-IVFPQ over the at-rest layout — [[ivfPqTopKWith]]'s
+    * three nested reductions, each realized as an I/O property:
+    * (1) cells: `cell IN probes` lands in PartitionFilters;
+    * (2) shortlist: [[pqShortlistAtRest]] reads m bytes per probed
+    * row; (3) exactness: the refine×k shortlist ids re-read under an
+    * `id IN (…)` pushed predicate (the id list is model-sized by
+    * construction — refine×k rows) and exact-cosine re-rank. Emits
+    * `(idCol, assigned, cos)`, row-identical to [[ivfPqTopKWith]] on
+    * the same centroids + codebook (IvfPqAtRestSpec). */
+  def ivfPqTopKAtRest(spark: SparkSession, dir: String, idCol: String,
+                      vecCol: String, centroids: DataFrame,
+                      codebook: DataFrame, queryId: Long,
+                      nprobe: Int = 3, k: Int = 20,
+                      refine: Int = 4): DataFrame = {
+    val centSeq = centroids.select(col("cid"), col("cvec"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+    val corpus = spark.read.parquet(dir)
+    val qv = corpus.filter(col(idCol) === queryId)
+      .select(asDouble(col(vecCol))).head().getSeq[Double](0)
+    val probes = ivfProbeOf(qv, centSeq, nprobe)
+    // shortlist ids collect to the driver: refine×k values (the same
+    // model-sized budget the broadcast join in ivfPqTopKWith carries),
+    // traded here for a parquet-pushed id IN (…) on the re-read
+    val shortIds = pqShortlistAtRest(spark, dir, idCol, codebook, qv,
+      probes, queryId, n = refine * k)
+      .select(col(idCol)).collect().map(_.get(0)).toSeq
+    corpus
+      .filter(col("cell").isin(probes: _*) && col(idCol).isin(shortIds: _*))
+      .select(col(idCol), col("cell").cast("long").as("assigned"),
         cosineFast(asDouble(col(vecCol)), typedLit[Seq[Double]](qv)).as("cos"))
       .orderBy(col("cos").desc, col(idCol))
       .limit(k)
