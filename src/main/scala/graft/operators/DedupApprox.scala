@@ -359,6 +359,36 @@ object DedupApprox {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Effectively-once landing for [[minhashPairsAgainstStream]]
+    * verdicts: per micro-batch, the per-band duplicate rows collapse
+    * (`dropDuplicates` on the pair key) and the target is anti-joined
+    * before the append — the engine's S-5/S-8 idempotent machinery
+    * ([[Dedup.idempotentBatch]]) applied to the verdict stream, which
+    * upgrades its documented at-least-once contract to
+    * effectively-once: a redelivered micro-batch (or a delta doc
+    * replayed in a later batch) lands nothing new. The anti-join
+    * build side is one pruned synthetic-key column of the standing
+    * verdict table — the same cost class as the landing sink. */
+  def minhashVerdictSink(verdicts: DataFrame, targetDir: String,
+                         checkpointDir: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    def keyed(df: DataFrame): DataFrame = df.withColumn("__vk",
+      concat_ws(":", col("new_id"), col("idx_id")))
+    verdicts.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val kb = keyed(batch)
+        val existing =
+          try keyed(spark.read.parquet(targetDir)).select(col("__vk"))
+          catch { case _: Exception => kb.limit(0).select(col("__vk")) }
+        Dedup.idempotentBatch(kb, existing, "__vk")
+          .drop("__vk")
+          .write.mode("append").parquet(targetDir)
+        ()
+      }
+  }
+
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
                    shingleN: Int = 3, numHashes: Int = 64, bands: Int = 16,
                    threshold: Double = 0.5, maxBucket: Int = 500,
