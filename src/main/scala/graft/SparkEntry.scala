@@ -731,7 +731,22 @@ object SparkEntry {
         Tables.documents(s, d), "doc_id", "text",
         col("doc_id") % 97 === 0,
         plans.CorpusPipeline.Config(
-          lineRequireTerminalPunct = false, contamViaBloom = false))))
+          lineRequireTerminalPunct = false, contamViaBloom = false)))),
+
+    // Interpolated KNESER–NEY trigram LM (the discounting CCNet's
+    // KenLM actually uses — q70 is the fixed-weight Jelinek–Mercer
+    // sibling): continuation counts at the lower levels, absolute
+    // discount D = 0.75, explicit per-context backoff weights walked
+    // exactly like an ARPA file. Trained on HALF the corpus, scoring
+    // EVERY doc, so all chain levels fire. Integer counts + fixed-
+    // order discount arithmetic + micro-nat quantization ⇒ the whole
+    // train-and-score replays in SQL.
+    "q75_kn_trigram_lm" -> q((s, d) => {
+      val docs = Tables.documents(s, d)
+      LmScore.knScoreWith(docs, "doc_id", "text",
+        LmScore.trainTrigramKN(docs.filter(col("doc_id") % 2 === 0),
+          "doc_id", "text"))
+    })
   ) ++ NonSqlQueries.queries
 
   // ---- DuckDB oracles -------------------------------------------------
@@ -1659,6 +1674,138 @@ object SparkEntry {
            LEFT JOIN trm t ON sg.w1 = t.w1 AND sg.w2 = t.w2 AND sg.w3 = t.w3
            LEFT JOIN bigm b ON sg.w2 = b.w2 AND sg.w3 = b.w3
            LEFT JOIN unim un ON sg.w3 = un.w3),
+         agg AS (
+           SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_trigrams,
+             CAST(sum(CASE WHEN lp3 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_tri_hit,
+             CAST(sum(CASE WHEN lp3 IS NULL AND lp2 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_bg_backoff,
+             CAST(sum(CASE WHEN lp3 IS NULL AND lp2 IS NULL AND lp1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_ug_backoff,
+             CAST(sum(CASE WHEN lp3 IS NULL AND lp2 IS NULL AND lp1 IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+             CAST(sum(lp) AS BIGINT) AS lp_sum_q
+           FROM j GROUP BY doc_id)
+         SELECT d.doc_id,
+           COALESCE(agg.n_trigrams, 0) AS n_trigrams,
+           COALESCE(agg.n_tri_hit, 0) AS n_tri_hit,
+           COALESCE(agg.n_bg_backoff, 0) AS n_bg_backoff,
+           COALESCE(agg.n_ug_backoff, 0) AS n_ug_backoff,
+           COALESCE(agg.n_oov, 0) AS n_oov,
+           COALESCE(agg.lp_sum_q, 0) AS lp_sum_q,
+           CASE WHEN COALESCE(agg.n_trigrams, 0) = 0 THEN 0.0
+                ELSE CAST(agg.lp_sum_q AS DOUBLE) / CAST(agg.n_trigrams AS DOUBLE)
+           END AS avg_lp_q
+         FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id""",
+
+    // Kneser–Ney replay: every statistic is an integer count over the
+    // trigram/bigram TYPE tables (continuation counts = row counts),
+    // the discount expressions use the same fixed-order double
+    // arithmetic as the engine (greatest(c−D,0)/ctx + ((D·t)/ctx)·p,
+    // left-to-right), one ln per level quantized to micro-nats, and
+    // the ARPA-style walk (prob + context backoff weights) is integer
+    // addition — the whole KN train-and-score replays bit-for-bit.
+    "q75_kn_trigram_lm" ->
+      """WITH tt AS (
+           SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(COALESCE(text, '')), '[^a-z0-9'']+'), x -> length(x) > 0) AS toks
+           FROM documents WHERE doc_id % 2 = 0),
+         bg0 AS (
+           SELECT unnest(CASE WHEN len(toks) >= 2
+             THEN [{'w1': toks[i], 'w2': toks[i + 1]}
+                   for i in generate_series(1, len(toks) - 1)]
+             ELSE [] END) AS u
+           FROM tt),
+         bc AS (SELECT u.w1 AS w1, u.w2 AS w2,
+                  CAST(count(*) AS BIGINT) AS c12
+                FROM bg0 GROUP BY u.w1, u.w2),
+         tg0 AS (
+           SELECT unnest(CASE WHEN len(toks) >= 3
+             THEN [{'w1': toks[i], 'w2': toks[i + 1], 'w3': toks[i + 2]}
+                   for i in generate_series(1, len(toks) - 2)]
+             ELSE [] END) AS u
+           FROM tt),
+         tc AS (SELECT u.w1 AS w1, u.w2 AS w2, u.w3 AS w3,
+                  CAST(count(*) AS BIGINT) AS c123
+                FROM tg0 GROUP BY u.w1, u.w2, u.w3),
+         ctx12 AS (SELECT w1, w2, CAST(sum(c123) AS BIGINT) AS c12ctx,
+                     CAST(count(*) AS BIGINT) AS t12
+                   FROM tc GROUP BY w1, w2),
+         contbg AS (SELECT w2, w3, CAST(count(*) AS BIGINT) AS a2
+                    FROM tc GROUP BY w2, w3),
+         contmid AS (SELECT w2, CAST(sum(a2) AS BIGINT) AS b2mass
+                     FROM contbg GROUP BY w2),
+         ftypes AS (SELECT w1 AS w2, CAST(count(*) AS BIGINT) AS ft
+                    FROM bc GROUP BY w1),
+         contuni AS (SELECT w2 AS w3, CAST(count(*) AS BIGINT) AS a1
+                     FROM bc GROUP BY w2),
+         nbt AS (SELECT CAST(count(*) AS BIGINT) AS nbt FROM bc),
+         unip AS (SELECT w3,
+                    CAST(a1 AS DOUBLE) / CAST(nbt.nbt AS DOUBLE) AS p1
+                  FROM contuni, nbt),
+         unim AS (SELECT w3,
+                    CAST(floor(ln(p1) * 1000000.0 + 0.5) AS BIGINT) AS lp1
+                  FROM unip),
+         bigp AS (
+           SELECT b.w2, b.w3,
+             CASE WHEN cm.b2mass IS NULL THEN up.p1
+                  ELSE greatest(CAST(COALESCE(cb.a2, 0) AS DOUBLE) - 0.75, 0.0)
+                         / CAST(cm.b2mass AS DOUBLE)
+                       + ((0.75 * CAST(ft.ft AS DOUBLE))
+                         / CAST(cm.b2mass AS DOUBLE)) * up.p1
+             END AS p2
+           FROM (SELECT w1 AS w2, w2 AS w3 FROM bc) b
+           LEFT JOIN contbg cb ON b.w2 = cb.w2 AND b.w3 = cb.w3
+           LEFT JOIN contmid cm ON b.w2 = cm.w2
+           JOIN ftypes ft ON b.w2 = ft.w2
+           JOIN unip up ON b.w3 = up.w3),
+         bigm AS (SELECT w2, w3,
+                    CAST(floor(ln(p2) * 1000000.0 + 0.5) AS BIGINT) AS lp2
+                  FROM bigp),
+         trm AS (
+           SELECT tc.w1, tc.w2, tc.w3,
+             CAST(floor(ln(
+               greatest(CAST(tc.c123 AS DOUBLE) - 0.75, 0.0)
+                 / CAST(cx.c12ctx AS DOUBLE)
+               + ((0.75 * CAST(cx.t12 AS DOUBLE))
+                 / CAST(cx.c12ctx AS DOUBLE)) * bp.p2
+             ) * 1000000.0 + 0.5) AS BIGINT) AS lp3
+           FROM tc
+           JOIN ctx12 cx ON tc.w1 = cx.w1 AND tc.w2 = cx.w2
+           JOIN bigp bp ON tc.w2 = bp.w2 AND tc.w3 = bp.w3),
+         c12w AS (SELECT w1, w2,
+                    CAST(floor(ln((0.75 * CAST(t12 AS DOUBLE))
+                      / CAST(c12ctx AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)
+                      AS b12
+                  FROM ctx12),
+         c2w AS (SELECT ft.w2,
+                   CASE WHEN cm.b2mass IS NULL THEN 0
+                        ELSE CAST(floor(ln((0.75 * CAST(ft.ft AS DOUBLE))
+                          / CAST(cm.b2mass AS DOUBLE)) * 1000000.0 + 0.5)
+                          AS BIGINT)
+                   END AS b2
+                 FROM ftypes ft LEFT JOIN contmid cm ON ft.w2 = cm.w2),
+         st AS (
+           SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(COALESCE(text, '')), '[^a-z0-9'']+'), x -> length(x) > 0) AS toks
+           FROM documents),
+         sg AS (
+           SELECT doc_id, u.w1 AS w1, u.w2 AS w2, u.w3 AS w3
+           FROM (SELECT doc_id, unnest(CASE WHEN len(toks) >= 3
+             THEN [{'w1': toks[i], 'w2': toks[i + 1], 'w3': toks[i + 2]}
+                   for i in generate_series(1, len(toks) - 2)]
+             ELSE [] END) AS u
+           FROM st)),
+         j AS (
+           SELECT sg.doc_id, t.lp3, b.lp2, un.lp1,
+             CASE WHEN t.lp3 IS NOT NULL THEN t.lp3
+                  WHEN b.lp2 IS NOT NULL THEN COALESCE(cw.b12, 0) + b.lp2
+                  WHEN un.lp1 IS NOT NULL THEN
+                    COALESCE(cw.b12, 0) + COALESCE(c2.b2, 0) + un.lp1
+                  ELSE -20000000 END AS lp
+           FROM sg
+           LEFT JOIN trm t ON sg.w1 = t.w1 AND sg.w2 = t.w2 AND sg.w3 = t.w3
+           LEFT JOIN bigm b ON sg.w2 = b.w2 AND sg.w3 = b.w3
+           LEFT JOIN unim un ON sg.w3 = un.w3
+           LEFT JOIN c12w cw ON sg.w1 = cw.w1 AND sg.w2 = cw.w2
+           LEFT JOIN c2w c2 ON sg.w2 = c2.w2),
          agg AS (
            SELECT doc_id,
              CAST(count(*) AS BIGINT) AS n_trigrams,

@@ -328,4 +328,189 @@ object LmScore {
     * exercises both). */
   def trigramScore(df: DataFrame, idCol: String, textCol: String): DataFrame =
     trigramScoreWith(df, idCol, textCol, trainTrigram(df, idCol, textCol))
+
+  // ---- interpolated Kneser–Ney (the CCNet/KenLM reference shape) -------
+
+  /** The KN model artifact — KenLM's ARPA-file structure exactly:
+    * PROBABILITY tables per level plus BACKOFF-WEIGHT tables per
+    * context, all quantized to the micro-nat grid so apply-time
+    * arithmetic is pure integer addition:
+    *   tri   (w1, w2, w3, lp_q):  ln p_KN(w3 | w1 w2), seen trigrams
+    *   big   (w2, w3, lp_q):      ln p_KN(w3 | w2), seen bigrams
+    *   uni   (w3, lp_q):          ln p_cont(w3) = ln(N₁₊(·w3)/N₁₊(··))
+    *   ctx12 (w1, w2, b_q):       ln(D·N₁₊(w1w2·)/C(w1w2·))
+    *   ctx2  (w2, b_q):           ln(D·N₁₊(w2·)/N₁₊(·w2·))
+    * A backoff hop ADDS the context's weight (logs), exactly as a
+    * KenLM query walks an ARPA file. */
+  final case class KnModel(tri: DataFrame, big: DataFrame, uni: DataFrame,
+                           ctx12: DataFrame, ctx2: DataFrame)
+
+  /** The standard absolute-discount constant (Chen & Goodman 1999 use
+    * count-of-count estimates; 0.75 is the conventional fixed value).
+    * Exactly representable in binary, so both engines compute with
+    * the identical IEEE double. */
+  val DefaultDiscount: Double = 0.75
+
+  /** Train an interpolated Kneser–Ney trigram LM (Kneser & Ney 1995;
+    * Chen & Goodman 1999 §3 — the discounting CCNet's KenLM filter
+    * actually uses, completing [[trainTrigram]]'s fixed-weight
+    * Jelinek–Mercer):
+    *
+    *   p(w3|w1w2) = max(C(w1w2w3)−D, 0)/C(w1w2·)
+    *                  + (D·N₁₊(w1w2·)/C(w1w2·)) · p(w3|w2)
+    *   p(w3|w2)   = max(N₁₊(·w2w3)−D, 0)/N₁₊(·w2·)
+    *                  + (D·N₁₊(w2·)/N₁₊(·w2·)) · p_cont(w3)
+    *   p_cont(w3) = N₁₊(·w3) / N₁₊(··)
+    *
+    * — lower levels use CONTINUATION counts (how many distinct
+    * contexts a gram follows), not raw frequency: the Kneser–Ney
+    * insight that "Francisco" is frequent but predicts badly after
+    * anything except "San". Every statistic is an integer count over
+    * the trigram/bigram TYPE tables (N₁₊ values are row counts of
+    * groupBys), so the whole model replays exactly in SQL: the only
+    * float arithmetic is the fixed-order discount expression and one
+    * ln, quantized to the micro-nat grid like every LM table here.
+    *
+    * Degenerate contexts are well-defined, not special-cased away: a
+    * bigram (w2, w3) whose middle word never appears inside a trigram
+    * (N₁₊(·w2·) = 0 — e.g. 2-token docs) takes p(w3|w2) = p_cont(w3)
+    * and a unit backoff weight (ln 1 = 0).
+    *
+    * Scale shape: the corpus crosses once per n-gram order as
+    * map-side-combined TYPE counts; every N₁₊ statistic is a second
+    * aggregation OVER a type table (vocab-shaped, never
+    * corpus-shaped); model assembly is joins between type tables. */
+  def trainTrigramKN(df: DataFrame, idCol: String, textCol: String,
+                     discount: Double = DefaultDiscount): KnModel = {
+    val quant = (x: org.apache.spark.sql.Column) =>
+      floor(log(x) * 1000000.0 + 0.5).cast("long")
+    val d = lit(discount)
+
+    val triCounts = slidingTrigrams(df, idCol, textCol)
+      .groupBy(col("w1"), col("w2"), col("w3")).agg(count(lit(1)).as("c123"))
+      .localCheckpoint()
+    val bigCounts = slidingBigrams(df, idCol, textCol)
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      .localCheckpoint()
+
+    // context statistics — each a row-count/sum over a TYPE table
+    val ctx12Stats = triCounts.groupBy(col("w1"), col("w2"))
+      .agg(sum(col("c123")).as("c12ctx"),   // C(w1w2·)
+        count(lit(1)).as("t12"))            // N₁₊(w1w2·)
+    val contBg = triCounts.groupBy(col("w2"), col("w3"))
+      .agg(count(lit(1)).as("a2"))          // N₁₊(·w2w3)
+    val contMid = contBg.groupBy(col("w2"))
+      .agg(sum(col("a2")).as("b2mass"))     // N₁₊(·w2·)
+    val followTypes = bigCounts.groupBy(col("w1"))
+      .agg(count(lit(1)).as("ft"))          // N₁₊(w2·), keyed as w1
+      .withColumnRenamed("w1", "w2")
+    val contUni = bigCounts.groupBy(col("w2").as("w3"))
+      .agg(count(lit(1)).as("a1"))          // N₁₊(·w3)
+    val totalBigramTypes = bigCounts.agg(count(lit(1)).as("nbt")) // N₁₊(··)
+
+    // unigram continuation level (carries raw p1 for reuse upstream)
+    val p1Col = col("a1").cast("double") / col("nbt").cast("double")
+    val uniP = contUni.crossJoin(broadcast(totalBigramTypes))
+      .withColumn("p1", p1Col)
+      .select(col("w3"), col("p1"))
+      .localCheckpoint()
+    val uni = uniP.withColumn("lp_q", quant(col("p1")))
+      .select(col("w3"), col("lp_q"))
+
+    // bigram continuation level over ALL seen bigram types: (w2, w3)
+    // rows missing from the trigram-derived continuation tables take
+    // a2 = 0 (discount clamps to 0) and the degenerate-context branch
+    val bigP = bigCounts
+      .select(col("w1").as("w2"), col("w2").as("w3"))
+      .join(contBg, Seq("w2", "w3"), "left")
+      .join(contMid, Seq("w2"), "left")
+      .join(followTypes, Seq("w2"))
+      .join(uniP, Seq("w3"))
+      .withColumn("p2",
+        when(col("b2mass").isNull, col("p1"))
+          .otherwise(
+            greatest(coalesce(col("a2"), lit(0L)).cast("double") - d, lit(0.0))
+              / col("b2mass").cast("double")
+              + ((d * col("ft").cast("double")) / col("b2mass").cast("double"))
+                * col("p1")))
+      .select(col("w2"), col("w3"), col("p2"))
+      .localCheckpoint()
+    val big = bigP.withColumn("lp_q", quant(col("p2")))
+      .select(col("w2"), col("w3"), col("lp_q"))
+
+    // trigram level: discounted raw counts + backoff mass × p2
+    val tri = triCounts
+      .join(ctx12Stats, Seq("w1", "w2"))
+      .join(bigP, Seq("w2", "w3"))
+      .withColumn("p3",
+        greatest(col("c123").cast("double") - d, lit(0.0))
+          / col("c12ctx").cast("double")
+          + ((d * col("t12").cast("double")) / col("c12ctx").cast("double"))
+            * col("p2"))
+      .select(col("w1"), col("w2"), col("w3"), quant(col("p3")).as("lp_q"))
+
+    // backoff-weight tables (ln of the redistributed mass per context)
+    val ctx12 = ctx12Stats
+      .select(col("w1"), col("w2"),
+        quant((d * col("t12").cast("double")) / col("c12ctx").cast("double"))
+          .as("b_q"))
+    val ctx2 = followTypes
+      .join(contMid, Seq("w2"), "left")
+      .select(col("w2"),
+        when(col("b2mass").isNull, lit(0L))
+          .otherwise(quant((d * col("ft").cast("double"))
+            / col("b2mass").cast("double"))).as("b_q"))
+
+    KnModel(tri, big, uni, ctx12, ctx2)
+  }
+
+  /** Score `df` under a [[KnModel]], walking the chain the way a
+    * KenLM query walks an ARPA file: a seen trigram reads its lp
+    * directly; a miss backs off to the bigram entry PLUS the (w1,w2)
+    * context's backoff weight; a double miss adds the (w2) weight and
+    * reads the continuation unigram; full OOV takes the floor. All
+    * additions are quantized integers — order-free, SQL-replayable.
+    * Unseen contexts contribute weight ln(1) = 0 (nothing to
+    * redistribute). Emits the [[trigramScoreWith]] schema. */
+  def knScoreWith(df: DataFrame, idCol: String, textCol: String,
+                  model: KnModel,
+                  floorLpQ: Long = DefaultFloorLpQ): DataFrame = {
+    val slid = slidingTrigrams(df, idCol, textCol)
+    val scored = slid
+      .join(model.tri.withColumnRenamed("lp_q", "lp3"),
+        Seq("w1", "w2", "w3"), "left")
+      .join(model.big.withColumnRenamed("lp_q", "lp2"),
+        Seq("w2", "w3"), "left")
+      .join(model.uni.withColumnRenamed("lp_q", "lp1"),
+        Seq("w3"), "left")
+      .join(model.ctx12.withColumnRenamed("b_q", "b12"),
+        Seq("w1", "w2"), "left")
+      .join(model.ctx2.withColumnRenamed("b_q", "b2"),
+        Seq("w2"), "left")
+      .withColumn("__lp",
+        when(col("lp3").isNotNull, col("lp3"))
+          .when(col("lp2").isNotNull, coalesce(col("b12"), lit(0L)) + col("lp2"))
+          .when(col("lp1").isNotNull,
+            coalesce(col("b12"), lit(0L)) + coalesce(col("b2"), lit(0L))
+              + col("lp1"))
+          .otherwise(lit(floorLpQ)))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_trigrams"),
+        sum(when(col("lp3").isNotNull, 1L).otherwise(0L)).as("n_tri_hit"),
+        sum(when(col("lp3").isNull && col("lp2").isNotNull, 1L)
+          .otherwise(0L)).as("n_bg_backoff"),
+        sum(when(col("lp3").isNull && col("lp2").isNull && col("lp1").isNotNull,
+          1L).otherwise(0L)).as("n_ug_backoff"),
+        sum(when(col("lp1").isNull && col("lp2").isNull && col("lp3").isNull,
+          1L).otherwise(0L)).as("n_oov"),
+        sum(col("__lp")).as("lp_sum_q"))
+    df.select(col(idCol))
+      .join(scored, Seq(idCol), "left")
+      .na.fill(0L, Seq("n_trigrams", "n_tri_hit", "n_bg_backoff",
+        "n_ug_backoff", "n_oov", "lp_sum_q"))
+      .withColumn("avg_lp_q",
+        when(col("n_trigrams") === 0, 0.0)
+          .otherwise(col("lp_sum_q").cast("double") / col("n_trigrams").cast("double")))
+  }
 }

@@ -21,7 +21,10 @@ class DeterminismSpec extends SparkSpec {
     // sketch aggregate, the cross-corpus probe, and the full-recipe
     // funnel (every stage composed, incl. CC + keeper tie-breaks)
     "q71_cms_token_freq", "q72_bpe_merges", "x28_incremental_dedup",
-    "q74_corpus_funnel")
+    "q74_corpus_funnel",
+    // round-6: Kneser-Ney (continuation counts + discount arithmetic
+    // + ARPA-walk integer sums) and the hash-keyed ExactSubstr mode
+    "q75_kn_trigram_lm", "x29_substring_dedup_hash")
 
   private def run(name: String, partitions: Int): Seq[String] = {
     spark.conf.set("spark.sql.shuffle.partitions", partitions)
