@@ -746,6 +746,18 @@ object SparkEntry {
       LmScore.knScoreWith(docs, "doc_id", "text",
         LmScore.trainTrigramKN(docs.filter(col("doc_id") % 2 === 0),
           "doc_id", "text"))
+    }),
+
+    // DSIR importance weights (Xie et al. 2023): every raw doc scored
+    // by target-likeness under two bag-of-hashed-ngrams models —
+    // target = the src0 slice (the "high-quality reference"), raw =
+    // everything else. Hashed buckets use the replayable x08 rolling
+    // hash; bucket log-ratios quantize to micro-nats; doc weights are
+    // integer sums — the whole selection model replays in SQL.
+    "q76_dsir_weights" -> q((s, d) => {
+      val docs = Tables.documents(s, d)
+      Sampling.dsirWeights(docs.filter(col("source") =!= "src0"),
+        docs.filter(col("source") === "src0"), "doc_id", "text")
     })
   ) ++ NonSqlQueries.queries
 
@@ -1694,6 +1706,81 @@ object SparkEntry {
                 ELSE CAST(agg.lp_sum_q AS DOUBLE) / CAST(agg.n_trigrams AS DOUBLE)
            END AS avg_lp_q
          FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id""",
+
+    // DSIR replay: every ngram's bucket reproduces the engine's
+    // rolling hash with HUGEINT wrapping arithmetic (the x08
+    // machinery), both corpora's bucket counts are integers, the
+    // add-half-smoothed log-ratio uses the same fixed-order double
+    // expression, and doc weights are integer sums of the quantized
+    // per-bucket ratios.
+    "q76_dsir_weights" ->
+      """WITH rdoc AS (
+           SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(COALESCE(text, '')), '[^a-z0-9'']+'), x -> length(x) > 0) AS toks
+           FROM documents WHERE source <> 'src0'),
+         tdoc AS (
+           SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(COALESCE(text, '')), '[^a-z0-9'']+'), x -> length(x) > 0) AS toks
+           FROM documents WHERE source = 'src0'),
+         rng AS (
+           SELECT doc_id, unnest(toks || CASE WHEN len(toks) >= 2
+             THEN [toks[i] || ' ' || toks[i + 1] for i in generate_series(1, len(toks) - 1)]
+             ELSE [] END) AS ng
+           FROM rdoc),
+         tng AS (
+           SELECT doc_id, unnest(toks || CASE WHEN len(toks) >= 2
+             THEN [toks[i] || ' ' || toks[i + 1] for i in generate_series(1, len(toks) - 1)]
+             ELSE [] END) AS ng
+           FROM tdoc),
+         rh AS (
+           SELECT doc_id,
+             list_reduce(list_prepend(CAST(0 AS HUGEINT),
+               [CAST(ord(ng[i]) AS HUGEINT) for i in generate_series(1, length(ng))]),
+               (h, c) -> (h * 31 + c) % CAST(18446744073709551616 AS HUGEINT)) AS hu
+           FROM rng),
+         th AS (
+           SELECT doc_id,
+             list_reduce(list_prepend(CAST(0 AS HUGEINT),
+               [CAST(ord(ng[i]) AS HUGEINT) for i in generate_series(1, length(ng))]),
+               (h, c) -> (h * 31 + c) % CAST(18446744073709551616 AS HUGEINT)) AS hu
+           FROM tng),
+         rbk AS (
+           SELECT doc_id,
+             ((CAST(hu - CASE WHEN hu >= CAST(9223372036854775808 AS HUGEINT)
+                 THEN CAST(18446744073709551616 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END AS BIGINT)
+               % 4096) + 4096) % 4096 AS bucket
+           FROM rh),
+         tbk AS (
+           SELECT doc_id,
+             ((CAST(hu - CASE WHEN hu >= CAST(9223372036854775808 AS HUGEINT)
+                 THEN CAST(18446744073709551616 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END AS BIGINT)
+               % 4096) + 4096) % 4096 AS bucket
+           FROM th),
+         cq AS (SELECT bucket, CAST(count(*) AS BIGINT) AS cq FROM rbk GROUP BY bucket),
+         cp AS (SELECT bucket, CAST(count(*) AS BIGINT) AS cp FROM tbk GROUP BY bucket),
+         nq AS (SELECT CAST(count(*) AS BIGINT) AS nq FROM rbk),
+         np AS (SELECT CAST(count(*) AS BIGINT) AS np FROM tbk),
+         lr AS (
+           SELECT COALESCE(cq.bucket, cp.bucket) AS bucket,
+             CAST(floor((ln((CAST(COALESCE(cp.cp, 0) AS DOUBLE) + 0.5)
+                 / (CAST(np.np AS DOUBLE) + 2048.0))
+               - ln((CAST(COALESCE(cq.cq, 0) AS DOUBLE) + 0.5)
+                 / (CAST(nq.nq AS DOUBLE) + 2048.0)))
+               * 1000000.0 + 0.5) AS BIGINT) AS lr_q
+           FROM cq FULL OUTER JOIN cp ON cq.bucket = cp.bucket
+           CROSS JOIN np CROSS JOIN nq),
+         sc AS (
+           SELECT rbk.doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+             CAST(sum(lr.lr_q) AS BIGINT) AS logw_q
+           FROM rbk JOIN lr USING (bucket) GROUP BY rbk.doc_id)
+         SELECT d.doc_id,
+           COALESCE(sc.n_feats, 0) AS n_feats,
+           COALESCE(sc.logw_q, 0) AS logw_q,
+           CASE WHEN COALESCE(sc.n_feats, 0) = 0 THEN 0.0
+                ELSE CAST(sc.logw_q AS DOUBLE) / CAST(sc.n_feats AS DOUBLE)
+           END AS avg_lw_q
+         FROM (SELECT doc_id FROM documents WHERE source <> 'src0') d
+         LEFT JOIN sc ON d.doc_id = sc.doc_id""",
 
     // Kneser–Ney replay: every statistic is an integer count over the
     // trigram/bigram TYPE tables (continuation counts = row counts),

@@ -186,4 +186,100 @@ object Sampling {
       .drop("__r", "__pid")
     capPerGroup(survivors, groupCol, orderCol, tiebreak, n)
   }
+
+  // ---- DSIR importance resampling (Xie et al. 2023) --------------------
+
+  /** Per-doc hashed n-gram feature occurrences, pre-counted in one
+    * scan-local pass: unigrams + bigrams of the analyzer tokens, each
+    * hashed into `buckets` via the engine's replayable 64-bit rolling
+    * hash ([[TextAnalysis.rollingHashOf]] — the x08 fingerprint
+    * recurrence, so a DuckDB oracle reproduces every bucket id with
+    * HUGEINT wrapping arithmetic). Emits (idCol, bucket, cnt). */
+  private def hashedNgramFeatures(df: DataFrame, idCol: String,
+                                  textCol: String, buckets: Int): DataFrame = {
+    val featUdf = udf { (toks: Seq[String]) =>
+      val m = scala.collection.mutable.LongMap.empty[Long]
+      def add(s: String): Unit = {
+        val b = ((TextAnalysis.rollingHashOf(s) % buckets) + buckets) % buckets
+        m(b) = m.getOrElse(b, 0L) + 1L
+      }
+      toks.foreach(add)
+      var i = 0
+      while (i < toks.length - 1) { add(toks(i) + " " + toks(i + 1)); i += 1 }
+      m.toSeq.map { case (b, c) => (b.toInt, c) }
+    }
+    df.select(col(idCol),
+        featUdf(graft.functions.Analyzer.tokenize(
+          coalesce(col(textCol), lit("")))).as("fs"))
+      .select(col(idCol), explode(col("fs")).as("f"))
+      .select(col(idCol), col("f._1").as("bucket"), col("f._2").as("cnt"))
+  }
+
+  /** DSIR importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every raw doc
+    * by how much it looks like the TARGET distribution, under two
+    * bag-of-hashed-ngrams models — log w(x) = Σ_f c_f(x)·(ln p̂[f] −
+    * ln q̂[f]), with p̂/q̂ the add-half-smoothed bucket frequencies of
+    * the target/raw corpora. The log-ratio of each BUCKET quantizes
+    * once to the micro-nat grid (the LM-table treatment, q60/q70), so
+    * per-doc weights are order-free integer sums and the whole
+    * computation replays exactly in SQL (q76).
+    *
+    * Scale shape: feature extraction is scan-local (one UDF pass per
+    * row, pre-counted per doc); the ONLY corpus-driven shuffles are
+    * the two bucket-count aggregates, each map-side-combined down to
+    * ≤ `buckets` rows; the log-ratio table is `buckets` rows and
+    * broadcasts into the scoring join; per-doc weights are one
+    * id-keyed aggregate. The raw corpus is read twice (q̂ counts,
+    * scoring) — by design, instead of materializing a corpus-sized
+    * feature table.
+    *
+    * Emits one row per raw doc: (idCol, n_feats, logw_q, avg_lw_q);
+    * docs with no tokens carry zeros. Rank/threshold on the output
+    * (e.g. [[capPerGroup]] or a top-k) to select; the paper's
+    * Gumbel-noise sampling is deliberately replaced by deterministic
+    * ranking — reproducibility is this engine's selection contract. */
+  def dsirWeights(raw: DataFrame, target: DataFrame, idCol: String,
+                  textCol: String, buckets: Int = 4096): DataFrame = {
+    require(buckets >= 2 && (buckets & (buckets - 1)) == 0,
+      s"buckets must be a power of two >= 2 (got $buckets)")
+    val half = buckets / 2.0 // exact double: buckets is a power of two
+    val fr = hashedNgramFeatures(raw, idCol, textCol, buckets)
+    val cq = fr.groupBy(col("bucket")).agg(sum(col("cnt")).as("cq"))
+    val cp = hashedNgramFeatures(target, idCol, textCol, buckets)
+      .groupBy(col("bucket")).agg(sum(col("cnt")).as("cp"))
+    val nq = cq.agg(sum(col("cq")).as("nq"))
+    val np = cp.agg(sum(col("cp")).as("np"))
+    val lr = cq.join(cp, Seq("bucket"), "full_outer")
+      .na.fill(0L, Seq("cq", "cp"))
+      .crossJoin(broadcast(np)).crossJoin(broadcast(nq))
+      .withColumn("lr_q",
+        floor((log((col("cp").cast("double") + 0.5)
+            / (col("np").cast("double") + half))
+          - log((col("cq").cast("double") + 0.5)
+            / (col("nq").cast("double") + half))) * 1000000.0 + 0.5)
+          .cast("long"))
+      .select(col("bucket"), col("lr_q"))
+      .localCheckpoint() // model artifact: ≤ buckets rows, broadcast below
+    val scored = fr.join(broadcast(lr), Seq("bucket"))
+      .groupBy(col(idCol))
+      .agg(sum(col("cnt")).as("n_feats"),
+        sum(col("cnt") * col("lr_q")).as("logw_q"))
+    raw.select(col(idCol))
+      .join(scored, Seq(idCol), "left")
+      .na.fill(0L, Seq("n_feats", "logw_q"))
+      .withColumn("avg_lw_q",
+        when(col("n_feats") === 0, 0.0)
+          .otherwise(col("logw_q").cast("double") / col("n_feats").cast("double")))
+  }
+
+  /** Deterministic DSIR selection: the `k` raw docs most
+    * target-like by per-feature average weight (length-debiased;
+    * ties → smaller id). TakeOrderedAndProject over the weight
+    * output — never a global sort of the corpus. */
+  def dsirSelect(raw: DataFrame, target: DataFrame, idCol: String,
+                 textCol: String, k: Int, buckets: Int = 4096): DataFrame =
+    dsirWeights(raw, target, idCol, textCol, buckets)
+      .orderBy(col("avg_lw_q").desc, col(idCol))
+      .limit(k)
 }

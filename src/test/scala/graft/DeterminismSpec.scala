@@ -24,7 +24,7 @@ class DeterminismSpec extends SparkSpec {
     "q74_corpus_funnel",
     // round-6: Kneser-Ney (continuation counts + discount arithmetic
     // + ARPA-walk integer sums) and the hash-keyed ExactSubstr mode
-    "q75_kn_trigram_lm", "x29_substring_dedup_hash")
+    "q75_kn_trigram_lm", "x29_substring_dedup_hash", "q76_dsir_weights")
 
   private def run(name: String, partitions: Int): Seq[String] = {
     spark.conf.set("spark.sql.shuffle.partitions", partitions)

@@ -111,4 +111,42 @@ class SamplingSpec extends SparkSpec {
     assert(again == out.select("source", "doc_id", "copy")
       .orderBy("doc_id", "copy").collect().toSeq)
   }
+
+  test("dsirWeights: target-like docs outweigh off-distribution docs") {
+    import spark.implicits._
+    // target speaks about cats; raw has one cat doc and one finance doc
+    val target = (0L until 8L)
+      .map(i => (100L + i, "the cat sat on the mat and the cat purred"))
+      .toDF("doc_id", "text")
+    val raw = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "quarterly revenue guidance exceeded analyst expectations")
+    ).toDF("doc_id", "text")
+    val w = Sampling.dsirWeights(raw, target, "doc_id", "text")
+      .select($"doc_id", $"n_feats", $"avg_lw_q")
+      .as[(Long, Long, Double)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    // n_feats = unigrams + bigrams = 2·len − 1
+    assert(w(1L)._1 == 11L && w(2L)._1 == 11L)
+    assert(w(1L)._2 > w(2L)._2,
+      s"target-like doc must outweigh the off-distribution one: $w")
+    // and selection surfaces the target-like doc first
+    val sel = Sampling.dsirSelect(raw, target, "doc_id", "text", k = 1)
+      .select($"doc_id").as[Long].head()
+    assert(sel == 1L)
+  }
+
+  test("dsirWeights: empty docs keep their row with zeros; partitioning-invariant") {
+    import spark.implicits._
+    val target = Seq((100L, "alpha beta gamma")).toDF("doc_id", "text")
+    val raw = Seq((1L, "alpha beta"), (2L, ""), (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val w = Sampling.dsirWeights(raw, target, "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq
+    assert(w.length == 3)
+    assert(w(1).getLong(1) == 0L && w(1).getLong(2) == 0L && w(1).getDouble(3) == 0.0)
+    assert(w(2).getLong(1) == 0L)
+    val again = Sampling.dsirWeights(raw.repartition(5), target, "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq
+    assert(again == w)
+  }
 }
