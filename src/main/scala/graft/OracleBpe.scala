@@ -84,4 +84,25 @@ object OracleBpe {
        $rounds
        SELECT word, freq, array_to_string(syms, ' ') AS pieces FROM s$nMerges"""
   }
+
+  /** q77: corpus-weighted tokenizer fertility over the final
+    * segmentation state — the same unrolled rounds as q73, aggregated
+    * to one row of integer piece counts plus two exact divisions. */
+  def q77Sql(nMerges: Int): String = {
+    val rounds = (1 to nMerges).map(roundCtes).mkString(",\n       ")
+    s"""WITH tok AS (SELECT unnest($toksSql) AS word FROM documents),
+       w AS (SELECT word, CAST(count(*) AS BIGINT) AS freq FROM tok GROUP BY word),
+       s0 AS MATERIALIZED (
+         SELECT word, freq,
+           list_append([word[i:i] FOR i IN generate_series(1, len(word))], '_') AS syms
+         FROM w),
+       $rounds
+       SELECT CAST(count(*) AS BIGINT) AS n_word_types,
+         CAST(sum(freq) AS BIGINT) AS n_tokens,
+         CAST(sum(freq * len(syms)) AS BIGINT) AS n_pieces,
+         CAST(sum(freq * len(syms)) AS DOUBLE) / CAST(sum(freq) AS DOUBLE) AS fertility,
+         CAST(sum(CASE WHEN len(syms) > 1 THEN freq ELSE 0 END) AS DOUBLE)
+           / CAST(sum(freq) AS DOUBLE) AS split_frac
+       FROM s$nMerges"""
+  }
 }

@@ -758,7 +758,14 @@ object SparkEntry {
       val docs = Tables.documents(s, d)
       Sampling.dsirWeights(docs.filter(col("source") =!= "src0"),
         docs.filter(col("source") === "src0"), "doc_id", "text")
-    })
+    }),
+
+    // Tokenizer fertility under the 8 learned merges — the metric
+    // that judges q72/q73's tokenizer: mean pieces per token
+    // occurrence + split fraction, integer sums over the word-type
+    // table (OracleBpe replays the rounds and the aggregate).
+    "q77_bpe_fertility" -> q((s, d) =>
+      Bpe.fertility(Tables.documents(s, d), "text", nMerges = 8))
   ) ++ NonSqlQueries.queries
 
   // ---- DuckDB oracles -------------------------------------------------
@@ -1939,6 +1946,9 @@ object SparkEntry {
 
     // Same unrolled replay, final segmentation table as the output.
     "q73_bpe_segments" -> OracleBpe.q73Sql(nMerges = 8),
+
+    // Same rounds, fertility aggregate as the output.
+    "q77_bpe_fertility" -> OracleBpe.q77Sql(nMerges = 8),
 
     // The composition oracle: the full CorpusPipeline funnel replayed
     // stage for stage (see OraclePipeline).

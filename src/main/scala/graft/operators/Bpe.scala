@@ -177,6 +177,29 @@ object Bpe {
     BpeState(mergesDf, words)
   }
 
+  /** Corpus-weighted tokenizer FERTILITY under the learned merges —
+    * the metric a tokenizer build is judged by (mean subword pieces
+    * per token occurrence; Sennrich et al. report it as "number of
+    * subword units per word"): one row of
+    * (n_word_types, n_tokens, n_pieces, fertility, split_frac) where
+    * fertility = Σ freq·|pieces| / Σ freq and split_frac is the
+    * occurrence fraction of words left in >1 piece (the end-of-word
+    * marker counts as a piece until a merge absorbs it — the raw
+    * symbol-table convention, stated so the metric is exact). All
+    * integer sums over the word-TYPE table + two divisions of
+    * identical BIGINTs — engine-portable like every stat here.
+    * Scale: the type table is vocab-sized; the aggregate is one row. */
+  def fertility(df: DataFrame, textCol: String, nMerges: Int): DataFrame =
+    trainState(df, textCol, nMerges).words
+      .agg(
+        count(lit(1)).as("n_word_types"),
+        sum(col("freq")).as("n_tokens"),
+        sum(col("freq") * size(col("syms"))).as("n_pieces"),
+        (sum(col("freq") * size(col("syms"))).cast("double")
+          / sum(col("freq")).cast("double")).as("fertility"),
+        (sum(when(size(col("syms")) > 1, col("freq")).otherwise(0L)).cast("double")
+          / sum(col("freq")).cast("double")).as("split_frac"))
+
   /** Segment each word of `textCol` with a learned merge table —
     * the APPLY half (what a tokenizer does at training-data-prep
     * time). Merges must be applied in rank order; each application is

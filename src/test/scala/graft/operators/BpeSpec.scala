@@ -123,6 +123,16 @@ class BpeSpec extends SparkSpec {
     assert(wordRows(resumed.words) == wordRows(oneShot.words))
   }
 
+  test("fertility: hand-computed on a 3-token corpus") {
+    // corpus "ab ab c": round 1 merges (a,b) (freq 2 beats (b,_) tie
+    // on lex order? no — (a,b) and (b,_) both freq 2, (a,b) wins the
+    // (l,r) ascending tiebreak), round 2 merges (ab,_) (freq 2).
+    // Final: 'ab' -> [ab_] (1 piece), 'c' -> [c, _] (2 pieces).
+    val out = Bpe.fertility(Seq("ab ab c").toDF("text"), "text", 2)
+      .as[(Long, Long, Long, Double, Double)].head()
+    assert(out == ((2L, 3L, 4L, 4.0 / 3.0, 1.0 / 3.0)))
+  }
+
   test("null and empty text contribute nothing") {
     val df = Seq(Some("ab ab"), None, Some("")).toDF("text")
     val out = Bpe.trainMerges(df, "text", 2).orderBy("rank").collect()
