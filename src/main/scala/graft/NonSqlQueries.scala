@@ -266,6 +266,18 @@ object NonSqlQueries {
       TextAnalysis.lengthCurriculumApprox(Tables.documents(s, d),
         "doc_id", "text")),
 
+    // Scale-path CCNet perplexity bucketing: per-language approx
+    // boundaries + scan-local bucket assignment (no window at all).
+    // Sketch boundaries are not SQL-replayable, so rows-only; q79's
+    // exact per-language ntile stays the oracle-checked contract and
+    // PerplexityBucketsSpec proves the approx path agrees on
+    // tie-free distributions.
+    "x30_perplexity_buckets_approx" -> q((s, d) => {
+      val docs = Tables.documents(s, d)
+      LmScore.perplexityBucketsApprox(docs, "doc_id", "text",
+        col("source") === "src0")
+    }),
+
     // SQL-registration surface smoke: the library's functions usable
     // from spark.sql.
     "x17_sql_functions" -> q((s, d) => {

@@ -765,7 +765,26 @@ object SparkEntry {
     // occurrence + split fraction, integer sums over the word-type
     // table (OracleBpe replays the rounds and the aggregate).
     "q77_bpe_fertility" -> q((s, d) =>
-      Bpe.fertility(Tables.documents(s, d), "text", nMerges = 8))
+      Bpe.fertility(Tables.documents(s, d), "text", nMerges = 8)),
+
+    // Integer-exact k-means: 3 Lloyd iterations trained and applied
+    // in-engine, the whole chain (quantization, integer distances,
+    // (dist,cid) tie-breaks, re-quantized means) hash-replayed by
+    // OracleKmeans — distributed clustering as a SQL-verifiable op.
+    "q78_kmeans_train" -> q((s, d) =>
+      Similarity.kmeansExact(Tables.embeddings(s, d), "vec_id", "embedding",
+        k = 8, iters = 3)),
+
+    // CCNet's head/middle/tail selection: trigram LM trained on the
+    // clean slice (src0, the q76 target convention), every other doc
+    // scored and split into per-language perplexity terciles. The
+    // whole chain — training counts, interpolation, backoff,
+    // language argmax, ntile — replays in DuckDB.
+    "q79_perplexity_buckets" -> q((s, d) => {
+      val docs = Tables.documents(s, d)
+      LmScore.perplexityBuckets(docs, "doc_id", "text",
+        col("source") === "src0")
+    })
   ) ++ NonSqlQueries.queries
 
   // ---- DuckDB oracles -------------------------------------------------
@@ -1949,6 +1968,124 @@ object SparkEntry {
 
     // Same rounds, fertility aggregate as the output.
     "q77_bpe_fertility" -> OracleBpe.q77Sql(nMerges = 8),
+
+    // Integer-exact k-means replay: 3 unrolled Lloyd iterations +
+    // the final assignment pass (see OracleKmeans).
+    "q78_kmeans_train" -> OracleKmeans.q78Sql(k = 8, iters = 3, scale = 1000),
+
+    // CCNet bucketing replay: q70's trigram train/score chain split
+    // on the clean slice (train = src0, score = the rest), x05's
+    // language argmax, and the per-language perplexity ntile.
+    "q79_perplexity_buckets" ->
+      """WITH tt AS (
+           SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(COALESCE(text, '')), '[^a-z0-9'']+'), x -> length(x) > 0) AS toks
+           FROM documents WHERE source = 'src0'),
+         uc AS (
+           SELECT w3, CAST(count(*) AS BIGINT) AS c3
+           FROM (SELECT unnest(toks) AS w3 FROM tt) GROUP BY w3),
+         tot AS (SELECT CAST(sum(c3) AS BIGINT) AS n_total FROM uc),
+         bg0 AS (
+           SELECT unnest(CASE WHEN len(toks) >= 2
+             THEN [{'w2': toks[i], 'w3': toks[i + 1]}
+                   for i in generate_series(1, len(toks) - 1)]
+             ELSE [] END) AS u
+           FROM tt),
+         bc AS (SELECT u.w2 AS w2, u.w3 AS w3,
+                  CAST(count(*) AS BIGINT) AS c12
+                FROM bg0 GROUP BY u.w2, u.w3),
+         c2 AS (SELECT w2, CAST(sum(c12) AS BIGINT) AS c2ctx
+                FROM bc GROUP BY w2),
+         tg0 AS (
+           SELECT unnest(CASE WHEN len(toks) >= 3
+             THEN [{'w1': toks[i], 'w2': toks[i + 1], 'w3': toks[i + 2]}
+                   for i in generate_series(1, len(toks) - 2)]
+             ELSE [] END) AS u
+           FROM tt),
+         tc AS (SELECT u.w1 AS w1, u.w2 AS w2, u.w3 AS w3,
+                  CAST(count(*) AS BIGINT) AS c123
+                FROM tg0 GROUP BY u.w1, u.w2, u.w3),
+         c12t AS (SELECT w1, w2, CAST(sum(c123) AS BIGINT) AS c12ctx
+                  FROM tc GROUP BY w1, w2),
+         unim AS (
+           SELECT w3,
+             CAST(floor(ln(0.1 * (CAST(c3 AS DOUBLE) / CAST(n_total AS DOUBLE)))
+               * 1000000.0 + 0.5) AS BIGINT) AS lp1
+           FROM uc, tot),
+         bigm AS (
+           SELECT bc.w2, bc.w3,
+             CAST(floor(ln(0.2 * (CAST(c12 AS DOUBLE) / CAST(c2ctx AS DOUBLE))
+               + 0.1 * (CAST(c3 AS DOUBLE) / CAST(n_total AS DOUBLE)))
+               * 1000000.0 + 0.5) AS BIGINT) AS lp2
+           FROM bc JOIN c2 USING (w2) JOIN uc USING (w3), tot),
+         trm AS (
+           SELECT tc.w1, tc.w2, tc.w3,
+             CAST(floor(ln(0.7 * (CAST(c123 AS DOUBLE) / CAST(c12ctx AS DOUBLE))
+               + 0.2 * (CAST(c12 AS DOUBLE) / CAST(c2ctx AS DOUBLE))
+               + 0.1 * (CAST(c3 AS DOUBLE) / CAST(n_total AS DOUBLE)))
+               * 1000000.0 + 0.5) AS BIGINT) AS lp3
+           FROM tc JOIN c12t USING (w1, w2) JOIN bc USING (w2, w3)
+             JOIN c2 USING (w2) JOIN uc USING (w3), tot),
+         st AS (
+           SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(COALESCE(text, '')), '[^a-z0-9'']+'), x -> length(x) > 0) AS toks
+           FROM documents WHERE source <> 'src0'),
+         sg AS (
+           SELECT doc_id, u.w1 AS w1, u.w2 AS w2, u.w3 AS w3
+           FROM (SELECT doc_id, unnest(CASE WHEN len(toks) >= 3
+             THEN [{'w1': toks[i], 'w2': toks[i + 1], 'w3': toks[i + 2]}
+                   for i in generate_series(1, len(toks) - 2)]
+             ELSE [] END) AS u
+           FROM st)),
+         j AS (
+           SELECT sg.doc_id, t.lp3, b.lp2, un.lp1,
+             COALESCE(t.lp3, b.lp2, un.lp1, -20000000) AS lp
+           FROM sg
+           LEFT JOIN trm t ON sg.w1 = t.w1 AND sg.w2 = t.w2 AND sg.w3 = t.w3
+           LEFT JOIN bigm b ON sg.w2 = b.w2 AND sg.w3 = b.w3
+           LEFT JOIN unim un ON sg.w3 = un.w3),
+         agg AS (
+           SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_trigrams,
+             CAST(sum(lp) AS BIGINT) AS lp_sum_q
+           FROM j GROUP BY doc_id),
+         base AS (
+           SELECT d.doc_id,
+             COALESCE(agg.n_trigrams, 0) AS n_trigrams,
+             COALESCE(agg.lp_sum_q, 0) AS lp_sum_q,
+             CASE WHEN COALESCE(agg.n_trigrams, 0) = 0 THEN 0.0
+                  ELSE CAST(agg.lp_sum_q AS DOUBLE) / CAST(agg.n_trigrams AS DOUBLE)
+             END AS avg_lp_q
+           FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+           WHERE d.source <> 'src0'),
+         lt AS (
+           SELECT doc_id,
+             list_distinct(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9'']+'), x -> length(x) > 0)) AS dtoks
+           FROM documents WHERE source <> 'src0'),
+         ls AS (
+           SELECT doc_id,
+             len(list_intersect(dtoks, ['der','die','und','das','ist','von','mit','den','nicht','ein'])) AS s_de,
+             len(list_intersect(dtoks, ['the','and','of','to','in','is','that','it','for','with'])) AS s_en,
+             len(list_intersect(dtoks, ['el','la','de','que','y','en','los','del','las','por'])) AS s_es,
+             len(list_intersect(dtoks, ['le','la','les','de','des','et','est','une','dans','pour'])) AS s_fr,
+             len(list_intersect(dtoks, ['il','di','che','la','per','con','del','una','sono','non'])) AS s_it
+           FROM lt),
+         lb AS (SELECT *, greatest(s_de, s_en, s_es, s_fr, s_it) AS best FROM ls),
+         lang AS (
+           SELECT doc_id,
+             CASE WHEN best = 0 THEN 'und'
+                  WHEN s_it = best THEN 'it' WHEN s_fr = best THEN 'fr'
+                  WHEN s_es = best THEN 'es' WHEN s_en = best THEN 'en'
+                  ELSE 'de' END AS lang
+           FROM lb)
+         SELECT b.doc_id, l.lang, b.n_trigrams, b.lp_sum_q, b.avg_lp_q,
+           CAST(ntile(3) OVER (PARTITION BY l.lang
+                               ORDER BY b.avg_lp_q DESC, b.doc_id) AS BIGINT) AS bucket,
+           CASE CAST(ntile(3) OVER (PARTITION BY l.lang
+                                    ORDER BY b.avg_lp_q DESC, b.doc_id) AS BIGINT)
+             WHEN 1 THEN 'head' WHEN 3 THEN 'tail' ELSE 'middle'
+           END AS bucket_label
+         FROM base b JOIN lang l ON b.doc_id = l.doc_id""",
 
     // The composition oracle: the full CorpusPipeline funnel replayed
     // stage for stage (see OraclePipeline).

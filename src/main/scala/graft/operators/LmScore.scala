@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.Analyzer
@@ -328,6 +328,96 @@ object LmScore {
     * exercises both). */
   def trigramScore(df: DataFrame, idCol: String, textCol: String): DataFrame =
     trigramScoreWith(df, idCol, textCol, trainTrigram(df, idCol, textCol))
+
+  // ---- CCNet perplexity bucketing (head / middle / tail) ---------------
+
+  /** CCNet's final data-selection step (Wenzek et al. 2020 §3.3):
+    * score every document with an LM trained on a CLEAN corpus
+    * (their Wikipedia KenLM; here [[trainTrigram]] over the
+    * `isClean` slice) and split each LANGUAGE's documents into
+    * perplexity terciles — `head` (most Wikipedia-like), `middle`,
+    * `tail`. Language comes from the engine's own
+    * [[TextAnalysis.withLangId]]; rank order is `avg_lp_q` DESC
+    * (highest mean log-prob = lowest perplexity = head) with the doc
+    * id as tie-break, so bucket assignment is total and
+    * engine-portable: q79 replays the whole chain — training counts,
+    * interpolation, backoff, language argmax, ntile — in DuckDB.
+    * Docs with no trigrams carry `avg_lp_q = 0.0` and therefore sort
+    * into the head of their language — the contract-stated edge (a
+    * production funnel drops them at the length gate first).
+    *
+    * Emits (idCol, lang, n_trigrams, lp_sum_q, avg_lp_q, bucket,
+    * bucket_label) for every non-clean doc.
+    *
+    * Scale note: the ntile window partitions by LANGUAGE — at 100 TB
+    * a dominant language (half the web is English) makes that one
+    * partition a single-machine sort. This exact-ntile form is the
+    * oracle contract; [[perplexityBucketsApprox]] is the scale path
+    * (per-language approx boundaries + scan-local comparisons, no
+    * window anywhere), the q62/x25 split applied to perplexity. */
+  def perplexityBuckets(docs: DataFrame, idCol: String, textCol: String,
+                        isClean: Column, buckets: Int = 3): DataFrame = {
+    require(buckets >= 2, s"need at least 2 buckets (got $buckets)")
+    val flagged = docs.withColumn("__clean", isClean)
+    val model = trainTrigram(flagged.filter(col("__clean")), idCol, textCol)
+    val rest = flagged.filter(!col("__clean"))
+    val scored = trigramScoreWith(rest, idCol, textCol, model)
+      .select(col(idCol), col("n_trigrams"), col("lp_sum_q"), col("avg_lp_q"))
+    val lang = TextAnalysis.withLangId(rest, textCol)
+      .select(col(idCol), col("lang_pred").as("lang"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("avg_lp_q").desc, col(idCol))
+    scored.join(lang, Seq(idCol))
+      .withColumn("bucket", ntile(buckets).over(w).cast("long"))
+      .withColumn("bucket_label",
+        when(col("bucket") === 1, "head")
+          .when(col("bucket") === buckets, "tail")
+          .otherwise("middle"))
+  }
+
+  /** [[perplexityBuckets]]' 100 TB shape: ONE aggregation computes
+    * per-language approximate perplexity boundaries
+    * (`percentile_approx` at 1−i/buckets — a mergeable
+    * Greenwald–Khanna sketch, so only sketch partials shuffle), the
+    * languages-row boundary table broadcasts, and a scan-local
+    * comparison chain assigns buckets. NO window, NO global sort —
+    * a dominant language costs nothing extra. Bucket semantics:
+    * `bucket = 1 + |{i : avg_lp_q < boundary_i}|`, ties at a
+    * boundary land in the better bucket; assignment is a
+    * deterministic monotone function of (lang, avg_lp_q), unlike
+    * exact ntile which splits ties to even out populations — the
+    * accepted approx-curriculum trade (x25 precedent, rows-only by
+    * design: sketches are not engine-replayable). */
+  def perplexityBucketsApprox(docs: DataFrame, idCol: String, textCol: String,
+                              isClean: Column, buckets: Int = 3,
+                              accuracy: Int = 10000): DataFrame = {
+    require(buckets >= 2, s"need at least 2 buckets (got $buckets)")
+    val flagged = docs.withColumn("__clean", isClean)
+    val model = trainTrigram(flagged.filter(col("__clean")), idCol, textCol)
+    val rest = flagged.filter(!col("__clean"))
+    val scored = trigramScoreWith(rest, idCol, textCol, model)
+      .select(col(idCol), col("n_trigrams"), col("lp_sum_q"), col("avg_lp_q"))
+    val lang = TextAnalysis.withLangId(rest, textCol)
+      .select(col(idCol), col("lang_pred").as("lang"))
+    val probs = (1 until buckets).map(i => lit(1.0 - i.toDouble / buckets))
+    val bnd = scored.join(lang, Seq(idCol))
+      .groupBy(col("lang"))
+      .agg(percentile_approx(col("avg_lp_q"), array(probs: _*), lit(accuracy))
+        .as("__bnd"))
+    val bucketExpr = (1 until buckets)
+      .map(i => when(col("avg_lp_q") < element_at(col("__bnd"), i), 1L)
+        .otherwise(0L))
+      .foldLeft(lit(1L))(_ + _)
+    scored.join(lang, Seq(idCol))
+      .join(broadcast(bnd), Seq("lang"))
+      .withColumn("bucket", bucketExpr)
+      .withColumn("bucket_label",
+        when(col("bucket") === 1, "head")
+          .when(col("bucket") === buckets, "tail")
+          .otherwise("middle"))
+      .select(col(idCol), col("lang"), col("n_trigrams"), col("lp_sum_q"),
+        col("avg_lp_q"), col("bucket"), col("bucket_label"))
+  }
 
   // ---- interpolated Kneser–Ney (the CCNet/KenLM reference shape) -------
 

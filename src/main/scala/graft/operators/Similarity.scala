@@ -290,6 +290,116 @@ object Similarity {
     cents
   }
 
+  // ---- Integer-exact k-means: training replays in SQL -----------------
+
+  /** Exact squared-L2 between two equal-length long arrays — pure
+    * integer arithmetic, scan-local (zip_with + aggregate fold inside
+    * whole-stage codegen). */
+  private def distSqLong(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, v) => acc + v)
+
+  /** Nearest centroid under exact integer squared-L2 with the
+    * deterministic (dist, cid) tie-break: array_min over structs
+    * orders field-by-field, so equal distances resolve to the
+    * smallest cid in BOTH engines. */
+  private def assignExact(qv: Column, cents: Column): Column =
+    array_min(transform(cents, c =>
+      struct(distSqLong(qv, c.getField("cq")).as("d"),
+        c.getField("cid").as("cid"))))
+
+  /** Quantize a float/double vector onto the integer grid:
+    * floor(x·scale + 0.5) — float→double widening and one
+    * multiply/add/floor, all correctly rounded IEEE ops, identical
+    * across engines. */
+  private def quantizeVec(vecCol: Column, scale: Int): Column =
+    transform(vecCol, x => floor(x.cast("double") * scale + lit(0.5)))
+
+  /** Integer-exact Lloyd trainer — the [[LogReg]] discipline applied
+    * to k-means, closing [[kmeansCentroids]]' documented
+    * non-replayability: vectors quantize onto a 1/`scale` grid
+    * (exactly representable longs), assignment is exact integer
+    * squared-L2 with a (dist, cid) tie-break, and each new centroid
+    * re-quantizes its rational mean back onto the grid via
+    * floor((2s+n)/(2n)) — round-half-up of s/n computed with doubles
+    * that are exact for |s| < 2^53 and an IEEE division both engines
+    * round identically. No engine-defined accumulation order
+    * anywhere: the only shuffled quantities are integer sums, so a
+    * full train run REPLAYS IN SQL with iterations unrolled as CTEs
+    * (q78), the k-means sibling of q66's logistic regression.
+    *
+    * Init = the `k` smallest-id vectors (cid 0..k-1 in id order); a
+    * cell that loses all members keeps its previous centroid.
+    * Returns the trained centroid table (cid, cq: array<long>).
+    *
+    * Scale shape per iteration: assignment is SCAN-LOCAL (centroids
+    * ride along as one broadcast 1-row list; the per-row argmin is a
+    * fused fold, no row blowup) → posexplode to (cell, dim, value) →
+    * ONE map-side-combined integer sum per (cell, dim) — the update
+    * state is k×dim rows, model-sized at any corpus size. The corpus
+    * crosses once per iteration, the floor of any Lloyd variant;
+    * nothing corpus-sized ever collects. */
+  def kmeansExactState(df: DataFrame, idCol: String, vecCol: String,
+                       k: Int, iters: Int, scale: Int = 1000): DataFrame = {
+    val vecs = df.select(col(idCol).cast("long").as("id"),
+        quantizeVec(col(vecCol), scale).as("qv"))
+      .localCheckpoint()
+    var cents = vecs.orderBy(col("id")).limit(k)
+      .select(col("id"), col("qv"))
+      .withColumn("cid",
+        row_number().over(org.apache.spark.sql.expressions.Window.orderBy(col("id")))
+          .cast("long") - 1)
+      .select(col("cid"), col("qv").as("cq"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val centList = cents
+        .agg(collect_list(struct(col("cid"), col("cq"))).as("cents"))
+        .localCheckpoint()
+      val assigned = vecs.crossJoin(broadcast(centList))
+        .select(assignExact(col("qv"), col("cents")).getField("cid").as("cell"),
+          col("qv"))
+      val means = assigned
+        .select(col("cell"), posexplode(col("qv")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(sum(col("col")).as("s"), count(lit(1)).as("n"))
+        .select(col("cell"), col("pos"),
+          floor((lit(2.0) * col("s") + col("n")) / (lit(2.0) * col("n"))).as("m"))
+        .groupBy(col("cell"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m")).as("mvec"))
+      cents = cents.join(means, cents("cid") === means("cell"), "left")
+        .select(col("cid"), coalesce(col("mvec"), col("cq")).as("cq"))
+        .localCheckpoint()
+    }
+    cents
+  }
+
+  /** [[kmeansExactState]] + the final assignment pass: every vector
+    * labeled with its cell under the trained centroids and the exact
+    * integer distance — the train-AND-apply round trip q78
+    * hash-verifies end to end. Output: (idCol, cell, dist). */
+  def kmeansExact(df: DataFrame, idCol: String, vecCol: String,
+                  k: Int, iters: Int, scale: Int = 1000): DataFrame = {
+    val cents = kmeansExactState(df, idCol, vecCol, k, iters, scale)
+    val centList = cents
+      .agg(collect_list(struct(col("cid"), col("cq"))).as("cents"))
+      .localCheckpoint()
+    df.select(col(idCol), quantizeVec(col(vecCol), scale).as("qv"))
+      .crossJoin(broadcast(centList))
+      .withColumn("__best", assignExact(col("qv"), col("cents")))
+      .select(col(idCol), col("__best").getField("cid").as("cell"),
+        col("__best").getField("d").as("dist"))
+  }
+
+  /** Trained centroids in [[ivfTopKWith]]'s (cid, cvec: array<double>)
+    * shape — cq/scale, the drop-in coarse quantizer for the IVF
+    * family when replayable training matters. */
+  def kmeansExactCentroids(df: DataFrame, idCol: String, vecCol: String,
+                           k: Int, iters: Int, scale: Int = 1000): DataFrame =
+    kmeansExactState(df, idCol, vecCol, k, iters, scale)
+      .select(col("cid"),
+        transform(col("cq"), x => x.cast("double") / scale).as("cvec"))
+
   /** [[ivfTopK]] against an explicit centroid table (cid, cvec) — the
     * entry point for trained (k-means) cells. */
   def ivfTopKWith(df: DataFrame, idCol: String, vecCol: String,
