@@ -784,7 +784,14 @@ object SparkEntry {
       val docs = Tables.documents(s, d)
       LmScore.perplexityBuckets(docs, "doc_id", "text",
         col("source") === "src0")
-    })
+    }),
+
+    // Blocked fuzzy title matching: rarest-token blocking + bounded
+    // Levenshtein — record linkage without all-pairs. The whole chain
+    // (analyzer titles, df table, (df, token) argmin block keys, the
+    // dfCap guard, the edit-distance verdict) replays in DuckDB.
+    "q80_fuzzy_title_pairs" -> q((s, d) =>
+      FuzzyJoin.fuzzyTitlePairs(Tables.documents(s, d), "doc_id", "text"))
   ) ++ NonSqlQueries.queries
 
   // ---- DuckDB oracles -------------------------------------------------
@@ -2089,6 +2096,37 @@ object SparkEntry {
 
     // The composition oracle: the full CorpusPipeline funnel replayed
     // stage for stage (see OraclePipeline).
+    // Blocked fuzzy matching replay: analyzer titles, title-token df,
+    // min(struct(df, tk)) block keys (struct comparison is
+    // lexicographic in both engines), dfCap exclusion, same-block
+    // pairs, levenshtein verdict (both engines: standard unit-cost
+    // edit distance; titles are [a-z0-9' ] so char semantics agree).
+    "q80_fuzzy_title_pairs" ->
+      """WITH t AS (
+           SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(COALESCE(text, '')), '[^a-z0-9'']+'), x -> length(x) > 0)[1:6] AS ttoks
+           FROM documents),
+         ti AS (
+           SELECT doc_id, array_to_string(ttoks, ' ') AS title, ttoks
+           FROM t WHERE len(ttoks) > 0),
+         tok AS (
+           SELECT DISTINCT doc_id, unnest(ttoks) AS tk FROM ti),
+         dfreq AS (
+           SELECT tk, CAST(count(*) AS BIGINT) AS df FROM tok GROUP BY tk),
+         blk AS (
+           SELECT doc_id, min(struct_pack(df := df, tk := tk)) AS m
+           FROM tok JOIN dfreq USING (tk) GROUP BY doc_id),
+         keyed AS (
+           SELECT b.doc_id, ti.title, b.m.tk AS bkey
+           FROM blk b JOIN ti ON b.doc_id = ti.doc_id
+           WHERE b.m.df <= 4096)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           a.bkey AS block_token,
+           CAST(levenshtein(a.title, b.title) AS BIGINT) AS dist
+         FROM keyed a JOIN keyed b
+           ON a.bkey = b.bkey AND a.doc_id < b.doc_id
+         WHERE levenshtein(a.title, b.title) <= 8""",
+
     "q74_corpus_funnel" -> OraclePipeline.q74Sql,
 
     // Vocab-coverage replay: same (freq desc, token) total order for

@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.Analyzer
+
+/** Blocked fuzzy matching (record linkage / entity resolution): find
+  * document pairs whose TITLES are within a bounded edit distance,
+  * without an all-pairs comparison.
+  *
+  * The reference dedups on exact URL equality only
+  * (database/mongodb_handler.py:53-59); real article feeds re-publish
+  * the same story under lightly edited headlines, which is the classic
+  * record-linkage problem (Fellegi & Sunter 1969). The standard scale
+  * recipe is BLOCKING (Christen 2012, "Data Matching" ch. 4): compare
+  * only pairs that agree on a cheap key, chosen so that true matches
+  * almost always share it. Here the key is the title's RAREST token —
+  * two headlines that are edits of each other keep their distinctive
+  * word, while the block population for a rare word stays small.
+  *
+  * Chain (every stage engine-portable, replayed by the q80 oracle):
+  *   1. title      = first `titleTokens` analyzer tokens, joined by " "
+  *                   (docs with no tokens drop out — nothing to match);
+  *   2. df         = per-token document frequency over TITLE tokens
+  *                   (one map-side-combined agg, vocabulary-sized);
+  *   3. block key  = argmin (df, token) over the title's distinct
+  *                   tokens — one `min(struct)` per doc, the same
+  *                   total-order trick as [[Dedup.clusterVerdictsBy]]'s
+  *                   keeper; docs whose RAREST token has df > `dfCap`
+  *                   are excluded (their title is all stop-grade words
+  *                   — any block containing them is quadratic junk);
+  *   4. candidates = same-block pairs (id_a < id_b);
+  *   5. verdict    = levenshtein(title_a, title_b) <= maxDist
+  *                   (codegen'd built-in, O(len²) on short titles).
+  *
+  * Output: (id_a, id_b, block_token, dist), one row per matched pair.
+  *
+  * Scale shape: the df agg shuffles token partials (vocabulary-sized),
+  * the argmin shuffles one row per doc, and the self-join shuffles each
+  * doc once on its block key — no stage is all-pairs, and `dfCap`
+  * bounds every block's candidate count by dfCap²/2 regardless of
+  * corpus size. Recall is the blocking bet: a pair is missed only when
+  * the edit CHANGED the rarest title word (Christen's trade, stated in
+  * the Scaladoc rather than hidden). At 100 TB the block key is also
+  * the natural at-rest partition key, making candidate generation a
+  * partition-local join.
+  */
+object FuzzyJoin {
+
+  /** Titles within `maxDist` edits, blocked on the rarest title token.
+    * See object doc for the contract and the recall trade. */
+  def fuzzyTitlePairs(docs: DataFrame, idCol: String, textCol: String,
+                      titleTokens: Int = 6, maxDist: Int = 8,
+                      dfCap: Long = 4096L): DataFrame = {
+    require(titleTokens >= 1, s"titleTokens must be >= 1 (got $titleTokens)")
+    require(maxDist >= 0, s"maxDist must be >= 0 (got $maxDist)")
+    require(dfCap >= 1L, s"dfCap must be >= 1 (got $dfCap)")
+    val titled = docs
+      .select(col(idCol),
+        slice(Analyzer.tokenize(coalesce(col(textCol), lit(""))),
+          1, titleTokens).as("__ttoks"))
+      .filter(size(col("__ttoks")) > 0)
+      .withColumn("__title", array_join(col("__ttoks"), " "))
+    val toks = titled.select(col(idCol), col("__title"),
+      explode(array_distinct(col("__ttoks"))).as("__tk"))
+    val dfreq = toks.groupBy(col("__tk"))
+      .agg(count(lit(1)).as("__df"))
+    val blocked = toks.join(dfreq, "__tk")
+      .groupBy(col(idCol), col("__title"))
+      .agg(min(struct(col("__df"), col("__tk"))).as("__m"))
+      .filter(col("__m.__df") <= dfCap)
+      .select(col(idCol), col("__title"), col("__m.__tk").as("__bkey"))
+    val a = blocked.select(col(idCol).as("id_a"), col("__title").as("__ta"),
+      col("__bkey"))
+    val b = blocked.select(col(idCol).as("id_b"), col("__title").as("__tb"),
+      col("__bkey"))
+    a.join(b, Seq("__bkey"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("dist", levenshtein(col("__ta"), col("__tb")).cast("long"))
+      .filter(col("dist") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("__bkey").as("block_token"),
+        col("dist"))
+  }
+}
