@@ -791,7 +791,15 @@ object SparkEntry {
     // (analyzer titles, df table, (df, token) argmin block keys, the
     // dfCap guard, the edit-distance verdict) replays in DuckDB.
     "q80_fuzzy_title_pairs" -> q((s, d) =>
-      FuzzyJoin.fuzzyTitlePairs(Tables.documents(s, d), "doc_id", "text"))
+      FuzzyJoin.fuzzyTitlePairs(Tables.documents(s, d), "doc_id", "text")),
+
+    // Rademacher random projection (Achlioptas 2003): 64 -> 16 dims,
+    // integer-exact end to end — quantized inputs, ±1 signs, BIGINT
+    // sums, zero shuffles. The seeded sign matrix is rendered into
+    // the oracle SQL from the same Scala function.
+    "q81_random_projection" -> q((s, d) =>
+      Similarity.randomProject(Tables.embeddings(s, d), "vec_id", "embedding",
+        dim = 64, outDim = 16))
   ) ++ NonSqlQueries.queries
 
   // ---- DuckDB oracles -------------------------------------------------
@@ -2126,6 +2134,25 @@ object SparkEntry {
          FROM keyed a JOIN keyed b
            ON a.bkey = b.bkey AND a.doc_id < b.doc_id
          WHERE levenshtein(a.title, b.title) <= 8""",
+
+    // Random-projection replay: the SAME seeded ±1 matrix rendered as
+    // literal sign chains over the quantized vectors — every comp is
+    // one BIGINT sum, so the hash match is exact by construction.
+    "q81_random_projection" -> {
+      val signs = operators.Similarity.rademacher(64, 16)
+      val exprs = signs.map { row =>
+        row.zipWithIndex.map { case (sg, i) =>
+          (if (sg > 0) " + " else " - ") + s"qv[${i + 1}]"
+        }.mkString("(0", "", ")")
+      }.mkString("[", ",\n           ", "]")
+      s"""WITH e AS (
+           SELECT vec_id,
+             [CAST(floor(CAST(x AS DOUBLE) * 1000.0 + 0.5) AS BIGINT) FOR x IN embedding] AS qv
+           FROM embeddings),
+         p AS (SELECT vec_id, $exprs AS proj FROM e)
+         SELECT vec_id, CAST(g.pos AS BIGINT) AS pos, proj[g.pos] AS comp
+         FROM p CROSS JOIN (SELECT unnest(generate_series(1, 16)) AS pos) g"""
+    },
 
     "q74_corpus_funnel" -> OraclePipeline.q74Sql,
 

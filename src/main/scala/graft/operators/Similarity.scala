@@ -924,4 +924,74 @@ object Similarity {
         coalesce(col("comp"), col("id")).as("comp"),
         coalesce(col("keep"), lit(true)).as("keep"))
   }
+
+  // ---- Random projection (Johnson–Lindenstrauss) ---------------------
+
+  /** Seeded Rademacher (±1) projection matrix, `outDim` rows of `dim`
+    * signs. Achlioptas 2003 ("Database-friendly random projections")
+    * showed ±1 entries give the full JL distance-preservation
+    * guarantee of Gaussian projections — and unlike Gaussians they
+    * keep integer arithmetic exact, which is what makes
+    * [[randomProject]] engine-replayable. The matrix is rendered into
+    * the q81 oracle SQL from this same function. */
+  def rademacher(dim: Int, outDim: Int, seed: Long = 42L): Seq[Seq[Long]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(outDim)(Seq.fill(dim)(if (rnd.nextBoolean()) 1L else -1L))
+  }
+
+  /** JL dimensionality reduction for the embedding column, the
+    * integer-exact way: quantize onto the 1/`scale` grid (the
+    * q78/x22 discipline — floor(x·scale + 0.5) after an exact
+    * float→double widen), then each output component is a ±-signed
+    * BIGINT sum of the quantized inputs. No float ever crosses a
+    * shuffle — there IS no shuffle: the whole operator is one
+    * scan-local projection per row, embarrassingly parallel at any
+    * scale. E‖Pv‖² = outDim/dim·‖v‖²·scale², so downstream cosine /
+    * L2 comparisons work on the projected table unchanged (the spec
+    * asserts the concentration empirically and [[topKBruteForce]]
+    * composes directly on the float adapter).
+    *
+    * Output: (idCol, pos 1..outDim, comp) — exploded so the result is
+    * flat-hashable; [[randomProjectVectors]] keeps the array shape
+    * for composition with the ANN family.
+    *
+    * At 100 TB this is the standard pre-ANN shrink: project 64→16
+    * dims once at ingest (4× less vector I/O in every downstream
+    * scan), run coarse search in projected space, refine the
+    * shortlist against full vectors — the same two-phase shape as
+    * [[pqTopK]], with the projection as the cheap end. The JL caveat
+    * belongs in the contract: inner products survive to ±1/√outDim,
+    * so `outDim` must exceed 1/sep² for the separations the coarse
+    * phase must resolve — the spec asserts the concentration rather
+    * than a corpus-dependent recall number. */
+  def randomProject(df: DataFrame, idCol: String, vecCol: String,
+                    dim: Int, outDim: Int, seed: Long = 42L,
+                    scale: Int = 1000): DataFrame = {
+    val proj = projExpr(col(vecCol), dim, outDim, seed, scale)
+    df.select(col(idCol), posexplode(proj))
+      .select(col(idCol), (col("pos") + 1).cast("long").as("pos"),
+        col("col").as("comp"))
+  }
+
+  /** Array-shaped [[randomProject]]: (idCol, proj array<bigint>) plus
+    * a double adapter `proj_f` that drops straight into the cosine /
+    * IVF query paths. */
+  def randomProjectVectors(df: DataFrame, idCol: String, vecCol: String,
+                           dim: Int, outDim: Int, seed: Long = 42L,
+                           scale: Int = 1000): DataFrame = {
+    val proj = projExpr(col(vecCol), dim, outDim, seed, scale)
+    df.select(col(idCol), proj.as("proj"),
+      proj.cast("array<double>").as("proj_f"))
+  }
+
+  private def projExpr(vec: Column, dim: Int, outDim: Int, seed: Long,
+                       scale: Int): Column = {
+    require(outDim >= 1, s"outDim must be >= 1 (got $outDim)")
+    val qv = transform(vec.cast("array<double>"),
+      x => floor(x * scale + lit(0.5)).cast("long"))
+    array(rademacher(dim, outDim, seed).map { row =>
+      aggregate(zip_with(qv, typedLit(row), (q, s) => q * s),
+        lit(0L), (acc, x) => acc + x)
+    }: _*)
+  }
 }
