@@ -799,7 +799,14 @@ object SparkEntry {
     // the oracle SQL from the same Scala function.
     "q81_random_projection" -> q((s, d) =>
       Similarity.randomProject(Tables.embeddings(s, d), "vec_id", "embedding",
-        dim = 64, outDim = 16))
+        dim = 64, outDim = 16)),
+
+    // Corpus data card: one aggregation pass per source slice — doc /
+    // token / char volume, empties, language breadth (the engine's
+    // own langID), exact median tokens. The release-gate report a
+    // pipeline ships with a corpus.
+    "q82_corpus_card" -> q((s, d) =>
+      Report.corpusCard(Tables.documents(s, d), "text", "source"))
   ) ++ NonSqlQueries.queries
 
   // ---- DuckDB oracles -------------------------------------------------
@@ -2153,6 +2160,41 @@ object SparkEntry {
          SELECT vec_id, CAST(g.pos AS BIGINT) AS pos, proj[g.pos] AS comp
          FROM p CROSS JOIN (SELECT unnest(generate_series(1, 16)) AS pos) g"""
     },
+
+    // Data-card replay: analyzer token counts, the x05 language
+    // argmax, quantile_cont ≡ Spark exact percentile (q39 contract).
+    "q82_corpus_card" ->
+      """WITH t AS (
+           SELECT source,
+             len(list_filter(regexp_split_to_array(lower(COALESCE(text, '')), '[^a-z0-9'']+'), x -> length(x) > 0)) AS nt,
+             length(COALESCE(text, '')) AS nc,
+             CASE WHEN length(COALESCE(text, '')) = 0 THEN 1 ELSE 0 END AS emp,
+             list_distinct(list_filter(regexp_split_to_array(lower(COALESCE(text, '')), '[^a-z0-9'']+'), x -> length(x) > 0)) AS dtoks
+           FROM documents),
+         ls AS (
+           SELECT source, nt, nc, emp,
+             len(list_intersect(dtoks, ['der','die','und','das','ist','von','mit','den','nicht','ein'])) AS s_de,
+             len(list_intersect(dtoks, ['the','and','of','to','in','is','that','it','for','with'])) AS s_en,
+             len(list_intersect(dtoks, ['el','la','de','que','y','en','los','del','las','por'])) AS s_es,
+             len(list_intersect(dtoks, ['le','la','les','de','des','et','est','une','dans','pour'])) AS s_fr,
+             len(list_intersect(dtoks, ['il','di','che','la','per','con','del','una','sono','non'])) AS s_it
+           FROM t),
+         lb AS (SELECT *, greatest(s_de, s_en, s_es, s_fr, s_it) AS best FROM ls),
+         lang AS (
+           SELECT source, nt, nc, emp,
+             CASE WHEN best = 0 THEN 'und'
+                  WHEN s_it = best THEN 'it' WHEN s_fr = best THEN 'fr'
+                  WHEN s_es = best THEN 'es' WHEN s_en = best THEN 'en'
+                  ELSE 'de' END AS lang
+           FROM lb)
+         SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(nt) AS BIGINT) AS n_tokens,
+           CAST(sum(nc) AS BIGINT) AS n_chars,
+           CAST(sum(emp) AS BIGINT) AS n_empty,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+           quantile_cont(nt, 0.5) AS p50_tokens
+         FROM lang GROUP BY source""",
 
     "q74_corpus_funnel" -> OraclePipeline.q74Sql,
 

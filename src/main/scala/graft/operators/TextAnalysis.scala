@@ -34,15 +34,22 @@ object TextAnalysis {
     (if (score > 0) lang else "und", score)
   }
 
+  /** Column form of the language argmax: `(score, lang)` max over the
+    * profile overlaps — shared by [[withLangId]] and
+    * [[Report.corpusCard]] so every consumer has the identical tie
+    * order. */
+  private[graft] def langBest(text: Column): Column = {
+    val toks = array_distinct(Analyzer.tokenize(text))
+    greatest(Profiles.toSeq.sortBy(_._1).map { case (lang, words) =>
+      struct(size(array_intersect(toks, typedLit(words))).as("score"),
+        lit(lang).as("lang"))
+    }: _*)
+  }
+
   /** Language-ID: argmax over stopword-overlap scores. Emits
     * (lang_pred, lang_score). Unknown → "und". */
   def withLangId(df: DataFrame, textCol: String): DataFrame = {
-    val toks = array_distinct(Analyzer.tokenize(col(textCol)))
-    val scored = Profiles.toSeq.sortBy(_._1).map { case (lang, words) =>
-      struct(size(array_intersect(toks, typedLit(words))).as("score"),
-        lit(lang).as("lang"))
-    }
-    val best = greatest(scored: _*)
+    val best = langBest(col(textCol))
     df.withColumn("lang_pred",
         when(best.getField("score") > 0, best.getField("lang")).otherwise("und"))
       .withColumn("lang_score", best.getField("score"))
