@@ -278,6 +278,15 @@ object NonSqlQueries {
         col("source") === "src0")
     }),
 
+    // Range-sharded export: TeraSort-shape shard assignment from
+    // sampled (Greenwald–Khanna) boundaries — no global sort, no
+    // RangePartitioning; rows-only because sketch boundaries are not
+    // SQL-replayable (RangeShardSpec proves range-disjointness and
+    // the global order of the sorted plan).
+    "x31_range_sharded" -> q((s, d) =>
+      Export.rangeSharded(Tables.documents(s, d), "n_chars", numShards = 8)
+        .select(col("doc_id"), col("n_chars"), col("shard"))),
+
     // SQL-registration surface smoke: the library's functions usable
     // from spark.sql.
     "x17_sql_functions" -> q((s, d) => {

@@ -81,4 +81,52 @@ object Export {
         max(col(idCol)).as("max_id"),
         sum(length(coalesce(col(payloadCol), lit(""))).cast("long"))
           .as("payload_chars"))
+
+  // ---- Range-sharded (globally ordered) export -----------------------
+
+  /** Range shard assignment from SAMPLED boundaries — the TeraSort
+    * shape (O'Malley 2008), and how `ORDER BY` at 100 TB actually
+    * works: ONE mergeable-sketch aggregation computes numShards−1
+    * approximate quantile boundaries of `sortCol`
+    * (`percentile_approx`, a Greenwald–Khanna sketch — only sketch
+    * partials cross the wire), the tiny boundary row broadcasts, and
+    * every row's shard is a scan-local comparison chain
+    * `1 + |{i : x > b_i}|`. No global sort, no RangePartitioning
+    * exchange, no driver-side sampling pass: the plan is
+    * agg + broadcast join + projection.
+    *
+    * Contract: shards are RANGE-DISJOINT (every value in shard s ≤
+    * every value in shard s+1 — ties at a boundary all land in the
+    * lower shard since assignment is a pure function of the value),
+    * so `sortWithinPartitions` after a shard-keyed repartition yields
+    * a GLOBALLY ordered corpus by (shard, sortCol) — read the shard
+    * directories in order and the stream is sorted. Shard POPULATIONS
+    * are balanced only to sketch accuracy (the x25/x30 trade);
+    * [[shardKey]] stays the right tool when balance matters more than
+    * order. Sketch boundaries are not SQL-replayable → rows-only
+    * (x31) + spec, the established split. */
+  def rangeSharded(df: DataFrame, sortCol: String, numShards: Int,
+                   accuracy: Int = 10000): DataFrame = {
+    require(numShards >= 2, s"numShards must be >= 2 (got $numShards)")
+    val probs = (1 until numShards).map(i => lit(i.toDouble / numShards))
+    val bounds = df.agg(
+      percentile_approx(col(sortCol), array(probs: _*), lit(accuracy))
+        .as("__bnd"))
+    val shardExpr = (1 until numShards)
+      .map(i => when(col(sortCol) > element_at(col("__bnd"), i), 1L)
+        .otherwise(0L))
+      .foldLeft(lit(1L))(_ + _)
+    df.join(broadcast(bounds))
+      .withColumn("shard", shardExpr)
+      .drop("__bnd")
+  }
+
+  /** [[rangeSharded]] + the one shard-keyed shuffle + within-shard
+    * sort: the globally-ordered export plan (order across shard
+    * directories, order within every file). */
+  def rangeShardedSorted(df: DataFrame, sortCol: String,
+                         numShards: Int, accuracy: Int = 10000): DataFrame =
+    rangeSharded(df, sortCol, numShards, accuracy)
+      .repartition(numShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col(sortCol))
 }

@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Range-sharded export: range-disjointness, global order of the
+  * sorted plan, boundary-tie determinism, plan shape (no
+  * RangePartitioning), and rough balance on real data. */
+class RangeShardSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs =
+    graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+
+  test("shards are range-disjoint on the sort column") {
+    val out = Export.rangeSharded(docs, "n_chars", numShards = 8)
+      .select($"shard", $"n_chars").as[(Long, Long)].collect()
+    val byShard = out.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val shards = byShard.keys.toSeq.sorted
+    shards.sliding(2).foreach {
+      case Seq(a, b) =>
+        assert(byShard(a).max <= byShard(b).min,
+          s"shard $a max ${byShard(a).max} > shard $b min ${byShard(b).min}")
+      case _ =>
+    }
+    assert(shards.head == 1L && shards.size >= 2)
+  }
+
+  test("sorted plan yields a globally ordered stream") {
+    val parts = Export.rangeShardedSorted(docs, "n_chars", numShards = 4)
+      .select($"shard", $"n_chars")
+      .as[(Long, Long)]
+      .mapPartitions(it => Iterator.single(it.toSeq))
+      .collect()
+      .filter(_.nonEmpty)
+    // within every partition the (shard, value) stream is sorted…
+    parts.foreach { part =>
+      assert(part == part.sortBy(identity), "partition not sorted")
+    }
+    // …each shard lives wholly in ONE partition (hash collisions may
+    // pack several shards per partition, never split one)…
+    val shardSets = parts.map(_.map(_._1).toSet).toSeq
+    shardSets.combinations(2).foreach {
+      case Seq(a, b) => assert((a & b).isEmpty, s"shards split: $a vs $b")
+      case _ =>
+    }
+    // …so every shard's rows are contiguous and sorted in its file,
+    // and reading the shard DIRECTORIES in shard order (what
+    // partitionBy writes) is a global sort.
+    val byShard = parts.flatten.groupBy(_._1)
+    val concat = byShard.keys.toSeq.sorted
+      .flatMap(s => byShard(s).map(_._2)).toSeq
+    val expected = docs.select($"n_chars").as[Long].collect().sorted.toSeq
+    assert(concat == expected)
+  }
+
+  test("assignment is a pure function of the value (ties co-locate)") {
+    val out = Export.rangeSharded(docs, "n_chars", numShards = 8)
+      .select($"n_chars", $"shard").as[(Long, Long)].collect()
+    val m = out.groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    m.foreach { case (v, ss) =>
+      assert(ss.size == 1, s"value $v split across shards $ss")
+    }
+  }
+
+  test("plan: no RangePartitioning exchange, no window") {
+    val plan = Export.rangeSharded(docs, "n_chars", numShards = 8)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("rangepartitioning"), s"global sort in:\n$plan")
+    assert(!plan.contains("Window"), "no window expected")
+  }
+
+  test("populations are sketch-balanced on real data") {
+    val pops = Export.rangeSharded(docs, "n_chars", numShards = 4)
+      .groupBy($"shard").count().select($"count").as[Long].collect()
+    val (mn, mx) = (pops.min, pops.max)
+    assert(pops.length == 4 && mn > 0)
+    assert(mx.toDouble / mn < 4.0, s"pops ${pops.mkString(",")}")
+  }
+}
