@@ -806,7 +806,22 @@ object SparkEntry {
     // own langID), exact median tokens. The release-gate report a
     // pipeline ships with a corpus.
     "q82_corpus_card" -> q((s, d) =>
-      Report.corpusCard(Tables.documents(s, d), "text", "source"))
+      Report.corpusCard(Tables.documents(s, d), "text", "source")),
+
+    // Unigram-LM tokenizer (SentencePiece hard-EM): seed substrings,
+    // two Viterbi-EM rounds, count pruning — every count integer,
+    // every logprob micro-nat-quantized, the DP tie-break total — so
+    // the ENTIRE training loop replays in DuckDB (OracleUnigram
+    // enumerates all segmentations and takes the same argmax).
+    "q83_unigram_vocab" -> q((s, d) =>
+      Unigram.trainVocab(Tables.documents(s, d), "text",
+        vocabSize = 24, maxPieceLen = 4)),
+
+    // The apply path: word types segmented under the fitted model —
+    // the unigram sibling of q73's BPE segments.
+    "q84_unigram_segments" -> q((s, d) =>
+      Unigram.typeSegments(Tables.documents(s, d), "text",
+        vocabSize = 24, maxPieceLen = 4))
   ) ++ NonSqlQueries.queries
 
   // ---- DuckDB oracles -------------------------------------------------
@@ -2195,6 +2210,11 @@ object SparkEntry {
            CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
            quantile_cont(nt, 0.5) AS p50_tokens
          FROM lang GROUP BY source""",
+
+    // Unigram tokenizer replays (see OracleUnigram): the Viterbi DP
+    // as exhaustive path enumeration + (score DESC, seg ASC) argmax.
+    "q83_unigram_vocab" -> OracleUnigram.q83Sql(vocabSize = 24, maxPieceLen = 4),
+    "q84_unigram_segments" -> OracleUnigram.q84Sql(vocabSize = 24, maxPieceLen = 4),
 
     "q74_corpus_funnel" -> OraclePipeline.q74Sql,
 
