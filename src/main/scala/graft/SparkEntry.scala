@@ -821,7 +821,18 @@ object SparkEntry {
     // the unigram sibling of q73's BPE segments.
     "q84_unigram_segments" -> q((s, d) =>
       Unigram.typeSegments(Tables.documents(s, d), "text",
-        vocabSize = 24, maxPieceLen = 4))
+        vocabSize = 24, maxPieceLen = 4)),
+
+    // Winnowing fingerprint selection (MOSS): k-gram rolling hashes,
+    // per-window rightmost-minimum — any shared run of k+w-1 tokens
+    // guarantees a shared fingerprint at ~2/(w+1) the storage.
+    "q85_winnow" -> q((s, d) =>
+      TextAnalysis.winnow(Tables.documents(s, d), "doc_id", "text")),
+
+    // The MOSS pair report: near-dup candidates ranked by shared
+    // selected fingerprints, df-capped postings — never all-pairs.
+    "q86_winnow_pairs" -> q((s, d) =>
+      TextAnalysis.winnowPairs(Tables.documents(s, d), "doc_id", "text"))
   ) ++ NonSqlQueries.queries
 
   // ---- DuckDB oracles -------------------------------------------------
@@ -2215,6 +2226,93 @@ object SparkEntry {
     // as exhaustive path enumeration + (score DESC, seg ASC) argmax.
     "q83_unigram_vocab" -> OracleUnigram.q83Sql(vocabSize = 24, maxPieceLen = 4),
     "q84_unigram_segments" -> OracleUnigram.q84Sql(vocabSize = 24, maxPieceLen = 4),
+
+    // Winnowing replay: the x08 HUGEINT wrapping fold per 5-gram,
+    // windows of up to 4 gram hashes, (h ASC, pos DESC) argmin per
+    // window = the paper's rightmost-minimum robust rule.
+    "q85_winnow" ->
+      s"""WITH t AS (
+           SELECT doc_id, list_filter(regexp_split_to_array(lower(COALESCE(text, '')), '[^a-z0-9'']+'), x -> length(x) > 0) AS toks
+           FROM documents),
+         g AS (
+           SELECT doc_id,
+             [array_to_string(toks[i:i+4], ' ') FOR i IN generate_series(1, len(toks) - 4)] AS grams
+           FROM t WHERE len(toks) >= 5),
+         gr AS (
+           SELECT doc_id, u.pos AS pos, u.gram AS gram FROM (
+             SELECT doc_id,
+               unnest([{'pos': i, 'gram': grams[i]} FOR i IN generate_series(1, len(grams))]) AS u
+             FROM g)),
+         hh AS (
+           SELECT doc_id, pos,
+             CAST(hu - CASE WHEN hu >= CAST(9223372036854775808 AS HUGEINT)
+               THEN CAST(18446744073709551616 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END AS BIGINT) AS h
+           FROM (
+             SELECT doc_id, pos,
+               list_reduce(
+                 list_prepend(CAST(0 AS HUGEINT),
+                   [CAST(ord(gram[i]) AS HUGEINT) for i in generate_series(1, length(gram))]),
+                 (h, c) -> (h * 31 + c) % CAST(18446744073709551616 AS HUGEINT)) AS hu
+             FROM gr)),
+         mm AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS m FROM hh GROUP BY doc_id),
+         win AS (
+           SELECT doc_id, ww, unnest(generate_series(1, m - ww + 1)) AS j FROM (
+             SELECT doc_id, m, least(4, m) AS ww FROM mm)),
+         sel AS (
+           SELECT DISTINCT doc_id, pos, h FROM (
+             SELECT w.doc_id, hh.pos, hh.h,
+               row_number() OVER (PARTITION BY w.doc_id, w.j
+                 ORDER BY hh.h ASC, hh.pos DESC) AS rn
+             FROM win w JOIN hh ON hh.doc_id = w.doc_id
+               AND hh.pos BETWEEN w.j AND w.j + w.ww - 1)
+           WHERE rn = 1)
+         SELECT doc_id, CAST(pos AS BIGINT) AS pos, h AS fp64 FROM sel""",
+
+    // Pair report replay: distinct (doc, fp) selections, df-capped
+    // postings, same-fp pairs counted.
+    "q86_winnow_pairs" ->
+      s"""WITH t AS (
+           SELECT doc_id, list_filter(regexp_split_to_array(lower(COALESCE(text, '')), '[^a-z0-9'']+'), x -> length(x) > 0) AS toks
+           FROM documents),
+         g AS (
+           SELECT doc_id,
+             [array_to_string(toks[i:i+4], ' ') FOR i IN generate_series(1, len(toks) - 4)] AS grams
+           FROM t WHERE len(toks) >= 5),
+         gr AS (
+           SELECT doc_id, u.pos AS pos, u.gram AS gram FROM (
+             SELECT doc_id,
+               unnest([{'pos': i, 'gram': grams[i]} FOR i IN generate_series(1, len(grams))]) AS u
+             FROM g)),
+         hh AS (
+           SELECT doc_id, pos,
+             CAST(hu - CASE WHEN hu >= CAST(9223372036854775808 AS HUGEINT)
+               THEN CAST(18446744073709551616 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END AS BIGINT) AS h
+           FROM (
+             SELECT doc_id, pos,
+               list_reduce(
+                 list_prepend(CAST(0 AS HUGEINT),
+                   [CAST(ord(gram[i]) AS HUGEINT) for i in generate_series(1, length(gram))]),
+                 (h, c) -> (h * 31 + c) % CAST(18446744073709551616 AS HUGEINT)) AS hu
+             FROM gr)),
+         mm AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS m FROM hh GROUP BY doc_id),
+         win AS (
+           SELECT doc_id, ww, unnest(generate_series(1, m - ww + 1)) AS j FROM (
+             SELECT doc_id, m, least(4, m) AS ww FROM mm)),
+         fps AS (
+           SELECT DISTINCT doc_id, h FROM (
+             SELECT w.doc_id, hh.pos, hh.h,
+               row_number() OVER (PARTITION BY w.doc_id, w.j
+                 ORDER BY hh.h ASC, hh.pos DESC) AS rn
+             FROM win w JOIN hh ON hh.doc_id = w.doc_id
+               AND hh.pos BETWEEN w.j AND w.j + w.ww - 1)
+           WHERE rn = 1),
+         ok AS (SELECT h FROM fps GROUP BY h HAVING count(*) <= 256)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(count(*) AS BIGINT) AS n_shared
+         FROM fps a JOIN fps b ON a.h = b.h AND a.doc_id < b.doc_id
+         JOIN ok ON a.h = ok.h
+         GROUP BY a.doc_id, b.doc_id
+         HAVING count(*) >= 2""",
 
     "q74_corpus_funnel" -> OraclePipeline.q74Sql,
 

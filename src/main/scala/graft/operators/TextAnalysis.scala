@@ -433,6 +433,88 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     rollingHashUdf(lower(regexp_replace(text, "\\s+", " ")))
 
+  /** Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken
+    * 2003, "Winnowing: Local Algorithms for Document Fingerprinting" —
+    * the MOSS algorithm). Hash every k-token gram with the wrapping-64
+    * [[rollingHashOf]], slide a window of `w` consecutive gram hashes,
+    * and select each window's MINIMUM (ties → the RIGHTMOST minimum,
+    * the paper's "robust winnowing" rule, §2.3). The guarantee: any
+    * shared token run of length ≥ k + w − 1 between two documents
+    * yields at least one shared selected fingerprint, while only
+    * ~2/(w+1) of all gram hashes are kept — position-robust partial-
+    * overlap detection at a fraction of the [[spanDedupStats]] /
+    * shingle cost.
+    *
+    * Output: (idCol, pos, fp64) — DISTINCT selections (adjacent
+    * windows usually re-select the same gram), pos 1-based over the
+    * gram sequence. Docs with fewer than k tokens emit nothing.
+    *
+    * Everything is scan-local (a single pass per doc inside one
+    * documented UDF — grams, hashes, and the window minima never
+    * leave the task) and every value is a 64-bit integer, so the q85
+    * oracle replays it exactly: the HUGEINT wrapping fold for the
+    * hash (the x08 template) and an (h ASC, pos DESC) argmin per
+    * window for the robust rule. Signed comparison agrees because
+    * both engines compare the same wrapped BIGINT. */
+  def winnow(df: DataFrame, idCol: String, textCol: String,
+             k: Int = 5, w: Int = 4): DataFrame = {
+    require(k >= 1, s"k must be >= 1 (got $k)")
+    require(w >= 1, s"w must be >= 1 (got $w)")
+    val winnowUdf = udf { (toks: Seq[String]) =>
+      val n = toks.length
+      if (n < k) Seq.empty[(Long, Long)]
+      else {
+        val m = n - k + 1
+        val hs = Array.tabulate(m)(i =>
+          rollingHashOf(toks.slice(i, i + k).mkString(" ")))
+        val ww = math.min(w, m)
+        val sel = scala.collection.mutable.LinkedHashSet.empty[(Long, Long)]
+        var j = 0
+        while (j + ww <= m) {
+          var best = j
+          var t = j + 1
+          while (t < j + ww) {
+            if (hs(t) <= hs(best)) best = t // <=: rightmost minimum
+            t += 1
+          }
+          sel += (((best + 1).toLong, hs(best)))
+          j += 1
+        }
+        sel.toSeq
+      }
+    }
+    df.select(col(idCol),
+        explode(winnowUdf(Analyzer.tokenize(coalesce(col(textCol), lit("")))))
+          .as("__s"))
+      .select(col(idCol), col("__s._1").as("pos"), col("__s._2").as("fp64"))
+  }
+
+  /** The MOSS use of [[winnow]]: candidate near-dup pairs ranked by
+    * SHARED fingerprint count. Postings per fingerprint are df-capped
+    * (ultra-common fingerprints — boilerplate runs — contribute
+    * candidates quadratically and evidence of nothing; the x11/x09
+    * cap discipline), so no stage is all-pairs: one fingerprint-keyed
+    * shuffle builds postings, one pair-keyed count aggregates. Pairs
+    * whose every shared fingerprint was capped are missed — the
+    * documented trade, stated not hidden. */
+  def winnowPairs(df: DataFrame, idCol: String, textCol: String,
+                  k: Int = 5, w: Int = 4, minShared: Long = 2L,
+                  dfCap: Long = 256L): DataFrame = {
+    val fps = winnow(df, idCol, textCol, k, w)
+      .select(col(idCol), col("fp64")).distinct()
+    val ok = fps.groupBy(col("fp64")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= dfCap)
+      .select(col("fp64"))
+    val capped = fps.join(ok, "fp64")
+    val a = capped.select(col("fp64"), col(idCol).as("id_a"))
+    val b = capped.select(col("fp64"), col(idCol).as("id_b"))
+    a.join(b, Seq("fp64"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Tokenizer-training prep: the top-`k` corpus vocabulary with
     * cumulative coverage — "how many word types does a vocab of size
     * k cover, and what fraction of all token OCCURRENCES do they
