@@ -2160,12 +2160,16 @@ object SparkEntry {
          keyed AS (
            SELECT b.doc_id, ti.title, b.m.tk AS bkey
            FROM blk b JOIN ti ON b.doc_id = ti.doc_id
-           WHERE b.m.df <= 4096)
+           WHERE b.m.df <= 4096),
+         ok AS (
+           SELECT bkey FROM keyed GROUP BY bkey
+           HAVING count(*) BETWEEN 2 AND 512)
          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            a.bkey AS block_token,
            CAST(levenshtein(a.title, b.title) AS BIGINT) AS dist
          FROM keyed a JOIN keyed b
            ON a.bkey = b.bkey AND a.doc_id < b.doc_id
+         JOIN ok ON a.bkey = ok.bkey
          WHERE levenshtein(a.title, b.title) <= 8""",
 
     // Random-projection replay: the SAME seeded ±1 matrix rendered as

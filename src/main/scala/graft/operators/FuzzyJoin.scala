@@ -30,21 +30,33 @@ import graft.functions.Analyzer
   *                   keeper; docs whose RAREST token has df > `dfCap`
   *                   are excluded (their title is all stop-grade words
   *                   — any block containing them is quadratic junk);
-  *   4. candidates = same-block pairs (id_a < id_b);
-  *   5. verdict    = levenshtein(title_a, title_b) <= maxDist
-  *                   (codegen'd built-in, O(len²) on short titles).
+  *   4. candidates = same-block pairs (id_a < id_b), restricted to
+  *                   blocks of 2..`maxBlock` members — the standard
+  *                   block-size cap (same knob as the LSH `maxBucket` /
+  *                   SemDeDup `maxCell` caps here): an over-cap block
+  *                   means the "rare" token wasn't, and its candidates
+  *                   are quadratic junk, skipped and DOCUMENTED rather
+  *                   than paid for;
+  *   5. verdict    = banded levenshtein(title_a, title_b, maxDist)
+  *                   (the 3-arg threshold form — O(len·maxDist) per
+  *                   pair, not O(len²)), after a free
+  *                   |len_a − len_b| ≤ maxDist prefilter (length
+  *                   difference lower-bounds edit distance, so the
+  *                   prefilter never changes the result).
   *
   * Output: (id_a, id_b, block_token, dist), one row per matched pair.
   *
   * Scale shape: the df agg shuffles token partials (vocabulary-sized),
   * the argmin shuffles one row per doc, and the self-join shuffles each
-  * doc once on its block key — no stage is all-pairs, and `dfCap`
-  * bounds every block's candidate count by dfCap²/2 regardless of
-  * corpus size. Recall is the blocking bet: a pair is missed only when
-  * the edit CHANGED the rarest title word (Christen's trade, stated in
-  * the Scaladoc rather than hidden). At 100 TB the block key is also
-  * the natural at-rest partition key, making candidate generation a
-  * partition-local join.
+  * doc once on its block key — no stage is all-pairs, and `maxBlock`
+  * bounds every block's candidate count at maxBlock²/2 regardless of
+  * corpus size. Recall is the blocking bet: a pair is missed when the
+  * edit CHANGED the rarest title word, or when its block blew past the
+  * cap (Christen's trade, stated in the Scaladoc rather than hidden —
+  * the synthetic test corpus's ~30-word vocabulary is the degenerate
+  * worst case, where every "rare" token is common). At 100 TB the
+  * block key is also the natural at-rest partition key, making
+  * candidate generation a partition-local join.
   */
 object FuzzyJoin {
 
@@ -52,10 +64,11 @@ object FuzzyJoin {
     * See object doc for the contract and the recall trade. */
   def fuzzyTitlePairs(docs: DataFrame, idCol: String, textCol: String,
                       titleTokens: Int = 6, maxDist: Int = 8,
-                      dfCap: Long = 4096L): DataFrame = {
+                      dfCap: Long = 4096L, maxBlock: Long = 512L): DataFrame = {
     require(titleTokens >= 1, s"titleTokens must be >= 1 (got $titleTokens)")
     require(maxDist >= 0, s"maxDist must be >= 0 (got $maxDist)")
     require(dfCap >= 1L, s"dfCap must be >= 1 (got $dfCap)")
+    require(maxBlock >= 2L, s"maxBlock must be >= 2 (got $maxBlock)")
     val titled = docs
       .select(col(idCol),
         slice(Analyzer.tokenize(coalesce(col(textCol), lit(""))),
@@ -71,14 +84,23 @@ object FuzzyJoin {
       .agg(min(struct(col("__df"), col("__tk"))).as("__m"))
       .filter(col("__m.__df") <= dfCap)
       .select(col(idCol), col("__title"), col("__m.__tk").as("__bkey"))
-    val a = blocked.select(col(idCol).as("id_a"), col("__title").as("__ta"),
-      col("__bkey"))
-    val b = blocked.select(col(idCol).as("id_b"), col("__title").as("__tb"),
-      col("__bkey"))
+    val ok = blocked.groupBy(col("__bkey"))
+      .agg(count(lit(1)).as("__bn"))
+      .filter(col("__bn").between(2L, maxBlock))
+      .select(col("__bkey"))
+    val capped = blocked.join(ok, "__bkey")
+    val a = capped.select(col("__bkey"), col(idCol).as("id_a"),
+      col("__title").as("__ta"))
+    val b = capped.select(col("__bkey"), col(idCol).as("id_b"),
+      col("__title").as("__tb"))
     a.join(b, Seq("__bkey"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("dist", levenshtein(col("__ta"), col("__tb")).cast("long"))
-      .filter(col("dist") <= maxDist)
+      // free prune: |len_a - len_b| lower-bounds the edit distance
+      .filter(abs(length(col("__ta")) - length(col("__tb"))) <= maxDist)
+      // banded threshold form: O(len·maxDist), returns -1 past the band
+      .withColumn("dist",
+        levenshtein(col("__ta"), col("__tb"), maxDist).cast("long"))
+      .filter(col("dist") >= 0L)
       .select(col("id_a"), col("id_b"), col("__bkey").as("block_token"),
         col("dist"))
   }

@@ -62,6 +62,26 @@ class FuzzyJoinSpec extends SparkSpec {
     assert(out.count() == 0L)
   }
 
+  test("maxBlock drops oversized blocks whole") {
+    // Three identical titles share one block (size 3); a distinct
+    // pair sits in its own block of 2. maxBlock=2 drops the triple
+    // entirely, keeps the pair; the default keeps all four pairs.
+    val t = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma delta"),
+      (3L, "alpha beta gamma delta"),
+      (4L, "wholly other headline text"),
+      (5L, "wholly other headline text")
+    ).toDF("doc_id", "text")
+    val all = FuzzyJoin.fuzzyTitlePairs(t, "doc_id", "text")
+      .as[(Long, Long, String, Long)].collect()
+    assert(all.map(r => (r._1, r._2)).toSet ==
+      Set((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L)))
+    val capped = FuzzyJoin.fuzzyTitlePairs(t, "doc_id", "text", maxBlock = 2L)
+      .as[(Long, Long, String, Long)].collect()
+    assert(capped.map(r => (r._1, r._2)).toSet == Set((4L, 5L)))
+  }
+
   test("empty and null text drop out") {
     val d2 = Seq((1L, ""), (2L, null.asInstanceOf[String]), (3L, "real title here"))
       .toDF("doc_id", "text")
