@@ -832,7 +832,15 @@ object SparkEntry {
     // The MOSS pair report: near-dup candidates ranked by shared
     // selected fingerprints, df-capped postings — never all-pairs.
     "q86_winnow_pairs" -> q((s, d) =>
-      TextAnalysis.winnowPairs(Tables.documents(s, d), "doc_id", "text"))
+      TextAnalysis.winnowPairs(Tables.documents(s, d), "doc_id", "text")),
+
+    // Distributed suffix-array prefix doubling: log2(L) rounds of
+    // keyed joins + distinct-pair sorts give duplicated-run detection
+    // at threshold L — the any-length ExactSubstr gap SCALING.md
+    // named, closed with sorts and joins Spark distributes natively.
+    "q87_suffix_dup_runs" -> q((s, d) =>
+      SuffixArray.dupRunStats(Tables.documents(s, d), "doc_id", "text",
+        minRun = 8))
   ) ++ NonSqlQueries.queries
 
   // ---- DuckDB oracles -------------------------------------------------
@@ -2225,6 +2233,10 @@ object SparkEntry {
            CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
            quantile_cont(nt, 0.5) AS p50_tokens
          FROM lang GROUP BY source""",
+
+    // Suffix-array doubling replay (see OracleSuffix): dense_rank
+    // rounds ≡ the engine's sorted-distinct zipWithIndex ranks.
+    "q87_suffix_dup_runs" -> OracleSuffix.q87Sql(minRun = 8),
 
     // Unigram tokenizer replays (see OracleUnigram): the Viterbi DP
     // as exhaustive path enumeration + (score DESC, seg ASC) argmax.

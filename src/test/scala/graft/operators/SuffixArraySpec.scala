@@ -1,0 +1,74 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Prefix-doubling suffix ranks: hand-built duplicated runs, a full
+  * brute-force n-gram cross-check on real data (rank-group membership
+  * at threshold L ≡ "the position's L-gram occurs twice+ in the
+  * corpus"), edge docs, and partitioning invariance. */
+class SuffixArraySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hand-built: cross-doc and within-doc duplicated 8-runs") {
+    val run = "a1 a2 a3 a4 a5 a6 a7 a8"
+    val docs = Seq(
+      (1L, s"$run tail one"),          // shares the run with doc 2
+      (2L, s"lead $run"),              // one dup start each
+      (3L, s"$run mid $run"),          // within-doc repeat: 2 starts
+      (4L, "nothing shared here at all beyond eight distinct words")
+    ).toDF("doc_id", "text")
+    val out = SuffixArray.dupRunStats(docs, "doc_id", "text", minRun = 8)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    // doc1: 10 toks, 1 start (pos 1); doc2: 9 toks, 1 start (pos 2);
+    // doc3: 17 toks, 2 starts; doc4: 10 toks, 0.
+    assert(out.map(r => (r._1, r._3)).toSeq ==
+      Seq((1L, 1L), (2L, 1L), (3L, 2L), (4L, 0L)))
+  }
+
+  test("brute-force L-gram cross-check on the real corpus") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val out = SuffixArray.dupRunStats(docs, "doc_id", "text", minRun = 8)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val toks = docs.selectExpr("doc_id",
+        "filter(split(lower(coalesce(text,'')), '[^a-z0-9\\']+'), x -> x != '') AS t")
+      .as[(Long, Seq[String])].collect()
+    val gramCounts = scala.collection.mutable.Map.empty[Seq[String], Int]
+    toks.foreach { case (_, t) =>
+      t.sliding(8).filter(_.length == 8)
+        .foreach(g => gramCounts(g) = gramCounts.getOrElse(g, 0) + 1)
+    }
+    toks.foreach { case (id, t) =>
+      val expected = t.sliding(8).filter(_.length == 8)
+        .count(g => gramCounts(g) >= 2).toLong
+      assert(out(id) == ((t.length.toLong, expected)),
+        s"doc $id: got ${out(id)}, expected (${t.length}, $expected)")
+    }
+  }
+
+  test("empty and short docs report zero dup starts") {
+    val docs = Seq(
+      (1L, ""), (2L, null.asInstanceOf[String]), (3L, "only three words")
+    ).toDF("doc_id", "text")
+    val out = SuffixArray.dupRunStats(docs, "doc_id", "text", minRun = 8)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(out.map(_._3).forall(_ == 0L))
+    assert(out.map(r => (r._1, r._2)).toSeq == Seq((1L, 0L), (2L, 0L), (3L, 3L)))
+  }
+
+  test("minRun must be a power of two") {
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      SuffixArray.dupRunStats(docs, "doc_id", "text", minRun = 6)
+    }
+  }
+
+  test("partitioning invariance") {
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val a = SuffixArray.dupRunStats(docs, "doc_id", "text")
+      .as[(Long, Long, Long)].collect().toSet
+    val b = SuffixArray.dupRunStats(docs.repartition(13), "doc_id", "text")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(a == b)
+  }
+}
