@@ -840,7 +840,14 @@ object SparkEntry {
     // named, closed with sorts and joins Spark distributes natively.
     "q87_suffix_dup_runs" -> q((s, d) =>
       SuffixArray.dupRunStats(Tables.documents(s, d), "doc_id", "text",
-        minRun = 8))
+        minRun = 8)),
+
+    // Longest-dup-run forensics: one doubling chain answers EVERY
+    // power-of-two threshold up to maxRun — per-round group verdicts
+    // off the shared checkpointed rank tables, struct-max argmax.
+    "q88_suffix_dup_profile" -> q((s, d) =>
+      SuffixArray.dupRunProfile(Tables.documents(s, d), "doc_id", "text",
+        maxRun = 16))
   ) ++ NonSqlQueries.queries
 
   // ---- DuckDB oracles -------------------------------------------------
@@ -2237,6 +2244,7 @@ object SparkEntry {
     // Suffix-array doubling replay (see OracleSuffix): dense_rank
     // rounds ≡ the engine's sorted-distinct zipWithIndex ranks.
     "q87_suffix_dup_runs" -> OracleSuffix.q87Sql(minRun = 8),
+    "q88_suffix_dup_profile" -> OracleSuffix.q88Sql(maxRun = 16),
 
     // Unigram tokenizer replays (see OracleUnigram): the Viterbi DP
     // as exhaustive path enumeration + (score DESC, seg ASC) argmax.

@@ -63,13 +63,13 @@ object SuffixArray {
       }, schema)
   }
 
-  /** Position table (doc_id, pos, rank-after-K-rounds). Exposed for
-    * composition; [[dupRunStats]] is the per-doc verdict. */
-  def doublingRanks(df: DataFrame, idCol: String, textCol: String,
-                    minRun: Int): DataFrame = {
-    require(minRun >= 2 && (minRun & (minRun - 1)) == 0,
-      s"minRun must be a power of two >= 2 (got $minRun)")
-    val rounds = java.lang.Integer.numberOfTrailingZeros(minRun)
+  /** The doubling chain: per-round rank tables (k, ranks-after-round-k)
+    * for k = 1..rounds, each localCheckpoint'ed so later consumers see
+    * a flat lineage. After round k, `r` identifies the suffix's first
+    * 2^k tokens. */
+  private def doublingRounds(df: DataFrame, idCol: String,
+                             textCol: String,
+                             rounds: Int): Seq[(Int, DataFrame)] = {
     val toks = df.select(col(idCol).as("doc_id"),
       concat(
         Analyzer.tokenize(coalesce(col(textCol), lit(""))),
@@ -82,9 +82,8 @@ object SuffixArray {
     var cur = pos.join(r0, "__tk")
       .select(col("doc_id"), col("pos"), col("r"))
       .localCheckpoint()
-    var k = 0
-    while (k < rounds) {
-      val step = 1L << k
+    (1 to rounds).map { k =>
+      val step = 1L << (k - 1)
       val shifted = cur.select(col("doc_id"),
         (col("pos") - step).as("pos"), col("r").as("__r2"))
       val paired = cur.join(shifted, Seq("doc_id", "pos"), "left")
@@ -95,9 +94,18 @@ object SuffixArray {
       cur = paired.join(ranked, Seq("r", "__r2"))
         .select(col("doc_id"), col("pos"), col("__nr").as("r"))
         .localCheckpoint()
-      k += 1
+      k -> cur
     }
-    cur
+  }
+
+  /** Position table (doc_id, pos, rank-after-K-rounds). Exposed for
+    * composition; [[dupRunStats]] is the per-doc verdict. */
+  def doublingRanks(df: DataFrame, idCol: String, textCol: String,
+                    minRun: Int): DataFrame = {
+    require(minRun >= 2 && (minRun & (minRun - 1)) == 0,
+      s"minRun must be a power of two >= 2 (got $minRun)")
+    val rounds = java.lang.Integer.numberOfTrailingZeros(minRun)
+    doublingRounds(df, idCol, textCol, rounds).last._2
   }
 
   /** Per-doc duplicated-run stats at threshold `minRun` (power of
@@ -121,5 +129,51 @@ object SuffixArray {
     nTok.join(dupStarts, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_tokens"),
         coalesce(col("__dups"), lit(0L)).as("n_dup_starts"))
+  }
+
+  /** Per-doc LONGEST-duplicated-run profile at power-of-two
+    * resolution — the contamination-forensics question ("how LONG is
+    * the longest span this doc shares with anything in the corpus?")
+    * that a single fixed threshold can't answer: `(doc_id, n_tokens,
+    * max_dup_run, n_dup_starts_at_max)` where `max_dup_run` is the
+    * largest L ∈ {2, 4, …, maxRun} at which the doc still has a
+    * duplicated-run start (0 if none at any threshold) and
+    * `n_dup_starts_at_max` counts its starts at that L.
+    *
+    * One doubling chain serves every threshold: after round k the
+    * rank groups ARE the 2^k verdicts, so the per-round extra work is
+    * one group-count filter + join-back + per-doc count — the same
+    * keyed shapes as [[dupRunStats]], reusing the checkpointed round
+    * table instead of re-running the chain per threshold (log₂(L)
+    * thresholds for the price of one chain). The final argmax is
+    * one `max(struct(run_len, n))` per doc — run lengths are distinct
+    * per round, so the lexicographic struct max picks the deepest
+    * round and carries its count, the q69 keeper pattern. */
+  def dupRunProfile(df: DataFrame, idCol: String, textCol: String,
+                    maxRun: Int = 16): DataFrame = {
+    require(maxRun >= 2 && (maxRun & (maxRun - 1)) == 0,
+      s"maxRun must be a power of two >= 2 (got $maxRun)")
+    val rounds = java.lang.Integer.numberOfTrailingZeros(maxRun)
+    val perRound = doublingRounds(df, idCol, textCol, rounds)
+      .map { case (k, ranks) =>
+        val groups = ranks.groupBy(col("r"))
+          .agg(count(lit(1)).as("__members"))
+          .filter(col("__members") >= 2L)
+          .select(col("r"))
+        ranks.join(groups, "r")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("run_len", lit(1L << k))
+      }
+    val best = perRound.reduce(_ unionByName _)
+      .groupBy(col("doc_id"))
+      .agg(max(struct(col("run_len"), col("n"))).as("__m"))
+    val nTok = df.select(col(idCol).as("doc_id"),
+      size(Analyzer.tokenize(coalesce(col(textCol), lit(""))))
+        .cast("long").as("n_tokens"))
+    nTok.join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("__m.run_len"), lit(0L)).as("max_dup_run"),
+        coalesce(col("__m.n"), lit(0L)).as("n_dup_starts_at_max"))
   }
 }

@@ -63,6 +63,44 @@ class SuffixArraySpec extends SparkSpec {
     }
   }
 
+  test("profile: max_dup_run picks the deepest surviving threshold") {
+    val run16 = (1 to 16).map(i => s"b$i").mkString(" ")
+    val run4 = "c1 c2 c3 c4"
+    val docs = Seq(
+      (1L, s"$run16 x"),              // shares 16-run with doc 2
+      (2L, s"y $run16"),
+      (3L, s"$run4 z1 z2 $run4"),     // within-doc 4-run, nothing longer
+      (4L, "w1 w2 w3 w4 w5 w6 w7 w8") // all unique: no dup at any L
+    ).toDF("doc_id", "text")
+    val out = SuffixArray.dupRunProfile(docs, "doc_id", "text", maxRun = 16)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    // docs 1/2: the 16-run survives round 4 → max_dup_run 16, 1 start.
+    // doc 3: 4-run survives round 2 only → max 4; starts at L=4: pos 1
+    //   and pos 7 → 2. doc 4: zero everywhere.
+    assert(out.map(r => (r._1, r._3, r._4)).toSeq ==
+      Seq((1L, 16L, 1L), (2L, 16L, 1L), (3L, 4L, 2L), (4L, 0L, 0L)))
+  }
+
+  test("profile agrees with dupRunStats at each fixed threshold") {
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val prof = SuffixArray.dupRunProfile(docs, "doc_id", "text", maxRun = 8)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._3, r._4)).toMap
+    // For every threshold L: docs with max_dup_run >= L must be EXACTLY
+    // the docs dupRunStats(L) reports with n_dup_starts > 0, and at
+    // L == max_dup_run the start counts must agree.
+    Seq(2, 4, 8).foreach { l =>
+      val stats = SuffixArray.dupRunStats(docs, "doc_id", "text", minRun = l)
+        .as[(Long, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+      stats.foreach { case (id, n) =>
+        val (mx, nAtMax) = prof(id)
+        assert((n > 0) == (mx >= l), s"doc $id at L=$l: stats n=$n, max=$mx")
+        if (mx == l) assert(nAtMax == n,
+          s"doc $id: n_at_max $nAtMax != dupRunStats($l) $n")
+      }
+    }
+  }
+
   test("partitioning invariance") {
     val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
     val a = SuffixArray.dupRunStats(docs, "doc_id", "text")
