@@ -847,8 +847,29 @@ object SparkEntry {
     // off the shared checkpointed rank tables, struct-max argmax.
     "q88_suffix_dup_profile" -> q((s, d) =>
       SuffixArray.dupRunProfile(Tables.documents(s, d), "doc_id", "text",
-        maxRun = 16))
+        maxRun = 16)),
+
+    // Aho-Corasick phrase blocklist: all patterns in ONE scan-local
+    // pass, zero shuffles — the C4 bad-words gate at token-sequence
+    // generality. Patterns deliberately overlap/nest ("table" inside
+    // "table table") to exercise the automaton's output links.
+    "q89_blocklist" -> q((s, d) =>
+      Blocklist.phraseMatches(Tables.documents(s, d), "doc_id", "text",
+        blockPhrases))
   ) ++ NonSqlQueries.queries
+
+  /** q89's phrase blocklist (literal so the oracle renders the same
+    * list): overlapping + nested + multi-length patterns over the
+    * corpus vocabulary. */
+  private val blockPhrases: Seq[Seq[String]] = Seq(
+    Seq("table"),
+    Seq("table", "table"),
+    Seq("key", "agg"),
+    Seq("scan", "slow"),
+    Seq("big", "big"),
+    Seq("customer", "query"),
+    Seq("merge", "batch", "part"),
+    Seq("fast", "fast", "fast"))
 
   // ---- DuckDB oracles -------------------------------------------------
 
@@ -2245,6 +2266,7 @@ object SparkEntry {
     // rounds ≡ the engine's sorted-distinct zipWithIndex ranks.
     "q87_suffix_dup_runs" -> OracleSuffix.q87Sql(minRun = 8),
     "q88_suffix_dup_profile" -> OracleSuffix.q88Sql(maxRun = 16),
+    "q89_blocklist" -> Blocklist.oracleSql(blockPhrases),
 
     // Unigram tokenizer replays (see OracleUnigram): the Viterbi DP
     // as exhaustive path enumeration + (score DESC, seg ASC) argmax.
