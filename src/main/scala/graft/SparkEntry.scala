@@ -855,7 +855,14 @@ object SparkEntry {
     // "table table") to exercise the automaton's output links.
     "q89_blocklist" -> q((s, d) =>
       Blocklist.phraseMatches(Tables.documents(s, d), "doc_id", "text",
-        blockPhrases))
+        blockPhrases)),
+
+    // Cross-slice contamination: per-doc-deduped 64-bit gram hashes
+    // (8 B keys, never strings), one collect_set shuffle bounded by
+    // the slice count per hash — the GPT-3 App. C overlap analysis.
+    "q90_cross_slice_overlap" -> q((s, d) =>
+      TextAnalysis.crossSliceOverlap(Tables.documents(s, d), "doc_id",
+        "text", "source", n = 8))
   ) ++ NonSqlQueries.queries
 
   /** q89's phrase blocklist (literal so the oracle renders the same
@@ -2267,6 +2274,42 @@ object SparkEntry {
     "q87_suffix_dup_runs" -> OracleSuffix.q87Sql(minRun = 8),
     "q88_suffix_dup_profile" -> OracleSuffix.q88Sql(maxRun = 16),
     "q89_blocklist" -> Blocklist.oracleSql(blockPhrases),
+
+    // Cross-slice gram hashes replayed with the x08 HUGEINT wrapping
+    // fold; slice-level distinct ≡ the engine's per-doc dedup +
+    // collect_set chain.
+    "q90_cross_slice_overlap" ->
+      """WITH t AS (
+           SELECT doc_id, COALESCE(source, '') AS source,
+             list_filter(regexp_split_to_array(lower(COALESCE(text, '')), '[^a-z0-9'']+'), x -> length(x) > 0) AS toks
+           FROM documents),
+         g AS (
+           SELECT source, unnest(CASE WHEN len(toks) < 8 THEN []
+             ELSE list_distinct([array_to_string(toks[i:i+7], ' ') FOR i IN generate_series(1, len(toks) - 7)]) END) AS gram
+           FROM t),
+         hh AS (
+           SELECT DISTINCT source,
+             CAST(hu - CASE WHEN hu >= CAST(9223372036854775808 AS HUGEINT)
+               THEN CAST(18446744073709551616 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END AS BIGINT) AS h
+           FROM (
+             SELECT source,
+               list_reduce(list_prepend(CAST(0 AS HUGEINT),
+                 [CAST(ord(gram[i]) AS HUGEINT) FOR i IN generate_series(1, length(gram))]),
+                 (a, c) -> (a * 31 + c) % CAST(18446744073709551616 AS HUGEINT)) AS hu
+             FROM g)),
+         cnt AS (SELECT h, count(*) AS c FROM hh GROUP BY h),
+         per AS (
+           SELECT source, CAST(count(*) AS BIGINT) AS n_grams,
+             CAST(count(*) FILTER (WHERE c >= 2) AS BIGINT) AS n_shared
+           FROM hh JOIN cnt USING (h) GROUP BY source),
+         nd AS (
+           SELECT COALESCE(source, '') AS source,
+             CAST(count(*) AS BIGINT) AS n_docs
+           FROM documents GROUP BY 1)
+         SELECT nd.source, nd.n_docs,
+           COALESCE(per.n_grams, 0) AS n_grams,
+           COALESCE(per.n_shared, 0) AS n_shared
+         FROM nd LEFT JOIN per USING (source)""",
 
     // Unigram tokenizer replays (see OracleUnigram): the Viterbi DP
     // as exhaustive path enumeration + (score DESC, seg ASC) argmax.

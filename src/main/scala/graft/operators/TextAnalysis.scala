@@ -643,4 +643,50 @@ object TextAnalysis {
         min(col("n_tokens")).as("min_tokens"),
         max(col("n_tokens")).as("max_tokens"),
         sum(col("n_tokens")).as("sum_tokens"))
+
+  // ---- cross-slice contamination ---------------------------------------
+
+  private def sliceGramHashUdf(n: Int) = udf { (toks: Seq[String]) =>
+    if (toks.length < n) Seq.empty[Long]
+    else toks.sliding(n).map(g => rollingHashOf(g.mkString(" ")))
+      .toArray.distinct.toSeq
+  }
+
+  /** Cross-slice n-gram contamination report (the train/test-overlap
+    * analysis of Brown et al. 2020 App. C and Dodge et al. 2021 §4.2,
+    * lifted to arbitrary corpus slices): per slice, how many of its
+    * DISTINCT n-grams also occur in at least one OTHER slice. Output
+    * `(source, n_docs, n_grams, n_shared)` — the shared/total ratio is
+    * the published contamination rate.
+    *
+    * Scale shape: grams are per-doc-deduped 64-bit [[rollingHashOf]]
+    * keys (never gram strings — q67's lesson), so the ONE wide shuffle
+    * carries ≤ n_grams × 8 B with map-side `collect_set` partials;
+    * the per-hash slice set is bounded by the slice count (a corpus
+    * has tens of sources, not millions), and the final per-slice agg
+    * moves slices × grams rows of integers. Nothing is driver-sized.
+    * The hash key replays exactly in DuckDB (HUGEINT wrapping fold,
+    * the x08 template), which is what lets q90 hash-gate the whole
+    * report; collision odds at 64 bits are the documented n²/2⁶⁵. */
+  def crossSliceOverlap(df: DataFrame, idCol: String, textCol: String,
+                        sliceCol: String, n: Int = 8): DataFrame = {
+    require(n >= 1, s"n must be >= 1 (got $n)")
+    val inv = df.select(
+        coalesce(col(sliceCol), lit("")).as("source"),
+        explode(sliceGramHashUdf(n)(
+          Analyzer.tokenize(coalesce(col(textCol), lit(""))))).as("h"))
+    val perHash = inv.groupBy(col("h"))
+      .agg(collect_set(col("source")).as("__ss"))
+    val gramStats = perHash
+      .select(explode(col("__ss")).as("source"),
+        when(size(col("__ss")) >= 2, 1L).otherwise(0L).as("__shared"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_grams"), sum(col("__shared")).as("n_shared"))
+    val nDocs = df.groupBy(coalesce(col(sliceCol), lit("")).as("source"))
+      .agg(count(lit(1)).as("n_docs"))
+    nDocs.join(gramStats, Seq("source"), "left")
+      .select(col("source"), col("n_docs"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"))
+  }
 }
