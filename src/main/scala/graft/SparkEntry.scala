@@ -862,7 +862,13 @@ object SparkEntry {
     // the slice count per hash — the GPT-3 App. C overlap analysis.
     "q90_cross_slice_overlap" -> q((s, d) =>
       TextAnalysis.crossSliceOverlap(Tables.documents(s, d), "doc_id",
-        "text", "source", n = 8))
+        "text", "source", n = 8)),
+
+    // Integer-exact char-unigram entropy (micro-nat·char units): one
+    // (doc,char)-keyed count agg collapsing map-side to alphabet
+    // width, every ln on the shared micro-nat grid.
+    "q91_char_entropy" -> q((s, d) =>
+      TextAnalysis.charEntropy(Tables.documents(s, d), "doc_id", "text"))
   ) ++ NonSqlQueries.queries
 
   /** q89's phrase blocklist (literal so the oracle renders the same
@@ -2310,6 +2316,30 @@ object SparkEntry {
            COALESCE(per.n_grams, 0) AS n_grams,
            COALESCE(per.n_shared, 0) AS n_shared
          FROM nd LEFT JOIN per USING (source)""",
+
+    // Char-entropy replay: same per-char counts, same micro-nat ln
+    // grid, BIGINT arithmetic end to end.
+    "q91_char_entropy" ->
+      """WITH ch AS (
+           SELECT doc_id, unnest([COALESCE(text, '')[i]
+             FOR i IN generate_series(1, length(COALESCE(text, '')))]) AS c
+           FROM documents),
+         cnt AS (
+           SELECT doc_id, c, CAST(count(*) AS BIGINT) AS n
+           FROM ch GROUP BY doc_id, c),
+         per AS (
+           SELECT doc_id,
+             CAST(sum(n) AS BIGINT) AS n_chars,
+             CAST(count(*) AS BIGINT) AS n_distinct_chars,
+             CAST(sum(n * CAST(floor(ln(CAST(n AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS st
+           FROM cnt GROUP BY doc_id)
+         SELECT d.doc_id,
+           COALESCE(per.n_chars, 0) AS n_chars,
+           COALESCE(per.n_distinct_chars, 0) AS n_distinct_chars,
+           COALESCE(per.n_chars
+             * CAST(floor(ln(CAST(per.n_chars AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)
+             - per.st, 0) AS entropy_micro_total
+         FROM documents d LEFT JOIN per USING (doc_id)""",
 
     // Unigram tokenizer replays (see OracleUnigram): the Viterbi DP
     // as exhaustive path enumeration + (score DESC, seg ASC) argmax.

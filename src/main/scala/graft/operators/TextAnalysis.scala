@@ -689,4 +689,47 @@ object TextAnalysis {
         coalesce(col("n_grams"), lit(0L)).as("n_grams"),
         coalesce(col("n_shared"), lit(0L)).as("n_shared"))
   }
+
+  // ---- character entropy -----------------------------------------------
+
+  /** Per-doc character-unigram Shannon entropy — the cheap gibberish /
+    * binary-junk detector of the published quality stacks (low entropy
+    * = repetitive filler like "aaaa…", high = uniform noise; natural
+    * text sits in a narrow band), kept INTEGER-EXACT for the oracle:
+    * with n total chars and per-char counts c,
+    *   `entropy_micro_total = n·lnq(n) − Σ c·lnq(c)`
+    * in micro-nat·char units (divide by n for nats/char), where lnq is
+    * the engine-wide micro-nat grid `floor(ln·1e6 + 0.5)` — every ln
+    * is taken on a small integer COUNT (the LmScore pattern), every
+    * sum is a BIGINT across shuffles.
+    *
+    * Scale shape: explode to (doc, char) → ONE count agg whose
+    * map-side combine collapses to ≤ alphabet rows per doc per
+    * partition, then a doc-keyed integer agg. Chars are compared as
+    * UTF-16 code units (Spark `split`) / code points (DuckDB) — equal
+    * on the BMP text this engine targets. */
+  def charEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    def lnq(x: Column): Column =
+      floor(log(x) * 1000000.0 + 0.5).cast("long")
+    val perChar = df
+      .select(col(idCol).as("doc_id"),
+        explode(split(coalesce(col(textCol), lit("")), "")).as("ch"))
+      .filter(col("ch") =!= "") // split("","") yields [""]
+      .groupBy(col("doc_id"), col("ch"))
+      .agg(count(lit(1)).as("c"))
+    val perDoc = perChar.groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_chars"),
+        count(lit(1)).as("n_distinct_chars"),
+        sum(col("c") * lnq(col("c"))).as("__sum_terms"))
+      .select(col("doc_id"), col("n_chars"), col("n_distinct_chars"),
+        (col("n_chars") * lnq(col("n_chars")) - col("__sum_terms"))
+          .as("entropy_micro_total"))
+    df.select(col(idCol).as("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_chars"), lit(0L)).as("n_chars"),
+        coalesce(col("n_distinct_chars"), lit(0L)).as("n_distinct_chars"),
+        coalesce(col("entropy_micro_total"), lit(0L))
+          .as("entropy_micro_total"))
+  }
 }
