@@ -54,7 +54,7 @@ object Similarity {
   def cosineFast(a: Column, b: Column): Column =
     graft.functions.CosineSimExpr(a, b)
 
-  private def asDouble(c: Column): Column = c.cast("array<double>")
+  private[graft] def asDouble(c: Column): Column = c.cast("array<double>")
 
   /** Exact cosine top-k against a query vector (one scan, per-partition
     * top-k via TakeOrderedAndProject — no global sort). Ties broken by
@@ -235,7 +235,7 @@ object Similarity {
   private[graft] val assignUdf = udf { (v: Seq[Double], cents: Seq[org.apache.spark.sql.Row]) =>
     ivfAssignOf(v, centsOf(cents))
   }
-  private val probeUdf = udf { (v: Seq[Double], cents: Seq[org.apache.spark.sql.Row], nprobe: Int) =>
+  private[graft] val probeUdf = udf { (v: Seq[Double], cents: Seq[org.apache.spark.sql.Row], nprobe: Int) =>
     ivfProbeOf(v, centsOf(cents), nprobe)
   }
 
@@ -467,17 +467,25 @@ object Similarity {
     * the write), and [[ivfTopKAtRest]] reads back only `nprobe`
     * directories — at 100 TB, the difference between scanning
     * everything and scanning nprobe/numCells of it. */
-  def writeIvfPartitioned(df: DataFrame, idCol: String, vecCol: String,
-                          centroids: DataFrame, dir: String): Unit = {
+  /** The corpus with its IVF `cell` column — the in-memory form of
+    * [[writeIvfPartitioned]]'s assignment (same scan-local broadcast
+    * argmax), for consumers that join on the cell without an at-rest
+    * layout (e.g. the streaming serving path, AnnStream). */
+  def withCells(df: DataFrame, vecCol: String,
+                centroids: DataFrame): DataFrame = {
     val cents = centroids
       .agg(collect_list(struct(col("cid"), col("cvec"))).as("cents"))
       .localCheckpoint() // broadcast of a live subtree re-runs it per exchange
     df.crossJoin(broadcast(cents))
       .withColumn("cell", assignUdf(asDouble(col(vecCol)), col("cents")))
       .drop("cents")
+  }
+
+  def writeIvfPartitioned(df: DataFrame, idCol: String, vecCol: String,
+                          centroids: DataFrame, dir: String): Unit =
+    withCells(df, vecCol, centroids)
       .repartition(col("cell"))
       .write.partitionBy("cell").mode("overwrite").parquet(dir)
-  }
 
   /** IVF top-k over a [[writeIvfPartitioned]] layout: pick the query's
     * `nprobe` nearest cells, read ONLY those cell directories
