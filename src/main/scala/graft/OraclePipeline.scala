@@ -16,7 +16,55 @@ object OraclePipeline {
 
   /** q74: funnel counts for Config(lineRequireTerminalPunct = false),
     * bench = doc_id % 97 = 0, defaults otherwise. */
-  def q74Sql: String =
+  def q74Sql: String = funnelSql(Seq.empty, 0L)
+
+  /** q92: the extended recipe — q74's funnel plus the C4 bad-words
+    * stage (Blocklist replay, exhaustive per-position comparison over
+    * the CLEANED tokens) and the q91 entropy floor (integer micro-nat
+    * comparison, no division). */
+  def q92Sql(blockPhrases: Seq[Seq[String]],
+             minEntropyMicroPerChar: Long): String =
+    funnelSql(blockPhrases, minEntropyMicroPerChar)
+
+  private def funnelSql(blockPhrases: Seq[Seq[String]],
+                        minEntropyMicroPerChar: Long): String = {
+    val blCte = if (blockPhrases.isEmpty) "" else {
+      val terms = blockPhrases.map { p =>
+        p.foreach(t => require(t.matches("[a-z0-9']+"), s"bad token: $t"))
+        val lit = s"[${p.map(t => s"'$t'").mkString(", ")}]"
+        s"""CASE WHEN len(toks) >= ${p.length} THEN
+              len(list_filter([i FOR i IN generate_series(1, len(toks) - ${p.length} + 1)],
+                i -> toks[i:i + ${p.length} - 1] = $lit))
+            ELSE 0 END"""
+      }.mkString(" + ")
+      s"""bl AS (SELECT doc_id, ($terms) AS n_matches FROM tk),"""
+    }
+    val entCte = if (minEntropyMicroPerChar <= 0L) "" else
+      s"""enc AS (
+           SELECT doc_id, unnest([clean[i] FOR i IN generate_series(1, length(clean))]) AS c
+           FROM ln),
+         ecnt AS (SELECT doc_id, c, CAST(count(*) AS BIGINT) AS n FROM enc GROUP BY doc_id, c),
+         en AS (
+           SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_chars,
+             CAST(sum(n * CAST(floor(ln(CAST(n AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS st
+           FROM ecnt GROUP BY doc_id),"""
+    val blVerdict = if (blockPhrases.isEmpty) ""
+      else "bl.n_matches = 0 AS v_blocklist,"
+    val entVerdict = if (minEntropyMicroPerChar <= 0L) ""
+      else s"""COALESCE(en.n_chars
+             * CAST(floor(ln(CAST(en.n_chars AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)
+             - en.st >= $minEntropyMicroPerChar * en.n_chars, TRUE) AS v_entropy,"""
+    val blJoin = if (blockPhrases.isEmpty) "" else " JOIN bl USING (doc_id)"
+    val entJoin = if (minEntropyMicroPerChar <= 0L) ""
+      else " LEFT JOIN en USING (doc_id)"
+    val stages = Seq("v_clean", "v_lang", "v_quality", "v_repetition") ++
+      (if (blockPhrases.nonEmpty) Seq("v_blocklist") else Nil) ++
+      (if (minEntropyMicroPerChar > 0L) Seq("v_entropy") else Nil) ++
+      Seq("v_dedup", "v_decontam")
+    val cascade = stages.zipWithIndex.map { case (s, i) =>
+      val cond = stages.take(i + 1).mkString(" AND ")
+      s"CAST(sum(CASE WHEN $cond THEN 1 ELSE 0 END) AS BIGINT) AS after_$s"
+    }.mkString(",\n         ")
     s"""WITH RECURSIVE
        raw AS (SELECT doc_id, COALESCE(text, '') AS text FROM documents WHERE doc_id % 97 <> 0),
        -- C4 line rules, terminal-punct off: keep lines with >= 3
@@ -120,24 +168,24 @@ object OraclePipeline {
          SELECT cg.doc_id, COALESCE(hits.n, 0) > 0 AS contaminated
          FROM cg LEFT JOIN hits ON cg.doc_id = hits.doc_id
          WHERE NOT cg.bench),
+       $blCte
+       $entCte
        v AS (
          SELECT ln.doc_id,
            length(trim(ln.clean)) > 0 AS v_clean,
            lg.lang_pred = 'en' AS v_lang,
            ql.q_score = 1.0 AS v_quality,
            rp.dup_unigram_frac <= 0.3 AND rp.top_bigram_frac <= 0.18 AS v_repetition,
+           $blVerdict
+           $entVerdict
            dd.v_dedup AS v_dedup,
            NOT cm.contaminated AS v_decontam
          FROM ln
          JOIN lg USING (doc_id) JOIN ql USING (doc_id) JOIN rp USING (doc_id)
-         JOIN dd USING (doc_id) JOIN cm USING (doc_id))
+         JOIN dd USING (doc_id) JOIN cm USING (doc_id)$blJoin$entJoin)
        SELECT
          CAST(count(*) AS BIGINT) AS input,
-         CAST(sum(CASE WHEN v_clean THEN 1 ELSE 0 END) AS BIGINT) AS after_v_clean,
-         CAST(sum(CASE WHEN v_clean AND v_lang THEN 1 ELSE 0 END) AS BIGINT) AS after_v_lang,
-         CAST(sum(CASE WHEN v_clean AND v_lang AND v_quality THEN 1 ELSE 0 END) AS BIGINT) AS after_v_quality,
-         CAST(sum(CASE WHEN v_clean AND v_lang AND v_quality AND v_repetition THEN 1 ELSE 0 END) AS BIGINT) AS after_v_repetition,
-         CAST(sum(CASE WHEN v_clean AND v_lang AND v_quality AND v_repetition AND v_dedup THEN 1 ELSE 0 END) AS BIGINT) AS after_v_dedup,
-         CAST(sum(CASE WHEN v_clean AND v_lang AND v_quality AND v_repetition AND v_dedup AND v_decontam THEN 1 ELSE 0 END) AS BIGINT) AS after_v_decontam
+         $cascade
        FROM v"""
+  }
 }

@@ -868,8 +868,26 @@ object SparkEntry {
     // (doc,char)-keyed count agg collapsing map-side to alphabet
     // width, every ln on the shared micro-nat grid.
     "q91_char_entropy" -> q((s, d) =>
-      TextAnalysis.charEntropy(Tables.documents(s, d), "doc_id", "text"))
+      TextAnalysis.charEntropy(Tables.documents(s, d), "doc_id", "text")),
+
+    // The EXTENDED corpus funnel: q74's recipe plus the C4 bad-words
+    // stage (Aho-Corasick, scan-local) and the q91 entropy floor
+    // (integer micro-nat comparison) — two new verdict columns, zero
+    // new shuffles, and the whole composition still hash-replays.
+    "q92_corpus_funnel_ext" -> q((s, d) =>
+      plans.CorpusPipeline.funnel(plans.CorpusPipeline.withVerdicts(
+        Tables.documents(s, d), "doc_id", "text",
+        col("doc_id") % 97 === 0,
+        plans.CorpusPipeline.Config(
+          lineRequireTerminalPunct = false, contamViaBloom = false,
+          blockPhrases = funnelBlockPhrases,
+          minEntropyMicroPerChar = 2800000L))))
   ) ++ NonSqlQueries.queries
+
+  /** q92's bad-words stage (literal so the oracle renders the same
+    * list; hit rates measured non-trivial on the synthetic corpus). */
+  private val funnelBlockPhrases: Seq[Seq[String]] = Seq(
+    Seq("table", "table"), Seq("big", "big"), Seq("scan", "slow"))
 
   /** q89's phrase blocklist (literal so the oracle renders the same
     * list): overlapping + nested + multi-length patterns over the
@@ -2434,6 +2452,8 @@ object SparkEntry {
          HAVING count(*) >= 2""",
 
     "q74_corpus_funnel" -> OraclePipeline.q74Sql,
+    "q92_corpus_funnel_ext" ->
+      OraclePipeline.q92Sql(funnelBlockPhrases, 2800000L),
 
     // Vocab-coverage replay: same (freq desc, token) total order for
     // rank/limit/cumsum; coverage = division of identical BIGINTs.

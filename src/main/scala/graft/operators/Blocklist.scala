@@ -92,6 +92,19 @@ object Blocklist {
     }
   }
 
+  /** The match kernel as a bare column over a text column — for
+    * verdict-columns composition (CorpusPipeline's C4 bad-words
+    * stage): a struct `(n_matches, n_patterns_hit)` computed in the
+    * same single scan-local automaton pass as [[phraseMatches]]. */
+  def matchColumn(text: org.apache.spark.sql.Column,
+                  patterns: Seq[Seq[String]]): org.apache.spark.sql.Column = {
+    require(patterns.nonEmpty && patterns.forall(_.nonEmpty),
+      "patterns must be non-empty token sequences")
+    val ac = new Ac(patterns.map(_.toArray).toArray)
+    val m = udf { (toks: Seq[String]) => ac.run(toks) }
+    m(Analyzer.tokenize(coalesce(text, lit(""))))
+  }
+
   /** Per-doc blocklist report: `(doc_id, n_tokens, n_matches,
     * n_patterns_hit)` — total pattern occurrences (overlaps and
     * nestings counted) and distinct patterns present. Gate with

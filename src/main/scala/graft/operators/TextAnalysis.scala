@@ -708,6 +708,37 @@ object TextAnalysis {
     * partition, then a doc-keyed integer agg. Chars are compared as
     * UTF-16 code units (Spark `split`) / code points (DuckDB) — equal
     * on the BMP text this engine targets. */
+  /** Scan-local kernel of [[charEntropy]]: the same micro-nat value
+    * from a per-doc histogram inside one UDF pass (StrictMath.log —
+    * the fdlibm ln Catalyst's `log` codegens to, so the value is
+    * bit-identical to the aggregation form; proven on real data in
+    * CharEntropySpec). Returns (n_chars, n_distinct, entropy_micro).
+    * For verdict-columns composition where an explode+agg would break
+    * the one-scan plan (CorpusPipeline). */
+  private[graft] def charEntropyOf(text: String): (Long, Long, Long) = {
+    if (text == null || text.isEmpty) return (0L, 0L, 0L)
+    def lnq(x: Long): Long =
+      math.floor(StrictMath.log(x.toDouble) * 1000000.0 + 0.5).toLong
+    val counts = new scala.collection.mutable.HashMap[Char, Long]
+    var i = 0
+    while (i < text.length) {
+      val c = text.charAt(i)
+      counts.update(c, counts.getOrElse(c, 0L) + 1L)
+      i += 1
+    }
+    val n = text.length.toLong
+    var st = 0L
+    counts.valuesIterator.foreach(c => st += c * lnq(c))
+    (n, counts.size.toLong, n * lnq(n) - st)
+  }
+
+  private val charEntropyUdf = udf { (text: String) => charEntropyOf(text) }
+
+  /** Column form of [[charEntropyOf]]: struct `(_1 n_chars,
+    * _2 n_distinct_chars, _3 entropy_micro_total)`. */
+  def charEntropyColumn(text: Column): Column =
+    charEntropyUdf(coalesce(text, lit("")))
+
   def charEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     def lnq(x: Column): Column =
       floor(log(x) * 1000000.0 + 0.5).cast("long")

@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, DedupApprox, Export, TextAnalysis}
+import graft.operators.{Blocklist, Dedup, DedupApprox, Export, TextAnalysis}
 
 /** The canonical pretraining-corpus prep recipe — the published
   * pipeline order (C4, Raffel et al. 2020 §2.2; CCNet, Wenzek et al.
@@ -62,6 +62,15 @@ object CorpusPipeline {
       // the q68 size); the exact path is what the q74 composition
       // oracle replays, bit-for-bit at any size
       contamViaBloom: Boolean = true,
+      // C4 §2.2 bad-words stage: token-sequence phrases matched by
+      // the Aho–Corasick pass (Blocklist). Empty = stage off (and
+      // absent from the verdict columns / funnel).
+      blockPhrases: Seq[Seq[String]] = Seq.empty,
+      // minimum char entropy in micro-nats PER CHAR (gibberish /
+      // filler floor, q91's integer-exact signal); the gate compares
+      // entropy_micro_total >= min × n_chars — no division, so it
+      // replays exactly. 0 = stage off.
+      minEntropyMicroPerChar: Long = 0L,
       numShards: Int = 8)
 
   /** Annotate every NON-benchmark doc with per-stage verdicts.
@@ -105,7 +114,7 @@ object CorpusPipeline {
           n = cfg.contamN))
       .select(col(idCol), col("contaminated"))
 
-    annotated
+    val joined = annotated
       .join(dedupVerdicts, Seq(idCol))
       .join(contam, Seq(idCol))
       .withColumn("v_clean", length(trim(col("text_clean"))) > 0)
@@ -115,17 +124,37 @@ object CorpusPipeline {
         col("dup_unigram_frac") <= cfg.maxDupUnigramFrac &&
           col("top_bigram_frac") <= cfg.maxTopBigramFrac)
       .withColumn("v_decontam", !col("contaminated"))
-      .withColumn("keep",
-        col("v_clean") && col("v_lang") && col("v_quality") &&
-          col("v_repetition") && col("v_dedup") && col("v_decontam"))
+    // optional scan-local stages (absent columns when off, so the
+    // base recipe's plan — and q74's oracle — are untouched)
+    val withBl = if (cfg.blockPhrases.isEmpty) joined
+      else joined
+        .withColumn("bl_matches",
+          Blocklist.matchColumn(col("text_clean"), cfg.blockPhrases)("_1"))
+        .withColumn("v_blocklist", col("bl_matches") === 0L)
+    val withEnt = if (cfg.minEntropyMicroPerChar <= 0L) withBl
+      else withBl
+        .withColumn("__ent", TextAnalysis.charEntropyColumn(col("text_clean")))
+        .withColumn("ent_n_chars", col("__ent._1"))
+        .withColumn("ent_micro_total", col("__ent._3"))
+        .drop("__ent")
+        .withColumn("v_entropy", col("ent_micro_total") >=
+          lit(cfg.minEntropyMicroPerChar) * col("ent_n_chars"))
+    val present = stageOrder.filter(withEnt.columns.contains)
+    withEnt.withColumn("keep", present.map(col).reduce(_ && _))
   }
+
+  /** Canonical causal stage order (mirrors the published recipes:
+    * page-level filters before dedup, decontamination last). */
+  private val stageOrder = Seq("v_clean", "v_lang", "v_quality",
+    "v_repetition", "v_blocklist", "v_entropy", "v_dedup", "v_decontam")
 
   /** The attrition funnel as ONE aggregate over the verdict plan:
     * docs surviving each stage, counted causally (stage N counts only
-    * docs that passed stages 1..N-1). */
+    * docs that passed stages 1..N-1). Only stages present in the
+    * verdict columns appear (optional stages are dropped, not
+    * always-true). */
   def funnel(verdicts: DataFrame): DataFrame = {
-    val stages = Seq("v_clean", "v_lang", "v_quality", "v_repetition",
-      "v_dedup", "v_decontam")
+    val stages = stageOrder.filter(verdicts.columns.contains)
     val cascades = stages.zipWithIndex.map { case (s, i) =>
       val cond = stages.take(i + 1).map(col).reduce(_ && _)
       sum(when(cond, 1L).otherwise(0L)).as(s"after_$s")

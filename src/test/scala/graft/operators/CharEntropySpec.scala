@@ -32,6 +32,19 @@ class CharEntropySpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 0L, 0L, 0L), (2L, 0L, 0L, 0L)))
   }
 
+  test("scan-local UDF kernel ≡ the aggregation form on real data") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val agg = TextAnalysis.charEntropy(docs, "doc_id", "text")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val udfForm = docs
+      .select(col("doc_id"),
+        TextAnalysis.charEntropyColumn(col("text")).as("e"))
+      .select(col("doc_id"), col("e._1"), col("e._2"), col("e._3"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(udfForm == agg)
+  }
+
   test("partitioning invariance on real data") {
     val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
     val a = TextAnalysis.charEntropy(docs, "doc_id", "text")

@@ -59,6 +59,35 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(unexplained == 0L)
   }
 
+  test("optional stages: off = absent columns, on = gating verdicts") {
+    // base config produces NO blocklist/entropy columns (q74's plan
+    // is untouched by the round-6 extension)
+    assert(!verdicts.columns.contains("v_blocklist"))
+    assert(!verdicts.columns.contains("v_entropy"))
+
+    val extCfg = cfg.copy(
+      blockPhrases = Seq(Seq("table", "table"), Seq("big", "big")),
+      minEntropyMicroPerChar = 2800000L)
+    val ext = CorpusPipeline.withVerdicts(docs, "doc_id", "text",
+      isBench, extCfg).cache()
+    // verdicts match their evidence columns row by row
+    assert(ext.filter($"v_blocklist" =!= ($"bl_matches" === 0L)).count() == 0L)
+    assert(ext.filter($"v_entropy" =!=
+      ($"ent_micro_total" >= lit(2800000L) * $"ent_n_chars")).count() == 0L)
+    // both stages gate: some docs fail each, and keep requires them
+    assert(ext.filter(!$"v_blocklist").count() > 0L)
+    assert(ext.filter(!$"v_entropy").count() > 0L)
+    assert(ext.filter($"keep" && (!$"v_blocklist" || !$"v_entropy"))
+      .count() == 0L)
+    // funnel gains the two causal columns, between repetition and dedup
+    val f = CorpusPipeline.funnel(ext).columns.toSeq
+    assert(f.indexOf("after_v_blocklist") == f.indexOf("after_v_repetition") + 1)
+    assert(f.indexOf("after_v_entropy") == f.indexOf("after_v_blocklist") + 1)
+    // and base-config funnel columns are exactly the pre-extension set
+    assert(!CorpusPipeline.funnel(verdicts).columns.exists(
+      c => c.contains("blocklist") || c.contains("entropy")))
+  }
+
   test("materialize round-trips: shards on disk match the manifest") {
     val dir = java.nio.file.Files.createTempDirectory("corpus-out").toString
     val manifest = CorpusPipeline.materialize(verdicts, "doc_id", dir, cfg)
