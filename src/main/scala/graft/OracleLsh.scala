@@ -118,6 +118,20 @@ object OracleLsh {
        SELECT wc.doc_id, wc.comp, wc.score, wc.doc_id = k.keeper AS keep
        FROM wc JOIN k ON wc.comp = k.comp"""
 
+  /** One side's doc → band-key chain over an arbitrary source table
+    * (doc_id, text), name-prefixed — the generalized [[sideCtes]] the
+    * q93 delta-funnel oracle builds its standing side with. */
+  private[graft] def sideCtesOver(pfx: String, src: String,
+                                  shingleN: Int = 3, numHashes: Int = 64,
+                                  bands: Int = 16): String =
+    s"""${pfx}0 AS (SELECT doc_id, $toksSql AS toks FROM $src),
+       ${pfx}1 AS (SELECT doc_id, $th31Sql AS th FROM ${pfx}0),
+       ${pfx}2 AS (SELECT doc_id, ${shinglesSql(shingleN)} AS shs FROM ${pfx}1),
+       ${pfx}3 AS (SELECT doc_id, shs, ${sigSql(numHashes)} AS sig FROM ${pfx}2),
+       ${pfx}banded AS (
+         SELECT doc_id, gs.i AS band, (${bandsSql(bands, numHashes / bands)})[gs.i] AS bh
+         FROM ${pfx}3, generate_series(1, $bands) AS gs(i))"""
+
   /** One side's doc → band-key chain, name-prefixed: the x09 t0..t3 +
     * banded pipeline over a filtered slice of `documents`. */
   private def sideCtes(pfx: String, where: String, shingleN: Int,

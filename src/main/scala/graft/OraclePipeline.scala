@@ -6,9 +6,11 @@ package graft
   * repetition, q58 line rules, x18/q69 LSH pairs + components +
   * quality keeper via [[OracleLsh]], q54/q68 n-gram decontamination),
   * re-based onto the pipeline's cleaned-text column where the engine
-  * does the same. The final funnel row is seven BIGINTs — a
+  * does the same. The final funnel row is one row of BIGINTs — a
   * hash-match here certifies the whole recipe's composition, not just
-  * its parts. */
+  * its parts. q93 replays the INCREMENTAL form: the same scan-local
+  * stages over the delta, x28's delta-vs-index band probe for the
+  * standing matches, and the immutable-standing dedup policy. */
 object OraclePipeline {
 
   private def toks(of: String) =
@@ -26,47 +28,12 @@ object OraclePipeline {
              minEntropyMicroPerChar: Long): String =
     funnelSql(blockPhrases, minEntropyMicroPerChar)
 
-  private def funnelSql(blockPhrases: Seq[Seq[String]],
-                        minEntropyMicroPerChar: Long): String = {
-    val blCte = if (blockPhrases.isEmpty) "" else {
-      val terms = blockPhrases.map { p =>
-        p.foreach(t => require(t.matches("[a-z0-9']+"), s"bad token: $t"))
-        val lit = s"[${p.map(t => s"'$t'").mkString(", ")}]"
-        s"""CASE WHEN len(toks) >= ${p.length} THEN
-              len(list_filter([i FOR i IN generate_series(1, len(toks) - ${p.length} + 1)],
-                i -> toks[i:i + ${p.length} - 1] = $lit))
-            ELSE 0 END"""
-      }.mkString(" + ")
-      s"""bl AS (SELECT doc_id, ($terms) AS n_matches FROM tk),"""
-    }
-    val entCte = if (minEntropyMicroPerChar <= 0L) "" else
-      s"""enc AS (
-           SELECT doc_id, unnest([clean[i] FOR i IN generate_series(1, length(clean))]) AS c
-           FROM ln),
-         ecnt AS (SELECT doc_id, c, CAST(count(*) AS BIGINT) AS n FROM enc GROUP BY doc_id, c),
-         en AS (
-           SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_chars,
-             CAST(sum(n * CAST(floor(ln(CAST(n AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS st
-           FROM ecnt GROUP BY doc_id),"""
-    val blVerdict = if (blockPhrases.isEmpty) ""
-      else "bl.n_matches = 0 AS v_blocklist,"
-    val entVerdict = if (minEntropyMicroPerChar <= 0L) ""
-      else s"""COALESCE(en.n_chars
-             * CAST(floor(ln(CAST(en.n_chars AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)
-             - en.st >= $minEntropyMicroPerChar * en.n_chars, TRUE) AS v_entropy,"""
-    val blJoin = if (blockPhrases.isEmpty) "" else " JOIN bl USING (doc_id)"
-    val entJoin = if (minEntropyMicroPerChar <= 0L) ""
-      else " LEFT JOIN en USING (doc_id)"
-    val stages = Seq("v_clean", "v_lang", "v_quality", "v_repetition") ++
-      (if (blockPhrases.nonEmpty) Seq("v_blocklist") else Nil) ++
-      (if (minEntropyMicroPerChar > 0L) Seq("v_entropy") else Nil) ++
-      Seq("v_dedup", "v_decontam")
-    val cascade = stages.zipWithIndex.map { case (s, i) =>
-      val cond = stages.take(i + 1).mkString(" AND ")
-      s"CAST(sum(CASE WHEN $cond THEN 1 ELSE 0 END) AS BIGINT) AS after_$s"
-    }.mkString(",\n         ")
-    s"""WITH RECURSIVE
-       raw AS (SELECT doc_id, COALESCE(text, '') AS text FROM documents WHERE doc_id % 97 <> 0),
+  /** The scan-local stage CTEs over `documents WHERE $rawWhere`:
+    * C4 line rules (terminal-punct off) → cleaned/tk → x05 langid →
+    * x06 quality → q47 repetition. Emits raw, ln, cleaned, tk, lg,
+    * ql, rpb, rp. */
+  private def scanCtes(rawWhere: String): String =
+    s"""raw AS (SELECT doc_id, COALESCE(text, '') AS text FROM documents WHERE $rawWhere),
        -- C4 line rules, terminal-punct off: keep lines with >= 3
        -- space-words and no blocklist hit; join survivors with \\n
        ln AS (
@@ -125,16 +92,19 @@ object OraclePipeline {
          FROM tk),
        rp AS (
          SELECT b.doc_id, b.dup_unigram_frac,
-           coalesce(t2.top_bigram_frac, 0.0) AS top_bigram_frac
+           coalesce(t2b.top_bigram_frac, 0.0) AS top_bigram_frac
          FROM rpb b LEFT JOIN (
            SELECT doc_id, CAST(max(n) AS DOUBLE) / sum(n) AS top_bigram_frac
            FROM (SELECT doc_id, bg, count(*) AS n
                  FROM (SELECT doc_id, unnest(bgs) AS bg FROM rpb)
                  GROUP BY doc_id, bg)
-           GROUP BY doc_id) t2 ON b.doc_id = t2.doc_id),
-       -- x09/x18/q69 machinery over the cleaned text: pairs →
-       -- components → quality keeper (score = q_n_tokens)
-       ${OracleLsh.minhashPairsCtes(src = "cleaned")},
+           GROUP BY doc_id) t2b ON b.doc_id = t2b.doc_id)"""
+
+  /** x09/x18/q69 machinery over `cleaned`: pairs → components →
+    * quality keeper (score = q_n_tokens). Emits (among others) banded,
+    * t2, pairs, dd(doc_id, v_dedup). */
+  private def keeperCtes: String =
+    s"""${OracleLsh.minhashPairsCtes(src = "cleaned")},
        edges AS (
          SELECT id_a AS s, id_b AS d FROM pairs
          UNION SELECT id_b, id_a FROM pairs),
@@ -150,11 +120,14 @@ object OraclePipeline {
                   ROW_NUMBER() OVER (PARTITION BY comp ORDER BY score DESC, doc_id) AS rn
                 FROM wc) WHERE rn = 1),
        dd AS (SELECT wc.doc_id, wc.doc_id = kp.keeper AS v_dedup
-              FROM wc JOIN kp ON wc.comp = kp.comp),
-       -- q54/q68 decontamination over the RAW text, n = 13
-       ct AS (
+              FROM wc JOIN kp ON wc.comp = kp.comp)"""
+
+  /** q54/q68 decontamination over the RAW text (n = 13) for docs in
+    * `documents WHERE $ctWhere`; bench = doc_id % 97 = 0. Emits cm. */
+  private def decontamCtes(ctWhere: String): String =
+    s"""ct AS (
          SELECT doc_id, (doc_id % 97 = 0) AS bench, ${toks("COALESCE(text, '')")} AS toks
-         FROM documents),
+         FROM documents WHERE $ctWhere),
        cg AS (
          SELECT doc_id, bench, list_distinct(CASE WHEN len(toks) = 0 THEN []
            WHEN len(toks) < 13 THEN [array_to_string(toks, ' ')]
@@ -167,7 +140,53 @@ object OraclePipeline {
        cm AS (
          SELECT cg.doc_id, COALESCE(hits.n, 0) > 0 AS contaminated
          FROM cg LEFT JOIN hits ON cg.doc_id = hits.doc_id
-         WHERE NOT cg.bench),
+         WHERE NOT cg.bench)"""
+
+  private def cascadeSql(stages: Seq[String]): String =
+    stages.zipWithIndex.map { case (s, i) =>
+      val cond = stages.take(i + 1).mkString(" AND ")
+      s"CAST(sum(CASE WHEN $cond THEN 1 ELSE 0 END) AS BIGINT) AS after_$s"
+    }.mkString(",\n         ")
+
+  private def funnelSql(blockPhrases: Seq[Seq[String]],
+                        minEntropyMicroPerChar: Long): String = {
+    val blCte = if (blockPhrases.isEmpty) "" else {
+      val terms = blockPhrases.map { p =>
+        p.foreach(t => require(t.matches("[a-z0-9']+"), s"bad token: $t"))
+        val lit = s"[${p.map(t => s"'$t'").mkString(", ")}]"
+        s"""CASE WHEN len(toks) >= ${p.length} THEN
+              len(list_filter([i FOR i IN generate_series(1, len(toks) - ${p.length} + 1)],
+                i -> toks[i:i + ${p.length} - 1] = $lit))
+            ELSE 0 END"""
+      }.mkString(" + ")
+      s"""bl AS (SELECT doc_id, ($terms) AS n_matches FROM tk),"""
+    }
+    val entCte = if (minEntropyMicroPerChar <= 0L) "" else
+      s"""enc AS (
+           SELECT doc_id, unnest([clean[i] FOR i IN generate_series(1, length(clean))]) AS c
+           FROM ln),
+         ecnt AS (SELECT doc_id, c, CAST(count(*) AS BIGINT) AS n FROM enc GROUP BY doc_id, c),
+         en AS (
+           SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_chars,
+             CAST(sum(n * CAST(floor(ln(CAST(n AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS st
+           FROM ecnt GROUP BY doc_id),"""
+    val blVerdict = if (blockPhrases.isEmpty) ""
+      else "bl.n_matches = 0 AS v_blocklist,"
+    val entVerdict = if (minEntropyMicroPerChar <= 0L) ""
+      else s"""COALESCE(en.n_chars
+             * CAST(floor(ln(CAST(en.n_chars AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)
+             - en.st >= $minEntropyMicroPerChar * en.n_chars, TRUE) AS v_entropy,"""
+    val blJoin = if (blockPhrases.isEmpty) "" else " JOIN bl USING (doc_id)"
+    val entJoin = if (minEntropyMicroPerChar <= 0L) ""
+      else " LEFT JOIN en USING (doc_id)"
+    val stages = Seq("v_clean", "v_lang", "v_quality", "v_repetition") ++
+      (if (blockPhrases.nonEmpty) Seq("v_blocklist") else Nil) ++
+      (if (minEntropyMicroPerChar > 0L) Seq("v_entropy") else Nil) ++
+      Seq("v_dedup", "v_decontam")
+    s"""WITH RECURSIVE
+       ${scanCtes("doc_id % 97 <> 0")},
+       ${keeperCtes},
+       ${decontamCtes("TRUE")},
        $blCte
        $entCte
        v AS (
@@ -185,7 +204,67 @@ object OraclePipeline {
          JOIN dd USING (doc_id) JOIN cm USING (doc_id)$blJoin$entJoin)
        SELECT
          CAST(count(*) AS BIGINT) AS input,
-         $cascade
+         ${cascadeSql(stages)}
+       FROM v"""
+  }
+
+  /** q93: the incremental delta funnel. Delta = doc_id % 3 = 0 (non-
+    * bench), standing = the rest (non-bench); the scan-local CTEs run
+    * over the delta, the within-delta keeper is the q69 machinery,
+    * standing matches come from x28's band probe (index-side-only
+    * bucket cap) over BOTH sides' cleaned text, and
+    * `v_dedup = no-standing-match AND delta-keeper` — the immutable-
+    * standing policy. Decontamination sees bench ∪ delta only. */
+  def q93Sql: String = {
+    val deltaWhere = "doc_id % 3 = 0 AND doc_id % 97 <> 0"
+    val standingWhere = "doc_id % 3 <> 0 AND doc_id % 97 <> 0"
+    val stages = Seq("v_clean", "v_lang", "v_quality", "v_repetition",
+      "v_dedup", "v_decontam")
+    s"""WITH RECURSIVE
+       ${scanCtes(deltaWhere)},
+       ${keeperCtes},
+       -- standing side: same C4 clean, then the x28 band chain
+       sraw AS (SELECT doc_id, COALESCE(text, '') AS text FROM documents WHERE $standingWhere),
+       sln AS (
+         SELECT doc_id,
+           array_to_string(
+             list_filter(string_split(text, chr(10)), l ->
+               len(list_filter(regexp_split_to_array(trim(l), ' +'), w -> length(w) > 0)) >= 3
+               AND NOT (contains(lower(trim(l)), 'javascript')
+                        OR contains(lower(trim(l)), 'lorem ipsum')
+                        OR contains(lower(trim(l)), '{'))),
+             chr(10)) AS clean
+         FROM sraw),
+       scleaned AS (SELECT doc_id, clean AS text FROM sln),
+       ${OracleLsh.sideCtesOver("s", "scleaned")},
+       sok AS (SELECT band, bh FROM sbanded GROUP BY band, bh HAVING count(*) <= 500),
+       xcand AS (
+         SELECT DISTINCT n.doc_id AS new_id, i.doc_id AS idx_id
+         FROM banded n
+         JOIN sbanded i ON n.band = i.band AND n.bh = i.bh
+         JOIN sok ON i.band = sok.band AND i.bh = sok.bh),
+       xverif AS (
+         SELECT new_id, idx_id,
+           CAST(len(list_intersect(sn.shs, si.shs)) AS DOUBLE)
+             / (len(sn.shs) + len(si.shs) - len(list_intersect(sn.shs, si.shs))) AS jaccard
+         FROM xcand JOIN t2 sn ON sn.doc_id = new_id JOIN s2 si ON si.doc_id = idx_id),
+       xhits AS (SELECT DISTINCT new_id FROM xverif WHERE jaccard >= 0.5),
+       ${decontamCtes(s"doc_id % 97 = 0 OR ($deltaWhere)")},
+       v AS (
+         SELECT ln.doc_id,
+           length(trim(ln.clean)) > 0 AS v_clean,
+           lg.lang_pred = 'en' AS v_lang,
+           ql.q_score = 1.0 AS v_quality,
+           rp.dup_unigram_frac <= 0.3 AND rp.top_bigram_frac <= 0.18 AS v_repetition,
+           (xh.new_id IS NULL) AND dd.v_dedup AS v_dedup,
+           NOT cm.contaminated AS v_decontam
+         FROM ln
+         JOIN lg USING (doc_id) JOIN ql USING (doc_id) JOIN rp USING (doc_id)
+         JOIN dd USING (doc_id) JOIN cm USING (doc_id)
+         LEFT JOIN xhits xh ON xh.new_id = ln.doc_id)
+       SELECT
+         CAST(count(*) AS BIGINT) AS input,
+         ${cascadeSql(stages)}
        FROM v"""
   }
 }

@@ -881,7 +881,29 @@ object SparkEntry {
         plans.CorpusPipeline.Config(
           lineRequireTerminalPunct = false, contamViaBloom = false,
           blockPhrases = funnelBlockPhrases,
-          minEntropyMicroPerChar = 2800000L))))
+          minEntropyMicroPerChar = 2800000L)))),
+
+    // The INCREMENTAL funnel: a delta batch gets the full verdict
+    // chain against the standing corpus — x28's band probe for
+    // standing matches (O(delta), never O(standing)), the q69 keeper
+    // within the delta, and the immutable-standing policy (shipped
+    // shards don't un-ship). The whole incremental composition
+    // hash-replays.
+    "q93_delta_funnel" -> q((s, d) => {
+      val docs = Tables.documents(s, d)
+      val isBench = col("doc_id") % 97 === 0
+      val delta = docs.filter(col("doc_id") % 3 === 0 && !isBench)
+      val standing = docs.filter(col("doc_id") % 3 =!= 0 && !isBench)
+      val cfgQ = plans.CorpusPipeline.Config(
+        lineRequireTerminalPunct = false, contamViaBloom = false)
+      val standingCleaned = TextAnalysis.c4LineCleanText(standing, "text",
+          minWords = 3, requireTerminalPunct = false)
+        .select(col("doc_id"), col("text_clean"))
+      val idx = DedupApprox.minhashIndex(standingCleaned, "doc_id", "text_clean")
+      plans.CorpusPipeline.funnel(plans.CorpusPipeline.deltaVerdicts(
+        delta, "doc_id", "text", idx, standingCleaned,
+        docs.filter(isBench).select(col("doc_id"), col("text")), cfgQ))
+    })
   ) ++ NonSqlQueries.queries
 
   /** q92's bad-words stage (literal so the oracle renders the same
@@ -2454,6 +2476,7 @@ object SparkEntry {
     "q74_corpus_funnel" -> OraclePipeline.q74Sql,
     "q92_corpus_funnel_ext" ->
       OraclePipeline.q92Sql(funnelBlockPhrases, 2800000L),
+    "q93_delta_funnel" -> OraclePipeline.q93Sql,
 
     // Vocab-coverage replay: same (freq desc, token) total order for
     // rank/limit/cumsum; coverage = division of identical BIGINTs.

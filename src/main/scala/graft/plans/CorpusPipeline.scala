@@ -79,12 +79,12 @@ object CorpusPipeline {
     * Output: input columns + `text_clean`, stage evidence columns,
     * `v_clean/v_lang/v_quality/v_repetition/v_dedup/v_decontam`,
     * and `keep` = the conjunction. */
-  def withVerdicts(docs: DataFrame, idCol: String, textCol: String,
-                   isBenchmark: Column, cfg: Config = Config()): DataFrame = {
-    // scan-local stages: line cleaning + language + quality +
-    // repetition are pure projections over one corpus scan
-    val base = docs.filter(!isBenchmark)
-    val annotated = TextAnalysis.withRepetition(
+  /** The scan-local stage chain (line clean + langID + quality +
+    * repetition): pure projections over one corpus scan, shared by the
+    * batch and delta forms. */
+  private def annotate(base: DataFrame, textCol: String,
+                       cfg: Config): DataFrame =
+    TextAnalysis.withRepetition(
       TextAnalysis.withQuality(
         TextAnalysis.withLangId(
           TextAnalysis.c4LineCleanText(base, textCol,
@@ -93,6 +93,33 @@ object CorpusPipeline {
           "text_clean"),
         "text_clean"),
       "text_clean")
+
+  /** The optional scan-local stages (bad-words + entropy floor) and
+    * the `keep` conjunction — shared tail of both forms. */
+  private def finishVerdicts(joined: DataFrame, cfg: Config): DataFrame = {
+    val withBl = if (cfg.blockPhrases.isEmpty) joined
+      else joined
+        .withColumn("bl_matches",
+          Blocklist.matchColumn(col("text_clean"), cfg.blockPhrases)("_1"))
+        .withColumn("v_blocklist", col("bl_matches") === 0L)
+    val withEnt = if (cfg.minEntropyMicroPerChar <= 0L) withBl
+      else withBl
+        .withColumn("__ent", TextAnalysis.charEntropyColumn(col("text_clean")))
+        .withColumn("ent_n_chars", col("__ent._1"))
+        .withColumn("ent_micro_total", col("__ent._3"))
+        .drop("__ent")
+        .withColumn("v_entropy", col("ent_micro_total") >=
+          lit(cfg.minEntropyMicroPerChar) * col("ent_n_chars"))
+    val present = stageOrder.filter(withEnt.columns.contains)
+    withEnt.withColumn("keep", present.map(col).reduce(_ && _))
+  }
+
+  def withVerdicts(docs: DataFrame, idCol: String, textCol: String,
+                   isBenchmark: Column, cfg: Config = Config()): DataFrame = {
+    // scan-local stages: line cleaning + language + quality +
+    // repetition are pure projections over one corpus scan
+    val base = docs.filter(!isBenchmark)
+    val annotated = annotate(base, textCol, cfg)
 
     // fuzzy dedup verdict: LSH pairs over the CLEANED text (line noise
     // must not block near-dup detection), keeper = highest token count
@@ -126,21 +153,87 @@ object CorpusPipeline {
       .withColumn("v_decontam", !col("contaminated"))
     // optional scan-local stages (absent columns when off, so the
     // base recipe's plan — and q74's oracle — are untouched)
-    val withBl = if (cfg.blockPhrases.isEmpty) joined
-      else joined
-        .withColumn("bl_matches",
-          Blocklist.matchColumn(col("text_clean"), cfg.blockPhrases)("_1"))
-        .withColumn("v_blocklist", col("bl_matches") === 0L)
-    val withEnt = if (cfg.minEntropyMicroPerChar <= 0L) withBl
-      else withBl
-        .withColumn("__ent", TextAnalysis.charEntropyColumn(col("text_clean")))
-        .withColumn("ent_n_chars", col("__ent._1"))
-        .withColumn("ent_micro_total", col("__ent._3"))
-        .drop("__ent")
-        .withColumn("v_entropy", col("ent_micro_total") >=
-          lit(cfg.minEntropyMicroPerChar) * col("ent_n_chars"))
-    val present = stageOrder.filter(withEnt.columns.contains)
-    withEnt.withColumn("keep", present.map(col).reduce(_ && _))
+    finishVerdicts(joined, cfg)
+  }
+
+  /** INCREMENTAL (delta-vs-standing) form of [[withVerdicts]] — the
+    * crawl-drop workflow: a new batch gets the FULL verdict chain
+    * without rescanning the standing corpus. The scan-local stages
+    * are the identical projections; the two corpus-coupled stages
+    * swap to their incremental machinery:
+    *
+    *   - `v_dedup`: a delta doc survives iff it near-matches NO
+    *     standing doc ([[DedupApprox.minhashPairsAgainst]] — band keys
+    *     probe the at-rest index, x28's proven plan) AND it is the
+    *     quality keeper of its within-delta cluster
+    *     ([[DedupApprox.minhashPairs]] over the delta alone + the q69
+    *     keeper). The STANDING side is immutable BY POLICY: even a
+    *     higher-quality delta doc loses to its standing match —
+    *     shipped shards don't un-ship. This is the one documented
+    *     divergence from the batch keeper (which would re-adjudicate
+    *     the union); everything else matches [[withVerdicts]] row for
+    *     row on the delta (spec-proven).
+    *   - `v_decontam`: the benchmark set is standing too; the delta
+    *     probes the same gram machinery with the benchmark docs
+    *     passed in (bloom or exact per cfg), never the standing
+    *     corpus.
+    *
+    * Cost shape: delta-sized scans + band-key probes of the at-rest
+    * index — O(delta), never O(standing); the standing corpus
+    * contributes only its (already materialized) band index and its
+    * indexed text for candidate verification. */
+  def deltaVerdicts(delta: DataFrame, idCol: String, textCol: String,
+                    standingIndex: DataFrame, standingDocs: DataFrame,
+                    benchDocs: DataFrame,
+                    cfg: Config = Config()): DataFrame = {
+    val annotated = annotate(delta, textCol, cfg)
+
+    // vs-standing matches over the CLEANED text (the index must have
+    // been built over the standing corpus's cleaned text likewise)
+    val cleanedDelta = annotated.select(col(idCol), col("text_clean"))
+    val standingHits = DedupApprox.minhashPairsAgainst(
+        cleanedDelta, idCol, "text_clean",
+        standingIndex, standingDocs,
+        threshold = cfg.dedupThreshold)
+      .select(col("new_id").as(idCol)).distinct()
+      .withColumn("__standing_dup", lit(true))
+
+    // within-delta clusters + quality keeper (the batch machinery on
+    // the delta alone)
+    val deltaPairs = DedupApprox.minhashPairs(
+      cleanedDelta, idCol, "text_clean", threshold = cfg.dedupThreshold)
+    val deltaKeeper = Dedup.clusterVerdictsBy(
+        annotated, idCol, deltaPairs, col("q_n_tokens"))
+      .select(col(idCol), col("comp"), col("keep").as("__delta_keeper"))
+
+    // decontamination vs the standing benchmark set
+    val flagged = delta.select(col(idCol), col(textCol))
+      .withColumn("__is_bench", lit(false))
+      .unionByName(benchDocs.select(col(idCol), col(textCol))
+        .withColumn("__is_bench", lit(true)))
+    val contam = (if (cfg.contamViaBloom)
+        Dedup.decontaminateBloom(flagged, idCol, textCol,
+          col("__is_bench"), n = cfg.contamN)
+      else
+        Dedup.decontaminate(flagged, idCol, textCol,
+          col("__is_bench"), n = cfg.contamN))
+      .select(col(idCol), col("contaminated"))
+
+    val joined = annotated
+      .join(standingHits, Seq(idCol), "left")
+      .join(deltaKeeper, Seq(idCol))
+      .join(contam, Seq(idCol))
+      .withColumn("v_clean", length(trim(col("text_clean"))) > 0)
+      .withColumn("v_lang", col("lang_pred") === cfg.lang)
+      .withColumn("v_quality", col("q_score") === 1.0)
+      .withColumn("v_repetition",
+        col("dup_unigram_frac") <= cfg.maxDupUnigramFrac &&
+          col("top_bigram_frac") <= cfg.maxTopBigramFrac)
+      .withColumn("v_dedup",
+        !coalesce(col("__standing_dup"), lit(false)) && col("__delta_keeper"))
+      .withColumn("v_decontam", !col("contaminated"))
+      .drop("__standing_dup", "__delta_keeper")
+    finishVerdicts(joined, cfg)
   }
 
   /** Canonical causal stage order (mirrors the published recipes:

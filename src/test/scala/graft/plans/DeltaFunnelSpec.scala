@@ -1,0 +1,112 @@
+package graft.plans
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.operators.{Dedup, DedupApprox, TextAnalysis}
+import graft.sources.Tables
+
+/** Incremental delta-vs-standing funnel: the immutable-standing dedup
+  * policy on planted cases, scan-local/decontam parity with the batch
+  * form, and composition consistency on real data. */
+class DeltaFunnelSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val cfg = CorpusPipeline.Config(
+    lineRequireTerminalPunct = false, contamViaBloom = false)
+
+  private def cleanIndex(docs: org.apache.spark.sql.DataFrame) = {
+    val cleaned = TextAnalysis.c4LineCleanText(docs, "text",
+      minWords = cfg.lineMinWords, requireTerminalPunct = false)
+      .select(col("doc_id"), col("text_clean"))
+    (DedupApprox.minhashIndex(cleaned, "doc_id", "text_clean"), cleaned)
+  }
+
+  test("immutable-standing policy: planted cases") {
+    val base = "the quick brown fox jumps over the lazy dog and then " +
+      "runs far away into the deep green forest tonight"
+    val standing = Seq(
+      (1L, base),
+      (2L, "completely different standing content about database engines " +
+        "processing large analytical queries with vectorized execution")
+    ).toDF("doc_id", "text")
+    val delta = Seq(
+      // near-copy of standing doc 1, LONGER (higher quality score) —
+      // still dropped: the standing corpus does not un-ship
+      (10L, base + " with some extra trailing words appended here"),
+      // within-delta near-dup pair, no standing match: keeper = more
+      // tokens (11), the other (12) dropped
+      (11L, "novel delta material regarding streaming ingestion with " +
+        "watermarks checkpoints and exactly once sinks in modern systems today"),
+      (12L, "novel delta material regarding streaming ingestion with " +
+        "watermarks checkpoints and exactly once sinks in modern systems"),
+      // unique novel doc: kept
+      (13L, "entirely unrelated text on tokenizer training pipelines " +
+        "and byte pair encoding merge tables for language models")
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, "benchmark heldout evaluation question answer " +
+      "pairs that training must never contain at all")).toDF("doc_id", "text")
+
+    val (idx, standingCleaned) = cleanIndex(standing)
+    val out = CorpusPipeline.deltaVerdicts(delta, "doc_id", "text",
+        idx, standingCleaned, bench, cfg)
+      .select(col("doc_id"), col("v_dedup"), col("keep"))
+      .as[(Long, Boolean, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(!out(10L)._1, "standing near-dup must be dropped (policy)")
+    assert(out(11L)._1, "within-delta keeper survives")
+    assert(!out(12L)._1, "within-delta loser dropped")
+    assert(out(13L)._1, "novel doc survives")
+  }
+
+  test("scan-local and decontam verdicts match the batch form on real data") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val isBench = col("doc_id") % 97 === 0
+    val delta = docs.filter(col("doc_id") % 3 === 0 && !isBench)
+    val standing = docs.filter(col("doc_id") % 3 =!= 0 && !isBench)
+    val bench = docs.filter(isBench).select(col("doc_id"), col("text"))
+    val (idx, standingCleaned) = cleanIndex(standing)
+
+    val inc = CorpusPipeline.deltaVerdicts(delta, "doc_id", "text",
+      idx, standingCleaned, bench, cfg).cache()
+    // batch form over delta ∪ bench: corpus-independent columns agree
+    val batch = CorpusPipeline.withVerdicts(
+      delta.unionByName(docs.filter(isBench)), "doc_id", "text",
+      isBench, cfg)
+    val cols = Seq("v_clean", "v_lang", "v_quality", "v_repetition",
+      "v_decontam")
+    val a = inc.select("doc_id", cols: _*).collect()
+      .map(r => r.getLong(0) -> cols.indices.map(i => r.getBoolean(i + 1))).toMap
+    val b = batch.select("doc_id", cols: _*).collect()
+      .map(r => r.getLong(0) -> cols.indices.map(i => r.getBoolean(i + 1))).toMap
+    assert(a == b)
+
+    // composition consistency: every surviving delta doc has NO
+    // standing match, and is its delta-cluster keeper
+    val hits = DedupApprox.minhashPairsAgainst(
+        inc.select(col("doc_id"), col("text_clean")), "doc_id", "text_clean",
+        idx, standingCleaned, threshold = cfg.dedupThreshold)
+      .select(col("new_id")).distinct().as[Long].collect().toSet
+    val kept = inc.filter(col("v_dedup")).select(col("doc_id"))
+      .as[Long].collect().toSet
+    assert(kept.intersect(hits).isEmpty)
+  }
+
+  test("extended stages ride the delta form too") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val isBench = col("doc_id") % 97 === 0
+    val delta = docs.filter(col("doc_id") % 3 === 0 && !isBench)
+    val standing = docs.filter(col("doc_id") % 3 =!= 0 && !isBench)
+    val bench = docs.filter(isBench).select(col("doc_id"), col("text"))
+    val (idx, standingCleaned) = cleanIndex(standing)
+    val extCfg = cfg.copy(
+      blockPhrases = Seq(Seq("table", "table")),
+      minEntropyMicroPerChar = 2800000L)
+    val out = CorpusPipeline.deltaVerdicts(delta, "doc_id", "text",
+      idx, standingCleaned, bench, extCfg)
+    assert(out.columns.contains("v_blocklist") &&
+      out.columns.contains("v_entropy"))
+    assert(out.filter(col("keep") &&
+      (!col("v_blocklist") || !col("v_entropy"))).count() == 0L)
+  }
+}
