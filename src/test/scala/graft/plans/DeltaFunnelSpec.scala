@@ -92,6 +92,66 @@ class DeltaFunnelSpec extends SparkSpec {
     assert(kept.intersect(hits).isEmpty)
   }
 
+  test("streamed batches: cross-batch dedup via index fold-in, redelivery lands nothing") {
+    val dir = java.nio.file.Files.createTempDirectory("delta_funnel").toString
+    val (ixDir, dcDir, tgDir) = (s"$dir/ix", s"$dir/dc", s"$dir/tg")
+    val bench = Seq((100L, "benchmark heldout evaluation question answer " +
+      "pairs that training must never contain at all")).toDF("doc_id", "text")
+    val baseText = "the quick brown fox jumps over the lazy dog and then " +
+      "runs far away into the deep green forest tonight"
+
+    val batch1 = Seq(
+      (1L, baseText),
+      (2L, "completely different content about database engines " +
+        "processing large analytical queries with vectorized execution")
+    ).toDF("doc_id", "text")
+    CorpusPipeline.deltaFunnelBatch(batch1, "doc_id", "text", bench, cfg,
+      ixDir, dcDir, tgDir)
+    val after1 = spark.read.parquet(tgDir)
+    assert(after1.count() == 2L)
+    assert(after1.filter(!col("v_dedup")).count() == 0L)
+
+    // batch 2: a near-copy of batch-1's doc 1 (cross-BATCH dup — only
+    // detectable through the fold-in) plus a novel doc
+    val batch2 = Seq(
+      (3L, baseText + " with a couple extra words"),
+      (4L, "entirely unrelated text on tokenizer training pipelines " +
+        "and byte pair encoding merge tables for language models")
+    ).toDF("doc_id", "text")
+    CorpusPipeline.deltaFunnelBatch(batch2, "doc_id", "text", bench, cfg,
+      ixDir, dcDir, tgDir)
+    val after2 = spark.read.parquet(tgDir)
+      .select(col("doc_id"), col("v_dedup"))
+      .as[(Long, Boolean)].collect().toMap
+    assert(after2.size == 4)
+    assert(!after2(3L), "cross-batch near-dup must be dropped")
+    assert(after2(4L), "novel doc survives")
+
+    // redelivery of batch 2: nothing lands, nothing re-folds
+    CorpusPipeline.deltaFunnelBatch(batch2, "doc_id", "text", bench, cfg,
+      ixDir, dcDir, tgDir)
+    assert(spark.read.parquet(tgDir).count() == 4L)
+    assert(spark.read.parquet(dcDir).count() == 4L)
+  }
+
+  test("the sink drives deltaFunnelBatch from a real stream") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("delta_sink").toString
+    val bench = Seq((100L, "benchmark heldout evaluation question answer " +
+      "pairs that training must never contain at all")).toDF("doc_id", "text")
+    val mem = MemoryStream[(Long, String)]
+    mem.addData((1L, "the quick brown fox jumps over the lazy dog and " +
+      "then runs far away into the deep green forest tonight"))
+    val stream = mem.toDF().toDF("doc_id", "text")
+    val q = CorpusPipeline.deltaFunnelSink(stream, "doc_id", "text",
+        bench, cfg, s"$dir/ix", s"$dir/dc", s"$dir/tg", s"$dir/ck")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(spark.read.parquet(s"$dir/tg").count() == 1L)
+    assert(spark.read.parquet(s"$dir/ix").count() > 0L)
+  }
+
   test("extended stages ride the delta form too") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val isBench = col("doc_id") % 97 === 0
