@@ -903,6 +903,28 @@ object SparkEntry {
       plans.CorpusPipeline.funnel(plans.CorpusPipeline.deltaVerdicts(
         delta, "doc_id", "text", idx, standingCleaned,
         docs.filter(isBench).select(col("doc_id"), col("text")), cfgQ))
+    }),
+
+    // The Gopher document-filter bundle (Rae 2021 §A1.1): eight
+    // integer-exact verdict columns, zero shuffles. The synthetic
+    // corpus has no bullets/ellipses/symbols AND none of the eight
+    // Gopher stop words, so the query decorates text deterministically
+    // by doc_id%6 (all-bullet doc, ellipsis line, '#' run, digit
+    // words, stop-word tail, untouched) — rendered identically in the
+    // oracle — so every gate, g_keep included, discriminates both
+    // ways.
+    "q94_gopher_rules" -> q((s, d) => {
+      val t = coalesce(col("text"), lit(""))
+      val decorated = Tables.documents(s, d).withColumn("text_g",
+        when(pmod(col("doc_id"), lit(6)) === 0, concat(lit("- "), t))
+          .when(pmod(col("doc_id"), lit(6)) === 1, concat(t, lit("...")))
+          .when(pmod(col("doc_id"), lit(6)) === 2, concat(t, lit(" ######")))
+          .when(pmod(col("doc_id"), lit(6)) === 3, concat(t,
+            lit(" 0 1 2 3 4 5 6 7 8 9 10 11 12 13 14 15 16 17 18 19")))
+          .when(pmod(col("doc_id"), lit(6)) === 4, concat(t,
+            lit(" and that have with the rest of the usual words")))
+          .otherwise(t))
+      TextAnalysis.gopherRules(decorated, "doc_id", "text_g")
     })
   ) ++ NonSqlQueries.queries
 
@@ -2477,6 +2499,71 @@ object SparkEntry {
     "q92_corpus_funnel_ext" ->
       OraclePipeline.q92Sql(funnelBlockPhrases, 2800000L),
     "q93_delta_funnel" -> OraclePipeline.q93Sql,
+
+    // Gopher-rules replay: the same doc_id%5 decoration, whitespace
+    // words, trimmed non-empty lines, and scaled-integer gate
+    // comparisons — no float anywhere, so the verdicts are exact in
+    // both engines. ('...' removal is leftmost non-overlapping in
+    // both; the count is chars-removed/3. Java's \s matches \x0B
+    // where RE2's does not — the corpus contains none, checked.)
+    "q94_gopher_rules" ->
+      """WITH dec AS (
+           SELECT doc_id,
+             CASE CAST(doc_id % 6 AS INT)
+               WHEN 0 THEN '- ' || COALESCE(text, '')
+               WHEN 1 THEN COALESCE(text, '') || '...'
+               WHEN 2 THEN COALESCE(text, '') || ' ######'
+               WHEN 3 THEN COALESCE(text, '') || ' 0 1 2 3 4 5 6 7 8 9 10 11 12 13 14 15 16 17 18 19'
+               WHEN 4 THEN COALESCE(text, '') || ' and that have with the rest of the usual words'
+               ELSE COALESCE(text, '') END AS t
+           FROM documents),
+         b AS (
+           SELECT doc_id, t,
+             list_filter(regexp_split_to_array(t, '\s+'), x -> length(x) > 0) AS words,
+             list_filter(list_transform(string_split(t, chr(10)), l -> trim(l)),
+                         l -> length(l) > 0) AS lines
+           FROM dec),
+         m AS (
+           SELECT doc_id,
+             CAST(len(words) AS BIGINT) AS n_words,
+             CAST(length(array_to_string(words, '')) AS BIGINT) AS tot_len,
+             CAST(length(t) - length(replace(t, '#', ''))
+                + (length(t) - length(replace(t, '...', ''))) // 3
+                + length(t) - length(replace(t, '…', '')) AS BIGINT) AS n_sym,
+             CAST(len(lines) AS BIGINT) AS n_lines,
+             CAST(len(list_filter(lines,
+               l -> substr(l, 1, 1) IN ('•', '‣', '-', '*'))) AS BIGINT) AS n_bullet,
+             CAST(len(list_filter(lines,
+               l -> l LIKE '%...' OR l LIKE '%…')) AS BIGINT) AS n_ell,
+             CAST(len(list_filter(words,
+               x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS n_alpha,
+             CAST((CASE WHEN list_contains(list_transform(words, x -> lower(x)), 'the') THEN 1 ELSE 0 END)
+                + (CASE WHEN list_contains(list_transform(words, x -> lower(x)), 'be') THEN 1 ELSE 0 END)
+                + (CASE WHEN list_contains(list_transform(words, x -> lower(x)), 'to') THEN 1 ELSE 0 END)
+                + (CASE WHEN list_contains(list_transform(words, x -> lower(x)), 'of') THEN 1 ELSE 0 END)
+                + (CASE WHEN list_contains(list_transform(words, x -> lower(x)), 'and') THEN 1 ELSE 0 END)
+                + (CASE WHEN list_contains(list_transform(words, x -> lower(x)), 'that') THEN 1 ELSE 0 END)
+                + (CASE WHEN list_contains(list_transform(words, x -> lower(x)), 'have') THEN 1 ELSE 0 END)
+                + (CASE WHEN list_contains(list_transform(words, x -> lower(x)), 'with') THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_stops
+           FROM b)
+         SELECT doc_id, n_words,
+           n_words BETWEEN 50 AND 100000 AS g_word_count,
+           (3 * n_words <= tot_len AND tot_len <= 10 * n_words
+             AND n_words > 0) AS g_mean_word_len,
+           10 * n_sym <= n_words AS g_symbol,
+           10 * n_bullet <= 9 * n_lines AS g_bullet,
+           10 * n_ell <= 3 * n_lines AS g_ellipsis,
+           5 * n_alpha >= 4 * n_words AS g_alpha,
+           n_stops >= 2 AS g_stopwords,
+           (n_words BETWEEN 50 AND 100000
+             AND 3 * n_words <= tot_len AND tot_len <= 10 * n_words AND n_words > 0
+             AND 10 * n_sym <= n_words
+             AND 10 * n_bullet <= 9 * n_lines
+             AND 10 * n_ell <= 3 * n_lines
+             AND 5 * n_alpha >= 4 * n_words
+             AND n_stops >= 2) AS g_keep
+         FROM m""",
 
     // Vocab-coverage replay: same (freq desc, token) total order for
     // rank/limit/cumsum; coverage = division of identical BIGINTs.

@@ -161,6 +161,79 @@ object TextAnalysis {
       .withColumn("top_bigram_frac", col("__r._2"))
       .drop("__r")
 
+  /** The eight required stop words of the Gopher stop-word rule
+    * (Rae et al. 2021 §A1.1) — a doc must contain at least two. */
+  private[graft] val GopherStops =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** The full Gopher document-filter bundle (Rae et al. 2021 "Gopher"
+    * §A1.1) as one verdict-columns projection — the named recipe the
+    * MassiveText/RefinedWeb/Dolma pipelines all start from. Eight
+    * rules, each its own boolean so funnels can count attrition per
+    * rule (the [[graft.plans.CorpusPipeline]] verdict-columns
+    * pattern):
+    *
+    *   - `g_word_count`:    `minWords <= |words| <= maxWords`
+    *     (paper: 50..100,000; words = whitespace runs);
+    *   - `g_mean_word_len`: mean word length in [3, 10] chars;
+    *   - `g_symbol`:        (# + "..." + "…") to word ratio <= 0.1;
+    *   - `g_bullet`:        <= 90% of lines start with a bullet;
+    *   - `g_ellipsis`:      <= 30% of lines end with an ellipsis;
+    *   - `g_alpha`:         >= 80% of words contain an alphabetic char;
+    *   - `g_stopwords`:     >= 2 distinct [[GopherStops]] present;
+    *   - `g_keep`:          conjunction of the seven.
+    *
+    * Every ratio gate compares SCALED INTEGERS (`10·symbols <= words`,
+    * `5·alpha >= 4·words`, `3·n <= totalLen <= 10·n`, ...) — no float
+    * division anywhere, so the verdicts replay bit-for-bit in any
+    * engine (the q94 oracle) and are immune to ulp drift at any scale.
+    * Line ratios count NON-EMPTY lines (trimmed); empty docs pass the
+    * line/alpha/symbol gates vacuously and fail `g_word_count` and the
+    * mean-length rule (which needs at least one word).
+    *
+    * Scale shape: pure projection over the scan — zero shuffles at any
+    * corpus size; distinct from [[withQuality]] (heuristic score) and
+    * [[repetitionStats]] (duplication fractions), which cover the
+    * OTHER Gopher sections. */
+  def gopherRules(df: DataFrame, idCol: String, textCol: String,
+                  minWords: Int = 50, maxWords: Int = 100000): DataFrame = {
+    require(minWords >= 0 && maxWords >= minWords,
+      s"need 0 <= minWords <= maxWords (got $minWords..$maxWords)")
+    val t = coalesce(col(textCol), lit(""))
+    val words = filter(split(t, "\\s+"), w => length(w) > 0)
+    val nW = size(words).cast("long")
+    val totLen = length(array_join(words, "")).cast("long")
+    def gone(pat: String) = length(t) - length(regexp_replace(t, pat, ""))
+    // "..." counts once per three removed chars; '#' and '…' per char
+    val nSym = (gone("#") + gone("\\.\\.\\.") / lit(3) + gone("…")).cast("long")
+    val lines = filter(transform(split(t, "\n"), l => trim(l)),
+      l => length(l) > 0)
+    val nL = size(lines).cast("long")
+    val nBullet = size(filter(lines,
+      l => substring(l, 1, 1).isin("•", "‣", "-", "*"))).cast("long")
+    val nEll = size(filter(lines,
+      l => l.endsWith("...") || l.endsWith("…"))).cast("long")
+    val nAlpha = size(filter(words, w => w.rlike("[A-Za-z]"))).cast("long")
+    val wl = transform(words, w => lower(w))
+    val nStops = GopherStops.map(s =>
+      when(array_contains(wl, s), 1L).otherwise(0L)).reduce(_ + _)
+    val gWc = nW.between(minWords.toLong, maxWords.toLong)
+    val gMean = lit(3L) * nW <= totLen && totLen <= lit(10L) * nW && nW > 0L
+    val gSym = lit(10L) * nSym <= nW
+    val gBul = lit(10L) * nBullet <= lit(9L) * nL
+    val gEll = lit(10L) * nEll <= lit(3L) * nL
+    val gAlpha = lit(5L) * nAlpha >= lit(4L) * nW
+    val gStops = nStops >= 2L
+    // one projection: every gate needs the text column, which a
+    // select-then-withColumn split would have dropped
+    df.select(col(idCol), nW.as("n_words"),
+      gWc.as("g_word_count"), gMean.as("g_mean_word_len"),
+      gSym.as("g_symbol"), gBul.as("g_bullet"), gEll.as("g_ellipsis"),
+      gAlpha.as("g_alpha"), gStops.as("g_stopwords"),
+      (gWc && gMean && gSym && gBul && gEll && gAlpha && gStops)
+        .as("g_keep"))
+  }
+
   // ---- sequence packing ------------------------------------------------
 
   /** Assigns each doc to a contiguous token-budget bin — the sequence-
