@@ -925,6 +925,29 @@ object SparkEntry {
             lit(" and that have with the rest of the usual words")))
           .otherwise(t))
       TextAnalysis.gopherRules(decorated, "doc_id", "text_g")
+    }),
+
+    // Point-in-interval range join WITHOUT a cross product: shipment
+    // dates vs order attribution windows on the epoch-day integer
+    // domain. The bin equi-join (power-of-two bins, arithmetic-shift
+    // bin ids) replaces Spark's BroadcastNestedLoopJoin answer; each
+    // match shares exactly one bin, so no dedup. The oracle is the
+    // plain BETWEEN join DuckDB runs natively (IEJoin).
+    "q95_range_join" -> q((s, d) => {
+      val day0 = lit(java.sql.Date.valueOf("1970-01-01"))
+      val pts = Tables.lineitem(s, d)
+        .filter(col("l_returnflag") === "R" && col("l_orderkey") % 7 === 0)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          datediff(to_date(col("l_shipdate")), day0).cast("long").as("p_day"))
+      val ivs = Tables.orders(s, d)
+        .filter(col("o_orderkey") % 13 === 0)
+        .select(col("o_orderkey"),
+          datediff(to_date(col("o_orderdate")), day0).cast("long").as("s_day"))
+        .withColumn("e_day", col("s_day") + pmod(col("o_orderkey"), lit(5)))
+      RangeJoin.pointInInterval(pts, "p_day", ivs, "s_day", "e_day",
+        binWidth = 8L)
+        .select(col("l_orderkey"), col("l_linenumber"), col("p_day"),
+          col("o_orderkey"), col("s_day"), col("e_day"))
     })
   ) ++ NonSqlQueries.queries
 
@@ -2564,6 +2587,24 @@ object SparkEntry {
              AND 5 * n_alpha >= 4 * n_words
              AND n_stops >= 2) AS g_keep
          FROM m""",
+
+    // Range-join replay: the same epoch-day domain, the plain BETWEEN
+    // join (DuckDB plans an IEJoin natively — the binned equi-join is
+    // the Spark-side scale mechanism, not a semantics change).
+    "q95_range_join" ->
+      """WITH pt AS (
+           SELECT l_orderkey, l_linenumber,
+             CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS p_day
+           FROM lineitem
+           WHERE l_returnflag = 'R' AND l_orderkey % 7 = 0),
+         iv AS (
+           SELECT o_orderkey,
+             CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS s_day,
+             CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01'
+                  + o_orderkey % 5 AS BIGINT) AS e_day
+           FROM orders WHERE o_orderkey % 13 = 0)
+         SELECT l_orderkey, l_linenumber, p_day, o_orderkey, s_day, e_day
+         FROM pt JOIN iv ON p_day BETWEEN s_day AND e_day""",
 
     // Vocab-coverage replay: same (freq desc, token) total order for
     // rank/limit/cumsum; coverage = division of identical BIGINTs.
