@@ -948,6 +948,26 @@ object SparkEntry {
         binWidth = 8L)
         .select(col("l_orderkey"), col("l_linenumber"), col("p_day"),
           col("o_orderkey"), col("s_day"), col("e_day"))
+    }),
+
+    // Distributed PCA, trained and replayed: ONE corpus pass reduces
+    // to the dim² integer moment table; the eigensolve (L-infinity
+    // power iteration, integer matvecs, element-wise IEEE rescales)
+    // runs driver-side and replays as unrolled CTEs. Top-2 components
+    // + scale²-grid eigenvalues.
+    "q96_pca_components" -> q((s, d) =>
+      Pca.components(Tables.embeddings(s, d), "embedding",
+        dim = 64, k = 2, iters = 8)),
+
+    // The apply path: centered projection of every embedding onto the
+    // trained components — scan-local dot products on the integer
+    // grid; the mean term is a per-component constant, so centering
+    // never touches the corpus.
+    "q97_pca_project" -> q((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val (n, sArr, pp) = Pca.moments(emb, "embedding", 64)
+      val comps = Pca.solve(n, sArr, pp, k = 2, iters = 8)
+      Pca.project(emb, "vec_id", "embedding", comps, n, sArr)
     })
   ) ++ NonSqlQueries.queries
 
@@ -2605,6 +2625,11 @@ object SparkEntry {
            FROM orders WHERE o_orderkey % 13 = 0)
          SELECT l_orderkey, l_linenumber, p_day, o_orderkey, s_day, e_day
          FROM pt JOIN iv ON p_day BETWEEN s_day AND e_day""",
+
+    // PCA replays (see OraclePca): moments as integer aggregates, the
+    // power iteration unrolled CTE-per-iterate, HUGEINT Rayleigh sums.
+    "q96_pca_components" -> OraclePca.q96Sql(),
+    "q97_pca_project" -> OraclePca.q97Sql(),
 
     // Vocab-coverage replay: same (freq desc, token) total order for
     // rank/limit/cumsum; coverage = division of identical BIGINTs.
