@@ -968,6 +968,31 @@ object SparkEntry {
       val (n, sArr, pp) = Pca.moments(emb, "embedding", 64)
       val comps = Pca.solve(n, sArr, pp, k = 2, iters = 8)
       Pca.project(emb, "vec_id", "embedding", comps, n, sArr)
+    }),
+
+    // Interval×interval overlap join on the q95 bin plan: shipment
+    // service windows (ship_day + deterministic 1..30-day span) vs
+    // order attribution windows. The owner-bin rule (report a pair
+    // only in max(start)'s bin) replaces the distinct a naive bin join
+    // would need — no dedup shuffle. The oracle is DuckDB's native
+    // IEJoin on the plain overlap predicate.
+    "q98_interval_join" -> q((s, d) => {
+      val day0 = lit(java.sql.Date.valueOf("1970-01-01"))
+      val li = Tables.lineitem(s, d)
+        .filter(col("l_orderkey") % 31 === 0)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          datediff(to_date(col("l_shipdate")), day0).cast("long").as("ship_day"))
+        .withColumn("rcpt_day", col("ship_day") + 1L +
+          (col("l_orderkey") * 7 + col("l_linenumber")) % 30)
+      val ivs = Tables.orders(s, d)
+        .filter(col("o_orderkey") % 13 === 0)
+        .select(col("o_orderkey"),
+          datediff(to_date(col("o_orderdate")), day0).cast("long").as("s_day"))
+        .withColumn("e_day", col("s_day") + pmod(col("o_orderkey"), lit(5)))
+      RangeJoin.intervalOverlap(li, "ship_day", "rcpt_day",
+          ivs, "s_day", "e_day", binWidth = 32L)
+        .select(col("l_orderkey"), col("l_linenumber"), col("ship_day"),
+          col("rcpt_day"), col("o_orderkey"), col("s_day"), col("e_day"))
     })
   ) ++ NonSqlQueries.queries
 
@@ -2630,6 +2655,26 @@ object SparkEntry {
     // power iteration unrolled CTE-per-iterate, HUGEINT Rayleigh sums.
     "q96_pca_components" -> OraclePca.q96Sql(),
     "q97_pca_project" -> OraclePca.q97Sql(),
+
+    // Overlap-join replay: the plain `ls <= re AND rs <= le` predicate
+    // (DuckDB IEJoin); the owner-bin dedup is plan mechanics, not
+    // semantics, so the oracle never sees it.
+    "q98_interval_join" ->
+      """WITH li AS (
+           SELECT l_orderkey, l_linenumber,
+             CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS ship_day,
+             CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01'
+                  + 1 + (l_orderkey * 7 + l_linenumber) % 30 AS BIGINT) AS rcpt_day
+           FROM lineitem WHERE l_orderkey % 31 = 0),
+         iv AS (
+           SELECT o_orderkey,
+             CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS s_day,
+             CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01'
+                  + o_orderkey % 5 AS BIGINT) AS e_day
+           FROM orders WHERE o_orderkey % 13 = 0)
+         SELECT l_orderkey, l_linenumber, ship_day, rcpt_day,
+                o_orderkey, s_day, e_day
+         FROM li JOIN iv ON ship_day <= e_day AND s_day <= rcpt_day""",
 
     // Vocab-coverage replay: same (freq desc, token) total order for
     // rank/limit/cumsum; coverage = division of identical BIGINTs.
