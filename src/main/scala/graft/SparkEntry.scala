@@ -2568,7 +2568,7 @@ object SparkEntry {
       OraclePipeline.q92Sql(funnelBlockPhrases, 2800000L),
     "q93_delta_funnel" -> OraclePipeline.q93Sql,
 
-    // Gopher-rules replay: the same doc_id%5 decoration, whitespace
+    // Gopher-rules replay: the same doc_id%6 decoration, whitespace
     // words, trimmed non-empty lines, and scaled-integer gate
     // comparisons — no float anywhere, so the verdicts are exact in
     // both engines. ('...' removal is leftmost non-overlapping in

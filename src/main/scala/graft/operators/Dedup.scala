@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Key-equality deduplication — the reference's entire join surface
@@ -37,6 +37,20 @@ object Dedup {
   /** J-1+J-2 fused: what the foreachBatch sink runs per micro-batch. */
   def idempotentBatch(batch: DataFrame, existing: DataFrame, key: String): DataFrame =
     dedupAgainst(dropDupes(batch, key), existing, key)
+
+  /** Read `dir` as parquet when the path exists; `fallback` when it is
+    * absent (the first batch of an incremental pipeline, before any
+    * state has been written). Only path-absence selects the fallback:
+    * any OTHER failure (a transient storage error, a corrupt footer)
+    * propagates so the enclosing micro-batch FAILS and the streaming
+    * engine retries it — silently adjudicating a batch against empty
+    * standing state would land permanently wrong verdicts. */
+  def readStateOr(spark: SparkSession, dir: String,
+                  fallback: => DataFrame): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) spark.read.parquet(dir) else fallback
+  }
 
   /** Exact content dedup for a corpus: group identical normalized text,
     * keep the smallest id, report group size. `md5` of the normalized

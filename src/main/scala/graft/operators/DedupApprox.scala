@@ -379,9 +379,10 @@ object DedupApprox {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
         val kb = keyed(batch)
-        val existing =
-          try keyed(spark.read.parquet(targetDir)).select(col("__vk"))
-          catch { case _: Exception => kb.limit(0).select(col("__vk")) }
+        // missing-path → first batch; any other read failure must fail
+        // the micro-batch (retry) rather than land vs an empty target
+        val existing = keyed(Dedup.readStateOr(spark, targetDir,
+          batch.limit(0))).select(col("__vk"))
         Dedup.idempotentBatch(kb, existing, "__vk")
           .drop("__vk")
           .write.mode("append").parquet(targetDir)

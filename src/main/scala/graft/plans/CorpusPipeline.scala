@@ -252,36 +252,55 @@ object CorpusPipeline {
     *   - successive micro-batches dedup against everything landed
     *     before them (the standing index grows with the stream — the
     *     x28 incremental-index story driven by the stream itself);
-    *   - a redelivered micro-batch lands nothing AND re-folds
-    *     nothing (the fold-in is keyed on the landed rows).
+    *   - a redelivered micro-batch lands nothing and folds in only
+    *     what a previous partial run left unfolded.
     *
     * ALL adjudicated docs fold in, keeps and drops alike: the
     * standing corpus is "everything seen", so a future near-dup of a
-    * rejected doc is still recognized as a duplicate. */
+    * rejected doc is still recognized as a duplicate.
+    *
+    * CRASH SAFETY: the three appends (target, index, docs) are not one
+    * atomic transaction, so the fold-in set is derived INDEPENDENTLY
+    * of this run's landing — all of the batch's ids anti-joined
+    * against the standing docs dir — rather than from the rows the
+    * landing appended. A crash between the target append and the
+    * fold-in leaves docs landed-but-unfolded; on redelivery the
+    * landing is a no-op (idempotent insert) but the anti-join still
+    * surfaces exactly the unfolded docs, healing the partial batch.
+    * `docsDir` is written LAST as the fold-in commit marker: a crash
+    * between the index and docs appends re-appends those band keys on
+    * redelivery, and the probe side tolerates duplicate index rows
+    * (candidate pairs are DISTINCT'd before verification), while a
+    * doc present in `docsDir` is always fully indexed. The anti-join
+    * probes standing ids with a delta-sized build side (broadcast),
+    * keeping the batch O(delta). */
   def deltaFunnelBatch(batch: DataFrame, idCol: String, textCol: String,
                        benchDocs: DataFrame, cfg: Config,
                        indexDir: String, docsDir: String,
                        targetDir: String): Unit = {
     val spark = batch.sparkSession
-    def tryRead(dir: String, fallback: => DataFrame): DataFrame =
-      try spark.read.parquet(dir) catch { case _: Exception => fallback }
     val emptyCleaned = TextAnalysis.c4LineCleanText(batch.limit(0), textCol,
         minWords = cfg.lineMinWords,
         requireTerminalPunct = cfg.lineRequireTerminalPunct)
       .select(col(idCol), col("text_clean"))
-    val standingDocs = tryRead(docsDir, emptyCleaned)
-    val index = tryRead(indexDir,
+    val standingDocs = Dedup.readStateOr(spark, docsDir, emptyCleaned)
+    val index = Dedup.readStateOr(spark, indexDir,
       DedupApprox.minhashIndex(emptyCleaned, idCol, "text_clean"))
+    // one materialization feeds the landing and the fold-in
     val v = deltaVerdicts(batch, idCol, textCol, index, standingDocs,
-      benchDocs, cfg)
-    val existing = tryRead(targetDir, v.limit(0)).select(col(idCol))
-    val landed = Dedup.idempotentBatch(v, existing, idCol)
-      .localCheckpoint() // one materialization feeds all three appends
-    landed.write.mode("append").parquet(targetDir)
-    val newCleaned = landed.select(col(idCol), col("text_clean"))
-    DedupApprox.minhashIndex(newCleaned, idCol, "text_clean")
+      benchDocs, cfg).localCheckpoint()
+    val existing = Dedup.readStateOr(spark, targetDir, v.limit(0))
+      .select(col(idCol))
+    Dedup.idempotentBatch(v, existing, idCol)
+      .write.mode("append").parquet(targetDir)
+    val foldIn = v.select(col(idCol), col("text_clean"))
+      .join(broadcast(standingDocs.select(col(idCol))
+        .join(broadcast(v.select(col(idCol))), Seq(idCol))),
+        Seq(idCol), "left_anti")
+      .localCheckpoint()
+    DedupApprox.minhashIndex(foldIn, idCol, "text_clean")
       .write.mode("append").parquet(indexDir)
-    newCleaned.write.mode("append").parquet(docsDir)
+    foldIn.write.mode("append").parquet(docsDir)
   }
 
   /** The incremental funnel as a STREAM: readStream of new docs →

@@ -100,6 +100,18 @@ class WindowedStatsSpec extends SparkSpec {
                   bloom_contains(b, 'zzz') AS outb
            FROM art""").head()
       assert(sk.getLong(0) == 2L && sk.getBoolean(1) && !sk.getBoolean(2))
+      // the documented 2-arg weighted form: cms_agg(key, weight)
+      val wk = s2.sql(
+        """WITH toks(t, w) AS (VALUES ('alpha', CAST(3 AS BIGINT)),
+                                      ('alpha', CAST(4 AS BIGINT)),
+                                      ('beta',  CAST(1 AS BIGINT))),
+           art AS (SELECT cms_agg(t, w) AS a FROM toks)
+           SELECT cms_estimate(a, 'alpha') AS n FROM art""").head()
+      assert(wk.getLong(0) == 7L)
+      // wrong arity fails analysis instead of silently dropping args
+      assertThrows[Exception] {
+        s2.sql("SELECT cms_agg('a', 1, 2) FROM VALUES (1)").head()
+      }
     } finally {
       SparkSession.setDefaultSession(orig)
       SparkSession.setActiveSession(orig)
