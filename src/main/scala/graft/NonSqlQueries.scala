@@ -287,6 +287,36 @@ object NonSqlQueries {
       Export.rangeSharded(Tables.documents(s, d), "n_chars", numShards = 8)
         .select(col("doc_id"), col("n_chars"), col("shard"))),
 
+    // Persistable PCA model: train → parquet round-trip → project
+    // under the RELOADED artifact (the train-once/project-anywhere
+    // shape). Rows-only — the state dir is engine-side scratch; the
+    // q96/q97 oracles gate the underlying train/project math and
+    // PcaSpec asserts the round-trip is bit-exact.
+    "x32_pca_state_roundtrip" -> q((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val st = Pca.trainState(emb, "embedding", dim = 64, k = 2, iters = 30)
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-pca-state").toString
+      Pca.saveState(s, st, dir)
+      Pca.projectState(emb, "vec_id", "embedding", Pca.loadState(s, dir))
+        .orderBy(col("vec_id"), col("component"))
+    }),
+
+    // Resumable Unigram-LM training: fit, persist, reload, resume 1
+    // more EM round — the checkpoint/resume shape iterative trainers
+    // need at corpus scale. Rows-only — q73's one-shot schedule stays
+    // the oracle-checked contract; UnigramSpec proves chained ≡
+    // one-shot through the same parquet round-trip.
+    "x33_unigram_resume" -> q((s, d) => {
+      val docs = Tables.documents(s, d)
+      val st = Unigram.trainState(docs, "text", vocabSize = 64)
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-unigram-state").toString
+      Unigram.saveState(st, dir)
+      Unigram.resumeEm(Unigram.loadState(s, dir), 1).vocab
+        .orderBy(col("piece"))
+    }),
+
     // SQL-registration surface smoke: the library's functions usable
     // from spark.sql.
     "x17_sql_functions" -> q((s, d) => {

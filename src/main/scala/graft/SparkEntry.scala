@@ -42,15 +42,6 @@ object SparkEntry {
   /** Pins the lambda type so the Map literal infers cleanly. */
   private def q(f: (SparkSession, String) => DataFrame): (SparkSession, String) => DataFrame = f
 
-  /** Cutoff as epoch-nanos for predicates on events.ts_ns: comparing
-    * the raw int64 column pushes to the parquet scan (row-group skip),
-    * whereas `timestamp_micros(ts_ns div 1000) >= ts` evaluates per
-    * row. floor(x/1000) >= c ⟺ x >= c·1000, so semantics match the
-    * oracle's timestamp compare for whole-second cutoffs. */
-  private def tsNs(s: String): Column = lit(
-    java.time.LocalDateTime.parse(s.replace(' ', 'T'))
-      .toEpochSecond(java.time.ZoneOffset.UTC) * 1000000000L)
-
   /** Pseudo sentiment score ∈ [-100,100]/100 derived deterministically
     * from n_chars — the SQL-expressible stand-in that lets the DuckDB
     * oracle verify the X-3/X-4/X-5 combine/classify/confidence chain
@@ -136,13 +127,13 @@ object SparkEntry {
     // A-1/F-6/F-7: freshness count over a time window.
     "q10_freshness_count" -> q((s, d) =>
       Tables.events(s, d)
-        .filter(col("ts_ns") >= tsNs("2024-01-02 00:00:00"))
+        .filter(col("ts") >= ts("2024-01-02 00:00:00"))
         .agg(count(lit(1)).as("fresh_count"))),
 
     // A-2/A-3/A-4 + X-11: completeness/quality report in one pass.
     "q11_quality_rate" -> q((s, d) =>
-      Quality.qualityReport(Tables.events(s, d), "ts_ns",
-        tsNs("2024-01-01 12:00:00"), col("value") < 10)),
+      Quality.qualityReport(Tables.events(s, d), "ts",
+        ts("2024-01-01 12:00:00"), col("value") < 10)),
 
     // F-1 + X-8: required-fields + URL-regex validation filter.
     "q12_validate" -> q((s, d) => {
@@ -969,6 +960,14 @@ object SparkEntry {
       val comps = Pca.solve(n, sArr, pp, k = 2, iters = 8)
       Pca.project(emb, "vec_id", "embedding", comps, n, sArr)
     }),
+
+    // Multi-pass blocking (Christen ch.4): fuzzy title pairs blocked
+    // on the TWO rarest title tokens — recall survives an edit to
+    // either one; candidates union and dedup before the levenshtein
+    // verdict, so the q80 single-key result embeds in this one.
+    "q99_fuzzy_pairs_2key" -> q((s, d) =>
+      FuzzyJoin.fuzzyTitlePairs(Tables.documents(s, d), "doc_id", "text",
+        blockKeys = 2)),
 
     // Interval×interval overlap join on the q95 bin plan: shipment
     // service windows (ship_day + deterministic 1..30-day span) vs
@@ -2350,6 +2349,47 @@ object SparkEntry {
            ON a.bkey = b.bkey AND a.doc_id < b.doc_id
          JOIN ok ON a.bkey = ok.bkey
          WHERE levenshtein(a.title, b.title) <= 8""",
+
+    // Two-key blocking replay: per-doc top-2 (df, tk) via row_number,
+    // per-key dfCap, same-block pairs from EITHER key, pair dedup to
+    // min agreeing key (titles are pair-constant), then the same
+    // levenshtein verdict as q80.
+    "q99_fuzzy_pairs_2key" ->
+      """WITH t AS (
+           SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(COALESCE(text, '')), '[^a-z0-9'']+'), x -> length(x) > 0)[1:6] AS ttoks
+           FROM documents),
+         ti AS (
+           SELECT doc_id, array_to_string(ttoks, ' ') AS title, ttoks
+           FROM t WHERE len(ttoks) > 0),
+         tok AS (
+           SELECT DISTINCT doc_id, unnest(ttoks) AS tk FROM ti),
+         dfreq AS (
+           SELECT tk, CAST(count(*) AS BIGINT) AS df FROM tok GROUP BY tk),
+         rk AS (
+           SELECT doc_id, tk, df,
+             row_number() OVER (PARTITION BY doc_id ORDER BY df, tk) AS rn
+           FROM tok JOIN dfreq USING (tk)),
+         keyed AS (
+           SELECT rk.doc_id, ti.title, rk.tk AS bkey
+           FROM rk JOIN ti ON rk.doc_id = ti.doc_id
+           WHERE rk.rn <= 2 AND rk.df <= 4096),
+         ok AS (
+           SELECT bkey FROM keyed GROUP BY bkey
+           HAVING count(*) BETWEEN 2 AND 512),
+         cand AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.bkey,
+             a.title AS ta, b.title AS tb
+           FROM keyed a JOIN keyed b
+             ON a.bkey = b.bkey AND a.doc_id < b.doc_id
+           JOIN ok ON a.bkey = ok.bkey),
+         ded AS (
+           SELECT id_a, id_b, min(bkey) AS block_token,
+             min(ta) AS ta, min(tb) AS tb
+           FROM cand GROUP BY id_a, id_b)
+         SELECT id_a, id_b, block_token,
+           CAST(levenshtein(ta, tb) AS BIGINT) AS dist
+         FROM ded WHERE levenshtein(ta, tb) <= 8""",
 
     // Random-projection replay: the SAME seeded ±1 matrix rendered as
     // literal sign chains over the quantized vectors — every comp is

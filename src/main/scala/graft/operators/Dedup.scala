@@ -38,10 +38,15 @@ object Dedup {
   def idempotentBatch(batch: DataFrame, existing: DataFrame, key: String): DataFrame =
     dedupAgainst(dropDupes(batch, key), existing, key)
 
-  /** Read `dir` as parquet when the path exists; `fallback` when it is
-    * absent (the first batch of an incremental pipeline, before any
-    * state has been written). Only path-absence selects the fallback:
-    * any OTHER failure (a transient storage error, a corrupt footer)
+  /** Read `dir` as parquet when it holds committed state; `fallback`
+    * when it does not (the first batch of an incremental pipeline,
+    * before any state has been written). "No committed state" means the
+    * path is absent OR exists with no committed data files — a crash
+    * during the very first append leaves the dir holding only
+    * `_temporary`/`_SUCCESS` markers, and treating that as readable
+    * state would fail `spark.read.parquet` identically on every retry
+    * (a permanent failure loop on exactly the crash-recovery path).
+    * Any OTHER failure (a transient storage error, a corrupt footer)
     * propagates so the enclosing micro-batch FAILS and the streaming
     * engine retries it — silently adjudicating a batch against empty
     * standing state would land permanently wrong verdicts. */
@@ -49,7 +54,15 @@ object Dedup {
                   fallback: => DataFrame): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) spark.read.parquet(dir) else fallback
+    // Any non-hidden entry counts: data files for a flat layout,
+    // `key=value/` subdirs for a partitioned one. A crashed-first-append
+    // dir holds only `_temporary`/`_SUCCESS` markers, both hidden.
+    def hasCommittedData: Boolean = fs.listStatus(p).exists { st =>
+      val n = st.getPath.getName
+      !n.startsWith("_") && !n.startsWith(".")
+    }
+    if (fs.exists(p) && hasCommittedData) spark.read.parquet(dir)
+    else fallback
   }
 
   /** Exact content dedup for a corpus: group identical normalized text,

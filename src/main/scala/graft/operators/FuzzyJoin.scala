@@ -70,43 +70,96 @@ import graft.functions.Analyzer
 object FuzzyJoin {
 
   /** Titles within `maxDist` edits, blocked on the rarest title token.
-    * See object doc for the contract and the recall trade. */
+    * See object doc for the contract and the recall trade.
+    *
+    * `blockKeys` (Christen ch.4's multi-pass blocking): block on the
+    * `blockKeys` RAREST title tokens instead of just the single
+    * rarest. A true pair is then missed only when the edit changed
+    * ALL of its blocking tokens — the single-key pass loses exactly
+    * the pairs whose one rare token was the edited word, the recall
+    * gap FuzzyJoinSpec plants and the second pass recovers. Candidate
+    * sets from the passes union; pairs are deduped BEFORE the
+    * levenshtein verdict (one edit-distance per candidate pair,
+    * `block_token` reported as the smallest agreeing key), so cost
+    * grows with the union of block populations, not `blockKeys`×. */
   def fuzzyTitlePairs(docs: DataFrame, idCol: String, textCol: String,
                       titleTokens: Int = 6, maxDist: Int = 8,
-                      dfCap: Long = 4096L, maxBlock: Long = 512L): DataFrame = {
+                      dfCap: Long = 4096L, maxBlock: Long = 512L,
+                      blockKeys: Int = 1): DataFrame = {
     require(titleTokens >= 1, s"titleTokens must be >= 1 (got $titleTokens)")
     require(maxDist >= 0, s"maxDist must be >= 0 (got $maxDist)")
     require(dfCap >= 1L, s"dfCap must be >= 1 (got $dfCap)")
     require(maxBlock >= 2L, s"maxBlock must be >= 2 (got $maxBlock)")
+    require(blockKeys >= 1 && blockKeys <= titleTokens,
+      s"blockKeys must be in [1, $titleTokens] (got $blockKeys)")
+    // No scanWide here: since the title tokenize is a limit-split
+    // prefix pass (tokenizePrefix), the pre-exchange work is cheap even
+    // on a one-task scan, and shuffling the full text rows to widen it
+    // measured SLOWER than leaving the scan alone (Q80 probe, sf0.1:
+    // 1.7 s without vs 2.2 s with). The expensive stage — in-block pair
+    // expansion + levenshtein — gets its width from the explicit
+    // repartition below instead.
     val titled = docs
       .select(col(idCol),
-        slice(Analyzer.tokenize(coalesce(col(textCol), lit(""))),
-          1, titleTokens).as("__ttoks"))
+        Analyzer.tokenizePrefix(coalesce(col(textCol), lit("")),
+          titleTokens).as("__ttoks"))
       .filter(size(col("__ttoks")) > 0)
       .withColumn("__title", array_join(col("__ttoks"), " "))
     val toks = titled.select(col(idCol), col("__title"),
       explode(array_distinct(col("__ttoks"))).as("__tk"))
     val dfreq = toks.groupBy(col("__tk"))
       .agg(count(lit(1)).as("__df"))
+    // per-doc `blockKeys` smallest (df, tk) structs; sort_array's
+    // lexicographic struct order is exactly the min(struct) argmin, so
+    // blockKeys=1 reproduces the single-key blocking bit-for-bit. The
+    // dfCap filter applies per KEY: a doc whose rarest token is
+    // common can still block on a rarer second token and vice versa.
     val blocked = toks.join(dfreq, "__tk")
       .groupBy(col(idCol), col("__title"))
-      .agg(min(struct(col("__df"), col("__tk"))).as("__m"))
+      .agg(slice(sort_array(collect_set(struct(col("__df"), col("__tk")))),
+        1, blockKeys).as("__ks"))
+      .select(col(idCol), col("__title"), explode(col("__ks")).as("__m"))
       .filter(col("__m.__df") <= dfCap)
       .select(col(idCol), col("__title"), col("__m.__tk").as("__bkey"))
-    blocked.groupBy(col("__bkey"))
+    // Explicit-width hash repartition on the block key: the groupBy
+    // reuses this distribution (no extra exchange), and the explicit
+    // numPartitions is exempt from AQE coalescing — the in-task pair
+    // expansion + levenshtein stage keeps its width even though the
+    // shuffled (id, title) bytes look small to AQE.
+    val candidates = blocked
+      .repartition(blocked.sparkSession.sparkContext.defaultParallelism,
+        col("__bkey"))
+      .groupBy(col("__bkey"))
       .agg(collect_list(struct(col(idCol).as("id"), col("__title").as("t")))
         .as("ms"))
       .filter(size(col("ms")).between(2, maxBlock))
       .select(col("__bkey"), explode(DedupApprox.pairExpand(col("ms"))).as("p"))
       // free prune: |len_a - len_b| lower-bounds the edit distance
       .filter(abs(length(col("p.a.t")) - length(col("p.b.t"))) <= maxDist)
-      // banded threshold form: O(len·maxDist), returns -1 past the band
-      .withColumn("dist",
-        levenshtein(col("p.a.t"), col("p.b.t"), maxDist).cast("long"))
-      .filter(col("dist") >= 0L)
       // collect_list order is nondeterministic — normalize pair order by id
       .select(least(col("p.a.id"), col("p.b.id")).as("id_a"),
         greatest(col("p.a.id"), col("p.b.id")).as("id_b"),
-        col("__bkey").as("block_token"), col("dist"))
+        col("__bkey"),
+        when(col("p.a.id") <= col("p.b.id"), col("p.a.t"))
+          .otherwise(col("p.b.t")).as("__ta"),
+        when(col("p.a.id") <= col("p.b.id"), col("p.b.t"))
+          .otherwise(col("p.a.t")).as("__tb"))
+    // multi-key passes can surface the same pair once per shared key —
+    // dedup BEFORE the levenshtein verdict (titles are pair-constant;
+    // block_token reports the smallest agreeing key). blockKeys=1
+    // cannot duplicate (one key per doc), so it skips the exchange.
+    val deduped =
+      if (blockKeys == 1)
+        candidates.withColumnRenamed("__bkey", "block_token")
+      else candidates
+        .groupBy(col("id_a"), col("id_b"))
+        .agg(min(col("__bkey")).as("block_token"),
+          first(col("__ta")).as("__ta"), first(col("__tb")).as("__tb"))
+    deduped
+      // banded threshold form: O(len·maxDist), returns -1 past the band
+      .withColumn("dist",
+        levenshtein(col("__ta"), col("__tb"), maxDist).cast("long"))
+      .filter(col("dist") >= 0L)
+      .select(col("id_a"), col("id_b"), col("block_token"), col("dist"))
   }
 }

@@ -51,27 +51,20 @@ object Pca {
 
   /** Corpus second-moment summary: (n, s_i = Σ qv_i,
     * pp_ij = Σ qv_i·qv_j), collected — dim²+dim+1 values, the
-    * model-sized artifact the eigensolve runs on. One corpus scan;
-    * the per-row dim² pair expansion is covariance's intrinsic cost
-    * and map-side-combines to ≤ dim² rows per partition. */
+    * model-sized artifact the eigensolve runs on. One corpus scan
+    * through the mergeable [[graft.functions.MomentsAgg]] buffer:
+    * the per-row dim² multiply-adds (covariance's intrinsic cost)
+    * run as a primitive in-task loop with no row materialization,
+    * and one packed buffer per partition crosses the shuffle. Sums
+    * are the same exact BIGINTs as the previous posexplode
+    * formulation — [[solve]] and the q96/q97 oracles are unchanged. */
   def moments(df: DataFrame, vecCol: String, dim: Int,
               scale: Int = 1000): (Long, Array[Long], Array[Array[Long]]) = {
-    val q = df.select(qvec(col(vecCol), scale).as("qv"))
+    val packed = df.select(qvec(col(vecCol), scale).as("qv"))
       .filter(size(col("qv")) === dim)
-    val sv = q.select(posexplode(col("qv")).as(Seq("i", "xi")))
-      .groupBy(col("i")).agg(sum(col("xi")).as("s"), count(lit(1)).as("n"))
-      .collect()
-    val n = if (sv.isEmpty) 0L else sv.head.getLong(2)
-    val s = Array.ofDim[Long](dim)
-    sv.foreach(r => s(r.getInt(0)) = r.getLong(1))
-    val ppRows = q
-      .select(col("qv"), posexplode(col("qv")).as(Seq("i", "xi")))
-      .select(col("i"), col("xi"), posexplode(col("qv")).as(Seq("j", "xj")))
-      .groupBy(col("i"), col("j")).agg(sum(col("xi") * col("xj")).as("pp"))
-      .collect()
-    val pp = Array.ofDim[Long](dim, dim)
-    ppRows.foreach(r => pp(r.getInt(0))(r.getInt(1)) = r.getLong(2))
-    (n, s, pp)
+      .select(graft.functions.MomentsAgg.momentsAgg(col("qv"), dim).as("m"))
+      .head().getSeq[Long](0)
+    graft.functions.MomentsAgg.unpack(packed, dim)
   }
 
   /** One trained component: the L∞-normalized eigenvector on the 1e6
@@ -143,6 +136,62 @@ object Pca {
       }
     }.toDF("component", "dim", "v", "lam")
   }
+
+  /** The persistable trained-model artifact: the training moments the
+    * projection needs (n, s) plus the solved components. */
+  final case class PcaState(n: Long, s: Array[Long], comps: Seq[Component])
+
+  /** Train end-to-end and keep the artifact (not just the component
+    * table): one moments scan + driver eigensolve. */
+  def trainState(df: DataFrame, vecCol: String, dim: Int, k: Int,
+                 iters: Int, scale: Int = 1000): PcaState = {
+    val (n, s, pp) = moments(df, vecCol, dim, scale)
+    PcaState(n, s, solve(n, s, pp, k, iters))
+  }
+
+  /** Render the state as one self-contained table: a row per
+    * (component, dim) cell carrying `v`/`lam` plus the dim-th moment
+    * `s` and the corpus count `n` (repeated — the artifact is
+    * k·dim rows, model-sized; redundancy is free and keeps the layout
+    * a single flat parquet). All columns are exact longs, so the
+    * round-trip is bit-for-bit. */
+  def stateToDF(spark: SparkSession, state: PcaState): DataFrame = {
+    import spark.implicits._
+    state.comps.zipWithIndex.flatMap { case (c, ci) =>
+      c.v.zipWithIndex.map { case (x, di) =>
+        ((ci + 1).toLong, (di + 1).toLong, x, c.lam, state.s(di), state.n)
+      }
+    }.toDF("component", "dim", "v", "lam", "s", "n")
+  }
+
+  /** Parquet round-trip of the artifact (r6 directive: a trained model
+    * must survive the session — train once, project in any later job). */
+  def saveState(spark: SparkSession, state: PcaState, dir: String): Unit =
+    stateToDF(spark, state).write.mode("overwrite").parquet(dir)
+
+  def loadState(spark: SparkSession, dir: String): PcaState = {
+    val rows = spark.read.parquet(dir)
+      .select(col("component"), col("dim"), col("v"), col("lam"),
+        col("s"), col("n"))
+      .collect()
+    require(rows.nonEmpty, s"empty PCA state at $dir")
+    val dim = rows.map(_.getLong(1)).max.toInt
+    val n = rows.head.getLong(5)
+    val s = Array.ofDim[Long](dim)
+    rows.foreach(r => s(r.getLong(1).toInt - 1) = r.getLong(4))
+    val comps = rows.groupBy(_.getLong(0)).toSeq.sortBy(_._1).map {
+      case (_, cells) =>
+        val v = Array.ofDim[Long](dim)
+        cells.foreach(r => v(r.getLong(1).toInt - 1) = r.getLong(2))
+        Component(v, cells.head.getLong(3))
+    }
+    PcaState(n, s, comps)
+  }
+
+  /** Projection under a (possibly reloaded) state artifact. */
+  def projectState(df: DataFrame, idCol: String, vecCol: String,
+                   state: PcaState, scale: Int = 1000): DataFrame =
+    project(df, idCol, vecCol, state.comps, state.n, state.s, scale)
 
   /** Centered projection of every vector onto the trained components —
     * scan-local under the literal (model-sized) component matrix:

@@ -28,9 +28,12 @@ import graft.functions.Analyzer
   *     are deterministic, so the oracle's `dense_rank() OVER (ORDER
   *     BY token)` reproduces them exactly);
   *   - round k: each position pairs its rank with the rank at
-  *     `pos + 2^(k-1)` (−1 past the end) — ONE keyed self-join — and
-  *     the distinct pairs are dense-ranked the same way. After round
-  *     k, `rank` identifies the suffix's first 2^k tokens.
+  *     `pos + 2^(k-1)` (−1 past the end) — positions are dense 1..n
+  *     per doc, so this is `lead(r, 2^(k-1))` over (doc_id, pos), one
+  *     window pass, no self-join — and the pairs are dense-ranked in
+  *     place ([[denseRankInPlace]]: same values as ranking the
+  *     distinct pairs, none of the join-back). After round k, `rank`
+  *     identifies the suffix's first 2^k tokens.
   *
   * Duplicated-run detection (the ExactSubstr verdict): after K =
   * log₂(minRun) rounds, a rank shared by ≥ 2 positions means those
@@ -39,20 +42,23 @@ import graft.functions.Analyzer
   * `(doc_id, n_tokens, n_dup_starts)` — how many of the doc's
   * suffix positions start a run duplicated somewhere in the corpus.
   *
-  * Scale shape: every round is (a) one `(doc_id, pos)`-keyed
-  * self-join of the position table, (b) a distinct-agg of rank
-  * pairs, (c) a distributed sort of the DISTINCT pairs (bounded by
-  * the number of distinct 2^k-grams, ≤ positions, usually far
-  * fewer), and (d) a join-back. Nothing is ever driver-sized except
-  * the zipWithIndex cursor; `localCheckpoint` cuts per-round lineage
-  * like the CC fixpoint. The full suffix ARRAY (ranks → order) falls
-  * out of the final sort if needed; the dedup verdict needs only the
-  * rank groups.
+  * Scale shape: every round is (a) one doc-partitioned window pass
+  * (`lead` — per-doc state only; a pathologically huge single doc is
+  * the skew ceiling, the usual per-key window story), and (b) one
+  * range-sort of the position table with in-place dense ranking
+  * ([[denseRankInPlace]]) — two exchanges total, no distinct, no
+  * join-back. Nothing is ever driver-sized except the per-partition
+  * rank-offset table (one row per partition); `localCheckpoint` cuts
+  * per-round lineage like the CC fixpoint. The full suffix ARRAY
+  * (ranks → order) falls out of the final sort if needed; the dedup
+  * verdict needs only the rank groups.
   */
 object SuffixArray {
 
   /** Dense-rank `df`'s rows by `keys` (assumed distinct): distributed
-    * sort + zipWithIndex, ranks 1..D appended as `out`. */
+    * sort + zipWithIndex, ranks 1..D appended as `out`. Used for the
+    * vocabulary-sized round-0 table only — the position-sized round
+    * tables go through [[denseRankInPlace]]. */
   private def denseRank(df: DataFrame, keys: Seq[String],
                         out: String): DataFrame = {
     val sorted = df.orderBy(keys.map(col): _*)
@@ -63,39 +69,134 @@ object SuffixArray {
       }, schema)
   }
 
+  /** Dense-rank the FULL (non-distinct) table by two long keys, in
+    * place: one range-sort of the table, then per-partition
+    * `(firstKey, lastKey, distinctRuns)` stats (driver-sized — one row
+    * per partition) compose rank offsets, and a second pass over the
+    * cached sort assigns `rank = offset(p) + local dense rank`. A run
+    * of equal keys that spans a range boundary (RangePartitioner can
+    * split ties) is merged by the offset rule: when partition p's
+    * first key equals p-1's last key, p's first run continues p-1's
+    * last rank.
+    *
+    * Produces EXACTLY the ranks of `distinct → sort → zipWithIndex →
+    * join-back` (dense, 1..D, in (k1, k2) order — the oracle's
+    * `dense_rank() OVER (ORDER BY k1, k2)`), while skipping the
+    * distinct, the join-back, and two of the three position-table
+    * shuffles per doubling round. */
+  private def denseRankInPlace(df: DataFrame, k1: String, k2: String,
+                               out: String): (DataFrame, DataFrame) = {
+    val spark = df.sparkSession
+    val sorted = df.orderBy(col(k1), col(k2))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val i1 = df.schema.fieldIndex(k1)
+    val i2 = df.schema.fieldIndex(k2)
+    val stats = sorted.rdd.mapPartitionsWithIndex { (p, it) =>
+      var first: (Long, Long) = null
+      var last: (Long, Long) = null
+      var runs = 0L
+      it.foreach { r =>
+        val k = (r.getLong(i1), r.getLong(i2))
+        if (first == null) first = k
+        if (last == null || k != last) runs += 1L
+        last = k
+      }
+      Iterator.single((p, first, last, runs))
+    }.collect().sortBy(_._1)
+    val offsets = Array.ofDim[Long](stats.length)
+    var acc = 0L
+    var prevLast: (Long, Long) = null
+    stats.foreach { case (p, first, last, runs) =>
+      val continued = first != null && first == prevLast
+      offsets(p) = acc - (if (continued) 1L else 0L)
+      acc = offsets(p) + runs
+      if (last != null) prevLast = last
+    }
+    val schema = sorted.schema.add(out, LongType, nullable = false)
+    val bc = spark.sparkContext.broadcast(offsets)
+    val ranked = spark.createDataFrame(
+      sorted.rdd.mapPartitionsWithIndex { (p, it) =>
+        var rank = bc.value(p)
+        var last: (Long, Long) = null
+        it.map { r =>
+          val k = (r.getLong(i1), r.getLong(i2))
+          if (last == null || k != last) rank += 1L
+          last = k
+          Row.fromSeq(r.toSeq :+ rank)
+        }
+      }, schema)
+    // caller unpersists the sort cache once its checkpoint lands
+    (ranked, sorted)
+  }
+
   /** The doubling chain: per-round rank tables (k, ranks-after-round-k)
     * for k = 1..rounds, each localCheckpoint'ed so later consumers see
     * a flat lineage. After round k, `r` identifies the suffix's first
-    * 2^k tokens. */
-  private def doublingRounds(df: DataFrame, idCol: String,
-                             textCol: String,
-                             rounds: Int): Seq[(Int, DataFrame)] = {
-    val toks = df.select(col(idCol).as("doc_id"),
-      concat(
-        Analyzer.tokenize(coalesce(col(textCol), lit(""))),
-        array(concat(lit("#"), col(idCol).cast("string")))).as("__toks"))
+    * 2^k tokens.
+    *
+    * EARLY TERMINATION: dense ranks are 1..D, so `max(r) == count(*)`
+    * ⟺ every suffix's rank is already unique ⟺ no duplicated run at
+    * the current length, hence none at any longer length either —
+    * remaining rounds can only renumber singleton groups, never merge
+    * or split them. Both the dupRunStats groups and the dupRunProfile
+    * per-round verdicts (all empty past termination) are unchanged by
+    * stopping, so the chain exits after the first fully-unique round
+    * instead of paying log₂(L) sorts on a low-duplication corpus. The
+    * max(r) probe is a 1-row agg over the already-materialized
+    * (eager localCheckpoint) round table — no recompute. */
+  private[graft] def doublingRounds(df: DataFrame, idCol: String,
+                                    textCol: String,
+                                    rounds: Int): Seq[(Int, DataFrame)] = {
+    // Tokenize+posexplode run before the first exchange — widen the
+    // scan so they never serialize on input split count.
+    val toks = graft.sources.Tables.scanWide(df)
+      .select(col(idCol).as("doc_id"),
+        concat(
+          Analyzer.tokenize(coalesce(col(textCol), lit(""))),
+          array(concat(lit("#"), col(idCol).cast("string")))).as("__toks"))
     val pos = toks
       .select(col("doc_id"), posexplode(col("__toks")))
       .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
         col("col").as("__tk"))
     val r0 = denseRank(pos.select(col("__tk")).distinct(), Seq("__tk"), "r")
-    var cur = pos.join(r0, "__tk")
+    // Attaching vocab ranks to positions: broadcast by default — the
+    // rank table is vocabulary-sized, and shuffling the position table
+    // on a STRING key was the most expensive exchange in the chain. At
+    // corpus scale a heavy-tailed vocab can outgrow broadcast; the
+    // conf flips this one join back to shuffle without touching the
+    // algorithm.
+    val bcastVocab = df.sparkSession.conf
+      .getOption("graft.suffix.broadcastVocab").forall(_.toBoolean)
+    var cur = pos.join(if (bcastVocab) broadcast(r0) else r0, "__tk")
       .select(col("doc_id"), col("pos"), col("r"))
       .localCheckpoint()
-    (1 to rounds).map { k =>
-      val step = 1L << (k - 1)
-      val shifted = cur.select(col("doc_id"),
-        (col("pos") - step).as("pos"), col("r").as("__r2"))
-      val paired = cur.join(shifted, Seq("doc_id", "pos"), "left")
-        .withColumn("__r2", coalesce(col("__r2"), lit(-1L)))
-      val ranked = denseRank(
-        paired.select(col("r"), col("__r2")).distinct(),
-        Seq("r", "__r2"), "__nr")
-      cur = paired.join(ranked, Seq("r", "__r2"))
+    val nPos = cur.count()
+    def allUnique(t: DataFrame): Boolean =
+      nPos == 0L || t.agg(max(col("r"))).head().getLong(0) == nPos
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, DataFrame)]
+    var k = 1
+    var done = allUnique(cur)
+    while (k <= rounds && !done) {
+      val step = (1L << (k - 1)).toInt
+      // posexplode positions are dense 1..n per doc, so the rank at
+      // pos + step is `lead(r, step)` over (doc_id, pos) — one window
+      // pass instead of the keyed self-join's two full-table shuffles.
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("pos"))
+      val paired = cur
+        .withColumn("__r2", coalesce(lead(col("r"), step).over(w), lit(-1L)))
+        .select(col("doc_id"), col("pos"), col("r"), col("__r2"))
+      val (ranked, sortCache) =
+        denseRankInPlace(paired, "r", "__r2", "__nr")
+      cur = ranked
         .select(col("doc_id"), col("pos"), col("__nr").as("r"))
         .localCheckpoint()
-      k -> cur
+      sortCache.unpersist(blocking = false)
+      out += (k -> cur)
+      done = allUnique(cur)
+      k += 1
     }
+    if (out.isEmpty) Seq(0 -> cur) else out.toSeq
   }
 
   /** Position table (doc_id, pos, rank-after-K-rounds). Exposed for
@@ -116,14 +217,17 @@ object SuffixArray {
     val ranks = doublingRanks(df, idCol, textCol, minRun)
     // doc token counts (sentinel excluded) — keeps empty docs in the
     // report with (0, 0).
-    val nTok = df.select(col(idCol).as("doc_id"),
+    val nTok = graft.sources.Tables.scanWide(df)
+      .select(col(idCol).as("doc_id"),
       size(Analyzer.tokenize(coalesce(col(textCol), lit(""))))
         .cast("long").as("n_tokens"))
-    val groups = ranks.groupBy(col("r"))
-      .agg(count(lit(1)).as("__members"))
+    // group-size via one rank-partitioned window pass — the
+    // groupBy+join-back formulation shuffled the position table twice
+    val dupStarts = ranks
+      .withColumn("__members",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("r"))))
       .filter(col("__members") >= 2L)
-      .select(col("r"))
-    val dupStarts = ranks.join(groups, "r")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("__dups"))
     nTok.join(dupStarts, Seq("doc_id"), "left")
@@ -156,11 +260,11 @@ object SuffixArray {
     val rounds = java.lang.Integer.numberOfTrailingZeros(maxRun)
     val perRound = doublingRounds(df, idCol, textCol, rounds)
       .map { case (k, ranks) =>
-        val groups = ranks.groupBy(col("r"))
-          .agg(count(lit(1)).as("__members"))
+        ranks
+          .withColumn("__members",
+            count(lit(1)).over(org.apache.spark.sql.expressions.Window
+              .partitionBy(col("r"))))
           .filter(col("__members") >= 2L)
-          .select(col("r"))
-        ranks.join(groups, "r")
           .groupBy(col("doc_id"))
           .agg(count(lit(1)).as("n"))
           .withColumn("run_len", lit(1L << k))
@@ -168,7 +272,8 @@ object SuffixArray {
     val best = perRound.reduce(_ unionByName _)
       .groupBy(col("doc_id"))
       .agg(max(struct(col("run_len"), col("n"))).as("__m"))
-    val nTok = df.select(col(idCol).as("doc_id"),
+    val nTok = graft.sources.Tables.scanWide(df)
+      .select(col(idCol).as("doc_id"),
       size(Analyzer.tokenize(coalesce(col(textCol), lit(""))))
         .cast("long").as("n_tokens"))
     nTok.join(best, Seq("doc_id"), "left")

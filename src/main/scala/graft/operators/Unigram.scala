@@ -136,9 +136,54 @@ object Unigram {
       .groupBy(col("piece"))
       .agg(sum(col("freq")).as("cnt"))
 
+  /** ONE post-prune EM round over a fixed piece set: E = Viterbi
+    * segmentation of the word types under `state.vocab`, M = recount +
+    * add-one refit over the SAME pieces (zero-count coverage pieces
+    * kept via the left join). The piece set never changes after
+    * pruning, so rounds compose: round(round(s)) is exactly two
+    * rounds — the property [[resumeEm]]'s resumability rests on. */
+  def emRound(state: UnigramState, maxPieceLen: Int = 4): UnigramState = {
+    val c = emCounts(viterbiSegment(state.words, state.vocab, maxPieceLen))
+    val vocab = withLogProbs(
+      state.vocab.select(col("piece"))
+        .join(c, Seq("piece"), "left")
+        .select(col("piece"), coalesce(col("cnt"), lit(0L)).as("cnt")))
+    UnigramState(vocab, state.words)
+  }
+
+  /** Resume training from a (possibly reloaded — [[loadState]]) state:
+    * `n` more EM rounds. Each round localCheckpoints its vocab — the
+    * vocab is model-sized, and the cut keeps the lineage flat across
+    * arbitrarily many resumed rounds (chained 2+2 and one-shot 4 build
+    * the SAME fitted model, spec'd). */
+  def resumeEm(state: UnigramState, n: Int,
+               maxPieceLen: Int = 4): UnigramState = {
+    require(n >= 0, s"n must be >= 0 (got $n)")
+    (1 to n).foldLeft(state) { (s, _) =>
+      val next = emRound(s, maxPieceLen)
+      UnigramState(next.vocab.localCheckpoint(), next.words)
+    }
+  }
+
+  /** Parquet round-trip of the fitted state: `dir/vocab` (piece, cnt,
+    * lp_q) + `dir/words` (word, freq) — both model/type-sized, all
+    * columns exact (strings + BIGINTs), so a reloaded state resumes
+    * bit-for-bit. */
+  def saveState(state: UnigramState, dir: String): Unit = {
+    state.vocab.write.mode("overwrite").parquet(s"$dir/vocab")
+    state.words.write.mode("overwrite").parquet(s"$dir/words")
+  }
+
+  def loadState(spark: org.apache.spark.sql.SparkSession,
+                dir: String): UnigramState =
+    UnigramState(
+      spark.read.parquet(s"$dir/vocab"),
+      spark.read.parquet(s"$dir/words"))
+
   /** The full schedule (object doc). Returns the fitted state:
     * vocab = (piece, cnt, lp_q) after E₂/M₂ — zero-count coverage
-    * pieces included — and the word-type table. */
+    * pieces included — and the word-type table. The tail IS
+    * [[emRound]]: trainState ≡ seed → E₁ → prune/M₁ → emRound. */
   def trainState(df: DataFrame, textCol: String, vocabSize: Int,
                  maxPieceLen: Int = 4): UnigramState = {
     require(vocabSize >= 1, s"vocabSize must be >= 1 (got $vocabSize)")
@@ -156,12 +201,7 @@ object Unigram {
       .orderBy(col("cnt").desc, col("piece"))
       .limit(vocabSize)
     val kept = withLogProbs(chars.unionByName(multis))
-    val c2 = emCounts(viterbiSegment(words, kept, maxPieceLen))
-    val vocab = withLogProbs(
-      kept.select(col("piece"))
-        .join(c2, Seq("piece"), "left")
-        .select(col("piece"), coalesce(col("cnt"), lit(0L)).as("cnt")))
-    UnigramState(vocab, words)
+    emRound(UnigramState(kept, words), maxPieceLen)
   }
 
   /** The fitted vocabulary: (piece, cnt, lp_q). */

@@ -272,8 +272,11 @@ object CorpusPipeline {
     * redelivery, and the probe side tolerates duplicate index rows
     * (candidate pairs are DISTINCT'd before verification), while a
     * doc present in `docsDir` is always fully indexed. The anti-join
-    * probes standing ids with a delta-sized build side (broadcast),
-    * keeping the batch O(delta). */
+    * probes standing ids with a delta-sized build side (broadcast):
+    * the SHUFFLE is O(delta), but the probe still reads the full
+    * standing docs id column each micro-batch — column-pruned, not
+    * delta-sized. At corpus scale, bucketing/partitioning the docs
+    * dir on the id would turn that scan into a pruned lookup. */
   def deltaFunnelBatch(batch: DataFrame, idCol: String, textCol: String,
                        benchDocs: DataFrame, cfg: Config,
                        indexDir: String, docsDir: String,
@@ -293,7 +296,12 @@ object CorpusPipeline {
       .select(col(idCol))
     Dedup.idempotentBatch(v, existing, idCol)
       .write.mode("append").parquet(targetDir)
+    // dropDuplicates mirrors the landing path's intra-batch dedup: a
+    // batch carrying the same doc id twice must fold in one row, not
+    // two (duplicate docs rows + band keys would inflate standing
+    // state toward the LSH maxBucket cap permanently).
     val foldIn = v.select(col(idCol), col("text_clean"))
+      .dropDuplicates(idCol)
       .join(broadcast(standingDocs.select(col(idCol))
         .join(broadcast(v.select(col(idCol))), Seq(idCol))),
         Seq(idCol), "left_anti")

@@ -28,16 +28,54 @@ object Tables {
   def orders(spark: SparkSession, d: String): DataFrame    = load(spark, d, "orders")
   def lineitem(spark: SparkSession, d: String): DataFrame  = load(spark, d, "lineitem")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects. Read it as nanos-since-epoch (`ts_ns`, exact — and
-    * totally ordered identically to DuckDB's ns timestamps) and derive
-    * the µs-truncated `ts` TimestampType column for range predicates. */
+  /** Schema-adaptive events reader. The harness has shipped `events.ts`
+    * in two physical layouts:
+    *
+    *  - legacy: parquet TIMESTAMP(NANOS), which Spark's vectorized reader
+    *    rejects → read as int64 nanos (`nanosAsLong`), expose as `ts_ns`
+    *    and derive the µs-truncated `ts` TimestampType column;
+    *  - current: parquet TIMESTAMP(µs, isAdjustedToUTC=false) → keep the
+    *    native `ts` column (timestamp predicates push down to the parquet
+    *    scan) and derive exact `ts_ns = unix_micros(ts) * 1000`.
+    *
+    * Every downstream consumer sees the same two columns either way:
+    * `ts` (TimestampType) and `ts_ns` (long, exact for whole-µs data).
+    * NTZ inference is disabled so the µs layout reads as TimestampType —
+    * the session timezone is UTC everywhere (Bench/Verify/specs), so the
+    * wall-clock interpretation matches DuckDB's naive-timestamp read. */
   def events(spark: SparkSession, d: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(spark, d, "events")
-      .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts_ns div 1000)"))
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    val raw = load(spark, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumnRenamed("ts", "ts_ns")
+          .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts_ns div 1000)"))
+      case _ =>
+        raw.withColumn("ts_ns", org.apache.spark.sql.functions.expr("unix_micros(ts) * 1000"))
+    }
   }
   def documents(spark: SparkSession, d: String): DataFrame = load(spark, d, "documents")
   def embeddings(spark: SparkSession, d: String): DataFrame = load(spark, d, "embeddings")
+
+  /** Decouple CPU parallelism from input split count for operators whose
+    * expensive work (tokenization, pair expansion, per-token scoring)
+    * happens BEFORE their first exchange. A corpus read from few giant
+    * files — or single-row-group parquet, like the harness testdata —
+    * yields a one-task scan stage, serializing all of that work on one
+    * core regardless of cluster size. One explicit round-robin shuffle
+    * of the input rows restores scan-width independence at a bounded,
+    * predictable cost (the rows were about to be shuffled into the
+    * operator's first exchange anyway).
+    *
+    * Width: `graft.scan.width` conf if set (0 disables), else the
+    * context default parallelism. An explicit numPartitions repartition
+    * is also exempt from AQE partition coalescing, so the downstream
+    * stage keeps its width even when the shuffled bytes look small. */
+  def scanWide(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val n = spark.conf.getOption("graft.scan.width").map(_.toInt)
+      .getOrElse(spark.sparkContext.defaultParallelism)
+    if (n <= 0) df else df.repartition(n)
+  }
 }

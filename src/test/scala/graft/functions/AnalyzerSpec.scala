@@ -56,6 +56,32 @@ class AnalyzerSpec extends SparkSpec {
     assert(r == Seq("sort", "window", "merg", "quickli"))
   }
 
+  test("tokenizePrefix equals slice(tokenize, 1, n) on every edge shape") {
+    // edges: leading/trailing delimiters, fewer tokens than n, exactly
+    // n, n+1 (limit boundary), many more, empty, delimiter-only
+    val texts = Seq(
+      "  Hello, World! 42x  ", "one two", "a b c d e f",
+      "a b c d e f g", "a b c d e f g h i j k l m", "", "!!! ,,, ...",
+      "word", " leading space then lots of words beyond the title region x y z")
+    val df = texts.toDF("t")
+    Seq(1, 3, 6).foreach { n =>
+      val got = df.select(Analyzer.tokenizePrefix(col("t"), n))
+        .as[Seq[String]].collect().toSeq
+      val want = df.select(slice(Analyzer.tokenize(col("t")), 1, n))
+        .as[Seq[String]].collect().toSeq
+      assert(got == want, s"n=$n: $got != $want")
+    }
+  }
+
+  test("tokenizePrefix equivalence holds on the real corpus") {
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val mismatch = docs.select(
+        Analyzer.tokenizePrefix(coalesce(col("text"), lit("")), 6).as("p"),
+        slice(Analyzer.tokenize(coalesce(col("text"), lit(""))), 1, 6).as("f"))
+      .filter(not(col("p") <=> col("f"))).count()
+    assert(mismatch == 0L)
+  }
+
   test("analyzedMatchCount matches across morphology") {
     val df = Seq((1L, "sorting merged windows"), (2L, "nothing relevant here"))
       .toDF("id", "t")

@@ -56,6 +56,53 @@ class FuzzyJoinSpec extends SparkSpec {
     assert(out.count() == 0L)
   }
 
+  test("second blocking key recovers the edited-rarest-token pair") {
+    // The planted edit changes each doc's RAREST token ("zephyr" vs
+    // "zephyrs", both df=1), so single-key blocking misses the pair
+    // (test above). Their SECOND-rarest token is the shared "wind"
+    // (df=2, rarer than the df=3 tail words) — the 2-key pass blocks
+    // them together and finds the dist-1 pair. Christen ch.4's
+    // multi-pass recall argument, spec'd both ways.
+    val d2 = Seq(
+      (1L, "zephyr wind conditions mild across region"),
+      (2L, "zephyrs wind conditions mild across region"),
+      (3L, "other conditions mild across region words")
+    ).toDF("doc_id", "text")
+    assert(FuzzyJoin.fuzzyTitlePairs(d2, "doc_id", "text").count() == 0L)
+    val two = FuzzyJoin.fuzzyTitlePairs(d2, "doc_id", "text", blockKeys = 2)
+      .as[(Long, Long, String, Long)].collect().toSeq
+    assert(two.map(r => (r._1, r._2, r._4)) == Seq((1L, 2L, 1L)))
+    assert(two.head._3 == "wind")
+  }
+
+  test("multi-key pair dedup: one row per pair, smallest agreeing key") {
+    // Identical titles share BOTH blocking keys — the pair must still
+    // surface exactly once, reporting the smaller key.
+    val d = Seq(
+      (1L, "unique1 shared alpha beta gamma delta"),
+      (2L, "unique1 shared alpha beta gamma delta")
+    ).toDF("doc_id", "text")
+    val out = FuzzyJoin.fuzzyTitlePairs(d, "doc_id", "text", blockKeys = 2)
+      .as[(Long, Long, String, Long)].collect().toSeq
+    assert(out.length == 1)
+    assert(out.head._4 == 0L)
+  }
+
+  test("two-key candidate set is a superset of single-key, on real data") {
+    val dir = "/root/testdata/sf0.001"
+    val d = graft.sources.Tables.documents(spark, dir)
+    def pairs(k: Int) =
+      FuzzyJoin.fuzzyTitlePairs(d, "doc_id", "text", blockKeys = k)
+        .select($"id_a", $"id_b", $"dist")
+        .as[(Long, Long, Long)].collect().toSet
+    val one = pairs(1)
+    val two = pairs(2)
+    assert(one.nonEmpty)
+    // multi-pass blocking only ADDS candidates; verdicts are identical
+    // per pair, so the single-key result embeds in the two-key result
+    assert(one.subsetOf(two), s"missing: ${one.diff(two).take(5)}")
+  }
+
   test("dfCap excludes docs whose rarest token is common") {
     // With dfCap=1 every token shared by both docs is over the cap.
     val out = FuzzyJoin.fuzzyTitlePairs(docs, "doc_id", "text", dfCap = 1L)

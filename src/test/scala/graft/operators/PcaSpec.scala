@@ -96,4 +96,22 @@ class PcaSpec extends SparkSpec {
     val (n, _, _) = Pca.moments(bad.toDF("vec_id", "embedding"), "embedding", dim)
     assert(n == 400L)
   }
+
+  test("state round-trips through parquet and projects identically") {
+    val df = rows.toDF("vec_id", "embedding")
+    val st = Pca.trainState(df, "embedding", dim, k = 2, iters = 30)
+    val dir = java.nio.file.Files.createTempDirectory("pca-state").toString
+    Pca.saveState(spark, st, dir)
+    val re = Pca.loadState(spark, dir)
+    // artifact is exact longs end to end — demand bit equality
+    assert(re.n == st.n)
+    assert(re.s.toSeq == st.s.toSeq)
+    assert(re.comps.map(c => (c.v.toSeq, c.lam)) ==
+      st.comps.map(c => (c.v.toSeq, c.lam)))
+    val a = Pca.projectState(df, "vec_id", "embedding", st)
+      .as[(Long, Long, Long)].collect().toSet
+    val b = Pca.projectState(df, "vec_id", "embedding", re)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(a == b && a.nonEmpty)
+  }
 }

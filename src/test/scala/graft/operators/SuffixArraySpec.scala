@@ -101,6 +101,30 @@ class SuffixArraySpec extends SparkSpec {
     }
   }
 
+  test("early termination: all-unique corpus stops after one round") {
+    // every token distinct across the corpus → after round 1 every
+    // suffix rank is unique, so the chain must stop there instead of
+    // paying the remaining log2(minRun) rounds
+    val docs = Seq(
+      (1L, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10"),
+      (2L, "v1 v2 v3 v4 v5 v6 v7 v8 v9 v10")
+    ).toDF("doc_id", "text")
+    val ran = SuffixArray.doublingRounds(docs, "doc_id", "text", rounds = 4)
+    assert(ran.length < 4, s"expected early exit, ran ${ran.map(_._1)}")
+    // and the truncated chain still yields the right (all-zero) verdict
+    val out = SuffixArray.dupRunStats(docs, "doc_id", "text", minRun = 16)
+      .as[(Long, Long, Long)].collect()
+    assert(out.forall(_._3 == 0L))
+  }
+
+  test("early termination never fires while duplicate groups remain") {
+    val run = (1 to 16).map(i => s"d$i").mkString(" ")
+    val docs = Seq((1L, s"$run x"), (2L, s"y $run")).toDF("doc_id", "text")
+    // the shared 16-run keeps ranks non-unique through round 4
+    val ran = SuffixArray.doublingRounds(docs, "doc_id", "text", rounds = 4)
+    assert(ran.map(_._1) == Seq(1, 2, 3, 4))
+  }
+
   test("partitioning invariance") {
     val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
     val a = SuffixArray.dupRunStats(docs, "doc_id", "text")

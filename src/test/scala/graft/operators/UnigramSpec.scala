@@ -88,4 +88,31 @@ class UnigramSpec extends SparkSpec {
       .as[(String, Long, Long)].collect().toSet
     assert(a == b)
   }
+
+  test("resumable: chained 2+2 through a parquet round-trip == one-shot 4") {
+    def vocabSet(s: Unigram.UnigramState) =
+      s.vocab.select($"piece", $"cnt", $"lp_q")
+        .as[(String, Long, Long)].collect().toSet
+    val base = Unigram.trainState(docs, "text", vocabSize = 8)
+    val oneShot = Unigram.resumeEm(base, 4)
+    // chain: 2 rounds → persist → reload → 2 more
+    val half = Unigram.resumeEm(base, 2)
+    val dir = java.nio.file.Files.createTempDirectory("unigram-state").toString
+    Unigram.saveState(half, dir)
+    val resumed = Unigram.resumeEm(Unigram.loadState(spark, dir), 2)
+    assert(vocabSet(resumed) == vocabSet(oneShot))
+    // and the reloaded model segments identically
+    val segA = Unigram.viterbiSegment(oneShot.words, oneShot.vocab, 4)
+      .select($"word", $"seg").as[(String, String)].collect().toSet
+    val segB = Unigram.viterbiSegment(resumed.words, resumed.vocab, 4)
+      .select($"word", $"seg").as[(String, String)].collect().toSet
+    assert(segA == segB)
+  }
+
+  test("resumeEm(0) is the identity on the fitted vocab") {
+    val base = Unigram.trainState(docs, "text", vocabSize = 8)
+    val same = Unigram.resumeEm(base, 0)
+    assert(same.vocab.as[(String, Long, Long)].collect().toSet ==
+      base.vocab.as[(String, Long, Long)].collect().toSet)
+  }
 }
