@@ -317,6 +317,31 @@ object NonSqlQueries {
         .orderBy(col("piece"))
     }),
 
+    // Streaming decontamination probe in batch harness: benchmark
+    // slice (src0) gram hashes become the standing 8-byte-key index,
+    // then two deltas of the remaining docs run through
+    // contamDeltaBatch — verdicts land effectively-once, the second
+    // delta also overlaps the first via the growing seen-index.
+    // Rows-only — the landed verdict dir is engine-side scratch; q90
+    // oracle-gates the underlying gram-hash overlap math and
+    // CorpusStreamSpec asserts redelivery lands nothing.
+    "x34_stream_decontam" -> q((s, d) => {
+      val docs = Tables.documents(s, d)
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-contam").toString
+      docs.filter(col("source") === "src0")
+        .select(explode(TextAnalysis.docGramHashes(col("text"))).as("h"))
+        .write.mode("overwrite").parquet(s"$base/bench")
+      val rest = docs.filter(col("source") =!= "src0")
+      Seq(0, 1).foreach { slice =>
+        graft.plans.CorpusPipeline.contamDeltaBatch(
+          rest.filter(col("doc_id") % 2 === slice), "doc_id", "text",
+          s"$base/bench", s"$base/seen", s"$base/seenDocs", s"$base/target")
+      }
+      s.read.parquet(s"$base/target")
+        .orderBy(col("doc_id"))
+    }),
+
     // SQL-registration surface smoke: the library's functions usable
     // from spark.sql.
     "x17_sql_functions" -> q((s, d) => {

@@ -725,6 +725,14 @@ object TextAnalysis {
       .toArray.distinct.toSeq
   }
 
+  /** Per-doc DISTINCT n-gram 64-bit hashes of an analyzer-tokenized
+    * text column — the 8-byte contamination keys [[crossSliceOverlap]]
+    * shuffles, exposed for the streaming decontamination probe
+    * ([[graft.plans.CorpusPipeline.contamDeltaBatch]]): indexes and
+    * joins carry these longs, never gram strings (q67's lesson). */
+  def docGramHashes(text: Column, n: Int = 8): Column =
+    sliceGramHashUdf(n)(Analyzer.tokenize(coalesce(text, lit(""))))
+
   /** Cross-slice n-gram contamination report (the train/test-overlap
     * analysis of Brown et al. 2020 App. C and Dodge et al. 2021 §4.2,
     * lifted to arbitrary corpus slices): per slice, how many of its

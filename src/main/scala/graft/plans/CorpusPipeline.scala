@@ -327,6 +327,88 @@ object CorpusPipeline {
         ()
       }
 
+  /** Streaming decontamination probe — q90's n-gram overlap analysis
+    * as a DELTA stream against standing 8-byte-key indexes, landed
+    * effectively-once (round-6 directive #7). Per micro-batch:
+    *
+    *   1. per-doc distinct gram hashes ([[TextAnalysis.docGramHashes]]
+    *      — 64-bit keys, never gram strings);
+    *   2. verdict = per-doc `(n_grams, n_bench_hits, n_seen_hits)`
+    *      from two hash joins: the STATIC benchmark index at
+    *      `benchIndexDir` (the eval-set grams training data must not
+    *      contain — Brown 2020 App. C) and the GROWING `seenIndexDir`
+    *      of grams from prior deltas (cross-delta overlap, the
+    *      streaming analog of q90's cross-slice report);
+    *   3. verdicts land idempotently in `targetDir` (anti-join on the
+    *      doc id — a redelivered batch lands nothing);
+    *   4. the batch's grams fold into `seenIndexDir`, with
+    *      `seenDocsDir` (ids) appended LAST as the fold-in commit
+    *      marker — the [[deltaFunnelBatch]] crash rule: fold-in is
+    *      derived from the batch vs the LEDGER, never from this run's
+    *      landing, so a crash between appends heals on redelivery.
+    *
+    * Effectively-once note: a redelivered batch recomputes verdicts
+    * against a `seen` index that now contains its own grams, but those
+    * recomputed rows are dropped by the idempotent landing — landed
+    * verdicts always reflect first-delivery state. Scale shape: every
+    * join key is 8 bytes; the batch side is delta-sized and broadcast;
+    * the standing index is read column-pruned (`h` only). Duplicate
+    * hash rows in the index are tolerated (the probe DISTINCTs them),
+    * which keeps fold-in a pure O(delta) append. */
+  def contamDeltaBatch(batch: DataFrame, idCol: String, textCol: String,
+                       benchIndexDir: String, seenIndexDir: String,
+                       seenDocsDir: String, targetDir: String,
+                       n: Int = 8): Unit = {
+    val spark = batch.sparkSession
+    val ids = batch.select(col(idCol)).dropDuplicates(idCol)
+    val grams = batch.dropDuplicates(idCol)
+      .select(col(idCol),
+        explode_outer(TextAnalysis.docGramHashes(col(textCol), n)).as("h"))
+      .localCheckpoint()
+    val emptyIdx = grams.select(col("h")).limit(0)
+    val bench = Dedup.readStateOr(spark, benchIndexDir, emptyIdx)
+      .select(col("h")).distinct()
+    val seen = Dedup.readStateOr(spark, seenIndexDir, emptyIdx)
+      .select(col("h")).distinct()
+    val verdict = grams
+      .join(bench.withColumn("__b", lit(1L)), Seq("h"), "left")
+      .join(seen.withColumn("__s", lit(1L)), Seq("h"), "left")
+      .groupBy(col(idCol))
+      .agg(count(col("h")).as("n_grams"),
+        sum(coalesce(col("__b"), lit(0L))).as("n_bench_hits"),
+        sum(coalesce(col("__s"), lit(0L))).as("n_seen_hits"))
+      .localCheckpoint()
+    val existing = Dedup.readStateOr(spark, targetDir, verdict.limit(0))
+      .select(col(idCol))
+    Dedup.idempotentBatch(verdict, existing, idCol)
+      .write.mode("append").parquet(targetDir)
+    // fold-in vs the LEDGER (not this run's landing): heals partials
+    val ledger = Dedup.readStateOr(spark, seenDocsDir, ids.limit(0))
+      .select(col(idCol))
+    val foldIds = ids.join(broadcast(ledger.join(broadcast(ids), Seq(idCol))),
+      Seq(idCol), "left_anti").localCheckpoint()
+    grams.join(broadcast(foldIds), Seq(idCol))
+      .filter(col("h").isNotNull)
+      .select(col("h")).distinct()
+      .write.mode("append").parquet(seenIndexDir)
+    foldIds.write.mode("append").parquet(seenDocsDir)
+  }
+
+  /** [[contamDeltaBatch]] as a stream sink: readStream of new docs →
+    * decontamination verdicts per micro-batch, effectively-once. */
+  def contamDeltaSink(deltaStream: DataFrame, idCol: String,
+                      textCol: String, benchIndexDir: String,
+                      seenIndexDir: String, seenDocsDir: String,
+                      targetDir: String, checkpointDir: String, n: Int = 8)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    deltaStream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        contamDeltaBatch(b, idCol, textCol, benchIndexDir, seenIndexDir,
+          seenDocsDir, targetDir, n)
+        ()
+      }
+
   /** The attrition funnel as ONE aggregate over the verdict plan:
     * docs surviving each stage, counted causally (stage N counts only
     * docs that passed stages 1..N-1). Only stages present in the

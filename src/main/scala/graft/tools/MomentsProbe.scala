@@ -23,7 +23,7 @@ object MomentsProbe {
     emb.count()
 
     def widened(times: Int) =
-      emb.select(col("doc_id"),
+      emb.select(col("vec_id"),
         flatten(array_repeat(col("embedding"), times)).as("embedding"))
 
     def posexplodeMoments(dim: Int, times: Int): Unit = {

@@ -1,0 +1,90 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Derives a 10× "sf1-equivalent" corpus from the sf0.1 testdata into
+  * a scratch dir, for SCALING EXPONENT measurement only (the
+  * correctness gate stays on the driver-provided tables; nothing here
+  * feeds an oracle). Ten shifted copies, constructed so per-copy
+  * structure scales LINEARLY — the failure mode to avoid is ten
+  * verbatim copies, which would make every doc a 10-way near-dup and
+  * quadratically inflate every pair-finding query into a different
+  * (adversarial) workload:
+  *
+  *  - documents: ids shifted per copy; every token of copies 1..9 gets
+  *    a copy-specific suffix (`word` → `wordzz3`), so cross-copy
+  *    Jaccard/shingle similarity drops to ~0 while WITHIN-copy
+  *    duplicate structure is preserved exactly → total dup pairs scale
+  *    ×10, vocab grows ×10 (the heavy-tail shape a genuinely bigger
+  *    crawl has). n_chars recomputed (it equals length(text) in the
+  *    source data).
+  *  - embeddings: ids shifted; the vector is rotated by 6·copy
+  *    positions — norms and value mix preserved, cross-copy cosine
+  *    decorrelated.
+  *  - lineitem/orders: join keys shifted per copy, so q95/q98-style
+  *    join structure repeats per copy (×10 pairs, not ×100).
+  *
+  * Output is written at shuffle-partition width (multi-file,
+  * multi-task scans — the realistic big-corpus layout, unlike the
+  * single-row-group harness files).
+  */
+object ScaleGen {
+  val Copies = 10
+  val IdShift = 10000000L
+
+  def main(args: Array[String]): Unit = {
+    val out = args.headOption.getOrElse("/tmp/sf1_derived")
+    val src = "/root/testdata/sf0.1"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def tenfold(df: DataFrame)(per: (DataFrame, Int) => DataFrame): DataFrame =
+      (0 until Copies).map(c => per(df, c)).reduce(_ unionByName _)
+
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+    tenfold(docs) { (d, c) =>
+      val txt =
+        if (c == 0) col("text")
+        else regexp_replace(col("text"), "([A-Za-z0-9']+)", s"$$1zz$c")
+      d.select((col("doc_id") + lit(c * IdShift)).as("doc_id"),
+        txt.as("text"), col("lang"), col("source"),
+        length(txt).cast("long").as("n_chars"))
+    }.repartition(cpus.toInt).write.mode("overwrite")
+      .parquet(s"$out/documents.parquet")
+
+    val emb = spark.read.parquet(s"$src/embeddings.parquet")
+    tenfold(emb) { (d, c) =>
+      val dim = 64
+      val rot = (6 * c) % dim
+      val vec =
+        if (rot == 0) col("embedding")
+        else concat(slice(col("embedding"), rot + 1, dim - rot),
+          slice(col("embedding"), 1, rot))
+      d.select((col("vec_id") + lit(c * IdShift)).as("vec_id"),
+        vec.as("embedding"), col("label"))
+    }.repartition(cpus.toInt).write.mode("overwrite")
+      .parquet(s"$out/embeddings.parquet")
+
+    val li = spark.read.parquet(s"$src/lineitem.parquet")
+    tenfold(li) { (d, c) =>
+      d.withColumn("l_orderkey", col("l_orderkey") + lit(c * IdShift))
+    }.repartition(cpus.toInt).write.mode("overwrite")
+      .parquet(s"$out/lineitem.parquet")
+
+    val ord = spark.read.parquet(s"$src/orders.parquet")
+    tenfold(ord) { (d, c) =>
+      d.withColumn("o_orderkey", col("o_orderkey") + lit(c * IdShift))
+    }.repartition(cpus.toInt).write.mode("overwrite")
+      .parquet(s"$out/orders.parquet")
+
+    Seq("documents", "embeddings", "lineitem", "orders").foreach { t =>
+      println(s"$t: ${spark.read.parquet(s"$out/$t.parquet").count()} rows")
+    }
+    spark.stop()
+  }
+}

@@ -313,4 +313,79 @@ class CorpusStreamSpec extends SparkSpec {
     assert(after.sorted == first.sorted)
     indexed.unpersist(); index.unpersist()
   }
+
+  test("streaming decontamination: delta grams vs standing benchmark + " +
+    "seen indexes, effectively-once under redelivery") {
+    import graft.plans.CorpusPipeline
+    val base = java.nio.file.Files.createTempDirectory("contam").toString
+    val (benchIdx, seenIdx, seenDocs, target) =
+      (s"$base/bench", s"$base/seen", s"$base/seenDocs", s"$base/target")
+    // benchmark = one eval doc; its 4-gram hashes are the standing index
+    val benchDocs = Seq(
+      (900L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    benchDocs.select(explode(
+        TextAnalysis.docGramHashes($"text", 4)).as("h"))
+      .write.mode("overwrite").parquet(benchIdx)
+
+    // delta 1: doc 1 contains a benchmark 4-gram; doc 2 is clean
+    val d1 = Seq(
+      (1L, "prefix alpha beta gamma delta suffix words here"),
+      (2L, "totally unrelated clean content flows through here")
+    ).toDF("doc_id", "text")
+    CorpusPipeline.contamDeltaBatch(d1, "doc_id", "text",
+      benchIdx, seenIdx, seenDocs, target, n = 4)
+    val v1 = spark.read.parquet(target)
+      .select($"doc_id", $"n_grams", $"n_bench_hits", $"n_seen_hits")
+      .as[(Long, Long, Long, Long)].collect()
+      .map { case (k, a, b, c) => k -> ((a, b, c)) }.toMap
+    assert(v1(1L)._2 > 0L, s"doc 1 must hit the benchmark: $v1")
+    assert(v1(2L)._2 == 0L)
+    assert(v1(1L)._3 == 0L && v1(2L)._3 == 0L) // nothing seen before d1
+
+    // delta 2: doc 3 shares a 4-gram with doc 2 (cross-DELTA overlap)
+    val d2 = Seq(
+      (3L, "totally unrelated clean content appears again later")
+    ).toDF("doc_id", "text")
+    CorpusPipeline.contamDeltaBatch(d2, "doc_id", "text",
+      benchIdx, seenIdx, seenDocs, target, n = 4)
+    val v2 = spark.read.parquet(target).filter($"doc_id" === 3L)
+      .select($"n_bench_hits", $"n_seen_hits")
+      .as[(Long, Long)].head()
+    assert(v2._1 == 0L)
+    assert(v2._2 > 0L, "doc 3 must overlap delta-1 grams")
+
+    // REDELIVERY of delta 2: no new rows, landed verdicts unchanged
+    val before = spark.read.parquet(target)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    CorpusPipeline.contamDeltaBatch(d2, "doc_id", "text",
+      benchIdx, seenIdx, seenDocs, target, n = 4)
+    val afterRedeliver = spark.read.parquet(target)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(afterRedeliver == before)
+    // and the seen-docs ledger holds each id exactly once
+    val ledger = spark.read.parquet(seenDocs)
+      .as[Long].collect().toSeq
+    assert(ledger.sorted == Seq(1L, 2L, 3L))
+  }
+
+  test("decontamination sink: the same chain as a MemoryStream sink") {
+    import graft.plans.CorpusPipeline
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("contam-sink").toString
+    Seq((900L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+      .select(explode(TextAnalysis.docGramHashes($"text", 4)).as("h"))
+      .write.mode("overwrite").parquet(s"$base/bench")
+    val mem = MemoryStream[Doc]
+    mem.addData(Doc(1L, "prefix alpha beta gamma delta suffix words here"))
+    val q = CorpusPipeline.contamDeltaSink(mem.toDF(), "doc_id", "text",
+        s"$base/bench", s"$base/seen", s"$base/seenDocs", s"$base/target",
+        s"$base/ckpt", n = 4)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val out = spark.read.parquet(s"$base/target")
+      .select($"doc_id", $"n_bench_hits").as[(Long, Long)].head()
+    // exactly one of the five 4-grams ("alpha beta gamma delta") hits
+    assert(out == ((1L, 1L)))
+  }
 }
