@@ -440,7 +440,10 @@ object TextAnalysis {
     require(k >= 2, s"window must span at least 2 tokens (got $k)")
     // null text ⇒ zero tokens, not size(null) = -1 (sibling operators'
     // contract; keeps n_tokens/n_removed non-negative and oracle-equal).
-    val base = df.select(col(idCol),
+    // scanWide: the tokenize + per-window concat_ws expansion below is
+    // the operator's CPU bulk and runs before any exchange — width must
+    // not depend on input split count (SCALING.md round 8).
+    val base = graft.sources.Tables.scanWide(df).select(col(idCol),
       Analyzer.tokenize(coalesce(col(textCol), lit(""))).as("toks"))
     val grams = base.filter(size(col("toks")) >= k)
       .select(col(idCol), posexplode(
