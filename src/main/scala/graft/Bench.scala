@@ -42,22 +42,31 @@ object Bench {
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     }
-    val firstPass = selected.map { case (name, fn) =>
-      // Inter-query hygiene. (1) localCheckpoint blocks: the CC loops
-      // (x18/x24/q69) checkpoint per round, and those RDD blocks stay
-      // pinned in executor storage until the driver GC happens to
-      // collect the RDD handle — across ~100 queries that accumulated
-      // into enough heap pressure to inflate late-alphabet queries
-      // >10x (x24: 78 s in-bench vs 6.8 s standalone, round 5).
-      // Unpersist is deterministic where ContextCleaner is best-
-      // effort. (2) GC-settle: BENCH_r02 recorded a 7x outlier on
-      // x16 (both runs!) that X16Probe could not reproduce in steady
-      // state (1.0 s vs the 6.7 s outlier); heavy allocators (x15's
-      // content hashing) otherwise tax the next query's wall time.
+    // Inter-RUN hygiene. (1) localCheckpoint blocks: the CC loops
+    // (x18/x24/q69) and the suffix-array chain checkpoint per round,
+    // and those RDD blocks stay pinned in executor storage until the
+    // driver GC happens to collect the RDD handle — across ~100
+    // queries that accumulated into enough heap pressure to inflate
+    // late-alphabet queries >10x (x24: 78 s in-bench vs 6.8 s
+    // standalone, round 5). Unpersist is deterministic where
+    // ContextCleaner is best-effort. (2) GC-settle: BENCH_r02
+    // recorded a 7x outlier on x16 (both runs!) that X16Probe could
+    // not reproduce in steady state; heavy allocators otherwise tax
+    // the next run's wall time. Runs BETWEEN repeats of the SAME
+    // query too: round 8 measured q87's in-suite median at 115 s vs
+    // 21 s standalone because run 1's ~5 checkpoint tables stayed
+    // pinned under runs 2-3 (the hygiene cost itself is outside the
+    // timed window either way).
+    def hygiene(): Unit = {
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
       System.gc()
-      val (t1, ok1) = once(name, fn); val (t2, ok2) = once(name, fn)
+    }
+    val firstPass = selected.map { case (name, fn) =>
+      hygiene()
+      val (t1, ok1) = once(name, fn)
+      hygiene()
+      val (t2, ok2) = once(name, fn)
       (name, fn, Seq(t1, t2), ok1 && ok2)
     }
     // the ~10 most expensive entries get a THIRD run and report the
@@ -71,9 +80,7 @@ object Bench {
       if (!ok) name -> -1.0
       else if (!expensive(name)) name -> ts.min
       else {
-        spark.sparkContext.getPersistentRDDs.values
-          .foreach(_.unpersist(blocking = false))
-        System.gc()
+        hygiene()
         val (t3, ok3) = once(name, fn)
         if (!ok3) name -> -1.0
         else name -> (ts :+ t3).sorted.apply(1) // median of 3

@@ -961,6 +961,16 @@ object SparkEntry {
       Pca.project(emb, "vec_id", "embedding", comps, n, sArr)
     }),
 
+    // ExactSubstr removal on the SUFFIX-RANK path (Lee 2022 §4): rank
+    // groups at round log2(8) are exactly the duplicated 8-windows,
+    // min-(doc, pos) winner election, non-winner coverage removed —
+    // same contract as q67, integer ranks instead of window strings
+    // in every shuffle (doubling the run length costs one integer
+    // round, not k× the bytes).
+    "q100_suffix_rewrite" -> q((s, d) =>
+      SuffixArray.dupRunRewrite(Tables.documents(s, d), "doc_id", "text",
+        minRun = 8)),
+
     // Multi-pass blocking (Christen ch.4): fuzzy title pairs blocked
     // on the TWO rarest title tokens — recall survives an edit to
     // either one; candidates union and dedup before the levenshtein
@@ -2349,6 +2359,47 @@ object SparkEntry {
            ON a.bkey = b.bkey AND a.doc_id < b.doc_id
          JOIN ok ON a.bkey = ok.bkey
          WHERE levenshtein(a.title, b.title) <= 8""",
+
+    // q100 shares q67's oracle verbatim: the suffix-rank path removes
+    // exactly the non-winner occurrences of duplicated 8-windows that
+    // the sliding-gram replay elects — same groups (rank ≡ first-8
+    // tokens), same min-(doc, pos) winner total order.
+    "q100_suffix_rewrite" ->
+      """WITH t AS (
+           SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(COALESCE(text, '')), '[^a-z0-9'']+'), x -> length(x) > 0) AS toks
+           FROM documents),
+         g0 AS (
+           SELECT doc_id, unnest(CASE WHEN len(toks) >= 8
+             THEN [{'s': i - 1,
+                    'gram': array_to_string(list_slice(toks, i, i + 7), ' ')}
+                   for i in generate_series(1, len(toks) - 7)]
+             ELSE [] END) AS u
+           FROM t),
+         g AS (SELECT doc_id, u.s AS s, u.gram AS gram,
+                 doc_id * 1048576 + u.s AS ord FROM g0),
+         w AS (SELECT gram, min(ord) AS w_ord FROM g GROUP BY gram),
+         losers AS (SELECT g.doc_id, g.s FROM g
+                    JOIN w ON g.gram = w.gram AND g.ord <> w.w_ord),
+         cov AS (SELECT DISTINCT doc_id, s + j AS p
+                 FROM losers, generate_series(0, 7) AS gs(j)),
+         pos0 AS (
+           SELECT doc_id, unnest(CASE WHEN len(toks) = 0 THEN []
+             ELSE [{'p': i - 1, 'tok': toks[i]}
+                   for i in generate_series(1, len(toks))] END) AS u
+           FROM t),
+         pos AS (SELECT doc_id, u.p AS p, u.tok AS tok FROM pos0),
+         kept AS (SELECT pos.doc_id, pos.p, pos.tok FROM pos
+                  LEFT JOIN cov ON pos.doc_id = cov.doc_id AND pos.p = cov.p
+                  WHERE cov.p IS NULL),
+         agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+                   string_agg(tok, ' ' ORDER BY p) AS text_dedup
+                 FROM kept GROUP BY doc_id)
+         SELECT t.doc_id,
+           CAST(len(t.toks) AS BIGINT) AS n_tokens,
+           CAST(len(t.toks) - COALESCE(agg.n_kept, 0) AS BIGINT) AS n_removed,
+           COALESCE(agg.text_dedup, '') AS text_dedup
+         FROM t LEFT JOIN agg ON t.doc_id = agg.doc_id""",
 
     // Two-key blocking replay: per-doc top-2 (df, tk) via row_number,
     // per-key dfCap, same-block pairs from EITHER key, pair dedup to

@@ -235,6 +235,60 @@ object SuffixArray {
         coalesce(col("__dups"), lit(0L)).as("n_dup_starts"))
   }
 
+  /** ExactSubstr REMOVAL driven by the suffix ranks (Lee et al. 2022
+    * §4 — not just detect the duplicated runs, rewrite them away):
+    * rank groups after K = log₂(minRun) rounds are exactly the
+    * duplicated `minRun`-token windows, each group elects the
+    * min-(doc_id, pos) occurrence as its winner (the
+    * [[TextAnalysis.substringDedup]] election, same total order), and
+    * every token covered by a NON-winner duplicated window is removed.
+    * Output: `(doc_id, n_tokens, n_removed, text_dedup)` — the q67
+    * contract, and at `minRun` = k the output is IDENTICAL to
+    * `substringDedup(k)` (both remove non-winner occurrences of
+    * duplicated k-windows; spec'd). The difference is the path: the
+    * doubling chain carries integer ranks instead of k-token window
+    * strings/hashes, so doubling `minRun` costs one more integer
+    * round, not k× more shuffle bytes — the any-length scale path.
+    *
+    * A dup start always has ≥ minRun REAL tokens ahead (a window that
+    * reaches the per-doc sentinel is unique, hence never in a ≥2
+    * group), so the covered-position expansion never spills past the
+    * document. */
+  def dupRunRewrite(df: DataFrame, idCol: String, textCol: String,
+                    minRun: Int = 8): DataFrame = {
+    val ranks = doublingRanks(df, idCol, textCol, minRun)
+    val wr = org.apache.spark.sql.expressions.Window.partitionBy(col("r"))
+    val dupStarts = ranks
+      .withColumn("__members", count(lit(1)).over(wr))
+      .withColumn("__w", min(struct(col("doc_id"), col("pos"))).over(wr))
+      .filter(col("__members") >= 2L &&
+        !(col("doc_id") === col("__w.doc_id") && col("pos") === col("__w.pos")))
+    val covered = dupStarts
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (minRun - 1))).as("p"))
+      .distinct()
+    val base = graft.sources.Tables.scanWide(df).select(col(idCol).as("doc_id"),
+      Analyzer.tokenize(coalesce(col(textCol), lit(""))).as("__toks"))
+    val positions = base
+      .select(col("doc_id"), posexplode(col("__toks")))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("p"),
+        col("col").as("tok"))
+    val perDoc = positions.join(covered, Seq("doc_id", "p"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("__kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("p"), col("tok")))),
+            s => s.getField("tok")),
+          " ").as("text_dedup"))
+    base.select(col("doc_id"),
+        size(col("__toks")).cast("long").as("n_tokens"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("__kept"), lit(0L))).as("n_removed"),
+        coalesce(col("text_dedup"), lit("")).as("text_dedup"))
+  }
+
   /** Per-doc LONGEST-duplicated-run profile at power-of-two
     * resolution — the contamination-forensics question ("how LONG is
     * the longest span this doc shares with anything in the corpus?")

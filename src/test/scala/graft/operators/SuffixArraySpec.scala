@@ -125,6 +125,37 @@ class SuffixArraySpec extends SparkSpec {
     assert(ran.map(_._1) == Seq(1, 2, 3, 4))
   }
 
+  test("dupRunRewrite == substringDedup(k=8) on the real corpus") {
+    // the suffix-rank removal path and the sliding-gram path implement
+    // the same contract (same window groups, same min-(doc,pos) winner
+    // election) — assert output identity row for row
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val viaRanks = SuffixArray.dupRunRewrite(docs, "doc_id", "text", minRun = 8)
+      .as[(Long, Long, Long, String)].collect().toSet
+    val viaGrams = TextAnalysis.substringDedup(docs, "doc_id", "text", k = 8)
+      .as[(Long, Long, Long, String)].collect().toSet
+    assert(viaRanks == viaGrams)
+    assert(viaRanks.exists(_._3 > 0L), "corpus must contain removals")
+  }
+
+  test("dupRunRewrite removes the planted cross-doc run once") {
+    val run = "r1 r2 r3 r4 r5 r6 r7 r8"
+    val docs = Seq(
+      (1L, s"$run tail one"),
+      (2L, s"lead $run"),
+      (3L, "u1 u2 u3 u4 u5 u6 u7 u8 u9")
+    ).toDF("doc_id", "text")
+    val out = SuffixArray.dupRunRewrite(docs, "doc_id", "text", minRun = 8)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._3, r._4))).toMap
+    // doc 1 holds the winner occurrence (min (doc_id, pos)) — intact;
+    // doc 2's copy is removed; doc 3 untouched
+    assert(out(1L) == ((0L, s"$run tail one")))
+    assert(out(2L)._1 == 8L)
+    assert(out(2L)._2 == "lead")
+    assert(out(3L)._1 == 0L)
+  }
+
   test("partitioning invariance") {
     val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
     val a = SuffixArray.dupRunStats(docs, "doc_id", "text")
