@@ -84,8 +84,8 @@ object SuffixArray {
     * `dense_rank() OVER (ORDER BY k1, k2)`), while skipping the
     * distinct, the join-back, and two of the three position-table
     * shuffles per doubling round. */
-  private def denseRankInPlace(df: DataFrame, k1: String, k2: String,
-                               out: String): (DataFrame, DataFrame) = {
+  private[graft] def denseRankInPlace(df: DataFrame, k1: String, k2: String,
+                                      out: String): (DataFrame, DataFrame) = {
     val spark = df.sparkSession
     val sorted = df.orderBy(col(k1), col(k2))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -156,6 +156,31 @@ class SuffixArraySpec extends SparkSpec {
     assert(out(3L)._1 == 0L)
   }
 
+  test("denseRankInPlace: randomized parity incl. tie runs spanning partitions") {
+    // heavy duplication from a small key domain forces RangePartitioner
+    // to split equal-key runs across partition boundaries — the case
+    // the offset merge must handle. Reference = driver-side dense rank.
+    val rnd = new scala.util.Random(42)
+    (1 to 3).foreach { trial =>
+      val n = 5000
+      val rows = (1 to n).map { i =>
+        (i.toLong, rnd.nextInt(40).toLong, rnd.nextInt(7).toLong - 1L)
+      }
+      val df = rows.toDF("id", "r", "__r2").repartition(13)
+      val (ranked, cache) =
+        SuffixArray.denseRankInPlace(df, "r", "__r2", "nr")
+      val got = ranked.select($"id", $"nr").as[(Long, Long)]
+        .collect().toMap
+      cache.unpersist()
+      val ref = rows.map(t => (t._2, t._3)).distinct.sorted
+        .zipWithIndex.map { case (k, i) => k -> (i + 1L) }.toMap
+      rows.foreach { case (id, r, r2) =>
+        assert(got(id) == ref((r, r2)),
+          s"trial $trial id $id: got ${got(id)}, want ${ref((r, r2))}")
+      }
+    }
+  }
+
   test("partitioning invariance") {
     val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
     val a = SuffixArray.dupRunStats(docs, "doc_id", "text")
