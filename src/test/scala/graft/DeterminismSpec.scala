@@ -24,7 +24,11 @@ class DeterminismSpec extends SparkSpec {
     "q74_corpus_funnel",
     // round-6: Kneser-Ney (continuation counts + discount arithmetic
     // + ARPA-walk integer sums) and the hash-keyed ExactSubstr mode
-    "q75_kn_trigram_lm", "x29_substring_dedup_hash", "q76_dsir_weights")
+    "q75_kn_trigram_lm", "x29_substring_dedup_hash", "q76_dsir_weights",
+    // round-8: the suffix-rank rewrite (doubling chain + in-place
+    // dense rank + window winner election at arbitrary widths) and
+    // the two-key blocking pass (candidate union + pair dedup)
+    "q100_suffix_rewrite", "q99_fuzzy_pairs_2key")
 
   private def run(name: String, partitions: Int): Seq[String] = {
     spark.conf.set("spark.sql.shuffle.partitions", partitions)
