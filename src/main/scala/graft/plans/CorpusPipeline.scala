@@ -117,8 +117,21 @@ object CorpusPipeline {
   def withVerdicts(docs: DataFrame, idCol: String, textCol: String,
                    isBenchmark: Column, cfg: Config = Config()): DataFrame = {
     // scan-local stages: line cleaning + language + quality +
-    // repetition are pure projections over one corpus scan
+    // repetition are pure projections over one corpus scan. NOT
+    // scanWide-widened: `annotated` feeds three consumers (pairs,
+    // verdicts, finish), and each re-executes the would-be repartition
+    // of full text rows — measured q74 5.9 s → 7.9 s WITH the widen
+    // (FunnelProbe round 8), the q80 lesson again. On a few-giant-file
+    // corpus, widen the INPUT (upstream repartitioned write or
+    // `graft.scan.width` at the source) rather than inside a
+    // multi-consumer plan.
     val base = docs.filter(!isBenchmark)
+    // Deliberately NOT localCheckpoint'ed either: a measured eager
+    // materialization of `annotated` (7.2 s) and a scanWide widen
+    // (7.9 s) both LOST to the plain plan (5.9 s, FunnelProbe round 8)
+    // — Catalyst's exchange/subplan reuse already shares the chain
+    // across the three consumers, and both "fixes" only added I/O or
+    // a full-text shuffle while breaking whole-stage fusion.
     val annotated = annotate(base, textCol, cfg)
 
     // fuzzy dedup verdict: LSH pairs over the CLEANED text (line noise

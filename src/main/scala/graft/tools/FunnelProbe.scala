@@ -1,6 +1,8 @@
 package graft.tools
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
+import graft.operators._
+import graft.sources.Tables
 object FunnelProbe {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
@@ -10,20 +12,32 @@ object FunnelProbe {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val d = "/root/testdata/sf0.1"
+    val docs = Tables.documents(spark, d); docs.count()
     def time(label: String)(f: => Unit): Unit = {
       val t0 = System.nanoTime(); f
       println(f"$label: ${(System.nanoTime()-t0)/1e9}%.2f s")
     }
-    graft.sources.Tables.documents(spark, d).count()
-    def q74(): Unit = graft.SparkEntry.queries("q74_corpus_funnel")(spark, d)
-      .write.format("noop").mode("overwrite").save()
-    def q92(): Unit = graft.SparkEntry.queries("q92_corpus_funnel_ext")(spark, d)
-      .write.format("noop").mode("overwrite").save()
-    time("q74 width=default r1")(q74()); time("q74 width=default r2")(q74())
-    time("q92 width=default r1")(q92()); time("q92 width=default r2")(q92())
-    spark.conf.set("graft.scan.width", "0")
-    time("q74 width=0 (off)  r1")(q74())
-    time("q92 width=0 (off)  r1")(q92())
+    val isBench = col("doc_id") % 97 === 0
+    val base = docs.filter(!isBench)
+    // stage attribution (each stage includes its upstream)
+    val cleaned = TextAnalysis.c4LineCleanText(base, "text", minWords = 3,
+      requireTerminalPunct = false)
+    time("1 cleaned         ")(cleaned.write.format("noop").mode("overwrite").save())
+    val annotated = TextAnalysis.withRepetition(
+      TextAnalysis.withQuality(
+        TextAnalysis.withLangId(cleaned, "text_clean"), "text_clean"), "text_clean")
+    time("2 annotated       ")(annotated.write.format("noop").mode("overwrite").save())
+    val pairs = DedupApprox.minhashPairs(
+      annotated.select(col("doc_id"), col("text_clean")), "doc_id", "text_clean",
+      threshold = 0.5)
+    time("3 +minhash pairs  ")(pairs.write.format("noop").mode("overwrite").save())
+    val verdicts = Dedup.clusterVerdictsBy(annotated, "doc_id", pairs, col("q_n_tokens"))
+    time("4 +CC verdicts    ")(verdicts.write.format("noop").mode("overwrite").save())
+    // full q74 and q92 for reference
+    time("q74 full          ")(graft.SparkEntry.queries("q74_corpus_funnel")(spark, d)
+      .write.format("noop").mode("overwrite").save())
+    time("q92 full          ")(graft.SparkEntry.queries("q92_corpus_funnel_ext")(spark, d)
+      .write.format("noop").mode("overwrite").save())
     spark.stop()
   }
 }
