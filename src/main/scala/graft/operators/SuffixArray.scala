@@ -91,7 +91,15 @@ object SuffixArray {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val i1 = df.schema.fieldIndex(k1)
     val i2 = df.schema.fieldIndex(k2)
-    val stats = sorted.rdd.mapPartitionsWithIndex { (p, it) =>
+    // INVARIANT: the stats pass and the rank pass MUST iterate the
+    // same materialized sort — the offsets computed from partition p's
+    // run counts are only valid for the exact row placement the stats
+    // pass saw. Dataset.rdd is a lazy val, so capturing it ONCE here
+    // and using it for both passes makes that structural: a refactor
+    // that re-derived the sorted frame for the second pass would
+    // otherwise risk a re-sort with different tie placement.
+    val sortedRdd = sorted.rdd
+    val stats = sortedRdd.mapPartitionsWithIndex { (p, it) =>
       var first: (Long, Long) = null
       var last: (Long, Long) = null
       var runs = 0L
@@ -115,7 +123,7 @@ object SuffixArray {
     val schema = sorted.schema.add(out, LongType, nullable = false)
     val bc = spark.sparkContext.broadcast(offsets)
     val ranked = spark.createDataFrame(
-      sorted.rdd.mapPartitionsWithIndex { (p, it) =>
+      sortedRdd.mapPartitionsWithIndex { (p, it) =>
         var rank = bc.value(p)
         var last: (Long, Long) = null
         it.map { r =>
@@ -129,10 +137,35 @@ object SuffixArray {
     (ranked, sorted)
   }
 
+  /** The checkpointed RDD backing a localCheckpoint'ed Dataset, so a
+    * superseded round table's blocks can be freed eagerly instead of
+    * waiting for ContextCleaner GC. `Dataset.localCheckpoint` embeds
+    * the materialized RDD in a [[org.apache.spark.sql.execution
+    * .LogicalRDD]] leaf; unpersisting THAT RDD (not `df.rdd`, which is
+    * a fresh deserializing derivation) releases the block-manager
+    * memory. Safe only once no later consumer can recompute from it. */
+  private def checkpointRdd(df: DataFrame)
+      : Option[org.apache.spark.rdd.RDD[_]] =
+    df.queryExecution.logical match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => Some(lr.rdd)
+      case _ => None
+    }
+
   /** The doubling chain: per-round rank tables (k, ranks-after-round-k)
     * for k = 1..rounds, each localCheckpoint'ed so later consumers see
     * a flat lineage. After round k, `r` identifies the suffix's first
     * 2^k tokens.
+    *
+    * CHECKPOINT LIFETIME: each round's window pass is the ONLY
+    * consumer of the previous round's table, so round k−1's
+    * checkpoint blocks are freed (blocking) as soon as round k's
+    * eager checkpoint lands — except the rounds the caller asked to
+    * keep (`keepAll`, for [[dupRunProfile]]'s per-threshold verdicts).
+    * The round-0 table is never returned and is always freed after
+    * round 1. Without this, every superseded round stayed resident
+    * for the life of the query — the mechanism behind the 5-9×
+    * suffix-family inflation in the round-8 in-suite bench (q100
+    * 57.9 s recorded vs 6.7 s standalone on a quiet host).
     *
     * EARLY TERMINATION: dense ranks are 1..D, so `max(r) == count(*)`
     * ⟺ every suffix's rank is already unique ⟺ no duplicated run at
@@ -144,16 +177,27 @@ object SuffixArray {
     * instead of paying log₂(L) sorts on a low-duplication corpus. The
     * max(r) probe is a 1-row agg over the already-materialized
     * (eager localCheckpoint) round table — no recompute. */
+  /** (doc_id, __toks): analyzer tokens per doc, NO sentinel. The one
+    * tokenize pass shared by the doubling chain and its callers'
+    * token-count / rewrite legs (pass it pre-checkpointed via
+    * `toksOpt` to pay the pass once — [[dupRunRewrite]] does). */
+  private def tokenized(df: DataFrame, idCol: String,
+                        textCol: String): DataFrame =
+    // Tokenize runs before the first exchange — widen the scan so it
+    // never serializes on input split count.
+    graft.sources.Tables.scanWide(df)
+      .select(col(idCol).as("doc_id"),
+        Analyzer.tokenize(coalesce(col(textCol), lit(""))).as("__toks"))
+
   private[graft] def doublingRounds(df: DataFrame, idCol: String,
                                     textCol: String,
-                                    rounds: Int): Seq[(Int, DataFrame)] = {
-    // Tokenize+posexplode run before the first exchange — widen the
-    // scan so they never serialize on input split count.
-    val toks = graft.sources.Tables.scanWide(df)
-      .select(col(idCol).as("doc_id"),
-        concat(
-          Analyzer.tokenize(coalesce(col(textCol), lit(""))),
-          array(concat(lit("#"), col(idCol).cast("string")))).as("__toks"))
+                                    rounds: Int,
+                                    keepAll: Boolean = true,
+                                    toksOpt: Option[DataFrame] = None): Seq[(Int, DataFrame)] = {
+    val toks = toksOpt.getOrElse(tokenized(df, idCol, textCol))
+      .select(col("doc_id"),
+        concat(col("__toks"),
+          array(concat(lit("#"), col("doc_id").cast("string")))).as("__toks"))
     val pos = toks
       .select(col("doc_id"), posexplode(col("__toks")))
       .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
@@ -176,6 +220,7 @@ object SuffixArray {
     val out = scala.collection.mutable.ArrayBuffer.empty[(Int, DataFrame)]
     var k = 1
     var done = allUnique(cur)
+    var prevCk = checkpointRdd(cur)
     while (k <= rounds && !done) {
       val step = (1L << (k - 1)).toInt
       // posexplode positions are dense 1..n per doc, so the rank at
@@ -191,7 +236,13 @@ object SuffixArray {
       cur = ranked
         .select(col("doc_id"), col("pos"), col("__nr").as("r"))
         .localCheckpoint()
-      sortCache.unpersist(blocking = false)
+      // round k is materialized (eager checkpoint): free the sort
+      // cache and — unless the caller keeps every round — the now
+      // superseded round k−1 table, blocking so the memory is
+      // actually back before the next round's sort starts.
+      sortCache.unpersist(blocking = true)
+      if (k == 1 || !keepAll) prevCk.foreach(_.unpersist(blocking = true))
+      prevCk = checkpointRdd(cur)
       out += (k -> cur)
       done = allUnique(cur)
       k += 1
@@ -202,16 +253,35 @@ object SuffixArray {
   /** Position table (doc_id, pos, rank-after-K-rounds). Exposed for
     * composition; [[dupRunStats]] is the per-doc verdict. */
   def doublingRanks(df: DataFrame, idCol: String, textCol: String,
-                    minRun: Int): DataFrame = {
+                    minRun: Int): DataFrame =
+    doublingRanks(df, idCol, textCol, minRun, None)
+
+  private def doublingRanks(df: DataFrame, idCol: String, textCol: String,
+                            minRun: Int, toksOpt: Option[DataFrame]): DataFrame = {
     require(minRun >= 2 && (minRun & (minRun - 1)) == 0,
       s"minRun must be a power of two >= 2 (got $minRun)")
     val rounds = java.lang.Integer.numberOfTrailingZeros(minRun)
-    doublingRounds(df, idCol, textCol, rounds).last._2
+    // last-round-only consumer: superseded rounds freed as they land
+    doublingRounds(df, idCol, textCol, rounds, keepAll = false, toksOpt).last._2
   }
 
   /** Per-doc duplicated-run stats at threshold `minRun` (power of
     * two): (doc_id, n_tokens, n_dup_starts). Sentinel positions are
-    * excluded from both counts. */
+    * excluded from both counts.
+    *
+    * SKEW CEILING (applies to this, [[dupRunRewrite]] and
+    * [[dupRunProfile]] — all use an unbounded `count/min over
+    * partitionBy(r)` window): a single rank group is one window
+    * partition, so a pathologically duplicated corpus where ONE
+    * `minRun`-gram repeats tens of millions of times buffers/spills
+    * that whole group in a single WindowExec task — where the old
+    * groupBy+join-back shape would have partially aggregated it
+    * map-side. The window saves a full position-table shuffle per
+    * verdict on normal corpora (measured, round 7) and group size is
+    * bounded by the corpus's duplication ceiling, so the window is
+    * the default; for adversarial high-duplication corpora the
+    * groupBy shape remains the escape hatch (see SCALING.md
+    * "suffix-family skew ceiling"). */
   def dupRunStats(df: DataFrame, idCol: String, textCol: String,
                   minRun: Int = 8): DataFrame = {
     val ranks = doublingRanks(df, idCol, textCol, minRun)
@@ -256,7 +326,18 @@ object SuffixArray {
     * document. */
   def dupRunRewrite(df: DataFrame, idCol: String, textCol: String,
                     minRun: Int = 8): DataFrame = {
-    val ranks = doublingRanks(df, idCol, textCol, minRun)
+    // Tokenize ONCE: the chain's position table and the rewrite's
+    // base/positions legs consume the same tokens, but they sit on
+    // opposite sides of the chain's localCheckpoint boundary, so
+    // Catalyst cannot share the subtree — an eager checkpoint of the
+    // tokenized base is the only way both consumers read one pass.
+    // Measured at sf0.1 (q100, median-of-3, same host/binary):
+    // 7.33 s re-tokenize → 4.67 s tokenize-once. Kept: the
+    // tokenize+scan pass is the corpus-sized leaf, and the
+    // checkpointed base is (id, tokens) — strictly smaller than any
+    // round table the chain already holds.
+    val base = tokenized(df, idCol, textCol).localCheckpoint()
+    val ranks = doublingRanks(df, idCol, textCol, minRun, Some(base))
     val wr = org.apache.spark.sql.expressions.Window.partitionBy(col("r"))
     val dupStarts = ranks
       .withColumn("__members", count(lit(1)).over(wr))
@@ -267,8 +348,6 @@ object SuffixArray {
       .select(col("doc_id"),
         explode(sequence(col("pos"), col("pos") + (minRun - 1))).as("p"))
       .distinct()
-    val base = graft.sources.Tables.scanWide(df).select(col(idCol).as("doc_id"),
-      Analyzer.tokenize(coalesce(col(textCol), lit(""))).as("__toks"))
     val positions = base
       .select(col("doc_id"), posexplode(col("__toks")))
       .select(col("doc_id"), (col("pos") + 1).cast("long").as("p"),
