@@ -11,6 +11,7 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    graft.sources.Tables.bootstrap(spark)
     spark.sparkContext.setLogLevel("WARN")
     // session warm-up (codegen/JIT/FS init), not counted
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()

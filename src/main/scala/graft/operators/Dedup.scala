@@ -49,17 +49,30 @@ object Dedup {
     * Any OTHER failure (a transient storage error, a corrupt footer)
     * propagates so the enclosing micro-batch FAILS and the streaming
     * engine retries it — silently adjudicating a batch against empty
-    * standing state would land permanently wrong verdicts. */
+    * standing state would land permanently wrong verdicts.
+    *
+    * FALLBACK CONTRACT: `fallback` must be SEMANTICALLY EMPTY (an
+    * empty frame with the state schema, or equivalent-to-no-state).
+    * The committed-data probe cannot tell a legitimately committed
+    * zero-row write (`_SUCCESS`, no part files) from a crashed first
+    * append (`_temporary` only) — both read as "no committed state"
+    * — so a NON-empty fallback would silently re-seed state on the
+    * empty-commit path. Every caller in this codebase passes an
+    * empty frame; keep it that way. */
   def readStateOr(spark: SparkSession, dir: String,
                   fallback: => DataFrame): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // Any non-hidden entry counts: data files for a flat layout,
-    // `key=value/` subdirs for a partitioned one. A crashed-first-append
-    // dir holds only `_temporary`/`_SUCCESS` markers, both hidden.
+    // `key=value/` subdirs for a partitioned one. "Hidden" mirrors
+    // Spark's own listing rule (HadoopFsUtils.shouldFilterOutPathName):
+    // a leading `_` marks a marker file ONLY when the name has no `=`
+    // — partition dirs for an underscore-named column (`__bucket=3`)
+    // are data. A crashed-first-append dir holds only `_temporary`/
+    // `_SUCCESS`, both `=`-free.
     def hasCommittedData: Boolean = fs.listStatus(p).exists { st =>
       val n = st.getPath.getName
-      !n.startsWith("_") && !n.startsWith(".")
+      !(n.startsWith("_") && !n.contains("=")) && !n.startsWith(".")
     }
     if (fs.exists(p) && hasCommittedData) spark.read.parquet(dir)
     else fallback
