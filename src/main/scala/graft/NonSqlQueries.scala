@@ -247,15 +247,18 @@ object NonSqlQueries {
       Similarity.pqTopK(Tables.embeddings(s, d), "vec_id", "embedding",
         queryId = 0L, m = 8, kCode = 16, k = 20, refine = 4)),
 
-    // ExactSubstr dedup, 100 TB key mode: stage 1-2 shuffle the
-    // 64-bit xxhash of each sliding gram instead of the k-token
-    // window TEXT (~k× fewer stage-1 bytes; collision odds ≈ n²/2⁶⁵).
-    // Rows-only here — the hash key is engine-specific; q67 gates the
-    // string-keyed replay and SubstringDedupSpec asserts the two
-    // modes are output-identical on the sf0.1 corpus.
+    // ExactSubstr dedup, 100 TB key mode: stage 1-2 shuffle an 8-byte
+    // hash of each sliding gram instead of the k-token window TEXT
+    // (~k× fewer stage-1 bytes). rollingKey mode: the wrapping-64
+    // base-31 hash an external engine can recompute, so the
+    // HASH-KEYED election replays bit-for-bit in DuckDB (oracle in
+    // SparkEntry — this entry graduated from rows-only in round 9);
+    // the xxhash64 default stays the production key and all three
+    // modes are output-identical on the sf0.1 corpus
+    // (SubstringDedupSpec).
     "x29_substring_dedup_hash" -> q((s, d) =>
       TextAnalysis.substringDedup(Tables.documents(s, d), "doc_id", "text",
-        k = 8)),
+        k = 8, rollingKey = true)),
 
     // Scale-path length curriculum: approx-quantile boundaries +
     // scan-local bin assignment (no global window). Sketch boundaries

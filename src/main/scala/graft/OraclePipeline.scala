@@ -28,6 +28,16 @@ object OraclePipeline {
              minEntropyMicroPerChar: Long): String =
     funnelSql(blockPhrases, minEntropyMicroPerChar)
 
+  /** q101: q74's funnel plus the ExactSubstr-removal stage
+    * (substrMinRun = 8) between dedup and decontamination — the
+    * sliding 8-gram replay with the TRUE (doc_id, s) tuple winner
+    * election (q100's convention: the engine's dupRunRewrite elects
+    * by min(struct(doc_id, pos)), no packed-BIGINT assumption).
+    * `v_substr` = the doc keeps at least one token after removal —
+    * kept = len(toks) − covered positions, so the verdict needs only
+    * the covered-position count, not the reassembled text. */
+  def q101Sql: String = funnelSql(Seq.empty, 0L, substrMinRun = Some(8))
+
   /** The scan-local stage CTEs over `documents WHERE $rawWhere`:
     * C4 line rules (terminal-punct off) → cleaned/tk → x05 langid →
     * x06 quality → q47 repetition. Emits raw, ln, cleaned, tk, lg,
@@ -149,7 +159,32 @@ object OraclePipeline {
     }.mkString(",\n         ")
 
   private def funnelSql(blockPhrases: Seq[Seq[String]],
-                        minEntropyMicroPerChar: Long): String = {
+                        minEntropyMicroPerChar: Long,
+                        substrMinRun: Option[Int] = None): String = {
+    val subCte = substrMinRun.fold("") { m =>
+      s"""sgx AS (
+           SELECT doc_id, unnest(CASE WHEN len(toks) >= $m
+             THEN [{'s': i - 1,
+                    'gram': array_to_string(list_slice(toks, i, i + ${m - 1}), ' ')}
+                   for i in generate_series(1, len(toks) - ${m - 1})]
+             ELSE [] END) AS u
+           FROM tk),
+         sg AS (SELECT doc_id, u.s AS s, u.gram AS gram FROM sgx),
+         slos AS (SELECT doc_id, s FROM (
+                    SELECT doc_id, s, row_number() OVER
+                      (PARTITION BY gram ORDER BY doc_id, s) AS rn
+                    FROM sg)
+                  WHERE rn > 1),
+         scov AS (SELECT DISTINCT doc_id, s + j AS p
+                  FROM slos, generate_series(0, ${m - 1}) AS gs(j)),
+         scnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_cov
+                  FROM scov GROUP BY doc_id),
+         sub AS (SELECT tk.doc_id,
+                   CAST(len(tk.toks) AS BIGINT) > COALESCE(scnt.n_cov, 0) AS v_substr
+                 FROM tk LEFT JOIN scnt ON tk.doc_id = scnt.doc_id),"""
+    }
+    val subVerdict = substrMinRun.fold("")(_ => "sub.v_substr AS v_substr,")
+    val subJoin = substrMinRun.fold("")(_ => " JOIN sub USING (doc_id)")
     val blCte = if (blockPhrases.isEmpty) "" else {
       val terms = blockPhrases.map { p =>
         p.foreach(t => require(t.matches("[a-z0-9']+"), s"bad token: $t"))
@@ -182,13 +217,16 @@ object OraclePipeline {
     val stages = Seq("v_clean", "v_lang", "v_quality", "v_repetition") ++
       (if (blockPhrases.nonEmpty) Seq("v_blocklist") else Nil) ++
       (if (minEntropyMicroPerChar > 0L) Seq("v_entropy") else Nil) ++
-      Seq("v_dedup", "v_decontam")
+      Seq("v_dedup") ++
+      (if (substrMinRun.nonEmpty) Seq("v_substr") else Nil) ++
+      Seq("v_decontam")
     s"""WITH RECURSIVE
        ${scanCtes("doc_id % 97 <> 0")},
        ${keeperCtes},
        ${decontamCtes("TRUE")},
        $blCte
        $entCte
+       $subCte
        v AS (
          SELECT ln.doc_id,
            length(trim(ln.clean)) > 0 AS v_clean,
@@ -197,11 +235,12 @@ object OraclePipeline {
            rp.dup_unigram_frac <= 0.3 AND rp.top_bigram_frac <= 0.18 AS v_repetition,
            $blVerdict
            $entVerdict
+           $subVerdict
            dd.v_dedup AS v_dedup,
            NOT cm.contaminated AS v_decontam
          FROM ln
          JOIN lg USING (doc_id) JOIN ql USING (doc_id) JOIN rp USING (doc_id)
-         JOIN dd USING (doc_id) JOIN cm USING (doc_id)$blJoin$entJoin)
+         JOIN dd USING (doc_id) JOIN cm USING (doc_id)$blJoin$entJoin$subJoin)
        SELECT
          CAST(count(*) AS BIGINT) AS input,
          ${cascadeSql(stages)}

@@ -874,6 +874,21 @@ object SparkEntry {
           blockPhrases = funnelBlockPhrases,
           minEntropyMicroPerChar = 2800000L)))),
 
+    // q74's funnel with the ExactSubstr-removal stage ON (Lee 2022's
+    // pipeline position: between near-dup dedup and decontamination).
+    // The suffix-rank rewrite (q100's machinery) runs over the
+    // cleaned text of every non-benchmark doc, text_clean becomes the
+    // rewritten text, and v_substr joins the causal cascade — the
+    // whole composition still hash-replays (sliding 8-gram replay
+    // with the tuple winner election).
+    "q101_funnel_substr" -> q((s, d) =>
+      plans.CorpusPipeline.funnel(plans.CorpusPipeline.withVerdicts(
+        Tables.documents(s, d), "doc_id", "text",
+        col("doc_id") % 97 === 0,
+        plans.CorpusPipeline.Config(
+          lineRequireTerminalPunct = false, contamViaBloom = false,
+          substrMinRun = Some(8))))),
+
     // The INCREMENTAL funnel: a delta batch gets the full verdict
     // chain against the standing corpus — x28's band probe for
     // standing matches (O(delta), never O(standing)), the q69 keeper
@@ -1527,6 +1542,8 @@ object SparkEntry {
 
     // Span-rewrite replay: same spans, same BIGINT first-occurrence
     // key (doc_id·2^20 + idx), ordered reassembly via string_agg.
+    // The packed key matches the ENGINE's election bit-for-bit
+    // (spanDedupRewrite) — both assume < 2^20 spans/doc.
     "q55_span_rewrite" ->
       """WITH t AS (
            SELECT doc_id,
@@ -1838,7 +1855,10 @@ object SparkEntry {
 
     // ExactSubstr replay: same sliding 8-grams, same BIGINT
     // first-occurrence key (doc_id·2^20 + start), covered positions
-    // via a lateral generate_series, ordered reassembly.
+    // via a lateral generate_series, ordered reassembly. The packed
+    // key matches the ENGINE's own election bit-for-bit
+    // (substringDedup.__ord) — both sides assume < 2^20 tokens/doc
+    // (documented at the operator); q100 is the packing-free path.
     "q67_substring_dedup" ->
       """WITH t AS (
            SELECT doc_id,
@@ -1856,6 +1876,61 @@ object SparkEntry {
          w AS (SELECT gram, min(ord) AS w_ord FROM g GROUP BY gram),
          losers AS (SELECT g.doc_id, g.s FROM g
                     JOIN w ON g.gram = w.gram AND g.ord <> w.w_ord),
+         cov AS (SELECT DISTINCT doc_id, s + j AS p
+                 FROM losers, generate_series(0, 7) AS gs(j)),
+         pos0 AS (
+           SELECT doc_id, unnest(CASE WHEN len(toks) = 0 THEN []
+             ELSE [{'p': i - 1, 'tok': toks[i]}
+                   for i in generate_series(1, len(toks))] END) AS u
+           FROM t),
+         pos AS (SELECT doc_id, u.p AS p, u.tok AS tok FROM pos0),
+         kept AS (SELECT pos.doc_id, pos.p, pos.tok FROM pos
+                  LEFT JOIN cov ON pos.doc_id = cov.doc_id AND pos.p = cov.p
+                  WHERE cov.p IS NULL),
+         agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+                   string_agg(tok, ' ' ORDER BY p) AS text_dedup
+                 FROM kept GROUP BY doc_id)
+         SELECT t.doc_id,
+           CAST(len(t.toks) AS BIGINT) AS n_tokens,
+           CAST(len(t.toks) - COALESCE(agg.n_kept, 0) AS BIGINT) AS n_removed,
+           COALESCE(agg.text_dedup, '') AS text_dedup
+         FROM t LEFT JOIN agg ON t.doc_id = agg.doc_id""",
+
+    // x29: the HASH-KEYED ExactSubstr election replayed exactly —
+    // same sliding 8-grams as q67, but winners elected per wrapping-64
+    // base-31 gram hash (the engine's rollingKey mode; q85's HUGEINT
+    // replay), so hash collisions — if any — merge groups identically
+    // in both engines. Packed BIGINT occurrence key as q67 (the
+    // engine's __ord, same < 2^20 tokens/doc assumption).
+    "x29_substring_dedup_hash" ->
+      """WITH t AS (
+           SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(COALESCE(text, '')), '[^a-z0-9'']+'), x -> length(x) > 0) AS toks
+           FROM documents),
+         g0 AS (
+           SELECT doc_id, unnest(CASE WHEN len(toks) >= 8
+             THEN [{'s': i - 1,
+                    'gram': array_to_string(list_slice(toks, i, i + 7), ' ')}
+                   for i in generate_series(1, len(toks) - 7)]
+             ELSE [] END) AS u
+           FROM t),
+         g AS (SELECT doc_id, u.s AS s, u.gram AS gram,
+                 doc_id * 1048576 + u.s AS po FROM g0),
+         gh AS (
+           SELECT doc_id, s, po,
+             CAST(hu - CASE WHEN hu >= CAST(9223372036854775808 AS HUGEINT)
+               THEN CAST(18446744073709551616 AS HUGEINT)
+               ELSE CAST(0 AS HUGEINT) END AS BIGINT) AS hk
+           FROM (
+             SELECT doc_id, s, po,
+               list_reduce(
+                 list_prepend(CAST(0 AS HUGEINT),
+                   [CAST(ord(gram[i]) AS HUGEINT) for i in generate_series(1, length(gram))]),
+                 (h, c) -> (h * 31 + c) % CAST(18446744073709551616 AS HUGEINT)) AS hu
+             FROM g)),
+         w AS (SELECT hk, min(po) AS w_po FROM gh GROUP BY hk),
+         losers AS (SELECT gh.doc_id, gh.s FROM gh
+                    JOIN w ON gh.hk = w.hk AND gh.po <> w.w_po),
          cov AS (SELECT DISTINCT doc_id, s + j AS p
                  FROM losers, generate_series(0, 7) AS gs(j)),
          pos0 AS (
@@ -2360,10 +2435,15 @@ object SparkEntry {
          JOIN ok ON a.bkey = ok.bkey
          WHERE levenshtein(a.title, b.title) <= 8""",
 
-    // q100 shares q67's oracle verbatim: the suffix-rank path removes
+    // q100 shares q67's oracle SHAPE: the suffix-rank path removes
     // exactly the non-winner occurrences of duplicated 8-windows that
     // the sliding-gram replay elects — same groups (rank ≡ first-8
-    // tokens), same min-(doc, pos) winner total order.
+    // tokens). One deliberate difference from the q67 replay: the
+    // engine's dupRunRewrite elects winners by the TRUE (doc_id, pos)
+    // lexicographic min (min(struct(..))), not q67's packed
+    // doc_id·2²⁰ + s BIGINT key, so this replay uses a row_number
+    // tuple ordering — no 2²⁰-tokens-per-doc assumption, the two
+    // orders only coincide below it.
     "q100_suffix_rewrite" ->
       """WITH t AS (
            SELECT doc_id,
@@ -2376,11 +2456,12 @@ object SparkEntry {
                    for i in generate_series(1, len(toks) - 7)]
              ELSE [] END) AS u
            FROM t),
-         g AS (SELECT doc_id, u.s AS s, u.gram AS gram,
-                 doc_id * 1048576 + u.s AS ord FROM g0),
-         w AS (SELECT gram, min(ord) AS w_ord FROM g GROUP BY gram),
-         losers AS (SELECT g.doc_id, g.s FROM g
-                    JOIN w ON g.gram = w.gram AND g.ord <> w.w_ord),
+         g AS (SELECT doc_id, u.s AS s, u.gram AS gram FROM g0),
+         losers AS (SELECT doc_id, s FROM (
+                      SELECT doc_id, s, row_number() OVER
+                        (PARTITION BY gram ORDER BY doc_id, s) AS rn
+                      FROM g)
+                    WHERE rn > 1),
          cov AS (SELECT DISTINCT doc_id, s + j AS p
                  FROM losers, generate_series(0, 7) AS gs(j)),
          pos0 AS (
@@ -2658,6 +2739,7 @@ object SparkEntry {
     "q92_corpus_funnel_ext" ->
       OraclePipeline.q92Sql(funnelBlockPhrases, 2800000L),
     "q93_delta_funnel" -> OraclePipeline.q93Sql,
+    "q101_funnel_substr" -> OraclePipeline.q101Sql,
 
     // Gopher-rules replay: the same doc_id%6 decoration, whitespace
     // words, trimmed non-empty lines, and scaled-integer gate

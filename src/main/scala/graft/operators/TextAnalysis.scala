@@ -432,11 +432,16 @@ object TextAnalysis {
     * merge two distinct grams' winner election (odds ≈ n²/2⁶⁵ —
     * vanishing below trillions of windows). `oracleReplayable = true`
     * keeps the window TEXT as the key, making every stage exactly
-    * replayable in portable SQL — the mode q67 gates; hash mode ≡
-    * string mode is asserted output-for-output in SubstringDedupSpec
-    * on the sf0.1 corpus. */
+    * replayable in portable SQL — the mode q67 gates. `rollingKey =
+    * true` keeps the 8-byte-key SHUFFLE SHAPE but swaps xxhash64 for
+    * the wrapping-64 base-31 [[rollingHashOf]] — a weaker hash family,
+    * but one an external engine can recompute, so the HASH-KEYED
+    * election (collisions and all) replays bit-for-bit in SQL — the
+    * mode x29 gates. All three modes are asserted output-identical on
+    * the sf0.1 corpus in SubstringDedupSpec. */
   def substringDedup(df: DataFrame, idCol: String, textCol: String,
-                     k: Int = 8, oracleReplayable: Boolean = false): DataFrame = {
+                     k: Int = 8, oracleReplayable: Boolean = false,
+                     rollingKey: Boolean = false): DataFrame = {
     require(k >= 2, s"window must span at least 2 tokens (got $k)")
     // null text ⇒ zero tokens, not size(null) = -1 (sibling operators'
     // contract; keeps n_tokens/n_removed non-negative and oracle-equal).
@@ -453,7 +458,9 @@ object TextAnalysis {
       // project the key BEFORE the shuffle: hash mode drops the gram
       // text here, so stage 1-2 payloads are (key, id, s) only
       .withColumn("__gk",
-        if (oracleReplayable) col("gram") else xxhash64(col("gram")))
+        if (oracleReplayable) col("gram")
+        else if (rollingKey) rollingHashUdf(col("gram"))
+        else xxhash64(col("gram")))
       .select(col(idCol), col("s"), col("__gk"))
       .withColumn("__ord", col(idCol) * lit(1L << 20) + col("s"))
     val winners = grams.groupBy(col("__gk")).agg(min(col("__ord")).as("__w"))

@@ -71,6 +71,22 @@ object CorpusPipeline {
       // entropy_micro_total >= min × n_chars — no division, so it
       // replays exactly. 0 = stage off.
       minEntropyMicroPerChar: Long = 0L,
+      // ExactSubstr removal stage (Lee et al. 2022 §4) between the
+      // near-dup dedup verdict and decontamination: every duplicated
+      // run of >= this many tokens (power of two — the suffix-rank
+      // path's contract) is removed from all but its first
+      // occurrence, `text_clean` becomes the rewritten text, and
+      // `v_substr` = doc non-empty after removal. None = stage off
+      // (absent from verdict columns / funnel — the q74 plan is
+      // untouched). Batch form only; [[deltaVerdicts]] rejects it.
+      substrMinRun: Option[Int] = None,
+      // id-hash partition count for the standing docs ledger the
+      // incremental funnel writes ([[deltaFunnelBatch]]): the fold-in
+      // anti-join prunes its standing read to the delta's buckets
+      // instead of scanning every standing id. More buckets = finer
+      // pruning but more (small) files per append; compact
+      // periodically at corpus scale.
+      docsBuckets: Int = 64,
       numShards: Int = 8)
 
   /** Annotate every NON-benchmark doc with per-stage verdicts.
@@ -94,25 +110,36 @@ object CorpusPipeline {
         "text_clean"),
       "text_clean")
 
-  /** The optional scan-local stages (bad-words + entropy floor) and
-    * the `keep` conjunction — shared tail of both forms. */
-  private def finishVerdicts(joined: DataFrame, cfg: Config): DataFrame = {
+  /** The optional scan-local stages (bad-words + entropy floor) —
+    * computed over the PRE-rewrite `text_clean` (they precede the
+    * substr stage in [[stageOrder]]). */
+  private def optionalScanStages(joined: DataFrame, cfg: Config): DataFrame = {
     val withBl = if (cfg.blockPhrases.isEmpty) joined
       else joined
         .withColumn("bl_matches",
           Blocklist.matchColumn(col("text_clean"), cfg.blockPhrases)("_1"))
         .withColumn("v_blocklist", col("bl_matches") === 0L)
-    val withEnt = if (cfg.minEntropyMicroPerChar <= 0L) withBl
-      else withBl
-        .withColumn("__ent", TextAnalysis.charEntropyColumn(col("text_clean")))
-        .withColumn("ent_n_chars", col("__ent._1"))
-        .withColumn("ent_micro_total", col("__ent._3"))
-        .drop("__ent")
-        .withColumn("v_entropy", col("ent_micro_total") >=
-          lit(cfg.minEntropyMicroPerChar) * col("ent_n_chars"))
-    val present = stageOrder.filter(withEnt.columns.contains)
-    withEnt.withColumn("keep", present.map(col).reduce(_ && _))
+    if (cfg.minEntropyMicroPerChar <= 0L) withBl
+    else withBl
+      .withColumn("__ent", TextAnalysis.charEntropyColumn(col("text_clean")))
+      .withColumn("ent_n_chars", col("__ent._1"))
+      .withColumn("ent_micro_total", col("__ent._3"))
+      .drop("__ent")
+      .withColumn("v_entropy", col("ent_micro_total") >=
+        lit(cfg.minEntropyMicroPerChar) * col("ent_n_chars"))
   }
+
+  /** The `keep` conjunction over whichever stage verdicts are present. */
+  private def withKeep(df: DataFrame): DataFrame = {
+    val present = stageOrder.filter(df.columns.contains)
+    df.withColumn("keep", present.map(col).reduce(_ && _))
+  }
+
+  /** The optional scan-local stages and the `keep` conjunction —
+    * shared tail of both forms (the batch form interposes the substr
+    * stage between them). */
+  private def finishVerdicts(joined: DataFrame, cfg: Config): DataFrame =
+    withKeep(optionalScanStages(joined, cfg))
 
   def withVerdicts(docs: DataFrame, idCol: String, textCol: String,
                    isBenchmark: Column, cfg: Config = Config()): DataFrame = {
@@ -165,9 +192,39 @@ object CorpusPipeline {
           col("top_bigram_frac") <= cfg.maxTopBigramFrac)
       .withColumn("v_decontam", !col("contaminated"))
     // optional scan-local stages (absent columns when off, so the
-    // base recipe's plan — and q74's oracle — are untouched)
-    finishVerdicts(joined, cfg)
+    // base recipe's plan — and q74's oracle — are untouched) run over
+    // the PRE-rewrite text; then the optional ExactSubstr removal
+    // stage (Lee 2022's pipeline position: after near-dup dedup,
+    // before decontamination — decontamination here probes the RAW
+    // text, so its verdict is rewrite-independent by construction)
+    withKeep(withSubstrStage(optionalScanStages(joined, cfg), idCol, cfg))
   }
+
+  /** The optional ExactSubstr-removal stage ([[Config.substrMinRun]]):
+    * [[graft.operators.SuffixArray.dupRunRewrite]] over the CLEANED
+    * text of every non-benchmark doc — duplicated runs of >= minRun
+    * tokens keep only their corpus-wide first occurrence. Adds
+    * `substr_n_removed` (evidence), REPLACES `text_clean` with the
+    * rewritten text (downstream consumers — export, curriculum — see
+    * the deduplicated corpus), and adds `v_substr` = doc still
+    * non-empty after removal. The near-dup verdict (v_dedup) and the
+    * scan-local stages upstream are computed over the pre-rewrite
+    * text — the published stage order. No-op when Off (None):
+    * identical plan, no added columns. */
+  private def withSubstrStage(df: DataFrame, idCol: String,
+                              cfg: Config): DataFrame =
+    cfg.substrMinRun match {
+      case None => df
+      case Some(m) =>
+        val rw = graft.operators.SuffixArray.dupRunRewrite(
+            df.select(col(idCol), col("text_clean")), idCol, "text_clean", m)
+          .select(col(idCol), col("n_removed").as("substr_n_removed"),
+            col("text_dedup").as("__text_substr"))
+        df.join(rw, Seq(idCol))
+          .withColumn("v_substr", length(trim(col("__text_substr"))) > 0)
+          .withColumn("text_clean", col("__text_substr"))
+          .drop("__text_substr")
+    }
 
   /** INCREMENTAL (delta-vs-standing) form of [[withVerdicts]] — the
     * crawl-drop workflow: a new batch gets the FULL verdict chain
@@ -199,6 +256,12 @@ object CorpusPipeline {
                     standingIndex: DataFrame, standingDocs: DataFrame,
                     benchDocs: DataFrame,
                     cfg: Config = Config()): DataFrame = {
+    // ExactSubstr removal needs corpus-wide suffix state; a per-batch
+    // rewrite would silently under-remove (runs duplicated ACROSS
+    // batches survive). Fail loudly rather than degrade.
+    require(cfg.substrMinRun.isEmpty,
+      "substrMinRun is batch-form only (withVerdicts): the incremental " +
+        "funnel has no cross-batch suffix state to rewrite against")
     val annotated = annotate(delta, textCol, cfg)
 
     // vs-standing matches over the CLEANED text (the index must have
@@ -250,9 +313,11 @@ object CorpusPipeline {
   }
 
   /** Canonical causal stage order (mirrors the published recipes:
-    * page-level filters before dedup, decontamination last). */
+    * page-level filters before dedup, ExactSubstr removal between
+    * dedup and decontamination, decontamination last). */
   private val stageOrder = Seq("v_clean", "v_lang", "v_quality",
-    "v_repetition", "v_blocklist", "v_entropy", "v_dedup", "v_decontam")
+    "v_repetition", "v_blocklist", "v_entropy", "v_dedup", "v_substr",
+    "v_decontam")
 
   /** One micro-batch of the STREAMING crawl-drop funnel (exposed for
     * direct redelivery testing; [[deltaFunnelSink]] wraps it): run
@@ -285,11 +350,42 @@ object CorpusPipeline {
     * redelivery, and the probe side tolerates duplicate index rows
     * (candidate pairs are DISTINCT'd before verification), while a
     * doc present in `docsDir` is always fully indexed. The anti-join
-    * probes standing ids with a delta-sized build side (broadcast):
-    * the SHUFFLE is O(delta), but the probe still reads the full
-    * standing docs id column each micro-batch — column-pruned, not
-    * delta-sized. At corpus scale, bucketing/partitioning the docs
-    * dir on the id would turn that scan into a pruned lookup. */
+    * probes standing ids with a delta-sized build side (broadcast) —
+    * and the standing READ is delta-sized too: `docsDir` is laid out
+    * partitioned by `__bucket` = id-hash mod [[Config.docsBuckets]],
+    * and [[standingIdsPruned]] restricts the probe's scan to the
+    * delta's own buckets via partition pruning (PartitionFilters in
+    * the scan — plan-asserted in DeltaFunnelSpec), so a micro-batch
+    * touching b buckets reads ~b/N of the standing id column instead
+    * of all of it. A pre-bucketing flat ledger (no `__bucket`
+    * partition column) degrades gracefully to the full column-pruned
+    * id scan. This finishes replacing the reference pipeline's
+    * full processed-set re-scan per run (sentiment_analysis_dag
+    * .py:36-38) with a genuinely delta-sized read. */
+  /** id-hash bucket of the standing-docs partition layout. */
+  private[graft] def idBucket(id: Column, nb: Int): Column =
+    pmod(xxhash64(id), lit(nb))
+
+  /** The standing-ledger id read PRUNED to the delta's id-hash
+    * buckets. The delta's distinct bucket set is driver-sized
+    * (≤ `nb` longs) by construction, so collecting it and pushing an
+    * `IN` predicate on the partition column is deterministic pruning
+    * — no reliance on runtime DPP firing for a LogicalRDD build side.
+    * A ledger written before bucketing (no `__bucket` column) falls
+    * back to the full column-pruned id scan. */
+  private[graft] def standingIdsPruned(standingRaw: DataFrame, idCol: String,
+                                       deltaIds: DataFrame,
+                                       nb: Int): DataFrame =
+    if (!standingRaw.columns.contains("__bucket"))
+      standingRaw.select(col(idCol))
+    else {
+      val buckets = deltaIds
+        .select(idBucket(col(idCol), nb).cast("long").as("__b"))
+        .distinct().collect().map(_.getLong(0))
+      standingRaw.filter(col("__bucket").isin(buckets: _*))
+        .select(col(idCol))
+    }
+
   def deltaFunnelBatch(batch: DataFrame, idCol: String, textCol: String,
                        benchDocs: DataFrame, cfg: Config,
                        indexDir: String, docsDir: String,
@@ -299,7 +395,10 @@ object CorpusPipeline {
         minWords = cfg.lineMinWords,
         requireTerminalPunct = cfg.lineRequireTerminalPunct)
       .select(col(idCol), col("text_clean"))
-    val standingDocs = Dedup.readStateOr(spark, docsDir, emptyCleaned)
+    val standingRaw = Dedup.readStateOr(spark, docsDir,
+      emptyCleaned.withColumn("__bucket",
+        idBucket(col(idCol), cfg.docsBuckets)))
+    val standingDocs = standingRaw.drop("__bucket")
     val index = Dedup.readStateOr(spark, indexDir,
       DedupApprox.minhashIndex(emptyCleaned, idCol, "text_clean"))
     // one materialization feeds the landing and the fold-in
@@ -315,13 +414,16 @@ object CorpusPipeline {
     // state toward the LSH maxBucket cap permanently).
     val foldIn = v.select(col(idCol), col("text_clean"))
       .dropDuplicates(idCol)
-      .join(broadcast(standingDocs.select(col(idCol))
-        .join(broadcast(v.select(col(idCol))), Seq(idCol))),
+      .join(broadcast(
+          standingIdsPruned(standingRaw, idCol, v.select(col(idCol)),
+            cfg.docsBuckets)
+            .join(broadcast(v.select(col(idCol))), Seq(idCol))),
         Seq(idCol), "left_anti")
       .localCheckpoint()
     DedupApprox.minhashIndex(foldIn, idCol, "text_clean")
       .write.mode("append").parquet(indexDir)
-    foldIn.write.mode("append").parquet(docsDir)
+    foldIn.withColumn("__bucket", idBucket(col(idCol), cfg.docsBuckets))
+      .write.partitionBy("__bucket").mode("append").parquet(docsDir)
   }
 
   /** The incremental funnel as a STREAM: readStream of new docs →

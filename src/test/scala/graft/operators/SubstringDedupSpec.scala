@@ -91,5 +91,10 @@ class SubstringDedupSpec extends SparkSpec {
       oracleReplayable = true)
       .orderBy("doc_id").collect().toSeq
     assert(hash.nonEmpty && hash == str)
+    // the x29-gated wrapping-64 rolling key: same outputs again
+    val roll = TextAnalysis.substringDedup(corpus, "doc_id", "text", 8,
+      rollingKey = true)
+      .orderBy("doc_id").collect().toSeq
+    assert(roll == str)
   }
 }

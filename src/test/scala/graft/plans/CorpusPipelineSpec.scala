@@ -88,6 +88,63 @@ class CorpusPipelineSpec extends SparkSpec {
       c => c.contains("blocklist") || c.contains("entropy")))
   }
 
+  test("substr stage: off = absent columns, on = rewrite + gating verdict") {
+    // base config (q74's) produces NO substr columns — its plan and
+    // oracle are untouched by the stage
+    assert(!verdicts.columns.contains("v_substr"))
+    assert(!verdicts.columns.contains("substr_n_removed"))
+    assert(!CorpusPipeline.funnel(verdicts).columns.contains("after_v_substr"))
+
+    // planted corpus: an 8-token run shared by all three docs; doc 1
+    // owns the corpus-first occurrence, doc 2 loses its copy (tail
+    // survives), doc 3 IS the run (fully removed)
+    val run = "alpha bravo charlie delta echo foxtrot golf hotel"
+    val d = Seq(
+      (1L, run + " one unique tail continues with several more words"),
+      (2L, run + " two other ending words appear here instead now"),
+      (3L, run)).toDF("doc_id", "text")
+    val out = CorpusPipeline.withVerdicts(d, "doc_id", "text", lit(false),
+      cfg.copy(substrMinRun = Some(8))).cache()
+    assert(out.columns.contains("v_substr"))
+    val m = out.select($"doc_id", $"substr_n_removed", $"v_substr",
+        $"text_clean")
+      .as[(Long, Long, Boolean, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(m(1L)._1 == 0L && m(1L)._2, "winner doc keeps everything")
+    assert(m(2L)._1 == 8L && m(2L)._2, "loser run removed, tail survives")
+    assert(m(2L)._3 == "two other ending words appear here instead now")
+    assert(m(3L)._1 == 8L && !m(3L)._2, "fully-duplicated doc empties")
+    assert(m(3L)._3 == "")
+
+    // parity with the operator itself over the same cleaned text
+    val rw = graft.operators.SuffixArray.dupRunRewrite(
+        graft.operators.TextAnalysis.c4LineCleanText(d, "text",
+          minWords = cfg.lineMinWords, requireTerminalPunct = false)
+          .select($"doc_id", $"text_clean"),
+        "doc_id", "text_clean", 8)
+      .select($"doc_id", $"n_removed").as[(Long, Long)].collect().toMap
+    assert(m.forall { case (id, (nRem, _, _)) => rw(id) == nRem })
+
+    // causal position: between dedup and decontamination
+    val f = CorpusPipeline.funnel(out).columns.toSeq
+    assert(f.indexOf("after_v_substr") == f.indexOf("after_v_dedup") + 1)
+    assert(f.indexOf("after_v_decontam") == f.indexOf("after_v_substr") + 1)
+    // keep respects the new verdict
+    assert(out.filter($"keep" && !$"v_substr").count() == 0L)
+  }
+
+  test("substr stage is batch-form only: deltaVerdicts rejects it") {
+    val d = Seq((1L, "some tokens here")).toDF("doc_id", "text")
+    val cleaned = graft.operators.TextAnalysis.c4LineCleanText(d, "text",
+        minWords = cfg.lineMinWords, requireTerminalPunct = false)
+      .select($"doc_id", $"text_clean")
+    val idx = DedupApprox.minhashIndex(cleaned, "doc_id", "text_clean")
+    intercept[IllegalArgumentException] {
+      CorpusPipeline.deltaVerdicts(d, "doc_id", "text", idx, cleaned,
+        d.limit(0), cfg.copy(substrMinRun = Some(8)))
+    }
+  }
+
   test("materialize round-trips: shards on disk match the manifest") {
     val dir = java.nio.file.Files.createTempDirectory("corpus-out").toString
     val manifest = CorpusPipeline.materialize(verdicts, "doc_id", dir, cfg)
