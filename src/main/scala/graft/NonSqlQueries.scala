@@ -345,6 +345,28 @@ object NonSqlQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Incremental IVF index growth: three fold-in batches (plus one
+    // full redelivery, which must land nothing) build the at-rest
+    // cell layout batch-by-batch under a frozen coarse quantizer;
+    // the final index membership (id → cell) is read back and
+    // oracle-checked against the one-shot assignment replay — the
+    // incremental path and a full rebuild are indistinguishable.
+    "x35_ivf_ingest" -> q((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val cents = Similarity.smallestIdCentroids(emb, "vec_id", "embedding", 8)
+        .localCheckpoint()
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-ivf-ingest").toString + "/index"
+      (Seq(0, 1, 2) :+ 0).foreach { sl =>
+        Similarity.appendIvfBatch(emb.filter(col("vec_id") % 3 === sl),
+          "vec_id", "embedding", cents, dir)
+      }
+      s.read.parquet(dir)
+        .select(col("vec_id").cast("long").as("vec_id"),
+          col("cell").cast("long").as("cell"))
+        .orderBy(col("vec_id"))
+    }),
+
     // SQL-registration surface smoke: the library's functions usable
     // from spark.sql.
     "x17_sql_functions" -> q((s, d) => {

@@ -3111,6 +3111,20 @@ object SparkEntry {
     // IVF replay: same centroid choice (8 smallest ids), same argmax
     // tie order (cos DESC, cid ASC == the kernel's ascending-id strict
     // replace), same probe set, same exact re-rank fold.
+    // x35: the incremental IVF fold-in's final membership must equal
+    // the one-shot assignment — same smallest-id centroids, same
+    // argmax tie order (cos DESC, cid ASC) as x23's assign CTE, over
+    // EVERY vector (the ingest covers the whole corpus; the
+    // redelivered batch lands nothing, so exactly one row per id).
+    "x35_ivf_ingest" ->
+      s"""WITH e AS (SELECT CAST(vec_id AS BIGINT) AS vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         c AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 8)
+         SELECT vec_id, cell FROM (
+           SELECT e.vec_id, c.cid AS cell,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY ${sqlCos("e.v", "c.cv")} DESC, c.cid) AS rn
+           FROM e, c) WHERE rn = 1
+         ORDER BY vec_id""",
+
     "x23_ivf_topk" ->
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
          c AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 8),

@@ -487,6 +487,59 @@ object Similarity {
       .repartition(col("cell"))
       .write.partitionBy("cell").mode("overwrite").parquet(dir)
 
+  /** INCREMENTAL fold-in to a [[writeIvfPartitioned]] layout — the
+    * corpus-growth path: at 100 TB the index cannot be rebuilt per
+    * arrival batch, so new embeddings are assigned under the FROZEN
+    * coarse quantizer (the same `centroids` the layout was written
+    * with — the caller persists the model next to the index; FAISS's
+    * `add` vs `train` split) and appended into their cell
+    * directories. Idempotent on `idCol`: redelivered rows land
+    * nothing. The membership probe is DELTA-SIZED on both axes —
+    * because the quantizer is frozen, a given id assigns to the same
+    * cell on every delivery, so the standing read prunes to the
+    * delta's own cell directories (partition pruning, the
+    * [[graft.plans.CorpusPipeline.standingIdsPruned]] shape) and the
+    * anti-join build side is the broadcast delta id set. Consumers
+    * ([[ivfTopKAtRest]], AnnStream) read the layout unchanged; cell
+    * dirs accumulate one file per batch — compact with
+    * [[graft.plans.Maintenance.compact]](dir, Seq(idCol)). Centroid
+    * DRIFT is the documented trade: a frozen quantizer's cells grow
+    * unbalanced as the distribution moves; recentering is a REBUILD
+    * ([[kmeansCentroids]] + [[writeIvfPartitioned]]), not a fold-in. */
+  def appendIvfBatch(delta: DataFrame, idCol: String, vecCol: String,
+                     centroids: DataFrame, dir: String): Unit = {
+    val spark = delta.sparkSession
+    // one materialization feeds the probe's cell set, the anti-join
+    // build, and the landing
+    val assigned = withCells(delta.dropDuplicates(idCol), vecCol, centroids)
+      .localCheckpoint()
+    val standingRaw = Dedup.readStateOr(spark, dir, assigned.limit(0))
+    val standingIds = ivfStandingIds(standingRaw, idCol, assigned)
+    assigned
+      .join(broadcast(
+          standingIds.join(broadcast(assigned.select(col(idCol))), Seq(idCol))),
+        Seq(idCol), "left_anti")
+      .repartition(col("cell"))
+      .write.partitionBy("cell").mode("append").parquet(dir)
+  }
+
+  /** The standing-index id read PRUNED to the delta's cells (frozen
+    * quantizer ⇒ same id, same cell on every delivery). The delta's
+    * distinct cell set is model-sized (≤ numCells longs), so an `IN`
+    * predicate on the partition column is deterministic pruning. A
+    * non-layout dir (no `cell` column) falls back to the full
+    * column-pruned id scan. */
+  private[graft] def ivfStandingIds(standingRaw: DataFrame, idCol: String,
+                                    assigned: DataFrame): DataFrame =
+    if (!standingRaw.columns.contains("cell"))
+      standingRaw.select(col(idCol))
+    else {
+      val cells = assigned.select(col("cell").cast("long"))
+        .distinct().collect().map(_.getLong(0))
+      standingRaw.filter(col("cell").isin(cells.toIndexedSeq: _*))
+        .select(col(idCol))
+    }
+
   /** IVF top-k over a [[writeIvfPartitioned]] layout: pick the query's
     * `nprobe` nearest cells, read ONLY those cell directories
     * (`cell IN (…)` is a literal predicate, so it lands in the scan's
