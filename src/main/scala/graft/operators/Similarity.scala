@@ -507,12 +507,31 @@ object Similarity {
     * unbalanced as the distribution moves; recentering is a REBUILD
     * ([[kmeansCentroids]] + [[writeIvfPartitioned]]), not a fold-in. */
   def appendIvfBatch(delta: DataFrame, idCol: String, vecCol: String,
-                     centroids: DataFrame, dir: String): Unit = {
-    val spark = delta.sparkSession
-    // one materialization feeds the probe's cell set, the anti-join
-    // build, and the landing
-    val assigned = withCells(delta.dropDuplicates(idCol), vecCol, centroids)
-      .localCheckpoint()
+                     centroids: DataFrame, dir: String): Unit =
+    foldIntoCellLayout(
+      withCells(delta.dropDuplicates(idCol), vecCol, centroids), idCol, dir)
+
+  /** [[appendIvfBatch]] for the IVF-PQ layout: the delta is PQ-encoded
+    * under the FROZEN codebook before the fold-in (the codebook is as
+    * much part of the frozen model as the coarse quantizer — retrain
+    * = rebuild). Same idempotence and cell-pruned membership probe;
+    * [[ivfPqTopKAtRest]]/[[pqShortlistAtRest]] read the grown layout
+    * unchanged. */
+  def appendIvfPqBatch(delta: DataFrame, idCol: String, vecCol: String,
+                       centroids: DataFrame, codebook: DataFrame,
+                       dir: String): Unit =
+    foldIntoCellLayout(
+      withCells(pqEncode(delta.dropDuplicates(idCol), vecCol, codebook),
+        vecCol, centroids), idCol, dir)
+
+  /** Shared fold-in tail: idempotent, cell-pruned append of an
+    * already-cell-assigned delta into a `cell`-partitioned layout.
+    * One materialization feeds the probe's cell set, the anti-join
+    * build, and the landing. */
+  private def foldIntoCellLayout(assigned0: DataFrame, idCol: String,
+                                 dir: String): Unit = {
+    val spark = assigned0.sparkSession
+    val assigned = assigned0.localCheckpoint()
     val standingRaw = Dedup.readStateOr(spark, dir, assigned.limit(0))
     val standingIds = ivfStandingIds(standingRaw, idCol, assigned)
     assigned

@@ -60,6 +60,38 @@ class IvfIngestSpec extends SparkSpec {
     assert(a == b, "at-rest serving must not see the difference")
   }
 
+  test("PQ fold-in ≡ PQ rebuild: membership, codes, and ADC shortlist") {
+    val dir = Files.createTempDirectory("ivfpq_ingest").toString
+    val emb = Tables.embeddings(spark, sf)
+    val cents = Similarity.smallestIdCentroids(emb, "vec_id", "embedding", 8)
+      .localCheckpoint()
+    val codebook = Similarity.pqTrain(emb, "vec_id", "embedding",
+      m = 8, k = 16).localCheckpoint()
+
+    (Seq(0, 1, 2) :+ 1).foreach { sl => // slice 1 redelivered
+      Similarity.appendIvfPqBatch(emb.filter(col("vec_id") % 3 === sl),
+        "vec_id", "embedding", cents, codebook, s"$dir/inc")
+    }
+    Similarity.writeIvfPqPartitioned(emb, "vec_id", "embedding",
+      cents, codebook, s"$dir/rebuild")
+
+    def rows(p: String) = spark.read.parquet(p)
+      .select(col("vec_id").cast("long"), col("cell").cast("long"),
+        col("codes").cast("string"))
+      .as[(Long, Long, String)].collect().sorted.toSeq
+    assert(rows(s"$dir/inc") == rows(s"$dir/rebuild"),
+      "fold-in membership/cells/codes must equal the rebuild")
+
+    val qv = emb.filter(col("vec_id") === 0L)
+      .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+    def shortlist(p: String) = Similarity.pqShortlistAtRest(spark, p,
+        "vec_id", codebook, qv, probes = Seq(0L, 1L, 2L),
+        excludeId = 0L, n = 20)
+      .select(col("vec_id").cast("long")).as[Long].collect().toSeq
+    assert(shortlist(s"$dir/inc") == shortlist(s"$dir/rebuild"),
+      "ADC shortlist must not see the difference")
+  }
+
   test("membership probe prunes the standing read to the delta's cells") {
     val dir = Files.createTempDirectory("ivf_prune").toString
     val emb = Tables.embeddings(spark, sf)
