@@ -889,6 +889,48 @@ object SparkEntry {
           lineRequireTerminalPunct = false, contamViaBloom = false,
           substrMinRun = Some(8))))),
 
+    // Graph centrality for corpus curation (Common Crawl publishes
+    // PageRank/harmonic-centrality host rankings for exactly this
+    // use): fixed-point integer PageRank over the winnow near-dup
+    // similarity graph. minShared=1 where q86's pair REPORT uses 2 —
+    // the graph wants recall, the report wants precision. Integer
+    // micro-unit ranks make 8 iterations of join+agg bit-exact under
+    // any partitioning, so the oracle unrolls the same 8 rounds with
+    // `//` floor division (see Graph scaladoc).
+    "q102_pagerank" -> q((s, d) =>
+      Graph.pageRankUndirected(
+        TextAnalysis.winnowPairs(Tables.documents(s, d), "doc_id", "text",
+          minShared = 1L),
+        "id_a", "id_b")
+        .select(col("id").as("doc_id"), col("rank_q"))),
+
+    // Incremental corpus-card maintenance: algebraic partial
+    // aggregates (Gray 1997's data-cube taxonomy) folded in slice by
+    // slice — the standing ledger read is key-cardinality-sized, each
+    // fold aggregates ONLY its delta, and all-long arithmetic makes
+    // any fold order bit-equal to the full recompute the oracle runs.
+    "q103_stats_ledger" -> q((s, d) => {
+      val docs = Tables.documents(s, d)
+      val slices = (0 until 3).map(i => docs.filter(col("doc_id") % 3 === i))
+      slices.tail.foldLeft(
+        StatsLedger.partial(slices.head, "source", "n_chars"))(
+        (led, sl) => StatsLedger.foldIn(led, sl, "source", "n_chars"))
+    }),
+
+    // Mergeable-HLL distinct ledger: per-slice register tables
+    // max-merged, estimated once at read — the one non-algebraic
+    // aggregate the stats ledger can't carry (exact distinct), kept
+    // as bounded persistable state (see Sketch scaladoc; the oracle
+    // replays hash, registers, and the single-division estimate).
+    "q104_hll_ledger" -> q((s, d) => {
+      val docs = Tables.documents(s, d)
+      val regs = (0 until 3).map(i =>
+        Sketch.hllRegisters(docs.filter(col("doc_id") % 3 === i),
+          "source", "text"))
+      Sketch.hllEstimate(regs.reduce(Sketch.hllMerge))
+        .select(col("key").as("source"), col("n_buckets"), col("est_q"))
+    }),
+
     // The INCREMENTAL funnel: a delta batch gets the full verdict
     // chain against the standing corpus — x28's band probe for
     // standing matches (O(delta), never O(standing)), the q69 keeper
@@ -1064,6 +1106,79 @@ object SparkEntry {
 
   private def sqlBucket(v: String): String =
     sqlBucketOf(v, operators.Similarity.hyperplanes(64, 4))
+
+  /** q86/q102 shared replay: winnow fingerprint selection (the q85
+    * chain), df-capped postings, same-fp pairs counted — `minShared`
+    * parameterizes the q86 report (2) vs the q102 graph edges (1). */
+  private def winnowPairsSql(minShared: Int): String =
+    s"""WITH t AS (
+           SELECT doc_id, list_filter(regexp_split_to_array(lower(COALESCE(text, '')), '[^a-z0-9'']+'), x -> length(x) > 0) AS toks
+           FROM documents),
+         g AS (
+           SELECT doc_id,
+             [array_to_string(toks[i:i+4], ' ') FOR i IN generate_series(1, len(toks) - 4)] AS grams
+           FROM t WHERE len(toks) >= 5),
+         gr AS (
+           SELECT doc_id, u.pos AS pos, u.gram AS gram FROM (
+             SELECT doc_id,
+               unnest([{'pos': i, 'gram': grams[i]} FOR i IN generate_series(1, len(grams))]) AS u
+             FROM g)),
+         hh AS (
+           SELECT doc_id, pos,
+             CAST(hu - CASE WHEN hu >= CAST(9223372036854775808 AS HUGEINT)
+               THEN CAST(18446744073709551616 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END AS BIGINT) AS h
+           FROM (
+             SELECT doc_id, pos,
+               list_reduce(
+                 list_prepend(CAST(0 AS HUGEINT),
+                   [CAST(ord(gram[i]) AS HUGEINT) for i in generate_series(1, length(gram))]),
+                 (h, c) -> (h * 31 + c) % CAST(18446744073709551616 AS HUGEINT)) AS hu
+             FROM gr)),
+         mm AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS m FROM hh GROUP BY doc_id),
+         win AS (
+           SELECT doc_id, ww, unnest(generate_series(1, m - ww + 1)) AS j FROM (
+             SELECT doc_id, m, least(4, m) AS ww FROM mm)),
+         fps AS (
+           SELECT DISTINCT doc_id, h FROM (
+             SELECT w.doc_id, hh.pos, hh.h,
+               row_number() OVER (PARTITION BY w.doc_id, w.j
+                 ORDER BY hh.h ASC, hh.pos DESC) AS rn
+             FROM win w JOIN hh ON hh.doc_id = w.doc_id
+               AND hh.pos BETWEEN w.j AND w.j + w.ww - 1)
+           WHERE rn = 1),
+         ok AS (SELECT h FROM fps GROUP BY h HAVING count(*) <= 256)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(count(*) AS BIGINT) AS n_shared
+         FROM fps a JOIN fps b ON a.h = b.h AND a.doc_id < b.doc_id
+         JOIN ok ON a.h = ok.h
+         GROUP BY a.doc_id, b.doc_id
+         HAVING count(*) >= $minShared"""
+
+  /** q102 replay: the engine's fixed-point PageRank unrolled — 8
+    * rounds of `r // outdeg` contributions and `150000 + (85·Σ)//100`
+    * damping, floor division matching Spark's `div` on the same
+    * non-negative longs (see Graph scaladoc for why fixed-point). */
+  private def q102Sql: String = {
+    val iters = 8
+    val rounds = (1 to iters).map { i =>
+      s"""s$i AS (SELECT e.dst AS id, CAST(sum(rr.r // dg.outdeg) AS BIGINT) AS s
+           FROM e JOIN r${i - 1} rr ON e.src = rr.id
+           JOIN deg dg ON e.src = dg.id
+           GROUP BY e.dst),
+         r$i AS (SELECT n.id,
+             CAST(150000 + (85 * COALESCE(s.s, 0)) // 100 AS BIGINT) AS r
+           FROM nodes n LEFT JOIN s$i s ON n.id = s.id)"""
+    }.mkString(",\n         ")
+    s"""WITH pairs AS (${winnowPairsSql(minShared = 1)}),
+         e AS (SELECT id_a AS src, id_b AS dst FROM pairs
+               UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs),
+         nodes AS (SELECT DISTINCT src AS id FROM e),
+         deg AS (SELECT src AS id, CAST(count(*) AS BIGINT) AS outdeg
+                 FROM e GROUP BY src),
+         r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS r FROM nodes),
+         $rounds
+         SELECT id AS doc_id, r AS rank_q FROM r$iters"""
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -2691,55 +2806,50 @@ object SparkEntry {
 
     // Pair report replay: distinct (doc, fp) selections, df-capped
     // postings, same-fp pairs counted.
-    "q86_winnow_pairs" ->
-      s"""WITH t AS (
-           SELECT doc_id, list_filter(regexp_split_to_array(lower(COALESCE(text, '')), '[^a-z0-9'']+'), x -> length(x) > 0) AS toks
-           FROM documents),
-         g AS (
-           SELECT doc_id,
-             [array_to_string(toks[i:i+4], ' ') FOR i IN generate_series(1, len(toks) - 4)] AS grams
-           FROM t WHERE len(toks) >= 5),
-         gr AS (
-           SELECT doc_id, u.pos AS pos, u.gram AS gram FROM (
-             SELECT doc_id,
-               unnest([{'pos': i, 'gram': grams[i]} FOR i IN generate_series(1, len(grams))]) AS u
-             FROM g)),
-         hh AS (
-           SELECT doc_id, pos,
-             CAST(hu - CASE WHEN hu >= CAST(9223372036854775808 AS HUGEINT)
-               THEN CAST(18446744073709551616 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END AS BIGINT) AS h
-           FROM (
-             SELECT doc_id, pos,
-               list_reduce(
-                 list_prepend(CAST(0 AS HUGEINT),
-                   [CAST(ord(gram[i]) AS HUGEINT) for i in generate_series(1, length(gram))]),
-                 (h, c) -> (h * 31 + c) % CAST(18446744073709551616 AS HUGEINT)) AS hu
-             FROM gr)),
-         mm AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS m FROM hh GROUP BY doc_id),
-         win AS (
-           SELECT doc_id, ww, unnest(generate_series(1, m - ww + 1)) AS j FROM (
-             SELECT doc_id, m, least(4, m) AS ww FROM mm)),
-         fps AS (
-           SELECT DISTINCT doc_id, h FROM (
-             SELECT w.doc_id, hh.pos, hh.h,
-               row_number() OVER (PARTITION BY w.doc_id, w.j
-                 ORDER BY hh.h ASC, hh.pos DESC) AS rn
-             FROM win w JOIN hh ON hh.doc_id = w.doc_id
-               AND hh.pos BETWEEN w.j AND w.j + w.ww - 1)
-           WHERE rn = 1),
-         ok AS (SELECT h FROM fps GROUP BY h HAVING count(*) <= 256)
-         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           CAST(count(*) AS BIGINT) AS n_shared
-         FROM fps a JOIN fps b ON a.h = b.h AND a.doc_id < b.doc_id
-         JOIN ok ON a.h = ok.h
-         GROUP BY a.doc_id, b.doc_id
-         HAVING count(*) >= 2""",
+    "q86_winnow_pairs" -> winnowPairsSql(minShared = 2),
 
     "q74_corpus_funnel" -> OraclePipeline.q74Sql,
     "q92_corpus_funnel_ext" ->
       OraclePipeline.q92Sql(funnelBlockPhrases, 2800000L),
     "q93_delta_funnel" -> OraclePipeline.q93Sql,
     "q101_funnel_substr" -> OraclePipeline.q101Sql,
+
+    "q102_pagerank" -> q102Sql,
+
+    // Ledger replay: the fold-in is checked against a FULL recompute —
+    // equality holds because every partial is algebraic and all-long
+    // (exact, order-free addition; see StatsLedger scaladoc).
+    "q103_stats_ledger" ->
+      """SELECT source AS "key", CAST(count(*) AS BIGINT) AS "n",
+           CAST(sum(n_chars) AS BIGINT) AS "sum",
+           CAST(min(n_chars) AS BIGINT) AS "min",
+           CAST(max(n_chars) AS BIGINT) AS "max",
+           CAST(sum(n_chars * n_chars) AS BIGINT) AS "sumsq"
+         FROM documents GROUP BY source""",
+
+    // HLL replay: md5-prefix 60-bit hash, 64 registers via GROUP BY
+    // max, integer-scaled harmonic sum, one double division micro-
+    // rounded (the q51 nano-rounding discipline; numerator literal
+    // rendered from the same Scala Double both engines consume).
+    "q104_hll_ledger" ->
+      s"""WITH h AS (
+           SELECT source,
+             CAST('0x' || substr(md5(COALESCE(text, '')), 1, 15) AS BIGINT) AS h
+           FROM documents),
+         hw AS (SELECT source, h & 63 AS bucket, h // 64 AS w FROM h),
+         regs AS (
+           SELECT source, bucket,
+             max(CASE WHEN w = 0 THEN 55 ELSE 55 - length(bin(w)) END) AS m
+           FROM hw GROUP BY source, bucket),
+         s AS (
+           SELECT source, CAST(count(*) AS BIGINT) AS n_buckets,
+             CAST(sum(CAST(1 AS BIGINT) << CAST(55 - m AS INT)) AS BIGINT)
+               + (64 - count(*)) * 36028797018963968 AS S
+           FROM regs GROUP BY source)
+         SELECT source, n_buckets,
+           CAST(floor(${Sketch.HllNumerator} / CAST(S AS DOUBLE) * 1000000.0
+             + 0.5) AS BIGINT) AS est_q
+         FROM s""",
 
     // Gopher-rules replay: the same doc_id%6 decoration, whitespace
     // words, trimmed non-empty lines, and scaled-integer gate

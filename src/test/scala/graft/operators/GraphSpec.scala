@@ -1,0 +1,71 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Fixed-point PageRank ([[Graph]]): hand-checkable values on tiny
+  * graphs, a reference replay in plain Scala, and the bit-determinism
+  * the fixed-point design exists for. */
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Reference implementation: same fixed-point semantics, single-
+    * threaded Scala over an adjacency map. */
+  private def refPageRank(edges: Seq[(Long, Long)], iters: Int,
+                          scale: Long = 1000000L): Map[Long, Long] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    val outdeg = edges.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    val base = scale - (85L * scale) / 100L
+    var r = nodes.map(_ -> scale).toMap
+    for (_ <- 1 to iters) {
+      val s = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      edges.foreach { case (u, v) => s(v) += r(u) / outdeg(u) }
+      r = nodes.map(n => n -> (base + (85L * s(n)) / 100L)).toMap
+    }
+    r
+  }
+
+  private def run(pairs: Seq[(Long, Long)], iters: Int = 8): Map[Long, Long] =
+    Graph.pageRankUndirected(pairs.toDF("id_a", "id_b"), "id_a", "id_b",
+      iters = iters)
+      .collect().map(row => row.getLong(0) -> row.getLong(1)).toMap
+
+  test("two-node graph reaches the closed-form fixed point") {
+    // symmetric pair: each node's sum IS the other's rank, outdeg 1;
+    // iteration r' = 150000 + 85*r/100 converges toward 1e6 from 1e6
+    // exactly (the fixed point of the damping map at scale).
+    val got = run(Seq((1L, 2L)), iters = 8)
+    assert(got == Map(1L -> 1000000L, 2L -> 1000000L))
+  }
+
+  test("star graph ranks the hub above the leaves, matching the reference replay") {
+    val pairs = Seq((1L, 10L), (2L, 10L), (3L, 10L), (4L, 10L))
+    val sym = pairs.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val expect = refPageRank(sym, iters = 8)
+    val got = run(pairs)
+    assert(got == expect)
+    assert(got(10L) > got(1L))
+    assert(Seq(1L, 2L, 3L, 4L).map(got).distinct.size == 1) // leaves tie
+  }
+
+  test("directed edge list: dangling mass drops, ranks match the reference replay") {
+    // 1→2→3 with 3 dangling: pseudo-PageRank (documented in Graph).
+    val edges = Seq((1L, 2L), (2L, 3L))
+    val expect = refPageRank(edges, iters = 8)
+    val got = Graph.pageRank(edges.toDF("src", "dst"), "src", "dst", iters = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expect)
+    assert(got(3L) > got(2L) && got(2L) > got(1L)) // chain accumulates
+  }
+
+  test("bit-identical under repartitioning (the fixed-point guarantee)") {
+    val pairs = (1L to 40L).flatMap(i => Seq((i, i % 7 + 100L), (i, i % 3 + 200L)))
+    val df1 = pairs.toDF("id_a", "id_b")
+    val df8 = pairs.toDF("id_a", "id_b").repartition(8)
+    val a = Graph.pageRankUndirected(df1, "id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    val b = Graph.pageRankUndirected(df8, "id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(a.sameElements(b))
+  }
+}
