@@ -931,6 +931,34 @@ object SparkEntry {
         .select(col("key").as("source"), col("n_buckets"), col("est_q"))
     }),
 
+    // Percentile bands without holistic state: log2-binned length
+    // histogram folded in slice by slice (per-bin counts sum-merge),
+    // then p50/p90/p99 bands read off the cumulative — integer
+    // arithmetic end to end (see StatsLedger histogram scaladoc).
+    "q105_hist_ledger" -> q((s, d) => {
+      val docs = Tables.documents(s, d)
+      val hists = (0 until 3).map(i =>
+        StatsLedger.histPartial(docs.filter(col("doc_id") % 3 === i),
+          "source", "n_chars"))
+      StatsLedger.histPercentiles(hists.reduce(StatsLedger.histMerge),
+        Seq(50, 90, 99))
+    }),
+
+    // Bounded-state heavy hitters: each slice keeps only its top-32
+    // token counts, summaries merge with re-truncation (lower-bound
+    // semantics, Misra-Gries-flavored), top-16 read at the end — the
+    // oracle unrolls BOTH merge rounds including the intermediate
+    // truncation (see TopKLedger scaladoc).
+    "q106_topk_ledger" -> q((s, d) => {
+      val docs = Tables.documents(s, d)
+      val parts = (0 until 3).map(i =>
+        TopKLedger.partial(docs.filter(col("doc_id") % 3 === i),
+          "source", graft.functions.Analyzer.tokenize(coalesce(col("text"), lit(""))),
+          m = 32))
+      TopKLedger.topK(
+        parts.reduceLeft((a, b) => TopKLedger.merge(a, b, m = 32)), k = 16)
+    }),
+
     // The INCREMENTAL funnel: a delta batch gets the full verdict
     // chain against the standing corpus — x28's band probe for
     // standing matches (O(delta), never O(standing)), the q69 keeper
@@ -2850,6 +2878,79 @@ object SparkEntry {
            CAST(floor(${Sketch.HllNumerator} / CAST(S AS DOUBLE) * 1000000.0
              + 0.5) AS BIGINT) AS est_q
          FROM s""",
+
+    // Histogram-ledger replay: the fold-in is sum-merge, so the full-
+    // data histogram is identical; bit-length bins via length(bin(v))
+    // (the HLL rho trick), cumulative window, integer percentile
+    // predicate cum·100 ≥ p·total, power-of-two band bounds.
+    "q105_hist_ledger" ->
+      """WITH b AS (
+           SELECT source AS key,
+             CASE WHEN n_chars <= 0 THEN 0
+                  ELSE length(bin(n_chars)) END AS bin
+           FROM documents),
+         h AS (SELECT key, bin, count(*) AS cnt FROM b GROUP BY key, bin),
+         c AS (SELECT key, bin,
+             CAST(sum(cnt) OVER (PARTITION BY key ORDER BY bin) AS BIGINT) AS cum,
+             CAST(sum(cnt) OVER (PARTITION BY key) AS BIGINT) AS total
+           FROM h),
+         p AS (SELECT unnest([50, 90, 99]) AS p),
+         sel AS (
+           SELECT c.key, p.p, min(c.bin) AS bin
+           FROM c CROSS JOIN p
+           WHERE c.cum * 100 >= p.p * c.total
+           GROUP BY c.key, p.p)
+         SELECT key, CAST(p AS BIGINT) AS p, CAST(bin AS BIGINT) AS bin,
+           CASE WHEN bin = 0 THEN 0
+                ELSE (CAST(1 AS BIGINT) << CAST(bin - 1 AS INT)) END AS lo,
+           (CAST(1 AS BIGINT) << CAST(bin AS INT)) - 1 AS hi
+         FROM sel""",
+
+    // Top-k-ledger replay: per-slice exact counts, top-32 per
+    // (slice, key) by (cnt DESC, token ASC), then the engine's exact
+    // fold order — merge slices 0+1, re-truncate to 32, merge slice 2,
+    // re-truncate, rank top-16. Intermediate truncation is part of
+    // the semantics (lower-bound counts), so the oracle replays it.
+    "q106_topk_ledger" ->
+      """WITH t AS (
+           SELECT doc_id % 3 AS slice, source,
+             list_filter(regexp_split_to_array(lower(COALESCE(text, '')), '[^a-z0-9'']+'),
+                         x -> length(x) > 0) AS toks
+           FROM documents),
+         tok AS (SELECT slice, source, unnest(toks) AS token FROM t),
+         c AS (SELECT slice, source, token, count(*) AS cnt
+               FROM tok GROUP BY slice, source, token),
+         sl AS (
+           SELECT slice, source, token, CAST(cnt AS BIGINT) AS cnt FROM (
+             SELECT slice, source, token, cnt,
+               row_number() OVER (PARTITION BY slice, source
+                 ORDER BY cnt DESC, token) AS rn
+             FROM c) WHERE rn <= 32),
+         m1 AS (
+           SELECT source, token, cnt FROM (
+             SELECT source, token, cnt,
+               row_number() OVER (PARTITION BY source
+                 ORDER BY cnt DESC, token) AS rn
+             FROM (SELECT source, token, CAST(sum(cnt) AS BIGINT) AS cnt
+                   FROM sl WHERE slice IN (0, 1) GROUP BY source, token))
+           WHERE rn <= 32),
+         m2 AS (
+           SELECT source, token, cnt FROM (
+             SELECT source, token, cnt,
+               row_number() OVER (PARTITION BY source
+                 ORDER BY cnt DESC, token) AS rn
+             FROM (SELECT source, token, CAST(sum(cnt) AS BIGINT) AS cnt
+                   FROM (SELECT source, token, cnt FROM m1
+                         UNION ALL
+                         SELECT source, token, cnt FROM sl WHERE slice = 2)
+                   GROUP BY source, token))
+           WHERE rn <= 32)
+         SELECT source AS key,
+           CAST(row_number() OVER (PARTITION BY source
+             ORDER BY cnt DESC, token) AS BIGINT) AS rank,
+           token, cnt
+         FROM m2
+         QUALIFY rank <= 16""",
 
     // Gopher-rules replay: the same doc_id%6 decoration, whitespace
     // words, trimmed non-empty lines, and scaled-integer gate

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Incremental maintenance of algebraic aggregates — the materialized-
@@ -66,5 +66,114 @@ object StatsLedger {
     import spark.implicits._
     Seq.empty[(String, Long, Long, Long, Long, Long)]
       .toDF("key", "n", "sum", "min", "max", "sumsq")
+  }
+
+  // ---- log2-binned histogram ledger ---------------------------------
+  // The quantile counterpart to the moment ledger above: exact
+  // medians/percentiles are HOLISTIC (not mergeable in constant
+  // space), but a log2-binned histogram is ALGEBRAIC — per-bin counts
+  // sum-merge — and answers "which power-of-two length band holds the
+  // p-th percentile" exactly and deterministically, with relative
+  // value resolution 2× (plenty for length-distribution corpus cards
+  // and curriculum cut points). Bin = bit-length of the value
+  // (floor(log2 v)+1, v ≤ 0 → bin 0), computed via length(bin(v)) so
+  // the DuckDB oracle replays it verbatim — the same bit-length trick
+  // the HLL rho uses.
+
+  /** Histogram ledger `(key, bin, cnt)` for `valCol` grouped by
+    * `keyCol`. */
+  def histPartial(df: DataFrame, keyCol: String, valCol: String): DataFrame =
+    df.select(col(keyCol).as("key"), col(valCol).cast("long").as("v"))
+      .select(col("key"),
+        when(col("v") <= 0L, lit(0L))
+          .otherwise(length(bin(col("v"))).cast("long")).as("bin"))
+      .groupBy(col("key"), col("bin")).agg(count(lit(1)).as("cnt"))
+
+  /** Sum-merge two histogram ledgers. */
+  def histMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy(col("key"), col("bin"))
+      .agg(sum(col("cnt")).as("cnt"))
+
+  /** Read-time percentile bands from a histogram ledger: for each
+    * requested percentile p, the smallest bin whose cumulative count
+    * reaches p% of the key's total, with the bin's exact value range
+    * `[lo, hi]`. Integer arithmetic throughout (`cum·100 ≥ p·total`),
+    * so the answer is order-free and oracle-replayable. */
+  def histPercentiles(hist: DataFrame, percentiles: Seq[Int]): DataFrame = {
+    val sp = hist.sparkSession
+    import sp.implicits._
+    val byBin = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("key")).orderBy(col("bin"))
+    val whole = org.apache.spark.sql.expressions.Window.partitionBy(col("key"))
+    val cum = hist
+      .withColumn("cum", sum(col("cnt")).over(byBin))
+      .withColumn("total", sum(col("cnt")).over(whole))
+    val ps = percentiles.map(_.toLong).toDF("p")
+    cum.crossJoin(broadcast(ps))
+      .filter(col("cum") * lit(100L) >= col("p") * col("total"))
+      .groupBy(col("key"), col("p")).agg(min(col("bin")).as("bin"))
+      .select(col("key"), col("p"), col("bin"),
+        when(col("bin") === 0L, lit(0L))
+          .otherwise(expr("shiftleft(CAST(1 AS BIGINT), CAST(bin - 1 AS INT))"))
+          .as("lo"),
+        (expr("shiftleft(CAST(1 AS BIGINT), CAST(bin AS INT))") - lit(1L))
+          .as("hi"))
+  }
+}
+
+/** Bounded-state approximate top-k — the heavy-hitter ledger.
+  *
+  * Exact global token counts need vocabulary-sized state per slice;
+  * the standard bounded-state answer keeps each slice's top-`m`
+  * `(token, cnt)` rows (deterministic order: cnt DESC, token ASC) and
+  * merges by summing counts over the union, re-truncating to `m`
+  * (Misra-Gries-flavored: a count missing from one slice's summary
+  * contributes nothing, so merged counts are LOWER BOUNDS — exact for
+  * any token inside every slice's top-m, and the classic guarantee
+  * holds: any token with true share > 1/m per slice survives). Every
+  * step is integer counting plus a total-order row_number, so the
+  * whole fold — including intermediate truncations — replays exactly
+  * in the DuckDB oracle (q106 unrolls the merge rounds the way the
+  * BPE oracle unrolls training rounds).
+  *
+  * Scale shape: per-slice state is m rows per key regardless of slice
+  * size; the merge shuffles ≤ slices·m rows per key. The per-slice
+  * count itself is the one data-bound stage (map-side-combined
+  * groupBy over the slice's tokens).
+  */
+object TopKLedger {
+
+  /** Slice summary: top-`m` tokens of `tokensCol` (an array column)
+    * per key, by `(cnt DESC, token ASC)`. */
+  def partial(df: DataFrame, keyCol: String, tokensCol: Column,
+              m: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("key"))
+      .orderBy(col("cnt").desc, col("token").asc)
+    df.select(col(keyCol).as("key"), explode(tokensCol).as("token"))
+      .groupBy(col("key"), col("token")).agg(count(lit(1)).as("cnt"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= m).drop("__rn")
+  }
+
+  /** Merge two summaries: sum counts over the union, re-truncate. */
+  def merge(a: DataFrame, b: DataFrame, m: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("key"))
+      .orderBy(col("cnt").desc, col("token").asc)
+    a.unionByName(b).groupBy(col("key"), col("token"))
+      .agg(sum(col("cnt")).as("cnt"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= m).drop("__rn")
+  }
+
+  /** Read-time ranked top-`k` from a ledger. */
+  def topK(ledger: DataFrame, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("key"))
+      .orderBy(col("cnt").desc, col("token").asc)
+    ledger.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("key"), col("rank"), col("token"), col("cnt"))
   }
 }

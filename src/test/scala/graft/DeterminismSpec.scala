@@ -28,7 +28,11 @@ class DeterminismSpec extends SparkSpec {
     // round-8: the suffix-rank rewrite (doubling chain + in-place
     // dense rank + window winner election at arbitrary widths) and
     // the two-key blocking pass (candidate union + pair dedup)
-    "q100_suffix_rewrite", "q99_fuzzy_pairs_2key")
+    "q100_suffix_rewrite", "q99_fuzzy_pairs_2key",
+    // round-9: fixed-point PageRank (the bit-exactness IS the design
+    // claim), and the two fold-in ledgers (merge order must not leak)
+    "q102_pagerank", "q103_stats_ledger", "q104_hll_ledger",
+    "q105_hist_ledger", "q106_topk_ledger")
 
   private def run(name: String, partitions: Int): Seq[String] = {
     spark.conf.set("spark.sql.shuffle.partitions", partitions)
