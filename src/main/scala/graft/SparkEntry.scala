@@ -944,6 +944,21 @@ object SparkEntry {
         Seq(50, 90, 99))
     }),
 
+    // Incremental uniform sample (bottom-k sketch, Cohen-Kaplan
+    // 2007): per-slice bottom-16 hash priorities per source, folded
+    // with re-truncation — EXACT (the global bottom-k is bottom-k in
+    // its own slice), so the oracle replays the full-data sample with
+    // no knowledge of the slicing (see Sketch section doc).
+    "q107_sample_ledger" -> q((s, d) => {
+      val docs = Tables.documents(s, d)
+      val parts = (0 until 3).map(i =>
+        Sketch.sampleLedger(docs.filter(col("doc_id") % 3 === i),
+          "source", "doc_id", k = 16))
+      Sketch.sampleRead(
+        parts.reduceLeft((a, b) => Sketch.sampleMerge(a, b, k = 16)))
+        .select(col("key"), col("rank"), col("id").as("doc_id"), col("h"))
+    }),
+
     // Bounded-state heavy hitters: each slice keeps only its top-32
     // token counts, summaries merge with re-truncation (lower-bound
     // semantics, Misra-Gries-flavored), top-16 read at the end — the
@@ -2905,6 +2920,19 @@ object SparkEntry {
                 ELSE (CAST(1 AS BIGINT) << CAST(bin - 1 AS INT)) END AS lo,
            (CAST(1 AS BIGINT) << CAST(bin AS INT)) - 1 AS hi
          FROM sel""",
+
+    // Sample-ledger replay: the exact-fold property means the oracle
+    // needs only the FULL-data bottom-k — hash priorities via the
+    // md5-prefix parse, ranked per source.
+    "q107_sample_ledger" ->
+      """SELECT key, CAST(rank AS BIGINT) AS rank, doc_id, h FROM (
+           SELECT source AS key, doc_id, h,
+             row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rank
+           FROM (
+             SELECT source, doc_id,
+               CAST('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+             FROM documents))
+         WHERE rank <= 16""",
 
     // Top-k-ledger replay: per-slice exact counts, top-32 per
     // (slice, key) by (cnt DESC, token ASC), then the engine's exact

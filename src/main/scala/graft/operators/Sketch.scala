@@ -93,4 +93,56 @@ object Sketch {
   /** Sketch-and-estimate in one call (the non-incremental read). */
   def hllDistinct(df: DataFrame, keyCol: String, valCol: String): DataFrame =
     hllEstimate(hllRegisters(df, keyCol, valCol))
+
+  // ---- bottom-k uniform sample ledger -------------------------------
+  // The last member of the incremental corpus-card family (moments
+  // q103, distinct q104, quantile bands q105, heavy hitters q106):
+  // maintain a UNIFORM random sample of each key's documents as the
+  // corpus grows, without rescans — the bottom-k sketch of Cohen &
+  // Kaplan 2007. Each row gets a deterministic hash priority; the
+  // ledger keeps the k smallest priorities per key. Unlike the top-k
+  // count ledger, the fold here is EXACT, not a lower bound: the
+  // global bottom-k rows are each bottom-k within their own slice, so
+  // (union of slice ledgers) re-truncated IS the full-data bottom-k,
+  // bit for bit — which is why the q107 oracle replays the FULL-data
+  // sample with no knowledge of the slicing. Because the priority is
+  // a fixed hash of the id, the sample is also STABLE: re-ingesting a
+  // slice, reordering batches, or recomputing from scratch all land
+  // the same sample (the crash-idempotence the funnel ledgers want).
+
+  /** Deterministic sample priority for an id — [[hash60]] of the
+    * domain-tagged id string, replayable as
+    * `CAST('0x' || substr(md5('sample:' || CAST(id AS VARCHAR)),1,15) AS BIGINT)`. */
+  def samplePriority(idc: Column): Column =
+    hash60(concat(lit("sample:"), idc.cast("string")))
+
+  /** Sample ledger `(key, h, id)`: the k smallest priorities per key,
+    * ties (md5 collisions) broken by id. */
+  def sampleLedger(df: DataFrame, keyCol: String, idCol: String,
+                   k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("key")).orderBy(col("h").asc, col("id").asc)
+    df.select(col(keyCol).as("key"), col(idCol).as("id"))
+      .withColumn("h", samplePriority(col("id")))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k).drop("__rn")
+  }
+
+  /** Merge sample ledgers: union, re-truncate to bottom-k. Exact,
+    * associative, commutative, idempotent (see section doc). */
+  def sampleMerge(a: DataFrame, b: DataFrame, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("key")).orderBy(col("h").asc, col("id").asc)
+    a.unionByName(b).dropDuplicates("key", "id")
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k).drop("__rn")
+  }
+
+  /** Ranked read of a sample ledger. */
+  def sampleRead(ledger: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("key")).orderBy(col("h").asc, col("id").asc)
+    ledger.withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("key"), col("rank"), col("id"), col("h"))
+  }
 }

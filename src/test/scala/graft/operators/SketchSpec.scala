@@ -74,6 +74,44 @@ class SketchSpec extends SparkSpec {
     assert(a == b)
   }
 
+  // ---- bottom-k sample ledger ---------------------------------------
+
+  test("sample fold is EXACT: slice ledgers re-truncated equal the full-data bottom-k") {
+    val df = (1L to 500L).map(i => (s"s${i % 3}", i)).toDF("source", "doc_id")
+    val full = Sketch.sampleRead(
+      Sketch.sampleLedger(df, "source", "doc_id", k = 10))
+    val parts = (0 until 4).map(i =>
+      Sketch.sampleLedger(df.filter(col("doc_id") % 4 === i),
+        "source", "doc_id", k = 10))
+    val folded = Sketch.sampleRead(
+      parts.reduceLeft((a, b) => Sketch.sampleMerge(a, b, k = 10)))
+    def norm(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(norm(folded) == norm(full))
+  }
+
+  test("sample fold is idempotent and stable under re-ingest") {
+    val df = (1L to 300L).map(i => (s"s${i % 2}", i)).toDF("source", "doc_id")
+    val led = Sketch.sampleLedger(df, "source", "doc_id", k = 8)
+    val reIngested = Sketch.sampleMerge(led,
+      Sketch.sampleLedger(df.filter(col("doc_id") <= 150L),
+        "source", "doc_id", k = 8), k = 8)
+    def norm(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getLong(1))).toSet
+    assert(norm(Sketch.sampleRead(reIngested)) == norm(Sketch.sampleRead(led)))
+  }
+
+  test("sample is spread across the id range (uniformity smoke)") {
+    val df = (1L to 10000L).map(i => ("k", i)).toDF("source", "doc_id")
+    val ids = Sketch.sampleRead(
+      Sketch.sampleLedger(df, "source", "doc_id", k = 50))
+      .select("id").collect().map(_.getLong(0))
+    assert(ids.length == 50)
+    // a uniform 50-sample of 1..10000 should touch all four quartiles
+    val quartiles = ids.map(i => (i - 1) / 2500).distinct
+    assert(quartiles.length == 4, s"sample clumped: ${ids.sorted.mkString(",")}")
+  }
+
   test("register ledger survives a parquet round-trip and keeps folding") {
     val dir = java.nio.file.Files.createTempDirectory("hll").toString + "/regs"
     val df = (1 to 600).map(i => (s"g${i % 3}", s"w-$i")).toDF("key", "v")
