@@ -959,6 +959,23 @@ object SparkEntry {
         .select(col("key"), col("rank"), col("id").as("doc_id"), col("h"))
     }),
 
+    // The release card WITHOUT the rescan: q82's datasheet assembled
+    // entirely from the incrementally-maintained ledgers (moments +
+    // HLL registers + length histogram), each folded over the same
+    // three slices — the read is ledger-sized, so this card costs the
+    // same at 100 TB as at 100 MB once the ledgers exist.
+    "q108_card_inc" -> q((s, d) => {
+      val docs = Tables.documents(s, d)
+      val slices = (0 until 3).map(i => docs.filter(col("doc_id") % 3 === i))
+      Report.cardFromLedgers(
+        slices.map(StatsLedger.partial(_, "source", "n_chars"))
+          .reduce(StatsLedger.merge),
+        slices.map(Sketch.hllRegisters(_, "source", "text"))
+          .reduce(Sketch.hllMerge),
+        slices.map(StatsLedger.histPartial(_, "source", "n_chars"))
+          .reduce(StatsLedger.histMerge))
+    }),
+
     // Bounded-state heavy hitters: each slice keeps only its top-32
     // token counts, summaries merge with re-truncation (lower-bound
     // semantics, Misra-Gries-flavored), top-16 read at the end — the
@@ -1222,6 +1239,60 @@ object SparkEntry {
          $rounds
          SELECT id AS doc_id, r AS rank_q FROM r$iters"""
   }
+
+  /** q103 replay — full-recompute GROUP BY (see the map entry). */
+  private val q103Sql: String =
+    """SELECT source AS "key", CAST(count(*) AS BIGINT) AS "n",
+         CAST(sum(n_chars) AS BIGINT) AS "sum",
+         CAST(min(n_chars) AS BIGINT) AS "min",
+         CAST(max(n_chars) AS BIGINT) AS "max",
+         CAST(sum(n_chars * n_chars) AS BIGINT) AS "sumsq"
+       FROM documents GROUP BY source"""
+
+  /** q104 replay — HLL registers + single-division estimate. */
+  private val q104Sql: String =
+    s"""WITH h AS (
+         SELECT source,
+           CAST('0x' || substr(md5(COALESCE(text, '')), 1, 15) AS BIGINT) AS h
+         FROM documents),
+       hw AS (SELECT source, h & 63 AS bucket, h // 64 AS w FROM h),
+       regs AS (
+         SELECT source, bucket,
+           max(CASE WHEN w = 0 THEN 55 ELSE 55 - length(bin(w)) END) AS m
+         FROM hw GROUP BY source, bucket),
+       s AS (
+         SELECT source, CAST(count(*) AS BIGINT) AS n_buckets,
+           CAST(sum(CAST(1 AS BIGINT) << CAST(55 - m AS INT)) AS BIGINT)
+             + (64 - count(*)) * 36028797018963968 AS S
+         FROM regs GROUP BY source)
+       SELECT source, n_buckets,
+         CAST(floor(${graft.operators.Sketch.HllNumerator} / CAST(S AS DOUBLE) * 1000000.0
+           + 0.5) AS BIGINT) AS est_q
+       FROM s"""
+
+  /** q105 replay — bit-length bins, cumulative percentile bands. */
+  private val q105Sql: String =
+    """WITH b AS (
+         SELECT source AS key,
+           CASE WHEN n_chars <= 0 THEN 0
+                ELSE length(bin(n_chars)) END AS bin
+         FROM documents),
+       h AS (SELECT key, bin, count(*) AS cnt FROM b GROUP BY key, bin),
+       c AS (SELECT key, bin,
+           CAST(sum(cnt) OVER (PARTITION BY key ORDER BY bin) AS BIGINT) AS cum,
+           CAST(sum(cnt) OVER (PARTITION BY key) AS BIGINT) AS total
+         FROM h),
+       p AS (SELECT unnest([50, 90, 99]) AS p),
+       sel AS (
+         SELECT c.key, p.p, min(c.bin) AS bin
+         FROM c CROSS JOIN p
+         WHERE c.cum * 100 >= p.p * c.total
+         GROUP BY c.key, p.p)
+       SELECT key, CAST(p AS BIGINT) AS p, CAST(bin AS BIGINT) AS bin,
+         CASE WHEN bin = 0 THEN 0
+              ELSE (CAST(1 AS BIGINT) << CAST(bin - 1 AS INT)) END AS lo,
+         (CAST(1 AS BIGINT) << CAST(bin AS INT)) - 1 AS hi
+       FROM sel"""
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -2862,64 +2933,41 @@ object SparkEntry {
     // Ledger replay: the fold-in is checked against a FULL recompute —
     // equality holds because every partial is algebraic and all-long
     // (exact, order-free addition; see StatsLedger scaladoc).
-    "q103_stats_ledger" ->
-      """SELECT source AS "key", CAST(count(*) AS BIGINT) AS "n",
-           CAST(sum(n_chars) AS BIGINT) AS "sum",
-           CAST(min(n_chars) AS BIGINT) AS "min",
-           CAST(max(n_chars) AS BIGINT) AS "max",
-           CAST(sum(n_chars * n_chars) AS BIGINT) AS "sumsq"
-         FROM documents GROUP BY source""",
+    "q103_stats_ledger" -> q103Sql,
 
     // HLL replay: md5-prefix 60-bit hash, 64 registers via GROUP BY
     // max, integer-scaled harmonic sum, one double division micro-
     // rounded (the q51 nano-rounding discipline; numerator literal
     // rendered from the same Scala Double both engines consume).
-    "q104_hll_ledger" ->
-      s"""WITH h AS (
-           SELECT source,
-             CAST('0x' || substr(md5(COALESCE(text, '')), 1, 15) AS BIGINT) AS h
-           FROM documents),
-         hw AS (SELECT source, h & 63 AS bucket, h // 64 AS w FROM h),
-         regs AS (
-           SELECT source, bucket,
-             max(CASE WHEN w = 0 THEN 55 ELSE 55 - length(bin(w)) END) AS m
-           FROM hw GROUP BY source, bucket),
-         s AS (
-           SELECT source, CAST(count(*) AS BIGINT) AS n_buckets,
-             CAST(sum(CAST(1 AS BIGINT) << CAST(55 - m AS INT)) AS BIGINT)
-               + (64 - count(*)) * 36028797018963968 AS S
-           FROM regs GROUP BY source)
-         SELECT source, n_buckets,
-           CAST(floor(${Sketch.HllNumerator} / CAST(S AS DOUBLE) * 1000000.0
-             + 0.5) AS BIGINT) AS est_q
-         FROM s""",
+    "q104_hll_ledger" -> q104Sql,
 
     // Histogram-ledger replay: the fold-in is sum-merge, so the full-
     // data histogram is identical; bit-length bins via length(bin(v))
     // (the HLL rho trick), cumulative window, integer percentile
     // predicate cum·100 ≥ p·total, power-of-two band bounds.
-    "q105_hist_ledger" ->
-      """WITH b AS (
-           SELECT source AS key,
-             CASE WHEN n_chars <= 0 THEN 0
-                  ELSE length(bin(n_chars)) END AS bin
-           FROM documents),
-         h AS (SELECT key, bin, count(*) AS cnt FROM b GROUP BY key, bin),
-         c AS (SELECT key, bin,
-             CAST(sum(cnt) OVER (PARTITION BY key ORDER BY bin) AS BIGINT) AS cum,
-             CAST(sum(cnt) OVER (PARTITION BY key) AS BIGINT) AS total
-           FROM h),
-         p AS (SELECT unnest([50, 90, 99]) AS p),
-         sel AS (
-           SELECT c.key, p.p, min(c.bin) AS bin
-           FROM c CROSS JOIN p
-           WHERE c.cum * 100 >= p.p * c.total
-           GROUP BY c.key, p.p)
-         SELECT key, CAST(p AS BIGINT) AS p, CAST(bin AS BIGINT) AS bin,
-           CASE WHEN bin = 0 THEN 0
-                ELSE (CAST(1 AS BIGINT) << CAST(bin - 1 AS INT)) END AS lo,
-           (CAST(1 AS BIGINT) << CAST(bin AS INT)) - 1 AS hi
-         FROM sel""",
+    "q105_hist_ledger" -> q105Sql,
+
+    // Incremental-card replay: the three ledger replays above joined
+    // on key, bands pivoted by conditional max — ledger reads compose,
+    // so the card oracle composes too.
+    "q108_card_inc" ->
+      s"""WITH stats AS ($q103Sql),
+         hll AS ($q104Sql),
+         bands0 AS ($q105Sql),
+         bands AS (
+           SELECT key,
+             max(CASE WHEN p = 50 THEN lo END) AS p50_lo,
+             max(CASE WHEN p = 50 THEN hi END) AS p50_hi,
+             max(CASE WHEN p = 90 THEN lo END) AS p90_lo,
+             max(CASE WHEN p = 90 THEN hi END) AS p90_hi,
+             max(CASE WHEN p = 99 THEN lo END) AS p99_lo,
+             max(CASE WHEN p = 99 THEN hi END) AS p99_hi
+           FROM bands0 GROUP BY key)
+         SELECT s.*, h.est_q,
+           b.p50_lo, b.p50_hi, b.p90_lo, b.p90_hi, b.p99_lo, b.p99_hi
+         FROM stats s
+         JOIN (SELECT source AS key, est_q FROM hll) h USING (key)
+         JOIN bands b USING (key)""",
 
     // Sample-ledger replay: the exact-fold property means the oracle
     // needs only the FULL-data bottom-k — hash priorities via the

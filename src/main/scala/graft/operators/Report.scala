@@ -52,4 +52,28 @@ object Report {
         countDistinct(col("__lang")).as("n_langs"),
         percentile(col("__nt"), lit(0.5)).as("p50_tokens"))
   }
+
+  /** The card WITHOUT the rescan: assemble the per-slice release card
+    * from incrementally-maintained ledgers ([[StatsLedger]] moments +
+    * histogram, [[Sketch]] HLL registers) — the read is ledger-sized
+    * (keys, keys×bins, keys×64 rows), so at 100 TB the card costs the
+    * same as at 100 MB once the ledgers exist. One row per key:
+    * exact doc count / char sum / min / max / second moment, the HLL
+    * distinct-text estimate, and p50/p90/p99 length bands.
+    *
+    * All three joins are key-cardinality-sized (broadcast under AQE).
+    */
+  def cardFromLedgers(stats: DataFrame, hllRegs: DataFrame,
+                      hist: DataFrame): DataFrame = {
+    val est = Sketch.hllEstimate(hllRegs).select(col("key"), col("est_q"))
+    val bands = StatsLedger.histPercentiles(hist, Seq(50, 90, 99))
+      .groupBy(col("key")).agg(
+        max(when(col("p") === 50L, col("lo"))).as("p50_lo"),
+        max(when(col("p") === 50L, col("hi"))).as("p50_hi"),
+        max(when(col("p") === 90L, col("lo"))).as("p90_lo"),
+        max(when(col("p") === 90L, col("hi"))).as("p90_hi"),
+        max(when(col("p") === 99L, col("lo"))).as("p99_lo"),
+        max(when(col("p") === 99L, col("hi"))).as("p99_hi"))
+    stats.join(est, "key").join(bands, "key")
+  }
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions.col
 
 /** Corpus card: hand-computed slice values, null/empty handling,
   * exact-median interpolation, partitioning invariance. */
@@ -32,5 +33,32 @@ class ReportSpec extends SparkSpec {
     val re = Report.corpusCard(docs.repartition(7), "text", "source")
       .as[(String, Long, Long, Long, Long, Long, Double)].collect().toSet
     assert(base == re)
+  }
+
+  test("incremental card composes the ledger reads exactly") {
+    val big = (1L to 400L)
+      .map(i => (i, s"s${i % 4}", s"text body number $i", (i * 17) % 300 + 1))
+      .toDF("doc_id", "source", "text", "n_chars")
+    val slices = (0 until 3).map(i => big.filter(col("doc_id") % 3 === i))
+    val card = Report.cardFromLedgers(
+      slices.map(StatsLedger.partial(_, "source", "n_chars"))
+        .reduce(StatsLedger.merge),
+      slices.map(Sketch.hllRegisters(_, "source", "text"))
+        .reduce(Sketch.hllMerge),
+      slices.map(StatsLedger.histPartial(_, "source", "n_chars"))
+        .reduce(StatsLedger.histMerge))
+    // one row per source, and each column equals its one-shot read
+    val rows = card.collect().map(r => r.getString(0) -> r).toMap
+    assert(rows.size == 4)
+    val stats = StatsLedger.partial(big, "source", "n_chars")
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap // sum
+    val est = Sketch.hllDistinct(big, "source", "text")
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    rows.foreach { case (k, r) =>
+      assert(r.getAs[Long]("sum") == stats(k))
+      assert(r.getAs[Long]("est_q") == est(k))
+      assert(r.getAs[Long]("p50_lo") <= r.getAs[Long]("p50_hi"))
+      assert(r.getAs[Long]("p99_hi") >= r.getAs[Long]("p90_hi"))
+    }
   }
 }
