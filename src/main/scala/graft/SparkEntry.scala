@@ -976,6 +976,23 @@ object SparkEntry {
           .reduce(StatsLedger.histMerge))
     }),
 
+    // The incremental card maintained BY the delta stream (batch form
+    // of cardDeltaSink, the x34/x35 pattern): three delta batches
+    // cover the corpus, then batch 1 is REDELIVERED in full — the
+    // seen-ids ledger folds in nothing, so the streamed card equals
+    // the one-shot recompute and q108's replay is the oracle.
+    "q109_card_stream" -> q((s, d) => {
+      val docs = Tables.documents(s, d)
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-card").toString
+      (Seq(0L, 1L, 2L) :+ 1L).zipWithIndex.foreach { case (sl, bid) =>
+        plans.CorpusPipeline.cardDeltaBatch(
+          docs.filter(col("doc_id") % 3 === sl), "doc_id", "source",
+          "n_chars", "text", base, batchId = bid.toLong)
+      }
+      plans.CorpusPipeline.cardFromDirs(s, base)
+    }),
+
     // Bounded-state heavy hitters: each slice keeps only its top-32
     // token counts, summaries merge with re-truncation (lower-bound
     // semantics, Misra-Gries-flavored), top-16 read at the end — the
@@ -1293,6 +1310,26 @@ object SparkEntry {
               ELSE (CAST(1 AS BIGINT) << CAST(bin - 1 AS INT)) END AS lo,
          (CAST(1 AS BIGINT) << CAST(bin AS INT)) - 1 AS hi
        FROM sel"""
+
+  /** q108/q109 replay — the three ledger replays joined on key. */
+  private val q108Sql: String =
+    s"""WITH stats AS ($q103Sql),
+         hll AS ($q104Sql),
+         bands0 AS ($q105Sql),
+         bands AS (
+           SELECT key,
+             max(CASE WHEN p = 50 THEN lo END) AS p50_lo,
+             max(CASE WHEN p = 50 THEN hi END) AS p50_hi,
+             max(CASE WHEN p = 90 THEN lo END) AS p90_lo,
+             max(CASE WHEN p = 90 THEN hi END) AS p90_hi,
+             max(CASE WHEN p = 99 THEN lo END) AS p99_lo,
+             max(CASE WHEN p = 99 THEN hi END) AS p99_hi
+           FROM bands0 GROUP BY key)
+         SELECT s.*, h.est_q,
+           b.p50_lo, b.p50_hi, b.p90_lo, b.p90_hi, b.p99_lo, b.p99_hi
+         FROM stats s
+         JOIN (SELECT source AS key, est_q FROM hll) h USING (key)
+         JOIN bands b USING (key)"""
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -2950,24 +2987,14 @@ object SparkEntry {
     // Incremental-card replay: the three ledger replays above joined
     // on key, bands pivoted by conditional max — ledger reads compose,
     // so the card oracle composes too.
-    "q108_card_inc" ->
-      s"""WITH stats AS ($q103Sql),
-         hll AS ($q104Sql),
-         bands0 AS ($q105Sql),
-         bands AS (
-           SELECT key,
-             max(CASE WHEN p = 50 THEN lo END) AS p50_lo,
-             max(CASE WHEN p = 50 THEN hi END) AS p50_hi,
-             max(CASE WHEN p = 90 THEN lo END) AS p90_lo,
-             max(CASE WHEN p = 90 THEN hi END) AS p90_hi,
-             max(CASE WHEN p = 99 THEN lo END) AS p99_lo,
-             max(CASE WHEN p = 99 THEN hi END) AS p99_hi
-           FROM bands0 GROUP BY key)
-         SELECT s.*, h.est_q,
-           b.p50_lo, b.p50_hi, b.p90_lo, b.p90_hi, b.p99_lo, b.p99_hi
-         FROM stats s
-         JOIN (SELECT source AS key, est_q FROM hll) h USING (key)
-         JOIN bands b USING (key)""",
+    "q108_card_inc" -> q108Sql,
+
+    // The STREAMED card must equal the recomputed card: q109 pushes
+    // every document through cardDeltaBatch (including a full
+    // redelivery that must fold in nothing), so the very same q108
+    // replay is its oracle — the strongest check an incremental path
+    // can get (the x35 discipline).
+    "q109_card_stream" -> q108Sql,
 
     // Sample-ledger replay: the exact-fold property means the oracle
     // needs only the FULL-data bottom-k — hash priorities via the

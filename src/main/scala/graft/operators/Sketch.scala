@@ -77,6 +77,10 @@ object Sketch {
     a.unionByName(b).groupBy(col("key"), col("bucket"))
       .agg(max(col("m")).as("m"))
 
+  /** Collapse many register partial rows into one ledger. */
+  def hllFold(partials: DataFrame): DataFrame =
+    partials.groupBy(col("key"), col("bucket")).agg(max(col("m")).as("m"))
+
   /** Read-time estimate from a register ledger: `(key, n_buckets,
     * est_q)` with `est_q` the raw HLL estimate in micro-units. */
   def hllEstimate(regs: DataFrame): DataFrame =

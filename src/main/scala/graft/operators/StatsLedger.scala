@@ -60,6 +60,17 @@ object StatsLedger {
              keyCol: String, valCol: String): DataFrame =
     merge(standing, partial(delta, keyCol, valCol))
 
+  /** Collapse a pile of partial rows (e.g. many per-batch partials
+    * read back from an append-only ledger dir) into one ledger —
+    * `merge`'s aggregation without the union. */
+  def fold(partials: DataFrame): DataFrame =
+    partials.groupBy(col("key")).agg(
+      sum(col("n")).as("n"),
+      sum(col("sum")).as("sum"),
+      min(col("min")).as("min"),
+      max(col("max")).as("max"),
+      sum(col("sumsq")).as("sumsq"))
+
   /** Empty ledger with the right schema (the `readStateOr` fallback —
     * must stay semantically empty, see Dedup.readStateOr's contract). */
   def empty(spark: SparkSession): DataFrame = {
@@ -93,6 +104,10 @@ object StatsLedger {
   def histMerge(a: DataFrame, b: DataFrame): DataFrame =
     a.unionByName(b).groupBy(col("key"), col("bin"))
       .agg(sum(col("cnt")).as("cnt"))
+
+  /** Collapse many histogram partial rows into one ledger. */
+  def histFold(partials: DataFrame): DataFrame =
+    partials.groupBy(col("key"), col("bin")).agg(sum(col("cnt")).as("cnt"))
 
   /** Read-time percentile bands from a histogram ledger: for each
     * requested percentile p, the smallest bin whose cumulative count

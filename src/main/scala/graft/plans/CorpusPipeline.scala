@@ -547,4 +547,83 @@ object CorpusPipeline {
     Export.writeShards(kept, idCol, dir, cfg.numShards)
     Export.manifest(kept, idCol, "text", cfg.numShards)
   }
+
+  // ---- the incremental release card, maintained by the stream -------
+  // The corpus card kept current as delta batches land — per-batch
+  // LEDGER PARTIALS (StatsLedger moments + histogram, Sketch HLL
+  // registers) appended to dirs, never rewritten. Crash contract,
+  // same discipline as contamDeltaBatch:
+  //  - batches dedup against a seen-ids ledger (overlapping deltas
+  //    and redeliveries contribute zero fresh docs);
+  //  - partials land FIRST, the seen-ids append lands LAST. A crash
+  //    in between makes the retry recompute the IDENTICAL partial
+  //    rows (they are deterministic in the batch content, and
+  //    Structured Streaming replays the same offsets under the same
+  //    batchId) — the read side heals the duplicates by natural-key
+  //    dedup before folding;
+  //  - appends are visible only on commit (the readStateOr
+  //    assumption), so a crash mid-write leaves nothing to heal.
+  // At stream lifetimes the partial dirs accumulate one small file
+  // per batch; `Maintenance.compact`'s snapshot-dedup-rewrite bounds
+  // that exactly as it does for the funnel's ledgers.
+
+  /** Fold one delta batch's card partials into `baseDir`. `batchId`
+    * tags the partial rows (the natural-key component that makes
+    * read-side healing exact). */
+  def cardDeltaBatch(batch: DataFrame, idCol: String, keyCol: String,
+                     valCol: String, textCol: String, baseDir: String,
+                     batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val b = batch.dropDuplicates(idCol)
+    val seen = Dedup.readStateOr(spark, s"$baseDir/seenIds",
+      b.select(col(idCol)).limit(0))
+    val fresh = b.join(seen, Seq(idCol), "left_anti").localCheckpoint()
+    val tag = lit(batchId).as("batch_id")
+    graft.operators.StatsLedger.partial(fresh, keyCol, valCol)
+      .select(tag, col("key"), col("n"), col("sum"), col("min"),
+        col("max"), col("sumsq"))
+      .write.mode("append").parquet(s"$baseDir/stats")
+    graft.operators.StatsLedger.histPartial(fresh, keyCol, valCol)
+      .select(tag, col("key"), col("bin"), col("cnt"))
+      .write.mode("append").parquet(s"$baseDir/hist")
+    graft.operators.Sketch.hllRegisters(fresh, keyCol, textCol)
+      .select(tag, col("key"), col("bucket"), col("m"))
+      .write.mode("append").parquet(s"$baseDir/hll")
+    // ids land LAST (ledger-last heals a crash between the appends)
+    fresh.select(col(idCol)).write.mode("append")
+      .parquet(s"$baseDir/seenIds")
+    fresh.unpersist()
+    ()
+  }
+
+  /** [[cardDeltaBatch]] as a stream sink — the card ledgers follow
+    * the ingest micro-batches, effectively-once. */
+  def cardDeltaSink(deltaStream: DataFrame, idCol: String, keyCol: String,
+                    valCol: String, textCol: String, baseDir: String,
+                    checkpointDir: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    deltaStream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        cardDeltaBatch(b, idCol, keyCol, valCol, textCol, baseDir, id)
+      }
+
+  /** Read the current card from the partial dirs: natural-key dedup
+    * (heals duplicate partials from replayed batches), fold, join —
+    * a ledger-sized read, independent of how much corpus has ever
+    * streamed through. */
+  def cardFromDirs(spark: org.apache.spark.sql.SparkSession,
+                   baseDir: String): DataFrame = {
+    import graft.operators.{Report, Sketch, StatsLedger}
+    val stats = StatsLedger.fold(
+      spark.read.parquet(s"$baseDir/stats")
+        .dropDuplicates("batch_id", "key"))
+    val hist = StatsLedger.histFold(
+      spark.read.parquet(s"$baseDir/hist")
+        .dropDuplicates("batch_id", "key", "bin"))
+    val regs = Sketch.hllFold(
+      spark.read.parquet(s"$baseDir/hll")
+        .dropDuplicates("batch_id", "key", "bucket"))
+    Report.cardFromLedgers(stats, regs, hist)
+  }
 }
