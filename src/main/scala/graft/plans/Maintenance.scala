@@ -138,4 +138,21 @@ object Maintenance {
                          maxFiles: Int = 8): (CompactReport, CompactReport) =
     (compact(spark, docsDir, Seq(idCol), maxFiles),
      compact(spark, indexDir, Seq.empty, maxFiles))
+
+  /** Maintenance for the streaming card's ledger dirs
+    * (CorpusPipeline.cardDeltaBatch): each accumulates one small file
+    * per micro-batch; compaction dedups on the same natural keys the
+    * read side uses, so it is ROW-PRESERVING — it never folds
+    * batches together (a semantic fold would re-tag partials and
+    * break the crash-replay healing contract: a replayed batch's
+    * re-appended rows would no longer be exact duplicates of the
+    * folded ones). Bounding the file count is the whole job; the
+    * read is already ledger-sized. */
+  def compactCardState(spark: SparkSession, baseDir: String,
+                       idCol: String, maxFiles: Int = 8): Seq[CompactReport] =
+    Seq(
+      compact(spark, s"$baseDir/stats", Seq("batch_id", "key"), maxFiles),
+      compact(spark, s"$baseDir/hist", Seq("batch_id", "key", "bin"), maxFiles),
+      compact(spark, s"$baseDir/hll", Seq("batch_id", "key", "bucket"), maxFiles),
+      compact(spark, s"$baseDir/seenIds", Seq(idCol), maxFiles))
 }

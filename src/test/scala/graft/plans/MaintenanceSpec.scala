@@ -119,4 +119,31 @@ class MaintenanceSpec extends SparkSpec {
     assert(spark.read.parquet(flat).as[(Long, String)].collect().toSet == got)
     assert(Maintenance.groupStats(spark, flat).head.files == 1)
   }
+
+  test("card-ledger compaction preserves the card and heals crash duplicates") {
+    val base = Files.createTempDirectory("compact_card").toString
+    val docs = (1L to 120L)
+      .map(i => (i, s"s${i % 3}", s"body $i", (i * 7) % 200 + 1))
+      .toDF("doc_id", "source", "text", "n_chars")
+    // many small batches -> many small files per ledger dir
+    (0 until 6).foreach { b =>
+      CorpusPipeline.cardDeltaBatch(docs.filter(col("doc_id") % 6 === b),
+        "doc_id", "source", "n_chars", "text", base, batchId = b.toLong)
+    }
+    // plus a crash-window duplicate partial (same batch id, same rows)
+    graft.operators.StatsLedger.partial(
+        docs.filter(col("doc_id") % 6 === 2), "source", "n_chars")
+      .select(lit(2L).as("batch_id"), col("key"), col("n"), col("sum"),
+        col("min"), col("max"), col("sumsq"))
+      .write.mode("append").parquet(s"$base/stats")
+    val before = CorpusPipeline.cardFromDirs(spark, base)
+      .collect().map(_.toString).toSet
+    val reports = Maintenance.compactCardState(spark, base, "doc_id",
+      maxFiles = 1)
+    assert(reports.forall(_.compacted > 0))
+    assert(CorpusPipeline.cardFromDirs(spark, base)
+      .collect().map(_.toString).toSet == before,
+      "compaction must not change the card")
+    assert(Maintenance.groupStats(spark, s"$base/stats").head.files == 1)
+  }
 }
