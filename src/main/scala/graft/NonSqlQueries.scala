@@ -367,6 +367,21 @@ object NonSqlQueries {
         .orderBy(col("vec_id"))
     }),
 
+    // REAL audio decode (the codec-free half of the multimodal story):
+    // deterministic 16-bit PCM WAVs synthesized per doc (real
+    // RIFF/fmt/data bytes), then the production featurizeAudio path —
+    // sample decode, mono mixdown, micro-rounded RMS/peak/DC,
+    // zero-crossing count, RMS envelope. Scan-local, payload bytes
+    // never shuffle. Rows-only (binary synthesis has no SQL replay);
+    // AudioSpec pins the numbers against closed forms.
+    "x36_audio_features" -> q((s, d) => {
+      val wav = udf((id: Long) => Multimodal.synthWav(id))
+      val media = Tables.documents(s, d)
+        .select(col("doc_id").cast("long").as("media_id"),
+          wav(col("doc_id")).as("payload"))
+      Multimodal.featurizeAudio(media)
+    }),
+
     // SQL-registration surface smoke: the library's functions usable
     // from spark.sql.
     "x17_sql_functions" -> q((s, d) => {
