@@ -382,6 +382,20 @@ object NonSqlQueries {
       Multimodal.featurizeAudio(media)
     }),
 
+    // REAL image decode (the JDK ships the codecs — javax.imageio,
+    // headless-verified): deterministic PNGs synthesized per doc (real
+    // IHDR/IDAT bytes via the JDK encoder), then the production
+    // featurizeImage path — full pixel decode, integer-accumulated
+    // channel means, Rec.709 luma mean/std, 8-bin histogram, gradient
+    // energy. Rows-only; ImageSpec pins closed forms.
+    "x37_image_features" -> q((s, d) => {
+      val png = udf((id: Long) => Multimodal.synthPng(id))
+      val media = Tables.documents(s, d)
+        .select(col("doc_id").cast("long").as("media_id"),
+          png(col("doc_id")).as("payload"))
+      Multimodal.featurizeImage(media)
+    }),
+
     // SQL-registration surface smoke: the library's functions usable
     // from spark.sql.
     "x17_sql_functions" -> q((s, d) => {

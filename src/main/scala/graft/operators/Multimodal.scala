@@ -11,15 +11,20 @@ import org.apache.spark.sql.types._
   * `mapPartitions` batching, output shape. Image DIMENSIONS are real:
   * PNG (IHDR), JPEG (SOF marker scan) and GIF (logical screen
   * descriptor) headers are parsed directly from the payload bytes —
-  * public container formats, no codec needed. Only pixel-level
-  * featurization (decode/resize/embed) is STUBBED with a
-  * deterministic fake (this container has no image/audio codecs; a
-  * real deployment swaps `decodeStub`'s feature vector for a JNI /
-  * FFI decoder or runs the equivalent `mapInPandas` with PIL/ffmpeg).
-  * Non-image payloads (the harness feeds text bytes) keep the stub's
-  * byte-derived dimensions. Payload bytes never shuffle: featurize
-  * runs scan-side before any exchange, and only the small feature
-  * struct flows on.
+  * public container formats, no codec needed.
+  *
+  * DECODE itself is now real for two whole families:
+  *   - images: full pixel decode via the JDK's own javax.imageio
+  *     codecs (PNG/JPEG/GIF/BMP, headless-verified) → [[imageStats]]/
+  *     [[featurizeImage]];
+  *   - audio: raw-PCM WAV sample decode in pure JVM → [[pcmStats]]/
+  *     [[featurizeAudio]].
+  * Only formats NEITHER path reads (MP3/OGG/video containers) fall
+  * back to [[decodeStub]]'s deterministic byte-derived fake, kept for
+  * the x15 legacy contract — a real deployment swaps it for an
+  * FFI/`mapInPandas` decoder with ffmpeg. Payload bytes never
+  * shuffle: featurize runs scan-side before any exchange, and only
+  * the small feature struct flows on.
   */
 object Multimodal {
 
@@ -164,6 +169,139 @@ object Multimodal {
       }
       (w, h, f)
     }
+  }
+
+  // ---- real pixel decode (the JDK ships the codecs) -----------------
+  // PNG/JPEG/GIF/BMP decode via javax.imageio — part of every headless
+  // JRE (verified in this container), so the pixel path needs no
+  // external codec after all; the byte-derived stub remains only as
+  // the fallback for formats ImageIO cannot read. One sequential pass
+  // over the raster accumulates INTEGER sums (channel means, a
+  // 10000-scaled Rec.709 luma with sum/sum-of-squares, an 8-bin luma
+  // histogram, horizontal-gradient energy) — the standard cheap
+  // image-quality signals (blank/blur/exposure gates) a corpus filter
+  // runs before anything model-based. Integer accumulation in a fixed
+  // order makes the stats bit-deterministic under any partitioning;
+  // the few double divisions at the end are fixed-shape IEEE.
+
+  /** Decoded raster statistics. Luma is Rec.709 scaled by 10^4:
+    * `l = 2126·R + 7152·G + 722·B` ∈ [0, 2 550 000]. */
+  final case class ImageStats(width: Int, height: Int, meanR: Double,
+                              meanG: Double, meanB: Double, lumaMean: Double,
+                              lumaStd: Double, histogram: Array[Long],
+                              edgeEnergy: Double)
+
+  /** Pixel budget guard: rasters beyond this are reported undecoded
+    * rather than inflated in memory (adversarial-dimension defense). */
+  val MaxDecodePixels: Long = 1L << 26
+
+  /** REAL pixel decode + stats; None when the payload is not an image
+    * ImageIO can read (never throws). */
+  def imageStats(b: Array[Byte]): Option[ImageStats] = {
+    if (b == null || b.length == 0) None
+    else try {
+      javax.imageio.ImageIO.setUseCache(false)
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+      if (img == null) None
+      else {
+        val w = img.getWidth; val h = img.getHeight
+        if (w.toLong * h > MaxDecodePixels || w == 0 || h == 0) None
+        else {
+          var sr = 0L; var sg = 0L; var sb = 0L
+          var sl = 0L; var sll = 0L; var edge = 0L
+          val hist = new Array[Long](8)
+          var y = 0
+          while (y < h) {
+            var x = 0; var prevL = -1L
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff; val bl = rgb & 0xff
+              sr += r; sg += g; sb += bl
+              val l = 2126L * r + 7152L * g + 722L * bl
+              sl += l; sll += l * l
+              hist(((l * 8L) / 2550001L).toInt) += 1L
+              if (prevL >= 0) edge += math.abs(l - prevL)
+              prevL = l
+              x += 1
+            }
+            y += 1
+          }
+          val n = w.toLong * h
+          val lm = sl.toDouble / n
+          val lvar = sll.toDouble / n - lm * lm
+          Some(ImageStats(w, h,
+            sr.toDouble / n, sg.toDouble / n, sb.toDouble / n,
+            lm / 10000.0, math.sqrt(math.max(0.0, lvar)) / 10000.0, hist,
+            if (w < 2) 0.0 else edge.toDouble / ((w - 1).toLong * h) / 10000.0))
+        }
+      }
+    } catch { case _: Throwable => None }
+  }
+
+  val imageFeatureSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("n_bytes", LongType, nullable = false),
+    StructField("decoded", org.apache.spark.sql.types.BooleanType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("mean_r_micro", LongType, nullable = false),
+    StructField("mean_g_micro", LongType, nullable = false),
+    StructField("mean_b_micro", LongType, nullable = false),
+    StructField("luma_mean_micro", LongType, nullable = false),
+    StructField("luma_std_micro", LongType, nullable = false),
+    StructField("edge_micro", LongType, nullable = false),
+    StructField("luma_hist", ArrayType(LongType, containsNull = false), nullable = false)))
+
+  /** Batch image featurization — REAL pixel decode via the JDK
+    * codecs, micro-rounded stats; `decoded=false` zero rows for
+    * unreadable payloads. Scan-local, payload bytes never shuffle. */
+  def featurizeImage(media: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(imageFeatureSchema)
+    def micro(x: Double): Long = math.floor(x * 1e6 + 0.5).toLong
+    media.select(col("media_id"), col("payload"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val payload = r.getAs[Array[Byte]](1)
+          val n = if (payload == null) 0L else payload.length.toLong
+          imageStats(payload) match {
+            case Some(st) =>
+              Row(id, n, true, st.width, st.height, micro(st.meanR),
+                micro(st.meanG), micro(st.meanB), micro(st.lumaMean),
+                micro(st.lumaStd), micro(st.edgeEnergy), st.histogram.toSeq)
+            case None =>
+              Row(id, n, false, 0, 0, 0L, 0L, 0L, 0L, 0L, 0L,
+                Array.fill(8)(0L).toSeq)
+          }
+        }
+      }(enc)
+  }
+
+  /** Deterministic synthetic PNG from a seed: a horizontal luma
+    * gradient with a seed-placed solid rectangle — REAL PNG bytes
+    * (the JDK encoder), so the decode path exercised is the
+    * production one. */
+  def synthPng(seed: Long, w: Int = 32, h: Int = 24): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rx = (math.abs(seed) % (w / 2)).toInt
+    val ry = (math.abs(seed / 7) % (h / 2)).toInt
+    val cr = ((math.abs(seed) * 37) % 256).toInt
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val g = (x * 255) / math.max(1, w - 1)
+        val inRect = x >= rx && x < rx + w / 4 && y >= ry && y < ry + h / 4
+        val rgb = if (inRect) (cr << 16) | (64 << 8) | 192 else (g << 16) | (g << 8) | g
+        img.setRGB(x, y, rgb)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
   }
 
   // ---- real PCM decode (audio needs no codec) -----------------------
