@@ -396,6 +396,26 @@ object NonSqlQueries {
       Multimodal.featurizeImage(media)
     }),
 
+    // Perceptual image dedup (the multimodal SemDeDup): every raster
+    // appears TWICE — once PNG, once JPEG — so byte/md5 dedup finds
+    // nothing while the decoded-feature cosine pass recovers exactly
+    // the planted re-encode pairs. Rows-only; ImageSpec asserts the
+    // planted-pair recovery with zero false positives.
+    "x38_image_neardup" -> q((s, d) => {
+      val payload = udf((seed: Long, enc: Int) => {
+        val raster = Multimodal.synthRaster(seed)
+        if (enc == 0) Multimodal.encodePng(raster)
+        else Multimodal.encodeJpeg(raster)
+      })
+      val media = Tables.documents(s, d)
+        .filter(col("doc_id") % 5 === 0) // bound the decode volume
+        .select(col("doc_id"), explode(array(lit(0), lit(1))).as("enc"))
+        .select((col("doc_id") * 2 + col("enc")).cast("long").as("media_id"),
+          payload(col("doc_id"), col("enc")).as("payload"))
+      Multimodal.imageNearDupPairs(media)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // SQL-registration surface smoke: the library's functions usable
     // from spark.sql.
     "x17_sql_functions" -> q((s, d) => {

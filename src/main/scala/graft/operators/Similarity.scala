@@ -902,8 +902,9 @@ object Similarity {
     * pairs are already unique. */
   def nearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                    threshold: Double = 0.95, numPlanes: Int = 8,
-                   dim: Int = 64, maxBucket: Int = 4096): DataFrame = {
-    val planes = hyperplanes(dim, numPlanes)
+                   dim: Int = 64, maxBucket: Int = 4096,
+                   planeSeed: Long = 42L): DataFrame = {
+    val planes = hyperplanes(dim, numPlanes, planeSeed)
     val spark = df.sparkSession
     import spark.implicits._
     withBucket(df, vecCol, planes)
@@ -925,6 +926,23 @@ object Similarity {
       }
       .toDF("id_a", "id_b", "cos")
   }
+
+  /** Multi-table [[nearDupPairs]]: the same recall lever the top-k
+    * path uses ([[withBuckets]] doc) applied to the PAIR problem — a
+    * near-dup pair is missed only if EVERY table's planes split it,
+    * so T independent tables multiply the miss probability down at
+    * T× the bucket pass cost. Pairs found by several tables carry
+    * identical exact cosines, so a whole-row dropDuplicates unions
+    * the tables without a keyed shuffle trick. */
+  def nearDupPairsMultiTable(df: DataFrame, idCol: String, vecCol: String,
+                             threshold: Double = 0.95, numPlanes: Int = 8,
+                             dim: Int = 64, maxBucket: Int = 4096,
+                             numTables: Int = 3): DataFrame =
+    (0 until numTables)
+      .map(t => nearDupPairs(df, idCol, vecCol, threshold, numPlanes,
+        dim, maxBucket, planeSeed = 42L + 1000L * t))
+      .reduce(_ unionByName _)
+      .dropDuplicates("id_a", "id_b")
 
   /** SemDeDup (Abbas et al. 2023): semantic deduplication — cluster
     * the embedding space coarsely, then mark cosine-near-duplicate

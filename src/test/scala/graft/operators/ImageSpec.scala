@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions.{col, md5}
 
 /** Real pixel decode ([[Multimodal.imageStats]]/[[featurizeImage]]):
   * closed-form checks on constructed rasters, PNG/JPEG behavior, the
@@ -69,6 +70,27 @@ class ImageSpec extends SparkSpec {
     assert(out(2L).getAs[Long]("mean_r_micro") == 128000000L)
     assert(out(2L).getAs[Long]("edge_micro") == 0L)
     assert(!out(3L).getAs[Boolean]("decoded"))
+  }
+
+  test("perceptual near-dup recovers PNG/JPEG re-encode pairs, no false positives") {
+    // each raster seed appears as a PNG (id 2s) and a JPEG (id 2s+1):
+    // byte-level dedup finds nothing, the decoded-feature cosine must
+    // find exactly the planted re-encode pairs
+    val media = (0L until 20L).flatMap { s =>
+      Seq((2 * s, Multimodal.encodePng(Multimodal.synthRaster(s))),
+          (2 * s + 1, Multimodal.encodeJpeg(Multimodal.synthRaster(s))))
+    }.toDF("media_id", "payload")
+    val pairs = Multimodal.imageNearDupPairs(media)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = (0L until 20L).map(s => (2 * s, 2 * s + 1)).toSet
+    assert((pairs -- planted).isEmpty,
+      s"false positives: ${pairs -- planted}")
+    val recall = planted.count(pairs.contains).toDouble / planted.size
+    assert(recall >= 0.9, s"recall $recall: missing ${planted -- pairs}")
+    // and the byte-level dedup indeed finds nothing
+    val byteDupes = media
+      .groupBy(md5(col("payload"))).count().filter(col("count") > 1).count()
+    assert(byteDupes == 0L)
   }
 
   test("bit-determinism under repartitioning") {
