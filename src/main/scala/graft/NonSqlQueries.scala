@@ -416,6 +416,24 @@ object NonSqlQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // Video container metadata (the third modality at the level no
+    // codec is needed for): deterministic ISO-BMFF payloads per doc,
+    // box-walk parse of brand/duration/dims/tracks. Frame decode is
+    // the genuinely codec-bound part and stays out of scope. Rows-only;
+    // VideoSpec pins the field round-trip and malformed-box safety.
+    "x39_video_headers" -> q((s, d) => {
+      val mp4 = udf((id: Long) => Multimodal.synthMp4(id))
+      val parse = udf((b: Array[Byte]) =>
+        Multimodal.videoHeader(b).map(h =>
+          (h.format, h.durationMs, h.width, h.height, h.nTracks)))
+      Tables.documents(s, d)
+        .select(col("doc_id"), mp4(col("doc_id")).as("payload"))
+        .select(col("doc_id"), parse(col("payload")).as("hd"))
+        .select(col("doc_id"), col("hd._1").as("format"),
+          col("hd._2").as("duration_ms"), col("hd._3").as("width"),
+          col("hd._4").as("height"), col("hd._5").as("n_tracks"))
+    }),
+
     // SQL-registration surface smoke: the library's functions usable
     // from spark.sql.
     "x17_sql_functions" -> q((s, d) => {

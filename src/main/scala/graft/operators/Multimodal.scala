@@ -126,6 +126,101 @@ object Multimodal {
     }
   }
 
+  /** Parsed video container header (MP4/ISO-BMFF): brand, duration
+    * from `mvhd`, first video track's pixel dimensions from `tkhd`,
+    * and the track count. Pure box-walk — container metadata needs no
+    * codec; FRAME decode is the part that genuinely does and stays
+    * out of scope. */
+  final case class VideoHeader(format: String, durationMs: Long,
+                               width: Int, height: Int, nTracks: Int)
+
+  private def u32be(b: Array[Byte], i: Int): Long =
+    ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
+      ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
+  private def u64be(b: Array[Byte], i: Int): Long =
+    (u32be(b, i) << 32) | u32be(b, i + 4)
+
+  /** MP4 (ISO-BMFF, ISO/IEC 14496-12) header parse: the file is a box
+    * tree (`size | type | payload`); `ftyp` identifies the brand,
+    * `moov/mvhd` carries timescale+duration, each `moov/trak/tkhd`
+    * carries the track's 16.16 fixed-point display size (non-zero for
+    * video tracks). Same never-throws contract as [[imageHeader]]. */
+  def videoHeader(b: Array[Byte]): Option[VideoHeader] = {
+    if (b == null || b.length < 16) None
+    else if (!(u32be(b, 0) >= 8 && b(4) == 'f' && b(5) == 't' &&
+               b(6) == 'y' && b(7) == 'p')) None
+    else try {
+      val brand = new String(b, 8, 4, java.nio.charset.StandardCharsets.US_ASCII).trim
+      var durMs = 0L; var w = 0; var h = 0; var tracks = 0
+      // walk(start, end) over sibling boxes; recurse into moov/trak
+      def walk(start: Long, end: Long, depth: Int): Unit = {
+        var i = start
+        while (i + 8 <= end) {
+          val size0 = u32be(b, i.toInt)
+          val typ = new String(b, i.toInt + 4, 4,
+            java.nio.charset.StandardCharsets.US_ASCII)
+          val (size, hdr) =
+            if (size0 == 1 && i + 16 <= end) (u64be(b, i.toInt + 8), 16L)
+            else (size0, 8L)
+          if (size < hdr || i + size > end) return // malformed: stop
+          val body = i + hdr
+          typ match {
+            case "moov" if depth == 0 => walk(body, i + size, 1)
+            case "trak" if depth == 1 => tracks += 1; walk(body, i + size, 2)
+            case "mvhd" if depth == 1 && body + 20 <= end =>
+              val version = b(body.toInt) & 0xff
+              val (ts, dur) =
+                if (version == 1) (u32be(b, body.toInt + 20), u64be(b, body.toInt + 24))
+                else (u32be(b, body.toInt + 12), u32be(b, body.toInt + 16))
+              if (ts > 0) durMs = dur * 1000L / ts
+            case "tkhd" if depth == 2 =>
+              val version = b(body.toInt) & 0xff
+              val dimOff = body.toInt + (if (version == 1) 88 else 76)
+              if (dimOff + 8 <= end) {
+                val tw = (u32be(b, dimOff) >> 16).toInt
+                val th = (u32be(b, dimOff + 4) >> 16).toInt
+                if (tw > 0 && th > 0 && w == 0) { w = tw; h = th }
+              }
+            case _ => ()
+          }
+          i += size
+        }
+      }
+      walk(0L, b.length.toLong, 0)
+      if (durMs == 0L && tracks == 0) None
+      else Some(VideoHeader(s"mp4/$brand", durMs, w, h, tracks))
+    } catch { case _: Throwable => None }
+  }
+
+  /** Minimal-but-real ISO-BMFF bytes from a seed (ftyp +
+    * moov[mvhd, trak[tkhd]] with spec-correct box sizes and field
+    * offsets) — the video-shard stand-in for the harness. */
+  def synthMp4(seed: Long, brand: String = "isom"): Array[Byte] = {
+    val s = math.abs(seed)
+    val durationMs = 1000L + (s % 600) * 100L
+    val w = 320 + (s % 8).toInt * 80
+    val h = 240 + ((s / 3) % 6).toInt * 60
+    def box(typ: String, body: Array[Byte]): Array[Byte] = {
+      val out = java.nio.ByteBuffer.allocate(8 + body.length)
+      out.putInt(8 + body.length).put(typ.getBytes("US-ASCII")).put(body)
+      out.array()
+    }
+    val mvhd = {
+      val bb = java.nio.ByteBuffer.allocate(100)
+      bb.position(12); bb.putInt(1000)                  // timescale
+      bb.putInt(durationMs.toInt)                       // duration
+      bb.array()
+    }
+    val tkhd = {
+      val bb = java.nio.ByteBuffer.allocate(84)
+      bb.position(76); bb.putInt(w << 16).putInt(h << 16) // 16.16 dims
+      bb.array()
+    }
+    val ftyp = box("ftyp", (brand + "    " + brand).getBytes("US-ASCII"))
+    val moov = box("moov", box("mvhd", mvhd) ++ box("trak", box("tkhd", tkhd)))
+    ftyp ++ moov
+  }
+
   /** media row schema: payload + sidecar metadata (the usual lakehouse
     * layout for image/audio shards). */
   val mediaSchema: StructType = StructType(Seq(
