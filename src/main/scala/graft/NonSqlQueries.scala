@@ -434,6 +434,39 @@ object NonSqlQueries {
           col("hd._4").as("height"), col("hd._5").as("n_tracks"))
     }),
 
+    // Streaming perceptual dedup (x28 for the media firehose): batch
+    // 0 seeds the signature index with PNGs; batch 1 mixes genuinely
+    // new rasters with JPEG RE-ENCODES of batch-0 images — the
+    // re-encodes must flag dup_standing (byte dedup would see fresh
+    // ids and fresh bytes); batch 1 is then REDELIVERED in full and
+    // must fold nothing. Rows-only; MediaStreamSpec drives the true
+    // MemoryStream sink.
+    "x40_media_stream_dedup" -> q((s, d) => {
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-media").toString
+      val ids = Tables.documents(s, d).filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id").cast("long").as("seed"))
+      val png = udf((sd: Long) =>
+        Multimodal.encodePng(Multimodal.synthRaster(sd)))
+      val jpg = udf((sd: Long) =>
+        Multimodal.encodeJpeg(Multimodal.synthRaster(sd)))
+      val batch0 = ids.select(col("seed").as("media_id"),
+        png(col("seed")).as("payload"))
+      val batch1 =
+        ids.filter(col("seed") % 2 === 0) // re-encodes of standing
+          .select((col("seed") + 1000000L).as("media_id"),
+            jpg(col("seed")).as("payload"))
+        .unionByName(
+          ids.filter(col("seed") % 2 === 1) // genuinely new rasters
+            .select((col("seed") + 2000000L).as("media_id"),
+              png(col("seed") + 7777L).as("payload")))
+      plans.CorpusPipeline.mediaDeltaBatch(batch0, "media_id", "payload", base)
+      plans.CorpusPipeline.mediaDeltaBatch(batch1, "media_id", "payload", base)
+      // full redelivery: the seen-ids ledger must fold nothing
+      plans.CorpusPipeline.mediaDeltaBatch(batch1, "media_id", "payload", base)
+      s.read.parquet(s"$base/verdicts").orderBy(col("media_id"))
+    }),
+
     // SQL-registration surface smoke: the library's functions usable
     // from spark.sql.
     "x17_sql_functions" -> q((s, d) => {

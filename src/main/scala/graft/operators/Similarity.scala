@@ -944,6 +944,36 @@ object Similarity {
       .reduce(_ unionByName _)
       .dropDuplicates("id_a", "id_b")
 
+  /** Delta-vs-standing near-dup probe — the embedding twin of
+    * [[DedupApprox.minhashPairsAgainst]]: a delta batch's vectors are
+    * checked against a standing signature corpus WITHOUT any
+    * delta-internal or standing-internal pair work. Per LSH table,
+    * both sides bucket on that table's planes and an inner bucket
+    * join + exact-cosine verify yields the cross matches; tables
+    * union (a pair is missed only if every table splits it) and
+    * dedup on the pair key. O(delta × bucket-mates), never
+    * O(standing²): on a bucket-partitioned standing layout the join
+    * prunes to the delta's buckets, so the standing read is
+    * delta-sized at 100 TB. */
+  def nearDupAgainst(delta: DataFrame, standing: DataFrame,
+                     idCol: String, vecCol: String,
+                     threshold: Double = 0.95, numPlanes: Int = 8,
+                     dim: Int = 64, numTables: Int = 3): DataFrame =
+    (0 until numTables).map { t =>
+      val planes = hyperplanes(dim, numPlanes, 42L + 1000L * t)
+      val d = withBucket(delta, vecCol, planes)
+        .select(col("bucket"), col(idCol).cast("long").as("id_d"),
+          asDouble(col(vecCol)).as("__vd"))
+      val s = withBucket(standing, vecCol, planes)
+        .select(col("bucket"), col(idCol).cast("long").as("id_s"),
+          asDouble(col(vecCol)).as("__vs"))
+      d.join(s, "bucket")
+        .select(col("id_d"), col("id_s"),
+          cosine(col("__vd"), col("__vs")).as("cos"))
+        .filter(col("cos") >= threshold)
+    }.reduce(_ unionByName _)
+      .dropDuplicates("id_d", "id_s")
+
   /** SemDeDup (Abbas et al. 2023): semantic deduplication — cluster
     * the embedding space coarsely, then mark cosine-near-duplicate
     * GROUPS within each cluster and keep one representative per

@@ -608,6 +608,80 @@ object CorpusPipeline {
         cardDeltaBatch(b, idCol, keyCol, valCol, textCol, baseDir, id)
       }
 
+  // ---- the media firehose: streaming perceptual dedup ---------------
+  // x28's incremental text dedup, re-expressed for binary media: a
+  // delta batch of payloads decodes to perceptual signatures
+  // (Multimodal.gridEmbedding — scan-local, bytes never shuffle),
+  // probes the STANDING signature index for re-encode near-dups
+  // (Similarity.nearDupAgainst — delta-sized, never O(standing)),
+  // elects within-delta keepers (smallest id per near-dup cluster,
+  // the x28 convention), and appends only the keepers' signatures to
+  // the index. Same crash discipline as the other delta sinks:
+  // seen-ids dedup makes redelivery fold nothing, verdicts land
+  // idempotently, the signature append lands before the ids ledger.
+
+  /** One media delta batch: writes per-media verdicts
+    * `(media_id, dup_standing, dup_delta, keep)` to `targetDir` and
+    * grows the signature index at `baseDir/signatures`. */
+  def mediaDeltaBatch(batch: DataFrame, idCol: String,
+                      payloadCol: String, baseDir: String,
+                      threshold: Double = 0.995): Unit = {
+    val spark = batch.sparkSession
+    import graft.operators.{Multimodal, Similarity}
+    val b = batch.dropDuplicates(idCol)
+      .select(col(idCol).cast("long").as("media_id"),
+        col(payloadCol).as("payload"))
+    val seen = Dedup.readStateOr(spark, s"$baseDir/seenIds",
+      b.select(col("media_id")).limit(0))
+    val fresh = b.join(seen, Seq("media_id"), "left_anti")
+    val sigs = Multimodal.gridEmbedding(fresh).localCheckpoint()
+    val standing = Dedup.readStateOr(spark, s"$baseDir/signatures",
+      sigs.limit(0))
+    // vs standing: any hit marks the delta doc a re-encode dup
+    val hitStanding = Similarity
+      .nearDupAgainst(sigs, standing, "media_id", "embedding",
+        threshold, numPlanes = 6, dim = 48)
+      .select(col("id_d").as("media_id")).distinct()
+      .withColumn("dup_standing", lit(true))
+    // within delta: smallest-id keeper per near-dup pair set
+    val dupDelta = Similarity
+      .nearDupPairsMultiTable(sigs, "media_id", "embedding",
+        threshold, numPlanes = 6, dim = 48)
+      .select(col("id_b").as("media_id")).distinct()
+      .withColumn("dup_delta", lit(true))
+    val verdicts = sigs.select(col("media_id"))
+      .join(hitStanding, Seq("media_id"), "left")
+      .join(dupDelta, Seq("media_id"), "left")
+      .select(col("media_id"),
+        coalesce(col("dup_standing"), lit(false)).as("dup_standing"),
+        coalesce(col("dup_delta"), lit(false)).as("dup_delta"))
+      .withColumn("keep", !col("dup_standing") && !col("dup_delta"))
+      .localCheckpoint()
+    val existing = Dedup.readStateOr(spark, s"$baseDir/verdicts",
+      verdicts.limit(0)).select(col("media_id"))
+    Dedup.idempotentBatch(verdicts, existing, "media_id")
+      .write.mode("append").parquet(s"$baseDir/verdicts")
+    // keepers' signatures grow the index; ids ledger lands LAST
+    sigs.join(verdicts.filter(col("keep")), Seq("media_id"), "left_semi")
+      .write.mode("append").parquet(s"$baseDir/signatures")
+    fresh.select(col("media_id")).write.mode("append")
+      .parquet(s"$baseDir/seenIds")
+    sigs.unpersist()
+    verdicts.unpersist()
+    ()
+  }
+
+  /** [[mediaDeltaBatch]] as a stream sink. */
+  def mediaDeltaSink(deltaStream: DataFrame, idCol: String,
+                     payloadCol: String, baseDir: String,
+                     checkpointDir: String, threshold: Double = 0.995)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    deltaStream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        mediaDeltaBatch(b, idCol, payloadCol, baseDir, threshold)
+      }
+
   /** Read the current card from the partial dirs: natural-key dedup
     * (heals duplicate partials from replayed batches), fold, join —
     * a ledger-sized read, independent of how much corpus has ever
