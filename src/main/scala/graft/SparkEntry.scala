@@ -993,6 +993,34 @@ object SparkEntry {
       plans.CorpusPipeline.cardFromDirs(s, base)
     }),
 
+    // Time-series gap-fill + forward-fill: the hourly spine
+    // (`sequence` per key between its observed bounds) left-joins the
+    // real buckets, missing hours zero-fill their counts and
+    // forward-fill the last seen value (micro-quantized so the fill
+    // chain is integer-exact) — the standard dashboard/monitoring
+    // densification every event pipeline needs. ~5% of hours are
+    // genuinely absent in the harness events, so the fill is
+    // exercised, not vacuous.
+    "q110_gapfill" -> q((s, d) => {
+      val ev = Tables.events(s, d)
+      val hourly = ev.select(col("event_type"),
+          date_trunc("hour", col("ts")).as("hour"),
+          expr("CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)").as("vq"))
+        .groupBy(col("event_type"), col("hour"))
+        .agg(count(lit(1)).as("n_events"), sum(col("vq")).as("vsum"))
+      val spine = hourly.groupBy(col("event_type"))
+        .agg(min(col("hour")).as("mn"), max(col("hour")).as("mx"))
+        .select(col("event_type"),
+          explode(expr("sequence(mn, mx, interval 1 hour)")).as("hour"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("hour"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      spine.join(hourly, Seq("event_type", "hour"), "left")
+        .select(col("event_type"), col("hour"),
+          coalesce(col("n_events"), lit(0L)).as("n_events"),
+          last(col("vsum"), ignoreNulls = true).over(w).as("v_ffill"),
+          (coalesce(col("n_events"), lit(0L)) === 0L).as("is_gap"))
+    }),
+
     // Bounded-state heavy hitters: each slice keeps only its top-32
     // token counts, summaries merge with re-truncation (lower-bound
     // semantics, Misra-Gries-flavored), top-16 read at the end — the
@@ -3008,6 +3036,30 @@ object SparkEntry {
                CAST('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
              FROM documents))
          WHERE rank <= 16""",
+
+    // Gap-fill replay: same spine (generate_series between per-key
+    // bounds), zero-fill, IGNORE NULLS forward-fill over the
+    // integer-quantized hourly sums.
+    "q110_gapfill" ->
+      """WITH h AS (
+           SELECT event_type, date_trunc('hour', ts) AS hour,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS vsum
+           FROM events GROUP BY 1, 2),
+         b AS (SELECT event_type, min(hour) AS mn, max(hour) AS mx
+               FROM h GROUP BY 1),
+         spine AS (
+           SELECT event_type, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS hour
+           FROM b),
+         j AS (
+           SELECT s.event_type, s.hour,
+             COALESCE(h.n_events, 0) AS n_events, h.vsum
+           FROM spine s LEFT JOIN h USING (event_type, hour))
+         SELECT event_type, hour, CAST(n_events AS BIGINT) AS n_events,
+           last_value(vsum IGNORE NULLS) OVER (PARTITION BY event_type
+             ORDER BY hour ROWS UNBOUNDED PRECEDING) AS v_ffill,
+           n_events = 0 AS is_gap
+         FROM j""",
 
     // Top-k-ledger replay: per-slice exact counts, top-32 per
     // (slice, key) by (cnt DESC, token ASC), then the engine's exact
