@@ -82,7 +82,19 @@ object ScaleGen {
     }.repartition(cpus.toInt).write.mode("overwrite")
       .parquet(s"$out/orders.parquet")
 
-    Seq("documents", "embeddings", "lineitem", "orders").foreach { t =>
+    // events: ids/users shifted; each copy's timestamps move forward
+    // by copy × 31 days, so the per-copy HOURLY structure (including
+    // the genuine gaps q110's fill exercises) repeats end to end —
+    // the window count grows ×10 with the data, not ×1 with overlap.
+    val ev = spark.read.parquet(s"$src/events.parquet")
+    tenfold(ev) { (d, c) =>
+      d.withColumn("event_id", col("event_id") + lit(c * IdShift))
+        .withColumn("user_id", col("user_id") + lit(c * IdShift))
+        .withColumn("ts", col("ts") + expr(s"INTERVAL ${c * 31} DAYS"))
+    }.repartition(cpus.toInt).write.mode("overwrite")
+      .parquet(s"$out/events.parquet")
+
+    Seq("documents", "embeddings", "lineitem", "orders", "events").foreach { t =>
       println(s"$t: ${spark.read.parquet(s"$out/$t.parquet").count()} rows")
     }
     spark.stop()
