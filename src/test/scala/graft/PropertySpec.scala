@@ -105,4 +105,41 @@ class PropertySpec extends AnyFunSuite {
         probes.toSet.subsetOf(cs.map(_._1).toSet)
     })
   }
+
+  test("media parsers never throw on arbitrary bytes (the untrusted-crawl contract)") {
+    import graft.operators.Multimodal
+    val bytes: Gen[Array[Byte]] =
+      Gen.chooseNum(0, 200).flatMap(n =>
+        Gen.listOfN(n, Gen.chooseNum(-128, 127).map(_.toByte)).map(_.toArray))
+    check(forAll(bytes) { b =>
+      Multimodal.imageHeader(b); Multimodal.audioHeader(b)
+      Multimodal.videoHeader(b); Multimodal.pcmStats(b)
+      Multimodal.imageStats(b)
+      true // reaching here = no throw, the property under test
+    })
+  }
+
+  test("media parsers never throw on CORRUPTED real files (bit flips + truncation)") {
+    import graft.operators.Multimodal
+    val real: Gen[Array[Byte]] = Gen.oneOf(
+      Gen.chooseNum(0L, 500L).map(Multimodal.synthPng(_)),
+      Gen.chooseNum(0L, 500L).map(Multimodal.synthWav(_)),
+      Gen.chooseNum(0L, 500L).map(Multimodal.synthMp4(_)))
+    val corrupted: Gen[Array[Byte]] = for {
+      b <- real
+      mode <- Gen.chooseNum(0, 2)
+      pos <- Gen.chooseNum(0, math.max(0, b.length - 1))
+      bit <- Gen.chooseNum(0, 7)
+    } yield mode match {
+      case 0 => val c = b.clone(); c(pos) = (c(pos) ^ (1 << bit)).toByte; c
+      case 1 => java.util.Arrays.copyOf(b, pos) // truncate
+      case _ => b.reverse                       // wholesale garbage
+    }
+    check(forAll(corrupted) { b =>
+      Multimodal.imageHeader(b); Multimodal.audioHeader(b)
+      Multimodal.videoHeader(b); Multimodal.pcmStats(b)
+      Multimodal.imageStats(b)
+      true
+    })
+  }
 }
