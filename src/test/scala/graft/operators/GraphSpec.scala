@@ -58,6 +58,19 @@ class GraphSpec extends SparkSpec {
     assert(got(3L) > got(2L) && got(2L) > got(1L)) // chain accumulates
   }
 
+  test("800-node seeded random graph matches the reference replay exactly") {
+    val rnd = new scala.util.Random(41)
+    val edges = (1 to 4000).map { _ =>
+      (rnd.nextInt(800).toLong, rnd.nextInt(800).toLong)
+    }.filter { case (a, b) => a != b }.distinct
+    val expect = refPageRank(edges, iters = 8)
+    val got = Graph.pageRank(edges.toDF("src", "dst"), "src", "dst", iters = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expect)
+    // sanity: ranks vary (a constant map would hide arithmetic bugs)
+    assert(got.values.toSet.size > 100)
+  }
+
   test("bit-identical under repartitioning (the fixed-point guarantee)") {
     val pairs = (1L to 40L).flatMap(i => Seq((i, i % 7 + 100L), (i, i % 3 + 200L)))
     val df1 = pairs.toDF("id_a", "id_b")
