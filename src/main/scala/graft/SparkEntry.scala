@@ -1021,6 +1021,24 @@ object SparkEntry {
           (coalesce(col("n_events"), lit(0L)) === 0L).as("is_gap"))
     }),
 
+    // TIME TRAVEL on the streamed card: run the full q109 batch
+    // sequence, then read the card AS OF batch 1 — exactly the
+    // slices-0+1 card, which the oracle recomputes with one WHERE.
+    // The batch-id tag the crash contract already pays for IS the
+    // version axis; append-only ledgers never rewrite history, so
+    // any past release's card reproduces at current-read cost.
+    "q111_card_asof" -> q((s, d) => {
+      val docs = Tables.documents(s, d)
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-card-asof").toString
+      Seq(0L, 1L, 2L).zipWithIndex.foreach { case (sl, bid) =>
+        plans.CorpusPipeline.cardDeltaBatch(
+          docs.filter(col("doc_id") % 3 === sl), "doc_id", "source",
+          "n_chars", "text", base, batchId = bid.toLong)
+      }
+      plans.CorpusPipeline.cardFromDirsAsOf(s, base, maxBatchId = 1L)
+    }),
+
     // Bounded-state heavy hitters: each slice keeps only its top-32
     // token counts, summaries merge with re-truncation (lower-bound
     // semantics, Misra-Gries-flavored), top-16 read at the end — the
@@ -1285,21 +1303,22 @@ object SparkEntry {
          SELECT id AS doc_id, r AS rank_q FROM r$iters"""
   }
 
-  /** q103 replay — full-recompute GROUP BY (see the map entry). */
-  private val q103Sql: String =
-    """SELECT source AS "key", CAST(count(*) AS BIGINT) AS "n",
+  /** q103 replay — full-recompute GROUP BY (see the map entry);
+    * `where` restricts the doc slice for the q111 as-of replay. */
+  private def q103Sql(where: String = ""): String =
+    s"""SELECT source AS "key", CAST(count(*) AS BIGINT) AS "n",
          CAST(sum(n_chars) AS BIGINT) AS "sum",
          CAST(min(n_chars) AS BIGINT) AS "min",
          CAST(max(n_chars) AS BIGINT) AS "max",
          CAST(sum(n_chars * n_chars) AS BIGINT) AS "sumsq"
-       FROM documents GROUP BY source"""
+       FROM documents $where GROUP BY source"""
 
   /** q104 replay — HLL registers + single-division estimate. */
-  private val q104Sql: String =
+  private def q104Sql(where: String = ""): String =
     s"""WITH h AS (
          SELECT source,
            CAST('0x' || substr(md5(COALESCE(text, '')), 1, 15) AS BIGINT) AS h
-         FROM documents),
+         FROM documents $where),
        hw AS (SELECT source, h & 63 AS bucket, h // 64 AS w FROM h),
        regs AS (
          SELECT source, bucket,
@@ -1316,12 +1335,12 @@ object SparkEntry {
        FROM s"""
 
   /** q105 replay — bit-length bins, cumulative percentile bands. */
-  private val q105Sql: String =
-    """WITH b AS (
+  private def q105Sql(where: String = ""): String =
+    s"""WITH b AS (
          SELECT source AS key,
            CASE WHEN n_chars <= 0 THEN 0
                 ELSE length(bin(n_chars)) END AS bin
-         FROM documents),
+         FROM documents $where),
        h AS (SELECT key, bin, count(*) AS cnt FROM b GROUP BY key, bin),
        c AS (SELECT key, bin,
            CAST(sum(cnt) OVER (PARTITION BY key ORDER BY bin) AS BIGINT) AS cum,
@@ -1339,11 +1358,12 @@ object SparkEntry {
          (CAST(1 AS BIGINT) << CAST(bin AS INT)) - 1 AS hi
        FROM sel"""
 
-  /** q108/q109 replay — the three ledger replays joined on key. */
-  private val q108Sql: String =
-    s"""WITH stats AS ($q103Sql),
-         hll AS ($q104Sql),
-         bands0 AS ($q105Sql),
+  /** q108/q109 replay — the three ledger replays joined on key;
+    * `where` restricts the doc slice for the q111 as-of replay. */
+  private def q108Sql(where: String = ""): String =
+    s"""WITH stats AS (${q103Sql(where)}),
+         hll AS (${q104Sql(where)}),
+         bands0 AS (${q105Sql(where)}),
          bands AS (
            SELECT key,
              max(CASE WHEN p = 50 THEN lo END) AS p50_lo,
@@ -2998,31 +3018,34 @@ object SparkEntry {
     // Ledger replay: the fold-in is checked against a FULL recompute —
     // equality holds because every partial is algebraic and all-long
     // (exact, order-free addition; see StatsLedger scaladoc).
-    "q103_stats_ledger" -> q103Sql,
+    "q103_stats_ledger" -> q103Sql(),
 
     // HLL replay: md5-prefix 60-bit hash, 64 registers via GROUP BY
     // max, integer-scaled harmonic sum, one double division micro-
     // rounded (the q51 nano-rounding discipline; numerator literal
     // rendered from the same Scala Double both engines consume).
-    "q104_hll_ledger" -> q104Sql,
+    "q104_hll_ledger" -> q104Sql(),
 
     // Histogram-ledger replay: the fold-in is sum-merge, so the full-
     // data histogram is identical; bit-length bins via length(bin(v))
     // (the HLL rho trick), cumulative window, integer percentile
     // predicate cum·100 ≥ p·total, power-of-two band bounds.
-    "q105_hist_ledger" -> q105Sql,
+    "q105_hist_ledger" -> q105Sql(),
 
     // Incremental-card replay: the three ledger replays above joined
     // on key, bands pivoted by conditional max — ledger reads compose,
     // so the card oracle composes too.
-    "q108_card_inc" -> q108Sql,
+    "q108_card_inc" -> q108Sql(),
 
     // The STREAMED card must equal the recomputed card: q109 pushes
     // every document through cardDeltaBatch (including a full
     // redelivery that must fold in nothing), so the very same q108
     // replay is its oracle — the strongest check an incremental path
     // can get (the x35 discipline).
-    "q109_card_stream" -> q108Sql,
+    "q109_card_stream" -> q108Sql(),
+
+    // As-of replay: the ledgers after batch 1 hold exactly slices 0+1.
+    "q111_card_asof" -> q108Sql("WHERE doc_id % 3 IN (0, 1)"),
 
     // Sample-ledger replay: the exact-fold property means the oracle
     // needs only the FULL-data bottom-k — hash priorities via the

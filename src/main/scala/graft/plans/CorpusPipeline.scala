@@ -687,17 +687,28 @@ object CorpusPipeline {
     * a ledger-sized read, independent of how much corpus has ever
     * streamed through. */
   def cardFromDirs(spark: org.apache.spark.sql.SparkSession,
-                   baseDir: String): DataFrame = {
+                   baseDir: String): DataFrame =
+    cardFromDirsAsOf(spark, baseDir, Long.MaxValue)
+
+  /** TIME-TRAVEL read: the card as it stood after batch `maxBatchId`
+    * landed — the batch-id tag the crash contract already requires
+    * doubles as a version axis, so "the card we shipped with release
+    * N" reproduces from the same dirs with one predicate and no
+    * snapshotting machinery (append-only ledgers never rewrite
+    * history). The filter lands before the fold, so an as-of read
+    * costs the same as the current read. */
+  def cardFromDirsAsOf(spark: org.apache.spark.sql.SparkSession,
+                       baseDir: String, maxBatchId: Long): DataFrame = {
     import graft.operators.{Report, Sketch, StatsLedger}
+    def asOf(dir: String) =
+      spark.read.parquet(s"$baseDir/$dir")
+        .filter(col("batch_id") <= maxBatchId)
     val stats = StatsLedger.fold(
-      spark.read.parquet(s"$baseDir/stats")
-        .dropDuplicates("batch_id", "key"))
+      asOf("stats").dropDuplicates("batch_id", "key"))
     val hist = StatsLedger.histFold(
-      spark.read.parquet(s"$baseDir/hist")
-        .dropDuplicates("batch_id", "key", "bin"))
+      asOf("hist").dropDuplicates("batch_id", "key", "bin"))
     val regs = Sketch.hllFold(
-      spark.read.parquet(s"$baseDir/hll")
-        .dropDuplicates("batch_id", "key", "bucket"))
+      asOf("hll").dropDuplicates("batch_id", "key", "bucket"))
     Report.cardFromLedgers(stats, regs, hist)
   }
 }

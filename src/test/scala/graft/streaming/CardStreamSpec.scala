@@ -67,6 +67,24 @@ class CardStreamSpec extends SparkSpec {
     assert(before == norm(oneShot(docs)))
   }
 
+  test("as-of read reproduces any past batch's card exactly") {
+    val base = java.nio.file.Files.createTempDirectory("card-asof").toString
+    val docs = mkDocs(1 to 180)
+    val slices = docs.grouped(60).toSeq
+    slices.zipWithIndex.foreach { case (g, i) =>
+      CorpusPipeline.cardDeltaBatch(g.toDF(), "doc_id", "source",
+        "n_chars", "text", base, batchId = i.toLong)
+    }
+    // as of batch 0 / 1: exactly the first 1 / 2 slices' one-shot card
+    assert(norm(CorpusPipeline.cardFromDirsAsOf(spark, base, 0L)) ==
+      norm(oneShot(slices(0))))
+    assert(norm(CorpusPipeline.cardFromDirsAsOf(spark, base, 1L)) ==
+      norm(oneShot(slices(0) ++ slices(1))))
+    // as of the latest batch == the current read
+    assert(norm(CorpusPipeline.cardFromDirsAsOf(spark, base, 2L)) ==
+      norm(CorpusPipeline.cardFromDirs(spark, base)))
+  }
+
   test("crash window heals: duplicate partials under the SAME batch id dedup at read") {
     val base = java.nio.file.Files.createTempDirectory("card-crash").toString
     val docs = mkDocs(1 to 60)
