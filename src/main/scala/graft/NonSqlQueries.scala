@@ -467,6 +467,15 @@ object NonSqlQueries {
       s.read.parquet(s"$base/verdicts").orderBy(col("media_id"))
     }),
 
+    // Compression-ratio quality signal (the catch-all redundancy
+    // detector beside q47's targeted repetition stats): DEFLATE at a
+    // fixed level per doc, scan-local, bit-deterministic. Rows-only
+    // (no SQL engine replays RFC 1951); CompressionSpec pins the
+    // separations and determinism.
+    "x41_compress_ratio" -> q((s, d) =>
+      TextAnalysis.compressionStats(Tables.documents(s, d),
+        "doc_id", "text")),
+
     // SQL-registration surface smoke: the library's functions usable
     // from spark.sql.
     "x17_sql_functions" -> q((s, d) => {

@@ -153,6 +153,53 @@ object TextAnalysis {
       .select(col(idCol), col("__r._1").as("dup_unigram_frac"),
         col("__r._2").as("top_bigram_frac"))
 
+  /** Compression-ratio quality signal — the catch-all redundancy
+    * detector production corpus filters run beside the targeted
+    * repetition stats (a doc that deflates to a tiny fraction of its
+    * size is boilerplate/template/spam whatever n-gram it repeats;
+    * conversely near-incompressible "text" is usually binary junk or
+    * encoded blobs). DEFLATE at a fixed level via `java.util.zip`
+    * (RFC 1951 — in every JVM): the encoder is deterministic for a
+    * given input and level, so the per-doc output is bit-stable under
+    * any partitioning. One Deflater per partition, reset per row —
+    * scan-local, zero shuffles, no allocation churn.
+    *
+    * Emits `(id, raw_bytes, deflate_bytes, ratio_micro)` with
+    * `ratio = deflate/raw` in micro-units (0 for empty docs). Typical
+    * gates: ratio < ~0.2 → repetitive junk; > ~0.9 → non-text. */
+  def compressionStats(df: DataFrame, idCol: String, textCol: String,
+                       level: Int = 6): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("raw_bytes",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("deflate_bytes",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("ratio_micro",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    df.select(col(idCol).cast("long"), coalesce(col(textCol), lit("")))
+      .mapPartitions { rows =>
+        val defl = new java.util.zip.Deflater(level, false)
+        val buf = new Array[Byte](1 << 16)
+        rows.map { r =>
+          val id = r.getLong(0)
+          val raw = r.getString(1).getBytes("UTF-8")
+          var out = 0L
+          if (raw.nonEmpty) {
+            defl.reset(); defl.setInput(raw); defl.finish()
+            while (!defl.finished()) out += defl.deflate(buf)
+          }
+          val ratio =
+            if (raw.isEmpty) 0L
+            else math.floor(out.toDouble / raw.length * 1e6 + 0.5).toLong
+          org.apache.spark.sql.Row(id, raw.length.toLong, out, ratio)
+        }
+      }(enc)
+      .withColumnRenamed("id", idCol)
+  }
+
   /** Column-APPENDING twin of [[repetitionStats]] for pipeline
     * composition (same single-pass kernel, keeps the input columns). */
   def withRepetition(df: DataFrame, textCol: String): DataFrame =
