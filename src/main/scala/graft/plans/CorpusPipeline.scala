@@ -87,6 +87,14 @@ object CorpusPipeline {
       // pruning but more (small) files per append; compact
       // periodically at corpus scale.
       docsBuckets: Int = 64,
+      // compression-ratio floor in micro-units (x41's catch-all
+      // redundancy gate: docs whose DEFLATE ratio falls below this
+      // are boilerplate/template junk whatever n-gram they repeat).
+      // None = stage off (absent from verdicts/funnel); when on, the
+      // funnel is NOT oracle-replayable (no SQL engine runs RFC
+      // 1951), so oracle-gated queries must keep it off —
+      // spec-covered instead (CorpusPipelineSpec).
+      compressMinRatioMicro: Option[Long] = None,
       numShards: Int = 8)
 
   /** Annotate every NON-benchmark doc with per-stage verdicts.
@@ -113,14 +121,32 @@ object CorpusPipeline {
   /** The optional scan-local stages (bad-words + entropy floor) —
     * computed over the PRE-rewrite `text_clean` (they precede the
     * substr stage in [[stageOrder]]). */
-  private def optionalScanStages(joined: DataFrame, cfg: Config): DataFrame = {
+  private def optionalScanStages(joined: DataFrame, idCol: String,
+                                 cfg: Config): DataFrame = {
     val withBl = if (cfg.blockPhrases.isEmpty) joined
       else joined
         .withColumn("bl_matches",
           Blocklist.matchColumn(col("text_clean"), cfg.blockPhrases)("_1"))
         .withColumn("v_blocklist", col("bl_matches") === 0L)
-    if (cfg.minEntropyMicroPerChar <= 0L) withBl
-    else withBl
+    val withComp = cfg.compressMinRatioMicro match {
+      case None => withBl
+      case Some(m) =>
+        // scan-local DEFLATE over the cleaned text, joined back on id
+        // (the withSubstrStage shape — mapPartitions output can't be
+        // a projection on the verdict plan). Oracle note in Config.
+        // Empty cleaned text passes: emptiness is v_quality's call.
+        val comp = TextAnalysis
+          .compressionStats(withBl.select(col(idCol), col("text_clean")),
+            idCol, "text_clean")
+          .select(col(idCol), col("raw_bytes").as("__craw"),
+            col("ratio_micro").as("compress_ratio_micro"))
+        withBl.join(comp, Seq(idCol))
+          .withColumn("v_compress",
+            col("__craw") === 0L || col("compress_ratio_micro") >= m)
+          .drop("__craw")
+    }
+    if (cfg.minEntropyMicroPerChar <= 0L) withComp
+    else withComp
       .withColumn("__ent", TextAnalysis.charEntropyColumn(col("text_clean")))
       .withColumn("ent_n_chars", col("__ent._1"))
       .withColumn("ent_micro_total", col("__ent._3"))
@@ -138,8 +164,9 @@ object CorpusPipeline {
   /** The optional scan-local stages and the `keep` conjunction —
     * shared tail of both forms (the batch form interposes the substr
     * stage between them). */
-  private def finishVerdicts(joined: DataFrame, cfg: Config): DataFrame =
-    withKeep(optionalScanStages(joined, cfg))
+  private def finishVerdicts(joined: DataFrame, idCol: String,
+                             cfg: Config): DataFrame =
+    withKeep(optionalScanStages(joined, idCol, cfg))
 
   def withVerdicts(docs: DataFrame, idCol: String, textCol: String,
                    isBenchmark: Column, cfg: Config = Config()): DataFrame = {
@@ -197,7 +224,7 @@ object CorpusPipeline {
     // stage (Lee 2022's pipeline position: after near-dup dedup,
     // before decontamination — decontamination here probes the RAW
     // text, so its verdict is rewrite-independent by construction)
-    withKeep(withSubstrStage(optionalScanStages(joined, cfg), idCol, cfg))
+    withKeep(withSubstrStage(optionalScanStages(joined, idCol, cfg), idCol, cfg))
   }
 
   /** The optional ExactSubstr-removal stage ([[Config.substrMinRun]]):
@@ -309,15 +336,15 @@ object CorpusPipeline {
         !coalesce(col("__standing_dup"), lit(false)) && col("__delta_keeper"))
       .withColumn("v_decontam", !col("contaminated"))
       .drop("__standing_dup", "__delta_keeper")
-    finishVerdicts(joined, cfg)
+    finishVerdicts(joined, idCol, cfg)
   }
 
   /** Canonical causal stage order (mirrors the published recipes:
     * page-level filters before dedup, ExactSubstr removal between
     * dedup and decontamination, decontamination last). */
   private val stageOrder = Seq("v_clean", "v_lang", "v_quality",
-    "v_repetition", "v_blocklist", "v_entropy", "v_dedup", "v_substr",
-    "v_decontam")
+    "v_repetition", "v_blocklist", "v_compress", "v_entropy", "v_dedup",
+    "v_substr", "v_decontam")
 
   /** One micro-batch of the STREAMING crawl-drop funnel (exposed for
     * direct redelivery testing; [[deltaFunnelSink]] wraps it): run

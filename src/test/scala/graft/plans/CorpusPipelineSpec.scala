@@ -37,6 +37,37 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(vals.last > 0, "recipe must keep a nonempty corpus at sf0.001")
   }
 
+  test("compression gate composes: junk docs drop, funnel gains the stage") {
+    // plant one highly repetitive doc and one normal doc on top of
+    // the harness slice, gate at a floor the junk doc cannot meet
+    val planted = Seq(
+      (900001L, (1 to 200).map(i => s"catalog item number $i in stock").mkString("\n")),
+      (900002L, {
+        val rnd = new scala.util.Random(5)
+        (1 to 200).map(_ => (1 to 6).map(_ => rnd.nextInt(100000).toString).mkString(" ")).mkString("\n")
+      })
+    ).toDF("doc_id", "text")
+      .select(col("doc_id"), col("text"),
+        lit("en").as("lang"), lit("srcX").as("source"),
+        length(col("text")).cast("long").as("n_chars"))
+    val all = docs.unionByName(planted)
+    val gated = CorpusPipeline.withVerdicts(all, "doc_id", "text", isBench,
+      cfg.copy(compressMinRatioMicro = Some(100000L)))
+    assert(gated.columns.contains("v_compress"))
+    val v = gated.filter(col("doc_id") >= 900001L)
+      .select("doc_id", "v_compress").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(!v(900001L), "boilerplate doc must fail the ratio floor")
+    assert(v(900002L), "varied doc must pass")
+    // the funnel report carries the new stage, still monotone
+    val f = CorpusPipeline.funnel(gated).head()
+    assert(f.schema.fieldNames.contains("after_v_compress"))
+    val vals = f.toSeq.map(_.asInstanceOf[Long])
+    assert(vals.zip(vals.tail).forall { case (a, b) => b <= a })
+    // and with the gate OFF the verdict plan is untouched
+    assert(!verdicts.columns.contains("v_compress"))
+  }
+
   test("survivors contain no near-dup pair at the dedup threshold") {
     val kept = verdicts.filter($"keep")
       .select($"doc_id", $"text_clean")
