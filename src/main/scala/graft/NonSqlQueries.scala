@@ -476,6 +476,42 @@ object NonSqlQueries {
       TextAnalysis.compressionStats(Tables.documents(s, d),
         "doc_id", "text")),
 
+    // The funnel WITH the compression gate (q94's deterministic-
+    // decoration device): docs with doc_id%7==0 get a boilerplate
+    // tail that slips past every other page gate but crushes under
+    // DEFLATE — precisely the junk class the compression gate exists
+    // to catch. Rows-only (DEFLATE has no SQL replay); the q74 oracle
+    // family continues to certify the gate-off plan bit-for-bit.
+    "x42_funnel_compress" -> q((s, d) => {
+      val docs = Tables.documents(s, d)
+      // quality-neutral boilerplate: normal word lengths + stopwords
+      // (passes lang and quality gates) and a within-doc repeating
+      // unit DEFLATE crushes. The unit is built so EVERY 3-gram
+      // shingle contains a doc-specific token (doc-id-derived words
+      // at distance <= 2): cross-doc shingle sharing from the tails
+      // is zero, so the decoration cannot manufacture an LSH
+      // near-dup clique for the dedup stage to grind through — a
+      // SHARED tail turned the 714 sf0.1 decorated docs into ~250k
+      // candidate pairs and an unbounded exact-verify (measured,
+      // twice: shared numbers and shared template words both
+      // cliqued).
+      val junkTail = repeat(
+        concat(lit(" the item"), col("doc_id") * 7 + 1,
+          lit(" of the list"), col("doc_id") * 3 + 2, lit(" and")), 100)
+      val decorated = docs.withColumn("text",
+        when(col("doc_id") % 7 === 0, concat(col("text"), junkTail))
+          .otherwise(col("text")))
+      plans.CorpusPipeline.funnel(plans.CorpusPipeline.withVerdicts(
+        decorated, "doc_id", "text", col("doc_id") % 97 === 0,
+        plans.CorpusPipeline.Config(
+          lineRequireTerminalPunct = false, contamViaBloom = false,
+          // repetition thresholds opened up: the tail's repeated
+          // template words would otherwise trip the dup-unigram gate
+          // first and mask the stage under test
+          maxDupUnigramFrac = 1.0, maxTopBigramFrac = 1.0,
+          compressMinRatioMicro = Some(300000L))))
+    }),
+
     // SQL-registration surface smoke: the library's functions usable
     // from spark.sql.
     "x17_sql_functions" -> q((s, d) => {
