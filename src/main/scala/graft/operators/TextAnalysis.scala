@@ -182,6 +182,11 @@ object TextAnalysis {
     df.select(col(idCol).cast("long"), coalesce(col(textCol), lit("")))
       .mapPartitions { rows =>
         val defl = new java.util.zip.Deflater(level, false)
+        // Deflater holds NATIVE memory: release it when the task ends
+        // (not when the GC eventually notices) — at corpus scale this
+        // runs in millions of tasks.
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => defl.end()))
         val buf = new Array[Byte](1 << 16)
         rows.map { r =>
           val id = r.getLong(0)

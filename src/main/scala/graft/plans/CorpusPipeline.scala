@@ -646,6 +646,11 @@ object CorpusPipeline {
   // the index. Same crash discipline as the other delta sinks:
   // seen-ids dedup makes redelivery fold nothing, verdicts land
   // idempotently, the signature append lands before the ids ledger.
+  // The one crash window — verdicts landed, signatures appended,
+  // ids NOT landed — can re-append the same keeper signatures on
+  // retry; duplicates are benign (every pair consumer ends in a
+  // pair-key dedup) and a Maintenance.compact keyed on media_id
+  // removes them at rest.
 
   /** One media delta batch: writes per-media verdicts
     * `(media_id, dup_standing, dup_delta, keep)` to `targetDir` and
