@@ -1039,6 +1039,23 @@ object SparkEntry {
       plans.CorpusPipeline.cardFromDirsAsOf(s, base, maxBatchId = 1L)
     }),
 
+    // Hopping (overlapping) windows — the monitoring aggregate q28's
+    // tumbling form can't express: every event lands in FOUR 1-hour
+    // windows sliding by 15 minutes. Spark's native window(ts, len,
+    // slide) replicates scan-side and aggregates once; the oracle
+    // replays the replication by exploding each event into its four
+    // aligned window starts. Counts exact, sums micro-quantized.
+    "q112_hopping_window" -> q((s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour", "15 minutes"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(expr("CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)"))
+            .as("v_micro"))
+        .select(col("window.start").as("w_start"),
+          col("window.end").as("w_end"),
+          col("event_type"), col("n_events"), col("v_micro"))),
+
     // Bounded-state heavy hitters: each slice keeps only its top-32
     // token counts, summaries merge with re-truncation (lower-bound
     // semantics, Misra-Gries-flavored), top-16 read at the end — the
@@ -3083,6 +3100,26 @@ object SparkEntry {
              ORDER BY hour ROWS UNBOUNDED PRECEDING) AS v_ffill,
            n_events = 0 AS is_gap
          FROM j""",
+
+    // Hopping-window replay: each event explodes into its four
+    // 15-minute-aligned covering 1-hour windows.
+    "q112_hopping_window" ->
+      """WITH e AS (
+           SELECT event_type, ts,
+             CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS vq,
+             date_trunc('hour', ts)
+               + to_minutes(15 * (date_part('minute', ts) // 15)) AS slot
+           FROM events),
+         w AS (
+           SELECT event_type, vq,
+             slot - to_minutes(15 * k.k) AS w_start
+           FROM e CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k) k
+           WHERE ts >= slot - to_minutes(15 * k.k)
+             AND ts < slot - to_minutes(15 * k.k) + INTERVAL 1 HOUR)
+         SELECT w_start, w_start + INTERVAL 1 HOUR AS w_end, event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(vq) AS BIGINT) AS v_micro
+         FROM w GROUP BY w_start, event_type""",
 
     // Top-k-ledger replay: per-slice exact counts, top-32 per
     // (slice, key) by (cnt DESC, token ASC), then the engine's exact
