@@ -1056,6 +1056,24 @@ object SparkEntry {
           col("window.end").as("w_end"),
           col("event_type"), col("n_events"), col("v_micro"))),
 
+    // Cohort retention — the product-analytics staple: users
+    // cohorted by their FIRST-seen day, then distinct active users
+    // per (cohort_day, day_offset). Two aggregations and a join, all
+    // keyed on user/cohort — integer-exact end to end (counts +
+    // date arithmetic), the decayed-triangle shape every engagement
+    // dashboard draws.
+    "q113_retention" -> q((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+      val cohorts = ev.groupBy(col("user_id"))
+        .agg(min(col("day")).as("cohort_day"))
+      ev.join(cohorts, "user_id")
+        .groupBy(col("cohort_day"),
+          datediff(col("day"), col("cohort_day")).cast("long")
+            .as("day_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+    }),
+
     // Bounded-state heavy hitters: each slice keeps only its top-32
     // token counts, summaries merge with re-truncation (lower-bound
     // semantics, Misra-Gries-flavored), top-16 read at the end — the
@@ -3120,6 +3138,17 @@ object SparkEntry {
            CAST(count(*) AS BIGINT) AS n_events,
            CAST(sum(vq) AS BIGINT) AS v_micro
          FROM w GROUP BY w_start, event_type""",
+
+    // Retention replay: same cohort min-day + distinct-user counts.
+    "q113_retention" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+         c AS (SELECT user_id, min(day) AS cohort_day
+               FROM e GROUP BY user_id)
+         SELECT c.cohort_day,
+           CAST(date_diff('day', c.cohort_day, e.day) AS BIGINT) AS day_offset,
+           CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+         FROM e JOIN c USING (user_id)
+         GROUP BY c.cohort_day, day_offset""",
 
     // Top-k-ledger replay: per-slice exact counts, top-32 per
     // (slice, key) by (cnt DESC, token ASC), then the engine's exact
