@@ -1074,6 +1074,34 @@ object SparkEntry {
         .agg(countDistinct(col("user_id")).as("n_users"))
     }),
 
+    // Behavioral event funnel (view → click → purchase IN ORDER,
+    // each conversion within a day of the prior step) — sequential
+    // pattern matching, not q29's gap sessionization and not the
+    // corpus funnel: per user, the first view, the first qualifying
+    // click after it, the first qualifying purchase after that.
+    // Three user-keyed conditional aggregations chained by
+    // joins (each join user-keyed, so the chain co-partitions after
+    // the first shuffle); output is the per-stage user count — every
+    // product-analytics funnel chart. Timestamps exact.
+    "q114_event_funnel" -> q((s, d) => {
+      val ev = Tables.events(s, d).select(col("user_id"),
+        col("event_type"), col("ts"))
+      val tA = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+      val tB = ev.join(tA, "user_id")
+        .filter(col("event_type") === "click" && col("ts") > col("t_view")
+          && col("ts") <= col("t_view") + expr("INTERVAL 1 DAY"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_click"))
+      val tC = ev.join(tB, "user_id")
+        .filter(col("event_type") === "purchase" && col("ts") > col("t_click")
+          && col("ts") <= col("t_click") + expr("INTERVAL 1 DAY"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_purchase"))
+      tA.join(tB, Seq("user_id"), "left").join(tC, Seq("user_id"), "left")
+        .agg(count(col("t_view")).as("n_view"),
+          count(col("t_click")).as("n_view_click"),
+          count(col("t_purchase")).as("n_view_click_purchase"))
+    }),
+
     // Bounded-state heavy hitters: each slice keeps only its top-32
     // token counts, summaries merge with re-truncation (lower-bound
     // semantics, Misra-Gries-flavored), top-16 read at the end — the
@@ -3149,6 +3177,29 @@ object SparkEntry {
            CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
          FROM e JOIN c USING (user_id)
          GROUP BY c.cohort_day, day_offset""",
+
+    // Event-funnel replay: the same three chained first-occurrence
+    // aggregations.
+    "q114_event_funnel" ->
+      """WITH a AS (
+           SELECT user_id, min(ts) AS t_view FROM events
+           WHERE event_type = 'view' GROUP BY user_id),
+         b AS (
+           SELECT e.user_id, min(e.ts) AS t_click
+           FROM events e JOIN a USING (user_id)
+           WHERE e.event_type = 'click' AND e.ts > a.t_view
+             AND e.ts <= a.t_view + INTERVAL 1 DAY
+           GROUP BY e.user_id),
+         c AS (
+           SELECT e.user_id, min(e.ts) AS t_purchase
+           FROM events e JOIN b USING (user_id)
+           WHERE e.event_type = 'purchase' AND e.ts > b.t_click
+             AND e.ts <= b.t_click + INTERVAL 1 DAY
+           GROUP BY e.user_id)
+         SELECT CAST(count(a.t_view) AS BIGINT) AS n_view,
+           CAST(count(b.t_click) AS BIGINT) AS n_view_click,
+           CAST(count(c.t_purchase) AS BIGINT) AS n_view_click_purchase
+         FROM a LEFT JOIN b USING (user_id) LEFT JOIN c USING (user_id)""",
 
     // Top-k-ledger replay: per-slice exact counts, top-32 per
     // (slice, key) by (cnt DESC, token ASC), then the engine's exact

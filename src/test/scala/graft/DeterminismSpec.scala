@@ -33,7 +33,7 @@ class DeterminismSpec extends SparkSpec {
     // claim), and the two fold-in ledgers (merge order must not leak)
     "q102_pagerank", "q103_stats_ledger", "q104_hll_ledger",
     "q105_hist_ledger", "q106_topk_ledger", "q107_sample_ledger",
-    "q108_card_inc", "q109_card_stream", "q110_gapfill", "q111_card_asof", "q112_hopping_window", "q113_retention")
+    "q108_card_inc", "q109_card_stream", "q110_gapfill", "q111_card_asof", "q112_hopping_window", "q113_retention", "q114_event_funnel")
 
   private def run(name: String, partitions: Int): Seq[String] = {
     spark.conf.set("spark.sql.shuffle.partitions", partitions)
