@@ -688,7 +688,7 @@ object SparkEntry {
           coalesce(col("text"), lit("")))).as("token"))
       val built = toks.agg(
         graft.functions.CountMin.cmsAgg(col("token")).as("a"),
-        count(lit(1)).as("n")).head
+        count(lit(1)).as("n")).head()
       val est = graft.functions.CountMin.estimateBroadcast(
         s, built.getAs[Array[Byte]]("a"))
       toks.groupBy(col("token")).agg(count(lit(1)).as("freq"))

@@ -113,7 +113,7 @@ object Bpe {
     * New ranks continue from max(rank)+1. */
   def resumeMerges(words: DataFrame, merges: DataFrame, nMore: Int): BpeState = {
     val next = merges.agg(coalesce(max(col("rank")), lit(0L)))
-      .head.getLong(0) + 1
+      .head().getLong(0) + 1
     mergeRounds(words.localCheckpoint(), prior = Some(merges),
       startRank = next, nRounds = nMore)
   }

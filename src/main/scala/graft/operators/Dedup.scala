@@ -252,7 +252,7 @@ object Dedup {
       .select(explode(DedupApprox.shingles(col(textCol), n)).as("gram"))
       .agg(graft.functions.Bloom.bloomAgg(col("gram"), numBits, numHashes)
         .as("b"))
-      .head.getAs[Array[Byte]](0)
+      .head().getAs[Array[Byte]](0)
     val hits = flagged.filter(!col("__bench"))
       .select(col(idCol),
         explode(DedupApprox.shingles(col(textCol), n)).as("gram"))

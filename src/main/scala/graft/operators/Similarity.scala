@@ -46,6 +46,22 @@ object Similarity {
     if (denom == 0.0) 0.0 else d / denom
   }
 
+  /** Array overload of [[cosineOf]] — identical arithmetic, but the
+    * pair-enumeration hot loops hold `Array[Double]` members, and the
+    * implicit Array→Seq conversion COPIES both vectors per candidate
+    * pair (a Scala 2.13 deprecation for exactly this reason). */
+  private[graft] def cosineOf(a: Array[Double], b: Array[Double]): Double = {
+    var d = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i)
+      i += 1
+    }
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom == 0.0) 0.0 else d / denom
+  }
+
   /** Cosine via the fused kernel as a NATIVE codegen expression
     * (graft.functions.CosineSimExpr): stays inside whole-stage
     * codegen, reads ArrayData primitives directly — no ScalaUDF

@@ -409,7 +409,8 @@ object CorpusPipeline {
       val buckets = deltaIds
         .select(idBucket(col(idCol), nb).cast("long").as("__b"))
         .distinct().collect().map(_.getLong(0))
-      standingRaw.filter(col("__bucket").isin(buckets: _*))
+      standingRaw.filter(col("__bucket")
+          .isin(scala.collection.immutable.ArraySeq.unsafeWrapArray(buckets): _*))
         .select(col(idCol))
     }
 

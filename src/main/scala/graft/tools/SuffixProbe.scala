@@ -27,7 +27,7 @@ object SuffixProbe {
     // and count distinct ranks (== distinct 2^k-grams incl. sentinels).
     Seq(2, 4, 8).foreach { l =>
       val r = SuffixArray.doublingRanks(docs, "doc_id", "text", minRun = l)
-      val d = r.agg(countDistinct(col("r"))).head.getLong(0)
+      val d = r.agg(countDistinct(col("r"))).head().getLong(0)
       println(s"distinct ${l}-gram ranks: $d")
     }
     spark.stop()
