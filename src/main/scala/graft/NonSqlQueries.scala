@@ -298,8 +298,7 @@ object NonSqlQueries {
     "x32_pca_state_roundtrip" -> q((s, d) => {
       val emb = Tables.embeddings(s, d)
       val st = Pca.trainState(emb, "embedding", dim = 64, k = 2, iters = 30)
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft-pca-state").toString
+      val dir = Scratch.dir("graft-pca-state")
       Pca.saveState(s, st, dir)
       Pca.projectState(emb, "vec_id", "embedding", Pca.loadState(s, dir))
         .orderBy(col("vec_id"), col("component"))
@@ -313,8 +312,7 @@ object NonSqlQueries {
     "x33_unigram_resume" -> q((s, d) => {
       val docs = Tables.documents(s, d)
       val st = Unigram.trainState(docs, "text", vocabSize = 64)
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft-unigram-state").toString
+      val dir = Scratch.dir("graft-unigram-state")
       Unigram.saveState(st, dir)
       Unigram.resumeEm(Unigram.loadState(s, dir), 1).vocab
         .orderBy(col("piece"))
@@ -330,8 +328,7 @@ object NonSqlQueries {
     // CorpusStreamSpec asserts redelivery lands nothing.
     "x34_stream_decontam" -> q((s, d) => {
       val docs = Tables.documents(s, d)
-      val base = java.nio.file.Files
-        .createTempDirectory("graft-contam").toString
+      val base = Scratch.dir("graft-contam")
       docs.filter(col("source") === "src0")
         .select(explode(TextAnalysis.docGramHashes(col("text"))).as("h"))
         .write.mode("overwrite").parquet(s"$base/bench")
@@ -355,8 +352,7 @@ object NonSqlQueries {
       val emb = Tables.embeddings(s, d)
       val cents = Similarity.smallestIdCentroids(emb, "vec_id", "embedding", 8)
         .localCheckpoint()
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft-ivf-ingest").toString + "/index"
+      val dir = Scratch.dir("graft-ivf-ingest") + "/index"
       (Seq(0, 1, 2) :+ 0).foreach { sl =>
         Similarity.appendIvfBatch(emb.filter(col("vec_id") % 3 === sl),
           "vec_id", "embedding", cents, dir)
@@ -373,13 +369,18 @@ object NonSqlQueries {
     // sample decode, mono mixdown, micro-rounded RMS/peak/DC,
     // zero-crossing count, RMS envelope. Scan-local, payload bytes
     // never shuffle. Rows-only (binary synthesis has no SQL replay);
-    // AudioSpec pins the numbers against closed forms.
+    // AudioSpec pins the numbers against closed forms. The envelope
+    // ARRAY is serialized to JSON at this gate surface only — the
+    // library API (featurizeAudio) keeps the typed array; the
+    // external snapshot normalizer's pandas sort cannot hash array
+    // cells, so without this the row counts went unrecorded (r9).
     "x36_audio_features" -> q((s, d) => {
       val wav = udf((id: Long) => Multimodal.synthWav(id))
       val media = Tables.documents(s, d)
         .select(col("doc_id").cast("long").as("media_id"),
           wav(col("doc_id")).as("payload"))
       Multimodal.featurizeAudio(media)
+        .withColumn("envelope", to_json(col("envelope")))
     }),
 
     // REAL image decode (the JDK ships the codecs — javax.imageio,
@@ -387,13 +388,16 @@ object NonSqlQueries {
     // IHDR/IDAT bytes via the JDK encoder), then the production
     // featurizeImage path — full pixel decode, integer-accumulated
     // channel means, Rec.709 luma mean/std, 8-bin histogram, gradient
-    // energy. Rows-only; ImageSpec pins closed forms.
+    // energy. Rows-only; ImageSpec pins closed forms. luma_hist is
+    // JSON-serialized at this gate surface only (same snapshot-
+    // normalizer constraint as x36); featurizeImage keeps the array.
     "x37_image_features" -> q((s, d) => {
       val png = udf((id: Long) => Multimodal.synthPng(id))
       val media = Tables.documents(s, d)
         .select(col("doc_id").cast("long").as("media_id"),
           png(col("doc_id")).as("payload"))
       Multimodal.featurizeImage(media)
+        .withColumn("luma_hist", to_json(col("luma_hist")))
     }),
 
     // Perceptual image dedup (the multimodal SemDeDup): every raster
@@ -442,8 +446,7 @@ object NonSqlQueries {
     // must fold nothing. Rows-only; MediaStreamSpec drives the true
     // MemoryStream sink.
     "x40_media_stream_dedup" -> q((s, d) => {
-      val base = java.nio.file.Files
-        .createTempDirectory("graft-media").toString
+      val base = Scratch.dir("graft-media")
       val ids = Tables.documents(s, d).filter(col("doc_id") % 5 === 0)
         .select(col("doc_id").cast("long").as("seed"))
       val png = udf((sd: Long) =>

@@ -983,8 +983,7 @@ object SparkEntry {
     // the one-shot recompute and q108's replay is the oracle.
     "q109_card_stream" -> q((s, d) => {
       val docs = Tables.documents(s, d)
-      val base = java.nio.file.Files
-        .createTempDirectory("graft-card").toString
+      val base = Scratch.dir("graft-card")
       (Seq(0L, 1L, 2L) :+ 1L).zipWithIndex.foreach { case (sl, bid) =>
         plans.CorpusPipeline.cardDeltaBatch(
           docs.filter(col("doc_id") % 3 === sl), "doc_id", "source",
@@ -1029,8 +1028,7 @@ object SparkEntry {
     // any past release's card reproduces at current-read cost.
     "q111_card_asof" -> q((s, d) => {
       val docs = Tables.documents(s, d)
-      val base = java.nio.file.Files
-        .createTempDirectory("graft-card-asof").toString
+      val base = Scratch.dir("graft-card-asof")
       Seq(0L, 1L, 2L).zipWithIndex.foreach { case (sl, bid) =>
         plans.CorpusPipeline.cardDeltaBatch(
           docs.filter(col("doc_id") % 3 === sl), "doc_id", "source",

@@ -95,7 +95,28 @@ object Multimodal {
     ((b(i + 3) & 0xffL) << 24) | ((b(i + 2) & 0xffL) << 16) |
       ((b(i + 1) & 0xffL) << 8) | (b(i) & 0xffL)
 
-  /** WAV (RIFF) header parse — chunk walk from offset 12; `fmt ` gives
+  /** THE RIFF chunk walk — the one place the hostile-length guard
+    * lives. Yields `(id, payloadOffset, declaredLen)` per chunk from
+    * offset 12 and STOPS (never throws) at the first chunk whose
+    * declared size would overflow the index arithmetic; both
+    * [[audioHeader]] and [[pcmStats]] walk through here, so neither
+    * can reach a negative index on untrusted crawl bytes. Chunks are
+    * word-aligned (odd sizes carry one pad byte). */
+  private def riffChunks(b: Array[Byte]): Iterator[(String, Int, Long)] =
+    new scala.collection.AbstractIterator[(String, Int, Long)] {
+      private var i = 12
+      def hasNext: Boolean =
+        i + 8 <= b.length && u32le(b, i + 4) <= Int.MaxValue - 16
+      def next(): (String, Int, Long) = {
+        val id = new String(b, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+        val len = u32le(b, i + 4)
+        val off = i + 8
+        i = off + len.toInt + (len.toInt & 1)
+        (id, off, len)
+      }
+    }
+
+  /** WAV (RIFF) header parse — [[riffChunks]] walk; `fmt ` gives
     * channels/rate/depth, `data` gives the payload size that fixes the
     * duration. Same never-throws contract as [[imageHeader]]. */
   def audioHeader(b: Array[Byte]): Option[AudioHeader] = {
@@ -103,20 +124,16 @@ object Multimodal {
     if (!(b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
           b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E')) return None
     var channels = 0; var rate = 0; var bits = 0; var dataLen = -1L
-    var i = 12
-    while (i + 8 <= b.length && (channels == 0 || dataLen < 0)) {
-      val id = new String(b, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
-      val len = u32le(b, i + 4)
-      if (id == "fmt " && i + 8 + 16 <= b.length) {
-        channels = u16le(b, i + 10)
-        rate = u32le(b, i + 12).toInt
-        bits = u16le(b, i + 22)
+    val chunks = riffChunks(b)
+    while (chunks.hasNext && (channels == 0 || dataLen < 0)) {
+      val (id, off, len) = chunks.next()
+      if (id == "fmt " && off + 16 <= b.length) {
+        channels = u16le(b, off + 2)
+        rate = u32le(b, off + 4).toInt
+        bits = u16le(b, off + 14)
       } else if (id == "data") {
         dataLen = len
       }
-      // chunks are word-aligned: odd sizes carry one pad byte
-      i += 8 + len.toInt + (len.toInt & 1)
-      if (len < 0 || len > Int.MaxValue - 16) return None
     }
     if (channels <= 0 || rate <= 0 || bits <= 0 || dataLen < 0) None
     else {
@@ -576,13 +593,13 @@ object Multimodal {
     audioHeader(b)
       .filter(hd => hd.bitsPerSample == 8 || hd.bitsPerSample == 16)
       .flatMap { hd =>
-      // locate the data chunk (same walk as audioHeader)
-      var i = 12; var off = -1; var len = 0L
-      while (i + 8 <= b.length && off < 0) {
-        val id = new String(b, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
-        val l = u32le(b, i + 4)
-        if (id == "data") { off = i + 8; len = math.min(l, (b.length - off).toLong) }
-        i += 8 + l.toInt + (l.toInt & 1)
+      // locate the data chunk — the SAME guarded walk as audioHeader
+      // (riffChunks carries the hostile-length guard for both)
+      var off = -1; var len = 0L
+      val chunks = riffChunks(b)
+      while (chunks.hasNext && off < 0) {
+        val (id, o, l) = chunks.next()
+        if (id == "data") { off = o; len = math.min(l, (b.length - o).toLong) }
       }
       val bytesPerSample = hd.bitsPerSample / 8
       val frameBytes = bytesPerSample * hd.channels

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Similarity search over embedding columns (array<float>): exact
@@ -970,19 +971,32 @@ object Similarity {
     * dedup on the pair key. O(delta × bucket-mates), never
     * O(standing²): on a bucket-partitioned standing layout the join
     * prunes to the delta's buckets, so the standing read is
-    * delta-sized at 100 TB. */
+    * delta-sized at 100 TB.
+    *
+    * `maxBucket` mirrors [[nearDupPairs]]' contract on the STANDING
+    * side: a hot bucket (many near-uniform signatures sharing a
+    * sign-bit pattern) would otherwise make the bucket join quadratic
+    * in its occupancy — and the streaming caller (mediaDeltaBatch)
+    * would pay that every micro-batch. Standing buckets over the cap
+    * are dropped for that table; a pair they held is still found by
+    * any other table that splits the hot region, the same recall
+    * trade [[nearDupPairs]] documents. */
   def nearDupAgainst(delta: DataFrame, standing: DataFrame,
                      idCol: String, vecCol: String,
                      threshold: Double = 0.95, numPlanes: Int = 8,
-                     dim: Int = 64, numTables: Int = 3): DataFrame =
+                     dim: Int = 64, numTables: Int = 3,
+                     maxBucket: Int = 4096): DataFrame =
     (0 until numTables).map { t =>
       val planes = hyperplanes(dim, numPlanes, 42L + 1000L * t)
       val d = withBucket(delta, vecCol, planes)
         .select(col("bucket"), col(idCol).cast("long").as("id_d"),
           asDouble(col(vecCol)).as("__vd"))
+      val occ = Window.partitionBy(col("bucket"))
       val s = withBucket(standing, vecCol, planes)
         .select(col("bucket"), col(idCol).cast("long").as("id_s"),
           asDouble(col(vecCol)).as("__vs"))
+        .withColumn("__occ", count(lit(1)).over(occ))
+        .filter(col("__occ") <= maxBucket).drop("__occ")
       d.join(s, "bucket")
         .select(col("id_d"), col("id_s"),
           cosine(col("__vd"), col("__vs")).as("cos"))

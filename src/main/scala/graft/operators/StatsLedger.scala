@@ -34,7 +34,19 @@ import org.apache.spark.sql.functions._
 object StatsLedger {
 
   /** Ledger schema: `(key, n, sum, min, max, sumsq)`, all-LONG partial
-    * aggregates of `valCol` grouped by `keyCol`. */
+    * aggregates of `valCol` grouped by `keyCol`.
+    *
+    * Overflow headroom (Spark LONG sums wrap silently, unlike the
+    * DuckDB oracle's HUGEINT which would error): the binding term is
+    * `sumsq`, safe while per-key `n · max(v)²  <  2^63 ≈ 9.2e18`. For
+    * the doc-length cards this ledger backs (`v` = n_chars, docs
+    * capped at ~1e6 chars → squares ≤ 1e12) that bounds a key at
+    * ~9e6 billion-char docs — but an UNCAPPED length column at the
+    * advertised 1e12-doc scale can exceed it. Callers owning longer
+    * values must pre-cap `valCol` (the funnel's truncate stage
+    * already bounds n_chars) or move the sumsq leg to
+    * `DecimalType(38,0)` at ~2× agg cost; `sum` is safe far beyond
+    * (`n · max(v) < 2^63` → 9e12 docs of 1e6 chars). */
   def partial(df: DataFrame, keyCol: String, valCol: String): DataFrame = {
     val v = col(valCol).cast("long")
     df.groupBy(col(keyCol).as("key")).agg(
