@@ -1243,6 +1243,58 @@ object SparkEntry {
           ivs, "s_day", "e_day", binWidth = 32L)
         .select(col("l_orderkey"), col("l_linenumber"), col("ship_day"),
           col("rcpt_day"), col("o_orderkey"), col("s_day"), col("e_day"))
+    }),
+
+    // The inverted index AT REST, dictionary view (the ES side the
+    // reference delegates to, materialized Spark-first): bucketed
+    // posting lists round-trip through parquet, then per-term df/cf —
+    // top-200 by document frequency. The oracle replays the tokenizer
+    // and aggregates the exploded (term, doc) pairs directly.
+    "q115_postings_build" -> q((s, d) => {
+      val dir = Scratch.dir("graft-invidx-build")
+      InvertedIndex.writeIndex(Tables.documents(s, d), "doc_id",
+        Seq("text"), dir)
+      InvertedIndex.dictionary(s.read.parquet(s"$dir/postings"))
+        .orderBy(col("df").desc, col("term")).limit(200)
+    }),
+
+    // Top-k BM25 served FROM the index — the punchline: the pruned
+    // posting-list read produces scores BIT-IDENTICAL to the q51
+    // full-scan path, so the oracle is the full-scan BM25 replay.
+    // Rank/filter on the nano-quantized score, the q51 convention
+    // (ln is 1 ulp apart between StrictMath and glibc).
+    "q116_index_topk" -> q((s, d) => {
+      val dir = Scratch.dir("graft-invidx-serve")
+      InvertedIndex.writeIndex(Tables.documents(s, d), "doc_id",
+        Seq("text"), dir)
+      InvertedIndex.scored(s, dir, Seq("dup", "window", "scan"))
+        .withColumn("score_q",
+          floor(col("score") * 1000000000.0 + 0.5).cast("long"))
+        .orderBy(col("score_q").desc, col("doc_id"))
+        .limit(100)
+        .filter(col("score_q") > 0)
+        .select(col("doc_id"), col("score_q"))
+    }),
+
+    // The index maintained INCREMENTALLY (ES _bulk): three delta
+    // batches cover the corpus, batch 1 is then REDELIVERED in full —
+    // the seen-ids ledger folds nothing — and the served top-k equals
+    // the one-shot build's, so the q116 full-scan replay is the
+    // oracle for the whole incremental composition.
+    "q117_index_incremental" -> q((s, d) => {
+      val docs = Tables.documents(s, d)
+      val dir = Scratch.dir("graft-invidx-inc")
+      (Seq(0L, 1L, 2L) :+ 1L).foreach { sl =>
+        InvertedIndex.appendBatch(docs.filter(col("doc_id") % 3 === sl),
+          "doc_id", Seq("text"), dir)
+      }
+      InvertedIndex.scored(s, dir, Seq("dup", "window", "scan"))
+        .withColumn("score_q",
+          floor(col("score") * 1000000000.0 + 0.5).cast("long"))
+        .orderBy(col("score_q").desc, col("doc_id"))
+        .limit(100)
+        .filter(col("score_q") > 0)
+        .select(col("doc_id"), col("score_q"))
     })
   ) ++ NonSqlQueries.queries
 
@@ -3697,6 +3749,102 @@ object SparkEntry {
              THEN CAST(18446744073709551616 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END AS BIGINT) AS content_hash,
            CAST(CASE WHEN length(s) = 0 THEN 0 ELSE 16 + (ord(s[1]) % 64) END AS INT) AS width,
            CAST(CASE WHEN length(s) = 0 THEN 0 ELSE 16 + (ord(s[length(s)]) % 64) END AS INT) AS height
-         FROM h"""
+         FROM h""",
+
+    // Dictionary replay: same tokenizer as q50/q51, exploded (term,
+    // doc) pairs aggregated directly — df counts distinct docs (the
+    // postings are unique per (term, doc) by construction), cf total
+    // occurrences.
+    "q115_postings_build" ->
+      """WITH t AS (
+           SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9'']+'), x -> length(x) > 0) AS toks
+           FROM documents),
+         u AS (SELECT doc_id, unnest(toks) AS term FROM t),
+         d AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+                      CAST(count(*) AS BIGINT) AS cf
+               FROM u GROUP BY term)
+         SELECT term, df, cf FROM d
+         ORDER BY df DESC, term LIMIT 200""",
+
+    // Index-served BM25 replay = the FULL-SCAN BM25 (q51's SQL, terms
+    // dup/window/scan): the index changes the cost, not the answer —
+    // identical tokenizer, one stats pass, left-assoc arithmetic,
+    // nano-quantized ranking.
+    "q116_index_topk" ->
+      """WITH t AS (
+           SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9'']+'), x -> length(x) > 0) AS toks
+           FROM documents),
+         td AS (SELECT doc_id, toks, CAST(len(toks) AS DOUBLE) AS dl FROM t),
+         s AS (
+           SELECT CAST(count(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(len(toks) AS BIGINT)) AS DOUBLE) AS sumdl,
+             CAST(count(*) FILTER (WHERE list_contains(toks, 'dup')) AS DOUBLE) AS df0,
+             CAST(count(*) FILTER (WHERE list_contains(toks, 'window')) AS DOUBLE) AS df1,
+             CAST(count(*) FILTER (WHERE list_contains(toks, 'scan')) AS DOUBLE) AS df2
+           FROM t),
+         sc AS (
+           SELECT doc_id,
+             (CASE WHEN df0 = 0 THEN 0.0 ELSE
+                ln((n - df0 + 0.5) / (df0 + 0.5) + 1.0)
+                * ((CAST(len(list_filter(toks, x -> x = 'dup')) AS DOUBLE) * (1.2 + 1.0))
+                   / (CAST(len(list_filter(toks, x -> x = 'dup')) AS DOUBLE)
+                      + 1.2 * (1.0 - 0.75 + 0.75 * (dl / (sumdl / n))))) END
+              + CASE WHEN df1 = 0 THEN 0.0 ELSE
+                ln((n - df1 + 0.5) / (df1 + 0.5) + 1.0)
+                * ((CAST(len(list_filter(toks, x -> x = 'window')) AS DOUBLE) * (1.2 + 1.0))
+                   / (CAST(len(list_filter(toks, x -> x = 'window')) AS DOUBLE)
+                      + 1.2 * (1.0 - 0.75 + 0.75 * (dl / (sumdl / n))))) END
+              + CASE WHEN df2 = 0 THEN 0.0 ELSE
+                ln((n - df2 + 0.5) / (df2 + 0.5) + 1.0)
+                * ((CAST(len(list_filter(toks, x -> x = 'scan')) AS DOUBLE) * (1.2 + 1.0))
+                   / (CAST(len(list_filter(toks, x -> x = 'scan')) AS DOUBLE)
+                      + 1.2 * (1.0 - 0.75 + 0.75 * (dl / (sumdl / n))))) END) AS score
+           FROM td, s),
+         scq AS (
+           SELECT doc_id, CAST(floor(score * 1000000000.0 + 0.5) AS BIGINT) AS score_q
+           FROM sc)
+         SELECT doc_id, score_q FROM scq WHERE score_q > 0
+         ORDER BY score_q DESC, doc_id LIMIT 100""",
+
+    // The incremental build serves the SAME answer as the one-shot —
+    // the oracle is q116's full-scan replay verbatim.
+    "q117_index_incremental" ->
+      """WITH t AS (
+           SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9'']+'), x -> length(x) > 0) AS toks
+           FROM documents),
+         td AS (SELECT doc_id, toks, CAST(len(toks) AS DOUBLE) AS dl FROM t),
+         s AS (
+           SELECT CAST(count(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(len(toks) AS BIGINT)) AS DOUBLE) AS sumdl,
+             CAST(count(*) FILTER (WHERE list_contains(toks, 'dup')) AS DOUBLE) AS df0,
+             CAST(count(*) FILTER (WHERE list_contains(toks, 'window')) AS DOUBLE) AS df1,
+             CAST(count(*) FILTER (WHERE list_contains(toks, 'scan')) AS DOUBLE) AS df2
+           FROM t),
+         sc AS (
+           SELECT doc_id,
+             (CASE WHEN df0 = 0 THEN 0.0 ELSE
+                ln((n - df0 + 0.5) / (df0 + 0.5) + 1.0)
+                * ((CAST(len(list_filter(toks, x -> x = 'dup')) AS DOUBLE) * (1.2 + 1.0))
+                   / (CAST(len(list_filter(toks, x -> x = 'dup')) AS DOUBLE)
+                      + 1.2 * (1.0 - 0.75 + 0.75 * (dl / (sumdl / n))))) END
+              + CASE WHEN df1 = 0 THEN 0.0 ELSE
+                ln((n - df1 + 0.5) / (df1 + 0.5) + 1.0)
+                * ((CAST(len(list_filter(toks, x -> x = 'window')) AS DOUBLE) * (1.2 + 1.0))
+                   / (CAST(len(list_filter(toks, x -> x = 'window')) AS DOUBLE)
+                      + 1.2 * (1.0 - 0.75 + 0.75 * (dl / (sumdl / n))))) END
+              + CASE WHEN df2 = 0 THEN 0.0 ELSE
+                ln((n - df2 + 0.5) / (df2 + 0.5) + 1.0)
+                * ((CAST(len(list_filter(toks, x -> x = 'scan')) AS DOUBLE) * (1.2 + 1.0))
+                   / (CAST(len(list_filter(toks, x -> x = 'scan')) AS DOUBLE)
+                      + 1.2 * (1.0 - 0.75 + 0.75 * (dl / (sumdl / n))))) END) AS score
+           FROM td, s),
+         scq AS (
+           SELECT doc_id, CAST(floor(score * 1000000000.0 + 0.5) AS BIGINT) AS score_q
+           FROM sc)
+         SELECT doc_id, score_q FROM scq WHERE score_q > 0
+         ORDER BY score_q DESC, doc_id LIMIT 100"""
   )
 }

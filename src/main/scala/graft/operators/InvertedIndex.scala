@@ -1,0 +1,199 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The inverted index AT REST — the reference's Elasticsearch side
+  * materialized Spark-first (reference: app/es_manager.py's
+  * index/bulk/search; S-9/S-10/Q-2 in SURVEY §2).
+  *
+  * The engine already matches ES relevance SEMANTICS scan-time
+  * (Search.byKeywordBm25 = Lucene's BM25Similarity, q51 oracle-green);
+  * what ES additionally buys its users is the INDEX — query cost
+  * proportional to the query's posting lists, not the corpus. This
+  * operator closes that gap with Spark-native machinery:
+  *
+  *  - BUILD: one tokenize pass → `(term, doc_id, tf, dl)` posting rows
+  *    (dl DENORMALIZED into the posting, Lucene-norms style, so
+  *    serving never joins a corpus-sized norms table), written
+  *    partitioned by `bucket = pmod(xxhash64(term), numBuckets)`.
+  *    One map-side-combined shuffle on (term, doc); corpus text never
+  *    shuffles (tf/dl are computed scan-side).
+  *  - SERVE: the query's terms fold to bucket literals
+  *    (xxhash64(lit(term)) constant-folds), so the postings read
+  *    PARTITION-PRUNES to the query's buckets — at 100 TB the scan is
+  *    posting-list-sized, the exact property that makes ES serve
+  *    interactive queries over corpora it could never rescan.
+  *    Candidate docs groupBy once (candidate-sized), corpus-level
+  *    constants (N, Σdl) come from a 1-row stats ledger, df(t) from
+  *    the pruned postings themselves (a term's postings live entirely
+  *    in its bucket, so the pruned read sees every one).
+  *  - MAINTAIN: [[appendBatch]] folds a delta batch in ES-bulk style —
+  *    postings append under the same bucket layout, the stats ledger
+  *    folds additively (StatsLedger's algebra: N and Σdl are sums),
+  *    and the card-family crash contract holds: batches dedup against
+  *    a seen-ids ledger (redelivery folds nothing), partials land
+  *    FIRST and ids LAST, so the one crash window re-appends postings
+  *    a later read-side `dropDuplicates(term, doc_id)` heals.
+  *
+  * Scoring is bit-identical to [[Search.bm25Scored]]: the same
+  * integer tf/dl/df/N/Σdl enter the same left-associated double
+  * expression, and idf's `log` stays a NON-foldable column expression
+  * so it codegens to StrictMath.log exactly like the scan path (a
+  * driver-side literal would constant-fold through Math.log and risk
+  * the 1-ulp divergence Search.bm25Scored documents). q116's oracle is
+  * therefore the FULL-SCAN BM25 replay — the index changes the cost,
+  * not one bit of the answer.
+  */
+object InvertedIndex {
+
+  private def toks(fields: Seq[String]): Column =
+    graft.functions.Analyzer.tokenize(concat_ws(" ", fields.map(col): _*))
+
+  /** `bucket` for a term column/literal. With a literal term this
+    * constant-folds, which is what lets the serve-path filter reach
+    * the partition pruner as `bucket = <const>`. INT, not LONG: the
+    * partition-dir reader infers `bucket=N` as IntegerType, and the
+    * pruning predicate must compare the attribute UNCAST (a cast
+    * wrapped around the partition column defeats pruning). */
+  def bucketOf(term: Column, numBuckets: Int): Column =
+    pmod(xxhash64(term), lit(numBuckets.toLong)).cast("int")
+
+  /** Posting rows `(term, doc_id, tf, dl)` — one per (term, doc),
+    * tf = occurrences, dl = the doc's token count (denormalized).
+    * One explode + one map-side-combined groupBy; text never
+    * shuffles, only (term, doc_id) pairs do. */
+  def postings(df: DataFrame, idCol: String, fields: Seq[String]): DataFrame =
+    df.select(col(idCol).cast("long").as("doc_id"), toks(fields).as("__toks"))
+      .select(col("doc_id"), size(col("__toks")).cast("long").as("dl"),
+        explode(col("__toks")).as("term"))
+      .groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
+
+  /** Dictionary view: per-term df (docs containing) and cf (total
+    * occurrences) — the index's statistics table, derivable from the
+    * postings by one more map-side-combined groupBy. */
+  def dictionary(post: DataFrame): DataFrame =
+    post.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"))
+
+  /** Build the index at `dir`: bucketed postings + the 1-row corpus
+    * stats ledger `(n_docs, sum_dl, num_buckets)`. */
+  def writeIndex(df: DataFrame, idCol: String, fields: Seq[String],
+                 dir: String, numBuckets: Int = 64): Unit = {
+    postings(df, idCol, fields)
+      .withColumn("bucket", bucketOf(col("term"), numBuckets))
+      .write.partitionBy("bucket").mode("overwrite")
+      .parquet(s"$dir/postings")
+    // corpus constants from the SOURCE frame, not the postings — a
+    // zero-token doc has no posting rows but still counts in N/Σdl
+    // (exactly as the scan path's one-pass agg counts it)
+    df.agg(count(lit(1)).as("n_docs"),
+        sum(size(toks(fields)).cast("long")).as("sum_dl"))
+      .withColumn("num_buckets", lit(numBuckets))
+      .write.mode("overwrite").parquet(s"$dir/stats")
+  }
+
+  /** Fold a delta batch into a standing index (ES `_bulk`): postings
+    * and a stats partial append under the standing layout; a seen-ids
+    * ledger (landing LAST) makes redelivery fold nothing. Safe to
+    * call on an empty `dir` — the first batch creates the index. */
+  def appendBatch(batch: DataFrame, idCol: String, fields: Seq[String],
+                  dir: String, numBuckets: Int = 64): Unit = {
+    val spark = batch.sparkSession
+    val b = batch.dropDuplicates(idCol)
+    val seen = Dedup.readStateOr(spark, s"$dir/seenIds",
+      b.select(col(idCol).cast("long").as("doc_id")).limit(0))
+    val fresh = b.join(
+        seen.select(col("doc_id").as(idCol)), Seq(idCol), "left_anti")
+      .localCheckpoint()
+    if (!fresh.isEmpty) {
+      // partials FIRST (crash re-appends heal read-side), ids LAST
+      postings(fresh, idCol, fields)
+        .withColumn("bucket", bucketOf(col("term"), numBuckets))
+        .write.partitionBy("bucket").mode("append")
+        .parquet(s"$dir/postings")
+      fresh.agg(count(lit(1)).as("n_docs"),
+          sum(size(toks(fields)).cast("long")).as("sum_dl"))
+        .withColumn("num_buckets", lit(numBuckets))
+        .write.mode("append").parquet(s"$dir/stats")
+      fresh.select(col(idCol).cast("long").as("doc_id"))
+        .write.mode("append").parquet(s"$dir/seenIds")
+    }
+  }
+
+  /** The pruned postings read for a term set: bucket predicates fold
+    * to literals → partition pruning keeps the scan posting-list-
+    * sized. The `dropDuplicates` heals the appendBatch crash window
+    * (duplicate postings from a re-appended partial). */
+  def readPostings(spark: SparkSession, dir: String, terms: Seq[String],
+                   numBuckets: Int): DataFrame = {
+    val ts = terms.map(_.toLowerCase)
+    spark.read.parquet(s"$dir/postings")
+      .filter(ts.map(t => col("bucket") === bucketOf(lit(t), numBuckets))
+        .reduce(_ || _))
+      .filter(col("term").isin(ts: _*))
+      .dropDuplicates("term", "doc_id")
+  }
+
+  /** BM25 scores served FROM THE INDEX — bit-same scores as
+    * [[Search.bm25Scored]] over the indexed corpus for every doc
+    * matching ≥1 term (docs matching none score exactly 0.0 scan-side
+    * and are simply absent here), at posting-list cost: pruned read →
+    * candidate groupBy → 1-row broadcast stats → score. Callers that
+    * rank on a QUANTIZED score (the oracle-gate convention) order this
+    * frame themselves — [[topK]]'s raw-score order can break
+    * quantized ties differently at the cutoff. */
+  def scored(spark: SparkSession, dir: String, terms: Seq[String],
+             k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "scored needs at least one term")
+    val meta = spark.read.parquet(s"$dir/stats")
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"),
+        max(col("num_buckets")).as("nb"))
+    val numBuckets = meta.select(col("nb")).collect()(0).getInt(0)
+    val ts = terms.map(_.toLowerCase)
+    val post = readPostings(spark, dir, ts, numBuckets)
+    // df(t) from the pruned postings (complete per construction) +
+    // corpus constants, all in ONE 1-row broadcast — the same
+    // `__n/__sumdl/__df_i` columns Search.bm25Scored builds scan-time,
+    // so the downstream arithmetic is expression-identical.
+    val dfAgg = post.agg(
+      coalesce(sum(when(col("term") === ts.head, 1L)), lit(0L))
+        .cast("double").as("__df_0"),
+      ts.zipWithIndex.tail.map { case (t, i) =>
+        coalesce(sum(when(col("term") === t, 1L)), lit(0L))
+          .cast("double").as(s"__df_$i")
+      }: _*)
+    val stats = meta.select(col("n_docs").cast("double").as("__n"),
+        col("sum_dl").cast("double").as("__sumdl"))
+      .crossJoin(dfAgg)
+    val cand = post.groupBy(col("doc_id")).agg(
+      max(col("dl")).as("__dl_l"),
+      ts.zipWithIndex.map { case (t, i) =>
+        sum(when(col("term") === t, col("tf"))).as(s"__tf_$i")
+      }: _*)
+    val avgdl = col("__sumdl") / col("__n")
+    val score = ts.indices.map { i =>
+      val tf = coalesce(col(s"__tf_$i"), lit(0L)).cast("double")
+      val idf = log((col("__n") - col(s"__df_$i") + lit(0.5))
+        / (col(s"__df_$i") + lit(0.5)) + lit(1.0))
+      val norm = tf + lit(k1) * (lit(1.0) - lit(b)
+        + lit(b) * (col("__dl_l").cast("double") / avgdl))
+      when(col(s"__df_$i") === 0.0, 0.0)
+        .otherwise(idf * ((tf * lit(k1 + 1.0)) / norm))
+    }.reduce(_ + _)
+    cand.crossJoin(broadcast(stats))
+      .withColumn("score", score)
+      .select(col("doc_id"), col("score"))
+  }
+
+  /** Top-k BM25 from the index — [[Search.byKeywordBm25]]'s contract
+    * (rank on raw score, positive-score rows only) served at
+    * posting-list cost with a TakeOrderedAndProject tail. */
+  def topK(spark: SparkSession, dir: String, terms: Seq[String],
+           k1: Double = 1.2, b: Double = 0.75, k: Int = 100): DataFrame =
+    scored(spark, dir, terms, k1, b)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+      .filter(col("score") > 0.0)
+}

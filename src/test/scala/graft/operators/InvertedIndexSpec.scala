@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.sources.Tables
+
+/** The inverted index at rest: serving equals the scan-time BM25
+  * bit-for-bit, the postings read partition-prunes to the query's
+  * buckets, and incremental maintenance (append + redelivery + the
+  * crash window's duplicate postings) never changes the answer. */
+class InvertedIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+  private val terms = Seq("dup", "window", "scan")
+
+  private def freshIndex(): String = {
+    val d = java.nio.file.Files.createTempDirectory("graft-idx-spec").toString
+    InvertedIndex.writeIndex(Tables.documents(spark, dir), "doc_id",
+      Seq("text"), d)
+    d
+  }
+
+  private def scanScores(): Map[Long, Double] =
+    Search.bm25Scored(Tables.documents(spark, dir), Seq("text"), terms)
+      .select(col("doc_id").cast("long"), col("score"))
+      .as[(Long, Double)].collect().toMap
+
+  private def indexScores(d: String): Map[Long, Double] =
+    InvertedIndex.scored(spark, d, terms)
+      .as[(Long, Double)].collect().toMap
+
+  test("index-served scores are bit-identical to the scan path") {
+    val d = freshIndex()
+    val scan = scanScores()
+    val idx = indexScores(d)
+    // every candidate matches the scan score EXACTLY (same doubles)
+    idx.foreach { case (id, s) =>
+      assert(java.lang.Double.doubleToLongBits(s) ==
+        java.lang.Double.doubleToLongBits(scan(id)),
+        s"doc $id: index $s vs scan ${scan(id)}")
+    }
+    // and every positive scan score IS a candidate (nothing missed)
+    val positives = scan.filter(_._2 > 0.0).keySet
+    assert(positives.subsetOf(idx.keySet),
+      s"missing candidates: ${(positives -- idx.keySet).take(5)}")
+  }
+
+  test("postings read partition-prunes to the query terms' buckets") {
+    val d = freshIndex()
+    val pruned = InvertedIndex.readPostings(spark, d, terms, 64)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("bucket"),
+      s"no partition filter in:\n$plan")
+    // input_file_name proof on the pre-dedup scan (provenance does
+    // not survive the dedup shuffle): ≤ one bucket dir per term
+    val raw = spark.read.parquet(s"$d/postings")
+      .filter(terms.map(t =>
+          col("bucket") === InvertedIndex.bucketOf(lit(t), 64))
+        .reduce(_ || _))
+    val dirs = raw.select(input_file_name().as("f")).distinct()
+      .as[String].collect()
+      .map(f => f.substring(0, f.lastIndexOf('/'))).distinct
+    assert(dirs.nonEmpty && dirs.length <= terms.length,
+      s"expected ≤${terms.length} bucket dirs, touched ${dirs.length}")
+    assert(dirs.forall(_.contains("bucket=")), dirs.mkString(","))
+  }
+
+  test("incremental build + full redelivery serves the one-shot answer") {
+    val oneShot = freshIndex()
+    val inc = java.nio.file.Files.createTempDirectory("graft-idx-inc").toString
+    val docs = Tables.documents(spark, dir)
+    // three delta batches cover the corpus; batch 1 redelivered
+    (Seq(0L, 1L, 2L) :+ 1L).foreach { sl =>
+      InvertedIndex.appendBatch(docs.filter(col("doc_id") % 3 === sl),
+        "doc_id", Seq("text"), inc)
+    }
+    assert(indexScores(inc) == indexScores(oneShot))
+    // the stats ledger folded exactly the corpus (redelivery added 0)
+    val n = spark.read.parquet(s"$inc/stats")
+      .agg(sum(col("n_docs"))).as[Long].collect()(0)
+    assert(n == docs.count())
+  }
+
+  test("crash-window duplicate postings heal read-side") {
+    val d = freshIndex()
+    val before = indexScores(d)
+    // simulate the crash window: a batch's postings re-appended
+    // (partials landed, ids did not, batch retried)
+    val dup = spark.read.parquet(s"$d/postings")
+      .filter(col("term").isin(terms: _*))
+    dup.write.mode("append").partitionBy("bucket").parquet(s"$d/postings")
+    assert(indexScores(d) == before,
+      "dropDuplicates(term, doc_id) must absorb re-appended postings")
+  }
+
+  test("topK keeps only positive scores in rank order") {
+    val d = freshIndex()
+    val rows = InvertedIndex.topK(spark, d, terms, k = 10)
+      .as[(Long, Double)].collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    assert(rows.forall(_._2 > 0.0))
+    assert(rows.map(_._2).sliding(2).forall {
+      case Array(a, b) => a >= b; case _ => true
+    })
+  }
+}
