@@ -1295,7 +1295,35 @@ object SparkEntry {
         .limit(100)
         .filter(col("score_q") > 0)
         .select(col("doc_id"), col("score_q"))
-    })
+    }),
+
+    // EXACT percentiles from the mergeable value-count ledger (the
+    // card family's holistic gap closed for bounded-universe integer
+    // columns): three slices fold by count addition, the read is the
+    // exact type-1 quantile — p50/p90/p99 of doc length per source,
+    // same integers in any fold order. q105's log2 bands remain the
+    // unbounded-universe answer.
+    "q118_quantile_ledger" -> q((s, d) => {
+      val docs = Tables.documents(s, d)
+      val parts = (0 until 3).map(i =>
+        StatsLedger.quantPartial(docs.filter(col("doc_id") % 3 === i),
+          "source", "n_chars"))
+      StatsLedger.quantiles(parts.reduce(StatsLedger.quantMerge),
+        Seq(25, 50, 75, 90, 99))
+    }),
+
+    // Z-ORDER layout manifest: lineitem clustered on the Morton
+    // interleave of grid-quantized (l_partkey, l_suppkey), exact
+    // integer-percentile shard boundaries, per-shard min/max of BOTH
+    // original columns — the file-stats table a reader consults to
+    // skip shards on 2-d box predicates. Integer arithmetic end to
+    // end, so the whole layout decision hash-replays (see Layout
+    // scaladoc; ZorderSpec proves the 2-d pruning win on a plan).
+    "q119_zorder_manifest" -> q((s, d) =>
+      Layout.zorderManifest(Tables.lineitem(s, d),
+          "l_partkey", "l_suppkey", bits = 8, numShards = 10)
+        .select(col("shard"), col("n_rows"), col("min_a"),
+          col("max_a"), col("min_b"), col("max_b")))
   ) ++ NonSqlQueries.queries
 
   /** q92's bad-words stage (literal so the oracle renders the same
@@ -1470,6 +1498,45 @@ object SparkEntry {
               ELSE (CAST(1 AS BIGINT) << CAST(bin - 1 AS INT)) END AS lo,
          (CAST(1 AS BIGINT) << CAST(bin AS INT)) - 1 AS hi
        FROM sel"""
+
+  /** q119 replay — grid quantization, the Morton bit interleave as an
+    * arithmetic sum (div/mod/multiply, exact for non-negative
+    * integers, so `//` replays Spark's long division), exact
+    * integer-percentile boundaries, lower-shard ties. */
+  private def q119Sql(): String = {
+    val zTerms = (0 until 8).flatMap(i => Seq(
+      s"((ga // ${1L << i}) % 2) * ${1L << (2 * i)}",
+      s"((gb // ${1L << i}) % 2) * ${1L << (2 * i + 1)}")).mkString(" + ")
+    val bnds = (1 to 9).map(i =>
+      s"min(CASE WHEN cum * 100 >= ${i * 10} * tot THEN z END) AS b$i")
+      .mkString(", ")
+    val shardSum = (1 to 9).map(i =>
+      s"(CASE WHEN zz.z > bnd.b$i THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""WITH mm AS (
+         SELECT CAST(min(l_partkey) AS BIGINT) AS mna,
+                CAST(max(l_partkey) AS BIGINT) AS mxa,
+                CAST(min(l_suppkey) AS BIGINT) AS mnb,
+                CAST(max(l_suppkey) AS BIGINT) AS mxb
+         FROM lineitem),
+       g AS (
+         SELECT CAST(l_partkey AS BIGINT) AS a, CAST(l_suppkey AS BIGINT) AS b,
+           ((CAST(l_partkey AS BIGINT) - mna) * 256) // (mxa - mna + 1) AS ga,
+           ((CAST(l_suppkey AS BIGINT) - mnb) * 256) // (mxb - mnb + 1) AS gb
+         FROM lineitem, mm),
+       zz AS (SELECT a, b, ($zTerms) AS z FROM g),
+       zc AS (SELECT z, count(*) AS c FROM zz GROUP BY z),
+       cum AS (
+         SELECT z, sum(c) OVER (ORDER BY z) AS cum,
+                (SELECT sum(c) FROM zc) AS tot
+         FROM zc),
+       bnd AS (SELECT $bnds FROM cum),
+       sh AS (SELECT zz.a, zz.b, 1 + $shardSum AS shard FROM zz, bnd)
+       SELECT CAST(shard AS BIGINT) AS shard,
+         CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(min(a) AS BIGINT) AS min_a, CAST(max(a) AS BIGINT) AS max_a,
+         CAST(min(b) AS BIGINT) AS min_b, CAST(max(b) AS BIGINT) AS max_b
+       FROM sh GROUP BY shard"""
+  }
 
   /** q108/q109 replay — the three ledger replays joined on key;
     * `where` restricts the doc slice for the q111 as-of replay. */
@@ -3845,6 +3912,26 @@ object SparkEntry {
            SELECT doc_id, CAST(floor(score * 1000000000.0 + 0.5) AS BIGINT) AS score_q
            FROM sc)
          SELECT doc_id, score_q FROM scq WHERE score_q > 0
-         ORDER BY score_q DESC, doc_id LIMIT 100"""
+         ORDER BY score_q DESC, doc_id LIMIT 100""",
+
+    // Exact-quantile replay: the fold is count addition, so the
+    // oracle needs no slicing knowledge — full-data value counts, one
+    // cumulative window, the same integer threshold rule.
+    "q118_quantile_ledger" ->
+      """WITH c AS (
+           SELECT source AS key, CAST(n_chars AS BIGINT) AS v,
+                  CAST(count(*) AS BIGINT) AS cnt
+           FROM documents GROUP BY 1, 2),
+         w AS (
+           SELECT key, v,
+             CAST(sum(cnt) OVER (PARTITION BY key ORDER BY v) AS BIGINT) AS cum,
+             CAST(sum(cnt) OVER (PARTITION BY key) AS BIGINT) AS total
+           FROM c),
+         p AS (SELECT CAST(unnest([25, 50, 75, 90, 99]) AS BIGINT) AS p)
+         SELECT key, p, CAST(min(v) AS BIGINT) AS v
+         FROM w, p WHERE cum * 100 >= p * total
+         GROUP BY key, p""",
+
+    "q119_zorder_manifest" -> q119Sql()
   )
 }

@@ -146,6 +146,56 @@ object StatsLedger {
         (expr("shiftleft(CAST(1 AS BIGINT), CAST(bin AS INT))") - lit(1L))
           .as("hi"))
   }
+
+  // ---- exact quantiles for bounded-universe integer values ----------
+  // histPercentiles answers percentile BANDS in constant state; when
+  // the value universe is bounded (doc lengths, token counts, quality
+  // scores on an integer grid — the usual card columns), the
+  // per-VALUE count ledger `(key, v, cnt)` stays small (≤ |universe|
+  // rows per key), merges by count addition like every other ledger
+  // here, and answers EXACT type-1 quantiles at read time:
+  //   q(p) = min{ v : cum(v)·100 ≥ p·total }.
+  // Unlike a KLL/GK sketch the answer is deterministic and replays
+  // bit-for-bit in the DuckDB oracle; unlike percentile_approx it is
+  // exact. The trade is ledger size linear in per-key distinct
+  // values — the bounded-universe contract callers must own (an
+  // unbounded DOUBLE column belongs in histPartial's bands instead).
+
+  /** Value-count ledger `(key, v, cnt)` of `valCol` by `keyCol`. */
+  def quantPartial(df: DataFrame, keyCol: String, valCol: String): DataFrame =
+    df.select(col(keyCol).as("key"), col(valCol).cast("long").as("v"))
+      .groupBy(col("key"), col("v")).agg(count(lit(1)).as("cnt"))
+
+  /** Sum-merge two value-count ledgers. */
+  def quantMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy(col("key"), col("v"))
+      .agg(sum(col("cnt")).as("cnt"))
+
+  /** Collapse many value-count partial rows into one ledger. */
+  def quantFold(partials: DataFrame): DataFrame =
+    partials.groupBy(col("key"), col("v")).agg(sum(col("cnt")).as("cnt"))
+
+  /** Read-time EXACT percentiles from a value-count ledger: for each
+    * requested percentile p, the smallest value whose cumulative
+    * count reaches p% of the key's total (type-1 / lower quantile).
+    * Integer arithmetic only (`cum·100 ≥ p·total`), so any fold
+    * order, any slice boundary, same answer — and the oracle replays
+    * it with one window. The ledger shuffles key-×-universe-sized
+    * rows, never corpus rows. */
+  def quantiles(ledger: DataFrame, percentiles: Seq[Int]): DataFrame = {
+    val sp = ledger.sparkSession
+    import sp.implicits._
+    val byV = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("key")).orderBy(col("v"))
+    val whole = org.apache.spark.sql.expressions.Window.partitionBy(col("key"))
+    val cum = ledger
+      .withColumn("cum", sum(col("cnt")).over(byV))
+      .withColumn("total", sum(col("cnt")).over(whole))
+    val ps = percentiles.map(_.toLong).toDF("p")
+    cum.crossJoin(broadcast(ps))
+      .filter(col("cum") * lit(100L) >= col("p") * col("total"))
+      .groupBy(col("key"), col("p")).agg(min(col("v")).as("v"))
+  }
 }
 
 /** Bounded-state approximate top-k — the heavy-hitter ledger.

@@ -1,0 +1,73 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Z-order layout: the Morton interleave is the textbook bit
+  * pattern, shards partition the corpus exactly, and the manifest
+  * proves the 2-d win — a single-column layout cannot skip shards
+  * for the other column's predicates, the z-order layout can. */
+class ZorderSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 100×100 uniform grid: every (x, y) cell exactly once
+  private lazy val grid = (0 until 10000)
+    .map(i => (i.toLong, (i % 100).toLong, (i / 100).toLong))
+    .toDF("id", "x", "y")
+
+  test("zValue interleaves bits (a→even, b→odd)") {
+    val r = spark.range(1).select(
+      Layout.zValue(lit(5L), lit(3L), 3).as("z1"),   // 101 ⨯ 011
+      Layout.zValue(lit(0L), lit(7L), 3).as("z2"),   // 000 ⨯ 111
+      Layout.zValue(lit(7L), lit(0L), 3).as("z3"))
+      .collect()(0)
+    assert(r.getLong(0) == 27L)  // 011011₂
+    assert(r.getLong(1) == 42L)  // 101010₂
+    assert(r.getLong(2) == 21L)  // 010101₂
+  }
+
+  test("shards partition the corpus; manifest row per shard") {
+    val m = Layout.zorderManifest(grid, "x", "y", bits = 8, numShards = 10)
+      .collect()
+    assert(m.length == 10)
+    assert(m.map(_.getAs[Long]("n_rows")).sum == 10000L)
+  }
+
+  test("y-only predicates skip z-order shards; an x-sorted layout cannot") {
+    val (lo, hi) = (40L, 49L)
+    def overlapping(aCol: String, bCol: String): Long =
+      Layout.zorderManifest(grid, aCol, bCol, bits = 8, numShards = 10)
+        .filter(col("min_b") <= hi && col("max_b") >= lo)
+        .count()
+    // x-sorted layout (z of x with itself is monotone in x): every
+    // shard spans y's whole range, so nothing skips
+    val xSorted = Layout.zorderManifest(grid, "x", "x", bits = 8,
+        numShards = 10)
+      .join(Layout.zorderSharded(grid, "x", "x", bits = 8, numShards = 10)
+          .groupBy(col("shard"))
+          .agg(min(col("y")).as("mny"), max(col("y")).as("mxy")),
+        "shard")
+      .filter(col("mny") <= hi && col("mxy") >= lo)
+      .count()
+    assert(xSorted == 10L, s"x-sorted layout skipped shards? $xSorted")
+    val z = overlapping("x", "y")
+    assert(z < 10L, s"z-order layout must skip some shards, overlapped $z")
+  }
+
+  test("a 2-d box prunes to a minority of z-order shards") {
+    val m = Layout.zorderManifest(grid, "x", "y", bits = 8, numShards = 10)
+    val hit = m.filter(
+      col("min_a") <= 30L && col("max_a") >= 20L &&
+        col("min_b") <= 30L && col("max_b") >= 20L).count()
+    assert(hit <= 5L, s"box [20,30]² overlapped $hit of 10 shards")
+  }
+
+  test("sharding is deterministic under repartition") {
+    val a = Layout.zorderSharded(grid, "x", "y", bits = 8, numShards = 10)
+      .select("id", "shard").as[(Long, Long)].collect().toMap
+    val b = Layout.zorderSharded(grid.repartition(7), "x", "y",
+        bits = 8, numShards = 10)
+      .select("id", "shard").as[(Long, Long)].collect().toMap
+    assert(a == b)
+  }
+}
