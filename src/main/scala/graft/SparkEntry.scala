@@ -1323,7 +1323,16 @@ object SparkEntry {
       Layout.zorderManifest(Tables.lineitem(s, d),
           "l_partkey", "l_suppkey", bits = 8, numShards = 10)
         .select(col("shard"), col("n_rows"), col("min_a"),
-          col("max_a"), col("min_b"), col("max_b")))
+          col("max_a"), col("min_b"), col("max_b"))),
+
+    // Volume-anomaly watchdog (the T-6 freshness check grown into a
+    // monitoring aggregate): hourly event counts per type over the
+    // gap-filled spine, trailing-24h k-sigma spike verdicts in EXACT
+    // integer arithmetic ((n·cnt−S)² > k²·(n·Q−S²) — see Monitoring
+    // scaladoc), awarded only once a full baseline window exists.
+    "q120_spike_detection" -> q((s, d) =>
+      Monitoring.hourlySpikes(Tables.events(s, d), "event_type", "ts",
+        trailingHours = 24, k = 3))
   ) ++ NonSqlQueries.queries
 
   /** q92's bad-words stage (literal so the oracle renders the same
@@ -3932,6 +3941,35 @@ object SparkEntry {
          FROM w, p WHERE cum * 100 >= p * total
          GROUP BY key, p""",
 
-    "q119_zorder_manifest" -> q119Sql()
+    "q119_zorder_manifest" -> q119Sql(),
+
+    // Spike replay: same spine, same trailing frame, the identical
+    // integer inequality — no float anywhere, so the verdicts are
+    // exact in both engines.
+    "q120_spike_detection" ->
+      """WITH h AS (
+           SELECT event_type AS key, date_trunc('hour', ts) AS hour,
+             CAST(count(*) AS BIGINT) AS n_events
+           FROM events GROUP BY 1, 2),
+         b AS (SELECT key, min(hour) AS mn, max(hour) AS mx FROM h GROUP BY 1),
+         spine AS (
+           SELECT key, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS hour
+           FROM b),
+         dense AS (
+           SELECT s.key, s.hour, COALESCE(h.n_events, 0) AS cnt,
+                  h.n_events IS NULL AS is_gap
+           FROM spine s LEFT JOIN h USING (key, hour)),
+         w AS (
+           SELECT key, hour, cnt, is_gap,
+             CAST(count(*) OVER tr AS BIGINT) AS n,
+             CAST(COALESCE(sum(cnt) OVER tr, 0) AS BIGINT) AS s,
+             CAST(COALESCE(sum(cnt * cnt) OVER tr, 0) AS BIGINT) AS q
+           FROM dense
+           WINDOW tr AS (PARTITION BY key ORDER BY hour
+             ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+         SELECT key, hour, CAST(cnt AS BIGINT) AS cnt, is_gap,
+           (n = 24 AND (n * cnt - s) > 0
+             AND (n * cnt - s) * (n * cnt - s) > 9 * (n * q - s * s)) AS spike
+         FROM w"""
   )
 }

@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Stream-health monitoring beyond the reference's boolean freshness
+  * watchdog (T-6, check_data_freshness): anomaly detection on the
+  * event volume itself — the "did ingest spike or stall" question
+  * every pipeline dashboard asks next.
+  *
+  * The classic test (count > μ + kσ over a trailing window) is a
+  * float z-score; here it is rearranged into INTEGER arithmetic so
+  * the verdict is exact, order-free, and oracle-replayable:
+  *
+  *   cnt > μ + kσ   ⟺   n·cnt − S > 0  ∧  (n·cnt − S)² > k²·(n·Q − S²)
+  *
+  * with S = Σcnt, Q = Σcnt² over the n trailing hours (n²σ² = n·Q −
+  * S², both sides multiplied by n²). Counts are bounded by ingest
+  * rate, so the squares stay far under 2^63 (cnt ≤ ~3·10⁹ per hour
+  * before (n·cnt−S)² can wrap with n=24).
+  *
+  * The trailing frame runs over the GAP-FILLED hour spine (`sequence`
+  * per key, missing hours count 0 — the q110 densification), because
+  * a row-frame over observed rows silently stretches across gaps and
+  * under-reacts exactly when something stalled.
+  *
+  * Scale shape: one map-side-combined groupBy to hourly counts, one
+  * spine explode (keys × hours, tiny), one window partitioned BY KEY
+  * — no global window, no corpus shuffle beyond the hourly rollup.
+  */
+object Monitoring {
+
+  /** Hourly volume spikes per `keyCol`: `(key, hour, cnt, is_gap,
+    * spike)` over the gap-filled spine; `spike` is the exact integer
+    * k-sigma test against the `trailingHours` preceding hours and is
+    * only awarded once a full trailing window exists (n =
+    * trailingHours — a half-grown baseline flags everything). */
+  def hourlySpikes(events: DataFrame, keyCol: String, tsCol: String,
+                   trailingHours: Int = 24, k: Int = 3): DataFrame = {
+    val hourly = events
+      .select(col(keyCol).as("key"), date_trunc("hour", col(tsCol)).as("hour"))
+      .groupBy(col("key"), col("hour")).agg(count(lit(1)).as("n_events"))
+    val spine = hourly.groupBy(col("key"))
+      .agg(min(col("hour")).as("mn"), max(col("hour")).as("mx"))
+      .select(col("key"),
+        explode(expr("sequence(mn, mx, interval 1 hour)")).as("hour"))
+    val dense = spine.join(hourly, Seq("key", "hour"), "left")
+      .select(col("key"), col("hour"),
+        coalesce(col("n_events"), lit(0L)).as("cnt"),
+        col("n_events").isNull.as("is_gap"))
+    val trail = Window.partitionBy(col("key")).orderBy(col("hour"))
+      .rowsBetween(-trailingHours, -1)
+    val n = count(lit(1)).over(trail)
+    val s = sum(col("cnt")).over(trail)
+    val q = sum(col("cnt") * col("cnt")).over(trail)
+    val dev = n * col("cnt") - s            // n·(cnt − μ)
+    val varN2 = n * q - s * s               // n²·σ²
+    dense.withColumn("spike",
+      n === trailingHours.toLong && dev > 0L &&
+        dev * dev > lit(k.toLong * k) * varN2)
+  }
+}

@@ -1,0 +1,71 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Volume-anomaly watchdog: a planted burst is flagged, the steady
+  * baseline is not, nothing is flagged before a full trailing
+  * window exists, and stalled hours surface as gaps. */
+class MonitoringSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def at(hour: Int): java.sql.Timestamp =
+    java.sql.Timestamp.from(
+      java.time.Instant.parse("2026-01-01T00:00:00Z")
+        .plusSeconds(hour * 3600L))
+
+  // 100 hours of steady 10-events/hour; hour 50 bursts to 100;
+  // hours 60-62 stall entirely
+  private lazy val events = (0 until 100).flatMap { h =>
+    val n = h match {
+      case 50 => 100
+      case 60 | 61 | 62 => 0
+      case _ => 10
+    }
+    (0 until n).map(i => ("ingest", at(h), i.toLong))
+  }.toDF("event_type", "ts", "i")
+
+  private lazy val out = Monitoring
+    .hourlySpikes(events, "event_type", "ts", trailingHours = 24, k = 3)
+    .select(col("hour"), col("cnt"), col("is_gap"), col("spike"))
+    .collect()
+    .map(r => (r.getTimestamp(0).toInstant.getEpochSecond, r.getLong(1),
+      r.getBoolean(2), r.getBoolean(3)))
+    .sortBy(_._1)
+
+  private def hourOf(epoch: Long): Int =
+    ((epoch - at(0).toInstant.getEpochSecond) / 3600L).toInt
+
+  test("the planted burst is flagged, the steady baseline is not") {
+    val spikes = out.filter(_._4).map(t => hourOf(t._1)).toSet
+    assert(spikes == Set(50), s"flagged hours: $spikes")
+  }
+
+  test("no verdict before a full trailing window exists") {
+    // even a burst at hour 3 must not flag (baseline too short):
+    val early = (0 until 10).map(i => ("ingest", at(3), i.toLong))
+      .toDF("event_type", "ts", "i")
+      .union((0 until 500).map(i => ("ingest", at(2), i.toLong))
+        .toDF("event_type", "ts", "i"))
+    val flagged = Monitoring
+      .hourlySpikes(early, "event_type", "ts", trailingHours = 24, k = 3)
+      .filter(col("spike")).count()
+    assert(flagged == 0L)
+  }
+
+  test("stalled hours surface as zero-count gaps") {
+    val gaps = out.filter(_._3).map(t => hourOf(t._1)).toSet
+    assert(gaps == Set(60, 61, 62), s"gap hours: $gaps")
+    assert(out.filter(t => gaps.contains(hourOf(t._1))).forall(_._2 == 0L))
+  }
+
+  test("verdicts are partitioning-invariant") {
+    val a = Monitoring.hourlySpikes(events, "event_type", "ts")
+      .select("hour", "spike").collect().map(r =>
+        (r.getTimestamp(0).getTime, r.getBoolean(1))).toSet
+    val b = Monitoring.hourlySpikes(events.repartition(13), "event_type", "ts")
+      .select("hour", "spike").collect().map(r =>
+        (r.getTimestamp(0).getTime, r.getBoolean(1))).toSet
+    assert(a == b)
+  }
+}
