@@ -1332,7 +1332,23 @@ object SparkEntry {
     // scaladoc), awarded only once a full baseline window exists.
     "q120_spike_detection" -> q((s, d) =>
       Monitoring.hourlySpikes(Tables.events(s, d), "event_type", "ts",
-        trailingHours = 24, k = 3))
+        trailingHours = 24, k = 3)),
+
+    // Skew-mitigation JOIN form (q35's partner): events' 5-value
+    // event_type key is the pathological shuffle-join case — one key,
+    // one reducer — so the dim side replicates 16× and the join runs
+    // on (key, salt). Result is EXACTLY the plain join (the oracle is
+    // the unsalted SQL); per-type rollup keeps the gate output small.
+    "q121_salted_join" -> q((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("event_type"),
+          expr("CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)").as("vq"))
+      val dim = ev.select(col("event_type")).distinct()
+        .withColumn("w", length(col("event_type")).cast("long"))
+      Skew.saltedJoin(ev, dim, "event_type", numSalts = 16)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("vq") * col("w")).as("wv"))
+    })
   ) ++ NonSqlQueries.queries
 
   /** q92's bad-words stage (literal so the oracle renders the same
@@ -3970,6 +3986,22 @@ object SparkEntry {
          SELECT key, hour, CAST(cnt AS BIGINT) AS cnt, is_gap,
            (n = 24 AND (n * cnt - s) > 0
              AND (n * cnt - s) * (n * cnt - s) > 9 * (n * q - s * s)) AS spike
-         FROM w"""
+         FROM w""",
+
+    // Salted-join replay: the unsalted join + rollup (the salt is a
+    // plan detail, not a semantic one).
+    "q121_salted_join" ->
+      """WITH ev AS (
+           SELECT event_id, event_type,
+             CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS vq
+           FROM events),
+         dim AS (
+           SELECT DISTINCT event_type,
+             CAST(length(event_type) AS BIGINT) AS w
+           FROM ev)
+         SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(ev.vq * dim.w) AS BIGINT) AS wv
+         FROM ev JOIN dim USING (event_type)
+         GROUP BY event_type"""
   )
 }

@@ -122,6 +122,21 @@ object InvertedIndex {
     }
   }
 
+  /** The index maintained BY a stream — [[appendBatch]] per
+    * micro-batch (the ES `_bulk` consumer as a foreachBatch sink).
+    * Checkpointed micro-batch ids plus the seen-ids ledger give the
+    * usual effectively-once contract: a redelivered batch folds
+    * nothing, a half-landed batch heals read-side. */
+  def indexDeltaSink(deltaStream: DataFrame, idCol: String,
+                     fields: Seq[String], dir: String,
+                     checkpointDir: String, numBuckets: Int = 64)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    deltaStream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        appendBatch(b, idCol, fields, dir, numBuckets)
+      }
+
   /** The pruned postings read for a term set: bucket predicates fold
     * to literals → partition pruning keeps the scan posting-list-
     * sized. The `dropDuplicates` heals the appendBatch crash window

@@ -35,4 +35,26 @@ object Skew {
   def saltedCount(df: DataFrame, key: String, numSalts: Int = 16): DataFrame =
     saltedAgg(df, key, numSalts, "n" -> count(lit(1)))
       .withColumn("n", col("n").cast("long"))
+
+  /** Salted equi-join for a skewed probe side: when `big`'s join key
+    * is heavy-tailed (one viral key = one straggler reducer) and
+    * `small` is too large for the broadcast budget in the real
+    * deployment, replicate `small` `numSalts`× (one copy per salt),
+    * tag each `big` row with a deterministic whole-row-hash salt, and
+    * join on (key, salt) — the hot key's rows spread over `numSalts`
+    * reducers. Inner join only (every big row finds its replicated
+    * partner iff the key matches, so the result is EXACTLY
+    * `big.join(small, key)` — q121's oracle is the unsalted SQL).
+    * Cost: `small` shuffles `numSalts`× — the knob trades replication
+    * for straggler elimination, same arithmetic as saltedAgg's
+    * partial duplication. The salt is a hash, not rand(): retries and
+    * re-runs agree row-for-row. */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String,
+                 numSalts: Int = 16): DataFrame = {
+    val b = big.withColumn("__salt",
+      pmod(hash(big.columns.map(col).toIndexedSeq: _*), lit(numSalts)))
+    val s = small.withColumn("__salt",
+      explode(array((0 until numSalts).map(i => lit(i)): _*)))
+    b.join(s, Seq(key, "__salt")).drop("__salt")
+  }
 }

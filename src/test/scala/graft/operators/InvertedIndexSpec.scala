@@ -94,6 +94,29 @@ class InvertedIndexSpec extends SparkSpec {
       "dropDuplicates(term, doc_id) must absorb re-appended postings")
   }
 
+  test("indexDeltaSink maintains the index from a true stream") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val oneShot = freshIndex()
+    val inc = java.nio.file.Files.createTempDirectory("graft-idx-ms").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-idx-ck").toString
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id").cast("long"), coalesce(col("text"), lit("")))
+      .as[(Long, String)].collect().toSeq
+    val mem = MemoryStream[(Long, String)]
+    val sink = InvertedIndex.indexDeltaSink(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", Seq("text"), inc, ckpt)
+    // two micro-batches cover the corpus, then batch 0 is REDELIVERED
+    val (b0, b1) = docs.partition(_._1 % 2 == 0)
+    Seq(b0, b1, b0).foreach { g =>
+      mem.addData(g: _*)
+      val q = sink.trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    assert(indexScores(inc) == indexScores(oneShot))
+  }
+
   test("topK keeps only positive scores in rank order") {
     val d = freshIndex()
     val rows = InvertedIndex.topK(spark, d, terms, k = 10)
