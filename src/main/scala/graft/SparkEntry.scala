@@ -1348,6 +1348,19 @@ object SparkEntry {
       Skew.saltedJoin(ev, dim, "event_type", numSalts = 16)
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"), sum(col("vq") * col("w")).as("wv"))
+    }),
+
+    // PHRASE search from the positional index (ES match_phrase — the
+    // Q-2 family's last ES feature): exact token-sequence matches
+    // served from posting-list position intersects, the corpus never
+    // read. The oracle replays the tokenizer and counts adjacent
+    // pairs directly.
+    "q122_phrase_search" -> q((s, d) => {
+      val dir = Scratch.dir("graft-invidx-ph")
+      InvertedIndex.writeIndex(Tables.documents(s, d), "doc_id",
+        Seq("text"), dir)
+      InvertedIndex.phraseCount(s, dir, Seq("fast", "spark"))
+        .orderBy(col("doc_id"))
     })
   ) ++ NonSqlQueries.queries
 
@@ -4002,6 +4015,21 @@ object SparkEntry {
          SELECT event_type, CAST(count(*) AS BIGINT) AS n,
            CAST(sum(ev.vq * dim.w) AS BIGINT) AS wv
          FROM ev JOIN dim USING (event_type)
-         GROUP BY event_type"""
+         GROUP BY event_type""",
+
+    // Phrase replay: adjacent-pair count over the tokenized list
+    // (1-based list indexing; range(1, len) keeps i+1 in bounds).
+    "q122_phrase_search" ->
+      """WITH t AS (
+           SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9'']+'), x -> length(x) > 0) AS toks
+           FROM documents),
+         c AS (
+           SELECT doc_id,
+             CAST(len(list_filter(range(1, len(toks)),
+               i -> toks[i] = 'fast' AND toks[i + 1] = 'spark')) AS BIGINT) AS n_phrase
+           FROM t)
+         SELECT doc_id, n_phrase FROM c WHERE n_phrase > 0
+         ORDER BY doc_id"""
   )
 }

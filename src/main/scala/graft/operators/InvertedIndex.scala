@@ -59,16 +59,19 @@ object InvertedIndex {
   def bucketOf(term: Column, numBuckets: Int): Column =
     pmod(xxhash64(term), lit(numBuckets.toLong)).cast("int")
 
-  /** Posting rows `(term, doc_id, tf, dl)` — one per (term, doc),
-    * tf = occurrences, dl = the doc's token count (denormalized).
-    * One explode + one map-side-combined groupBy; text never
-    * shuffles, only (term, doc_id) pairs do. */
+  /** Posting rows `(term, doc_id, tf, dl, positions)` — one per
+    * (term, doc), tf = occurrences, dl = the doc's token count
+    * (denormalized), positions = the term's sorted 0-based token
+    * offsets (what Lucene stores for `match_phrase`; the per-posting
+    * cost is bounded by tf). One explode + one map-side-combined
+    * groupBy; text never shuffles, only (term, doc_id, pos) rows do. */
   def postings(df: DataFrame, idCol: String, fields: Seq[String]): DataFrame =
     df.select(col(idCol).cast("long").as("doc_id"), toks(fields).as("__toks"))
       .select(col("doc_id"), size(col("__toks")).cast("long").as("dl"),
-        explode(col("__toks")).as("term"))
+        posexplode(col("__toks")).as(Seq("pos", "term")))
       .groupBy(col("term"), col("doc_id"))
-      .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
+      .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"),
+        sort_array(collect_list(col("pos"))).as("positions"))
 
   /** Dictionary view: per-term df (docs containing) and cf (total
     * occurrences) — the index's statistics table, derivable from the
@@ -211,4 +214,37 @@ object InvertedIndex {
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
       .filter(col("score") > 0.0)
+
+  /** Phrase occurrences from the POSITIONAL index (ES `match_phrase`):
+    * `(doc_id, n_phrase)` for every doc containing the exact token
+    * sequence, n_phrase = the match count. Cost shape: the pruned
+    * postings of the phrase's terms, an inner doc-keyed join of the
+    * term legs (each leg posting-list-sized; the join shrinks
+    * monotonically — a doc survives only if it has EVERY term), then
+    * a scan-local position intersect: a start position p matches iff
+    * term i's postings contain p+i for all i. The corpus is never
+    * read — exactly how Lucene answers phrases. The position lambda
+    * is a HOF over candidate-sized arrays (CodegenFallback is fine
+    * off the corpus path). */
+  def phraseCount(spark: SparkSession, dir: String,
+                  phrase: Seq[String]): DataFrame = {
+    require(phrase.length >= 2, "phraseCount needs at least two terms")
+    val ts = phrase.map(_.toLowerCase)
+    val nb = spark.read.parquet(s"$dir/stats")
+      .agg(max(col("num_buckets")).as("nb"))
+      .collect()(0).getInt(0)
+    val post = readPostings(spark, dir, ts.distinct, nb)
+    val legs = ts.zipWithIndex.map { case (t, i) =>
+      post.filter(col("term") === t)
+        .select(col("doc_id"), col("positions").as(s"__p$i"))
+    }
+    val joined = legs.reduce((a, b) => a.join(b, "doc_id"))
+    val matches = filter(col("__p0"), x =>
+      (1 until ts.length)
+        .map(i => array_contains(col(s"__p$i"), x + lit(i)))
+        .reduce(_ && _))
+    joined.withColumn("n_phrase", size(matches).cast("long"))
+      .filter(col("n_phrase") > 0L)
+      .select(col("doc_id"), col("n_phrase"))
+  }
 }

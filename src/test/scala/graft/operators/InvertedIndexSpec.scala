@@ -117,6 +117,54 @@ class InvertedIndexSpec extends SparkSpec {
     assert(indexScores(inc) == indexScores(oneShot))
   }
 
+  test("phraseCount equals a brute-force token-sequence count") {
+    val d = freshIndex()
+    val phrase = Seq("fast", "spark")
+    val got = InvertedIndex.phraseCount(spark, d, phrase)
+      .as[(Long, Long)].collect().toMap
+    // brute force over the same tokenizer's output
+    val toksOf = Tables.documents(spark, dir)
+      .select(col("doc_id").cast("long"),
+        graft.functions.Analyzer.tokenize(coalesce(col("text"), lit(""))))
+      .as[(Long, Seq[String])].collect()
+    val expect = toksOf.flatMap { case (id, ts) =>
+      val n = ts.sliding(2).count(_ == phrase)
+      if (n > 0) Some(id -> n.toLong) else None
+    }.toMap
+    assert(got == expect)
+  }
+
+  test("a 3-term phrase is found only when strictly consecutive") {
+    val d = java.nio.file.Files.createTempDirectory("graft-idx-ph3").toString
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),      // match
+      (2L, "alpha beta x gamma"),          // gap — no match
+      (3L, "gamma beta alpha"),            // order matters — no match
+      (4L, "alpha beta gamma alpha beta gamma")) // two matches
+      .toDF("doc_id", "text")
+    InvertedIndex.writeIndex(docs, "doc_id", Seq("text"), d)
+    val got = InvertedIndex
+      .phraseCount(spark, d, Seq("alpha", "beta", "gamma"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 4L -> 2L))
+  }
+
+  test("postings compaction preserves the served answer") {
+    val inc = java.nio.file.Files.createTempDirectory("graft-idx-cpt").toString
+    val docs = Tables.documents(spark, dir)
+    // many tiny batches → many small posting files per bucket
+    (0L until 6L).foreach { sl =>
+      InvertedIndex.appendBatch(docs.filter(col("doc_id") % 6 === sl),
+        "doc_id", Seq("text"), inc)
+    }
+    val before = indexScores(inc)
+    val report = graft.plans.Maintenance.compact(spark,
+      s"$inc/postings", Seq("term", "doc_id"), maxFiles = 1)
+    assert(report.compacted > 0 && report.filesAfter < report.filesBefore,
+      report.toString)
+    assert(indexScores(inc) == before)
+  }
+
   test("topK keeps only positive scores in rank order") {
     val d = freshIndex()
     val rows = InvertedIndex.topK(spark, d, terms, k = 10)
