@@ -1361,6 +1361,18 @@ object SparkEntry {
         Seq("text"), dir)
       InvertedIndex.phraseCount(s, dir, Seq("fast", "spark"))
         .orderBy(col("doc_id"))
+    }),
+
+    // BOOLEAN retrieval from the index (ES bool must/must_not): all
+    // legs posting-list reads — must legs intersect doc-keyed,
+    // must_not subtracts with one anti-join; the corpus never scans.
+    "q123_boolean_search" -> q((s, d) => {
+      val dir = Scratch.dir("graft-invidx-bool")
+      InvertedIndex.writeIndex(Tables.documents(s, d), "doc_id",
+        Seq("text"), dir)
+      InvertedIndex.booleanQuery(s, dir,
+          must = Seq("window", "scan"), mustNot = Seq("dup"))
+        .orderBy(col("doc_id"))
     })
   ) ++ NonSqlQueries.queries
 
@@ -4030,6 +4042,21 @@ object SparkEntry {
                i -> toks[i] = 'fast' AND toks[i + 1] = 'spark')) AS BIGINT) AS n_phrase
            FROM t)
          SELECT doc_id, n_phrase FROM c WHERE n_phrase > 0
+         ORDER BY doc_id""",
+
+    // Boolean replay: contains-all must terms, contains-none of the
+    // must_not terms; tf_sum = total must-term occurrences.
+    "q123_boolean_search" ->
+      """WITH t AS (
+           SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9'']+'), x -> length(x) > 0) AS toks
+           FROM documents)
+         SELECT doc_id,
+           CAST(len(list_filter(toks, x -> x = 'window'))
+              + len(list_filter(toks, x -> x = 'scan')) AS BIGINT) AS tf_sum
+         FROM t
+         WHERE list_contains(toks, 'window') AND list_contains(toks, 'scan')
+           AND NOT list_contains(toks, 'dup')
          ORDER BY doc_id"""
   )
 }

@@ -215,6 +215,37 @@ object InvertedIndex {
       .limit(k)
       .filter(col("score") > 0.0)
 
+  /** Boolean retrieval from the index (ES `bool`): doc ids matching
+    * EVERY `must` term and NONE of the `mustNot` terms, with the must
+    * terms' total tf as a tiebreak-friendly weight. All legs are
+    * pruned posting reads; `must` legs intersect via inner doc-keyed
+    * joins (the candidate set shrinks monotonically), `mustNot`
+    * subtracts via ONE left-anti join on the union of its postings —
+    * the negation never touches the corpus, exactly the Lucene
+    * evaluation order. */
+  def booleanQuery(spark: SparkSession, dir: String, must: Seq[String],
+                   mustNot: Seq[String] = Nil): DataFrame = {
+    require(must.nonEmpty, "booleanQuery needs at least one must term")
+    val ms = must.map(_.toLowerCase)
+    val ns = mustNot.map(_.toLowerCase)
+    val nb = spark.read.parquet(s"$dir/stats")
+      .agg(max(col("num_buckets")).as("nb"))
+      .collect()(0).getInt(0)
+    val post = readPostings(spark, dir, (ms ++ ns).distinct, nb)
+    val cand = ms.zipWithIndex.map { case (t, i) =>
+      post.filter(col("term") === t)
+        .select(col("doc_id"), col("tf").as(s"__tf$i"))
+    }.reduce((a, b) => a.join(b, "doc_id"))
+    val kept =
+      if (ns.isEmpty) cand
+      else cand.join(
+        post.filter(col("term").isin(ns: _*)).select(col("doc_id")),
+        Seq("doc_id"), "left_anti")
+    kept.withColumn("tf_sum",
+        ms.indices.map(i => col(s"__tf$i")).reduce(_ + _))
+      .select(col("doc_id"), col("tf_sum"))
+  }
+
   /** Phrase occurrences from the POSITIONAL index (ES `match_phrase`):
     * `(doc_id, n_phrase)` for every doc containing the exact token
     * sequence, n_phrase = the match count. Cost shape: the pruned

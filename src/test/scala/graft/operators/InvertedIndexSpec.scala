@@ -149,6 +149,28 @@ class InvertedIndexSpec extends SparkSpec {
     assert(got == Map(1L -> 1L, 4L -> 2L))
   }
 
+  test("booleanQuery intersects must and subtracts must_not") {
+    val d = java.nio.file.Files.createTempDirectory("graft-idx-bool").toString
+    val docs = Seq(
+      (1L, "alpha beta"),             // both musts
+      (2L, "alpha beta gamma"),       // both musts, excluded term
+      (3L, "alpha alpha beta"),       // both musts, tf_sum 3
+      (4L, "alpha"),                  // missing a must
+      (5L, "gamma"))                  // only the excluded term
+      .toDF("doc_id", "text")
+    InvertedIndex.writeIndex(docs, "doc_id", Seq("text"), d)
+    val got = InvertedIndex
+      .booleanQuery(spark, d, must = Seq("alpha", "beta"),
+        mustNot = Seq("gamma"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 2L, 3L -> 3L))
+    // must-only form keeps doc 2
+    val mustOnly = InvertedIndex
+      .booleanQuery(spark, d, must = Seq("alpha", "beta"))
+      .as[(Long, Long)].collect().toMap
+    assert(mustOnly == Map(1L -> 2L, 2L -> 2L, 3L -> 3L))
+  }
+
   test("postings compaction preserves the served answer") {
     val inc = java.nio.file.Files.createTempDirectory("graft-idx-cpt").toString
     val docs = Tables.documents(spark, dir)
