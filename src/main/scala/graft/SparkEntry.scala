@@ -1373,6 +1373,40 @@ object SparkEntry {
       InvertedIndex.booleanQuery(s, dir,
           must = Seq("window", "scan"), mustNot = Seq("dup"))
         .orderBy(col("doc_id"))
+    }),
+
+    // HYBRID search: Reciprocal Rank Fusion of the lexical (BM25
+    // top-100, q51's exact leg) and vector (exact-cosine top-100,
+    // x12's exact leg) rankings — rank-based, so the only floats are
+    // two integer divisions and the whole hybrid pipeline
+    // hash-replays. Shared id space: doc_id ↔ vec_id.
+    "q124_hybrid_rrf" -> q((s, d) => {
+      val bmTop = Search.bm25Scored(Tables.documents(s, d), Seq("text"),
+          Seq("window", "vector", "stream"))
+        .withColumn("score_q",
+          floor(col("score") * 1000000000.0 + 0.5).cast("long"))
+        .filter(col("score_q") > 0)
+        .orderBy(col("score_q").desc, col("doc_id")).limit(100)
+      val bmRank = bmTop.withColumn("rank", row_number()
+          .over(Window.orderBy(col("score_q").desc, col("doc_id")))
+          .cast("long"))
+        .select(col("doc_id").cast("long").as("id"), col("rank"))
+      val emb = Tables.embeddings(s, d)
+      val query = broadcast(emb.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>").as("qv")))
+      val cosTop = emb.filter(col("vec_id") =!= 0).crossJoin(query)
+        .select(col("vec_id"), Similarity.cosineFast(
+          col("embedding").cast("array<double>"), col("qv")).as("cos"))
+        .orderBy(col("cos").desc, col("vec_id")).limit(100)
+      val cosRank = cosTop.withColumn("rank", row_number()
+          .over(Window.orderBy(col("cos").desc, col("vec_id")))
+          .cast("long"))
+        .select(col("vec_id").cast("long").as("id"), col("rank"))
+      Search.rrfFuse(bmRank, cosRank, "id")
+        .withColumn("rrf_q",
+          floor(col("rrf") * 1000000000000.0 + 0.5).cast("long"))
+        .select(col("id"), col("rrf_q"))
+        .orderBy(col("rrf_q").desc, col("id"))
     })
   ) ++ NonSqlQueries.queries
 
@@ -4057,6 +4091,63 @@ object SparkEntry {
          FROM t
          WHERE list_contains(toks, 'window') AND list_contains(toks, 'scan')
            AND NOT list_contains(toks, 'dup')
-         ORDER BY doc_id"""
+         ORDER BY doc_id""",
+
+    // Hybrid replay: q51's BM25 leg + x12's exact-cosine leg, both
+    // re-ranked top-100, fused with 1/(60+rank) per present leg.
+    "q124_hybrid_rrf" ->
+      s"""WITH t AS (
+           SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9'']+'), x -> length(x) > 0) AS toks
+           FROM documents),
+         td AS (SELECT doc_id, toks, CAST(len(toks) AS DOUBLE) AS dl FROM t),
+         s AS (
+           SELECT CAST(count(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(len(toks) AS BIGINT)) AS DOUBLE) AS sumdl,
+             CAST(count(*) FILTER (WHERE list_contains(toks, 'window')) AS DOUBLE) AS df0,
+             CAST(count(*) FILTER (WHERE list_contains(toks, 'vector')) AS DOUBLE) AS df1,
+             CAST(count(*) FILTER (WHERE list_contains(toks, 'stream')) AS DOUBLE) AS df2
+           FROM t),
+         sc AS (
+           SELECT doc_id,
+             (CASE WHEN df0 = 0 THEN 0.0 ELSE
+                ln((n - df0 + 0.5) / (df0 + 0.5) + 1.0)
+                * ((CAST(len(list_filter(toks, x -> x = 'window')) AS DOUBLE) * (1.2 + 1.0))
+                   / (CAST(len(list_filter(toks, x -> x = 'window')) AS DOUBLE)
+                      + 1.2 * (1.0 - 0.75 + 0.75 * (dl / (sumdl / n))))) END
+              + CASE WHEN df1 = 0 THEN 0.0 ELSE
+                ln((n - df1 + 0.5) / (df1 + 0.5) + 1.0)
+                * ((CAST(len(list_filter(toks, x -> x = 'vector')) AS DOUBLE) * (1.2 + 1.0))
+                   / (CAST(len(list_filter(toks, x -> x = 'vector')) AS DOUBLE)
+                      + 1.2 * (1.0 - 0.75 + 0.75 * (dl / (sumdl / n))))) END
+              + CASE WHEN df2 = 0 THEN 0.0 ELSE
+                ln((n - df2 + 0.5) / (df2 + 0.5) + 1.0)
+                * ((CAST(len(list_filter(toks, x -> x = 'stream')) AS DOUBLE) * (1.2 + 1.0))
+                   / (CAST(len(list_filter(toks, x -> x = 'stream')) AS DOUBLE)
+                      + 1.2 * (1.0 - 0.75 + 0.75 * (dl / (sumdl / n))))) END) AS score
+           FROM td, s),
+         bmtop AS (
+           SELECT doc_id AS id,
+             CAST(row_number() OVER (ORDER BY score_q DESC, doc_id) AS BIGINT) AS r
+           FROM (SELECT doc_id,
+                   CAST(floor(score * 1000000000.0 + 0.5) AS BIGINT) AS score_q
+                 FROM sc)
+           WHERE score_q > 0
+           QUALIFY r <= 100),
+         e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         qv AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+         costop AS (
+           SELECT vec_id AS id,
+             CAST(row_number() OVER (ORDER BY cos DESC, vec_id) AS BIGINT) AS r
+           FROM (SELECT vec_id, ${sqlCos("v", "qv")} AS cos
+                 FROM e, qv WHERE vec_id <> 0)
+           QUALIFY r <= 100),
+         f AS (
+           SELECT COALESCE(a.id, b.id) AS id,
+             (CASE WHEN a.r IS NULL THEN 0.0 ELSE 1.0 / (60.0 + a.r) END
+              + CASE WHEN b.r IS NULL THEN 0.0 ELSE 1.0 / (60.0 + b.r) END) AS rrf
+           FROM bmtop a FULL OUTER JOIN costop b ON a.id = b.id)
+         SELECT id, CAST(floor(rrf * 1000000000000.0 + 0.5) AS BIGINT) AS rrf_q
+         FROM f ORDER BY rrf_q DESC, id"""
   )
 }

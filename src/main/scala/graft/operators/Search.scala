@@ -188,4 +188,27 @@ object Search {
       .drop(("__toks" +: "__dl" +: "__n" +: "__sumdl" +:
         terms.indices.map(i => s"__df_$i")): _*)
   }
+
+  /** Reciprocal Rank Fusion (Cormack, Clarke & Buettcher 2009 — the
+    * hybrid-search standard ES ships as `rrf`): fuse a LEXICAL
+    * ranking and a VECTOR ranking into one list without score
+    * calibration — each leg contributes `1/(k0 + rank)`, an id
+    * missing from a leg contributes 0. Rank-based, so the fusion is
+    * deterministic wherever both legs are, and the only arithmetic is
+    * two divisions of exact integers — IEEE-identical in any engine,
+    * which is what lets q124 hash-replay a full hybrid pipeline.
+    *
+    * Inputs are `(idCol, rank)` frames (1-based ranks, typically
+    * top-k — both legs are k-row, so the fusion is a k-row full-outer
+    * join: driver-light, corpus-free). */
+  def rrfFuse(lexical: DataFrame, vector: DataFrame, idCol: String,
+              k0: Int = 60): DataFrame = {
+    def leg(r: Column): Column =
+      when(r.isNull, 0.0).otherwise(lit(1.0) / (lit(k0.toDouble) + r))
+    lexical.select(col(idCol), col("rank").as("__ra"))
+      .join(vector.select(col(idCol), col("rank").as("__rb")),
+        Seq(idCol), "full_outer")
+      .withColumn("rrf", leg(col("__ra")) + leg(col("__rb")))
+      .drop("__ra", "__rb")
+  }
 }

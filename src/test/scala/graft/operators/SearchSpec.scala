@@ -64,4 +64,18 @@ class SearchSpec extends SparkSpec {
       assert(row.length == 1 && !row(0).isNullAt(0) && row(0).getDouble(0) == 0.0)
     }
   }
+
+  test("rrfFuse: overlap sums legs, single-leg ids keep one term") {
+    val lex = Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("id", "rank")
+    val vec = Seq((2L, 1L), (4L, 2L)).toDF("id", "rank")
+    val got = Search.rrfFuse(lex, vec, "id", k0 = 60)
+      .as[(Long, Double)].collect().toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 4L))
+    assert(got(1L) == 1.0 / 61.0)
+    assert(got(2L) == 1.0 / 62.0 + 1.0 / 61.0)
+    assert(got(3L) == 1.0 / 63.0)
+    assert(got(4L) == 1.0 / 62.0)
+    // an id on both lists outranks either of its single-leg scores
+    assert(got(2L) > got(1L) && got(2L) > got(4L))
+  }
 }
