@@ -1407,6 +1407,25 @@ object SparkEntry {
           floor(col("rrf") * 1000000000000.0 + 0.5).cast("long"))
         .select(col("id"), col("rrf_q"))
         .orderBy(col("rrf_q").desc, col("id"))
+    }),
+
+    // FILTERED ranked retrieval from the index — the reference's
+    // search_by_sentiment SHAPE (keyword-field term filter × ranked
+    // relevance) at posting-list cost: keyword postings semi-join the
+    // BM25 candidates, scoring stats stay corpus-level (ES filter
+    // semantics — idf unchanged by the filter).
+    "q125_filtered_search" -> q((s, d) => {
+      val dir = Scratch.dir("graft-invidx-filt")
+      InvertedIndex.writeIndex(Tables.documents(s, d), "doc_id",
+        Seq("text"), dir, keywordCols = Seq("source"))
+      InvertedIndex.filteredScored(s, dir, Seq("dup", "window", "scan"),
+          filters = Seq("source" -> "src3"))
+        .withColumn("score_q",
+          floor(col("score") * 1000000000.0 + 0.5).cast("long"))
+        .orderBy(col("score_q").desc, col("doc_id"))
+        .limit(100)
+        .filter(col("score_q") > 0)
+        .select(col("doc_id"), col("score_q"))
     })
   ) ++ NonSqlQueries.queries
 
@@ -4148,6 +4167,46 @@ object SparkEntry {
               + CASE WHEN b.r IS NULL THEN 0.0 ELSE 1.0 / (60.0 + b.r) END) AS rrf
            FROM bmtop a FULL OUTER JOIN costop b ON a.id = b.id)
          SELECT id, CAST(floor(rrf * 1000000000000.0 + 0.5) AS BIGINT) AS rrf_q
-         FROM f ORDER BY rrf_q DESC, id"""
+         FROM f ORDER BY rrf_q DESC, id""",
+
+    // Filtered-search replay: full-corpus BM25 statistics (the filter
+    // narrows the result set, never idf — ES semantics), candidates
+    // restricted to the filter value before the ranked top-k.
+    "q125_filtered_search" ->
+      """WITH t AS (
+           SELECT doc_id, source,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9'']+'), x -> length(x) > 0) AS toks
+           FROM documents),
+         td AS (SELECT doc_id, source, toks, CAST(len(toks) AS DOUBLE) AS dl FROM t),
+         s AS (
+           SELECT CAST(count(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(len(toks) AS BIGINT)) AS DOUBLE) AS sumdl,
+             CAST(count(*) FILTER (WHERE list_contains(toks, 'dup')) AS DOUBLE) AS df0,
+             CAST(count(*) FILTER (WHERE list_contains(toks, 'window')) AS DOUBLE) AS df1,
+             CAST(count(*) FILTER (WHERE list_contains(toks, 'scan')) AS DOUBLE) AS df2
+           FROM t),
+         sc AS (
+           SELECT doc_id, source,
+             (CASE WHEN df0 = 0 THEN 0.0 ELSE
+                ln((n - df0 + 0.5) / (df0 + 0.5) + 1.0)
+                * ((CAST(len(list_filter(toks, x -> x = 'dup')) AS DOUBLE) * (1.2 + 1.0))
+                   / (CAST(len(list_filter(toks, x -> x = 'dup')) AS DOUBLE)
+                      + 1.2 * (1.0 - 0.75 + 0.75 * (dl / (sumdl / n))))) END
+              + CASE WHEN df1 = 0 THEN 0.0 ELSE
+                ln((n - df1 + 0.5) / (df1 + 0.5) + 1.0)
+                * ((CAST(len(list_filter(toks, x -> x = 'window')) AS DOUBLE) * (1.2 + 1.0))
+                   / (CAST(len(list_filter(toks, x -> x = 'window')) AS DOUBLE)
+                      + 1.2 * (1.0 - 0.75 + 0.75 * (dl / (sumdl / n))))) END
+              + CASE WHEN df2 = 0 THEN 0.0 ELSE
+                ln((n - df2 + 0.5) / (df2 + 0.5) + 1.0)
+                * ((CAST(len(list_filter(toks, x -> x = 'scan')) AS DOUBLE) * (1.2 + 1.0))
+                   / (CAST(len(list_filter(toks, x -> x = 'scan')) AS DOUBLE)
+                      + 1.2 * (1.0 - 0.75 + 0.75 * (dl / (sumdl / n))))) END) AS score
+           FROM td, s),
+         scq AS (
+           SELECT doc_id, CAST(floor(score * 1000000000.0 + 0.5) AS BIGINT) AS score_q
+           FROM sc WHERE source = 'src3')
+         SELECT doc_id, score_q FROM scq WHERE score_q > 0
+         ORDER BY score_q DESC, doc_id LIMIT 100"""
   )
 }

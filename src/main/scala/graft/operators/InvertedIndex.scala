@@ -83,7 +83,8 @@ object InvertedIndex {
   /** Build the index at `dir`: bucketed postings + the 1-row corpus
     * stats ledger `(n_docs, sum_dl, num_buckets)`. */
   def writeIndex(df: DataFrame, idCol: String, fields: Seq[String],
-                 dir: String, numBuckets: Int = 64): Unit = {
+                 dir: String, numBuckets: Int = 64,
+                 keywordCols: Seq[String] = Nil): Unit = {
     postings(df, idCol, fields)
       .withColumn("bucket", bucketOf(col("term"), numBuckets))
       .write.partitionBy("bucket").mode("overwrite")
@@ -95,7 +96,24 @@ object InvertedIndex {
         sum(size(toks(fields)).cast("long")).as("sum_dl"))
       .withColumn("num_buckets", lit(numBuckets))
       .write.mode("overwrite").parquet(s"$dir/stats")
+    if (keywordCols.nonEmpty)
+      keywordPostings(df, idCol, keywordCols)
+        .withColumn("bucket",
+          bucketOf(concat(col("field"), lit(":"), col("value")), numBuckets))
+        .write.partitionBy("bucket").mode("overwrite")
+        .parquet(s"$dir/keywords")
   }
+
+  /** Keyword-field postings `(field, value, doc_id)` — the Lucene
+    * `keyword` type: exact values, no tokenizing, no effect on the
+    * text fields' BM25 statistics. One row per (doc, field). */
+  def keywordPostings(df: DataFrame, idCol: String,
+                      keywordCols: Seq[String]): DataFrame =
+    keywordCols.map { f =>
+      df.select(lit(f).as("field"),
+        col(f).cast("string").as("value"),
+        col(idCol).cast("long").as("doc_id"))
+    }.reduce(_ unionByName _)
 
   /** Fold a delta batch into a standing index (ES `_bulk`): postings
     * and a stats partial append under the standing layout; a seen-ids
@@ -214,6 +232,30 @@ object InvertedIndex {
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
       .filter(col("score") > 0.0)
+
+  /** FILTERED ranked retrieval (the reference's `search_by_sentiment`
+    * shape — a term filter over a keyword field composed with ranked
+    * relevance): [[scored]]'s BM25 candidates, kept only where the
+    * doc matches EVERY `(field, value)` filter via a semi-join
+    * against the pruned keyword postings. Scoring statistics stay
+    * CORPUS-LEVEL (ES semantics: a filter narrows the result set,
+    * not idf), and each filter leg reads one keyword bucket — the
+    * corpus is never scanned. */
+  def filteredScored(spark: SparkSession, dir: String, terms: Seq[String],
+                     filters: Seq[(String, String)],
+                     k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val nb = spark.read.parquet(s"$dir/stats")
+      .agg(max(col("num_buckets")).as("nb"))
+      .collect()(0).getInt(0)
+    filters.foldLeft(scored(spark, dir, terms, k1, b)) { case (acc, (f, v)) =>
+      val leg = spark.read.parquet(s"$dir/keywords")
+        .filter(col("bucket") ===
+          bucketOf(concat(lit(f), lit(":"), lit(v)), nb))
+        .filter(col("field") === f && col("value") === v)
+        .select(col("doc_id"))
+      acc.join(leg, Seq("doc_id"), "left_semi")
+    }
+  }
 
   /** Boolean retrieval from the index (ES `bool`): doc ids matching
     * EVERY `must` term and NONE of the `mustNot` terms, with the must

@@ -149,6 +149,31 @@ class InvertedIndexSpec extends SparkSpec {
     assert(got == Map(1L -> 1L, 4L -> 2L))
   }
 
+  test("filteredScored = scored restricted to the keyword value") {
+    val d = java.nio.file.Files.createTempDirectory("graft-idx-filt").toString
+    InvertedIndex.writeIndex(Tables.documents(spark, dir), "doc_id",
+      Seq("text"), d, keywordCols = Seq("source"))
+    val all = InvertedIndex.scored(spark, d, terms)
+      .as[(Long, Double)].collect().toMap
+    val filtered = InvertedIndex
+      .filteredScored(spark, d, terms, Seq("source" -> "src1"))
+      .as[(Long, Double)].collect().toMap
+    val src1Ids = Tables.documents(spark, dir)
+      .filter(col("source") === "src1")
+      .select(col("doc_id").cast("long")).as[Long].collect().toSet
+    // exactly the src1 candidates, scores UNCHANGED (corpus-level idf)
+    assert(filtered.keySet == all.keySet.intersect(src1Ids))
+    filtered.foreach { case (id, s) => assert(s == all(id)) }
+    // the keyword read prunes to one bucket directory
+    val kw = spark.read.parquet(s"$d/keywords")
+      .filter(col("bucket") === InvertedIndex.bucketOf(
+        concat(lit("source"), lit(":"), lit("src1")), 64))
+    val dirs = kw.select(input_file_name().as("f")).distinct()
+      .as[String].collect()
+      .map(f => f.substring(0, f.lastIndexOf('/'))).distinct
+    assert(dirs.length == 1 && dirs(0).contains("bucket="), dirs.mkString(","))
+  }
+
   test("booleanQuery intersects must and subtracts must_not") {
     val d = java.nio.file.Files.createTempDirectory("graft-idx-bool").toString
     val docs = Seq(
