@@ -1426,7 +1426,41 @@ object SparkEntry {
         .limit(100)
         .filter(col("score_q") > 0)
         .select(col("doc_id"), col("score_q"))
-    })
+    }),
+
+    // Corpus-level data-quality gate (the Deequ/expectations core):
+    // uniqueness, referential integrity, not-null, value ranges —
+    // every verdict an exact integer count, the suite one union of
+    // 1-row aggregations.
+    "q126_constraint_suite" -> q((s, d) => {
+      val orders = Tables.orders(s, d)
+      val li = Tables.lineitem(s, d)
+      val cust = Tables.customer(s, d)
+      Constraints.suite(Seq(
+        Constraints.unique(orders, "unique:o_orderkey", "o_orderkey"),
+        Constraints.unique(li, "unique:l_orderkey,l_linenumber",
+          "l_orderkey", "l_linenumber"),
+        Constraints.foreignKey(orders, "fk:o_custkey->c_custkey",
+          "o_custkey", cust, "c_custkey"),
+        Constraints.foreignKey(li, "fk:l_orderkey->o_orderkey",
+          "l_orderkey", orders, "o_orderkey"),
+        Constraints.notNull(cust, "notnull:c_name", "c_name"),
+        Constraints.inRange(li.withColumn("lq",
+            col("l_quantity").cast("long")), "range:l_quantity[1,50]",
+          "lq", lit(1L), lit(50L))))
+        .orderBy(col("constraint"))
+    }),
+
+    // SCD TYPE 2 from the event stream: each user's event_type runs
+    // collapse to versioned rows with validity intervals (open-ended
+    // current version) — the dimension shape q44's as-of join and
+    // q111's time travel consume upstream. Pure key-partitioned
+    // window arithmetic; ties broken by event_id.
+    "q127_scd2" -> q((s, d) =>
+      Scd.type2(Tables.events(s, d), "user_id", "event_type",
+          "ts", "event_id")
+        .filter(col("user_id") % 20 === 0) // bound the gate output
+        .orderBy(col("user_id"), col("version")))
   ) ++ NonSqlQueries.queries
 
   /** q92's bad-words stage (literal so the oracle renders the same
@@ -4207,6 +4241,66 @@ object SparkEntry {
            SELECT doc_id, CAST(floor(score * 1000000000.0 + 0.5) AS BIGINT) AS score_q
            FROM sc WHERE source = 'src3')
          SELECT doc_id, score_q FROM scq WHERE score_q > 0
-         ORDER BY score_q DESC, doc_id LIMIT 100"""
+         ORDER BY score_q DESC, doc_id LIMIT 100""",
+
+    // Constraint replay: each check one scalar aggregation; the fk
+    // checks use the null-probe left join (NOT IN's null trap
+    // avoided on both engines identically).
+    "q126_constraint_suite" ->
+      """WITH c AS (
+           SELECT 'unique:o_orderkey' AS con,
+             (SELECT count(*) FROM orders)
+               - (SELECT count(DISTINCT o_orderkey) FROM orders) AS v
+           UNION ALL
+           SELECT 'unique:l_orderkey,l_linenumber',
+             (SELECT count(*) FROM lineitem)
+               - (SELECT count(*) FROM
+                   (SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem))
+           UNION ALL
+           SELECT 'fk:o_custkey->c_custkey',
+             (SELECT count(*) FROM orders o
+              LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+                ON o.o_custkey = c.c_custkey
+              WHERE c.c_custkey IS NULL)
+           UNION ALL
+           SELECT 'fk:l_orderkey->o_orderkey',
+             (SELECT count(*) FROM lineitem l
+              LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+                ON l.l_orderkey = o.o_orderkey
+              WHERE o.o_orderkey IS NULL)
+           UNION ALL
+           SELECT 'notnull:c_name',
+             (SELECT count(*) FROM customer WHERE c_name IS NULL)
+           UNION ALL
+           SELECT 'range:l_quantity[1,50]',
+             (SELECT count(*) FROM lineitem
+              WHERE CAST(l_quantity AS BIGINT) IS NULL
+                 OR CAST(l_quantity AS BIGINT) < 1
+                 OR CAST(l_quantity AS BIGINT) > 50))
+         SELECT con AS "constraint", CAST(v AS BIGINT) AS violations,
+           v = 0 AS ok
+         FROM c ORDER BY con""",
+
+    // SCD2 replay: identical lag/lead/row_number windows, identical
+    // (ts, event_id) tie order.
+    "q127_scd2" ->
+      """WITH l AS (
+           SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS prev
+           FROM events),
+         ch AS (
+           SELECT user_id, event_type, ts, event_id FROM l
+           WHERE prev IS NULL OR prev <> event_type),
+         v AS (
+           SELECT user_id, event_type, ts AS valid_from,
+             lead(ts) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS valid_to,
+             CAST(row_number() OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS BIGINT) AS version
+           FROM ch)
+         SELECT user_id, event_type, valid_from, valid_to, version
+         FROM v WHERE user_id % 20 = 0
+         ORDER BY user_id, version"""
   )
 }

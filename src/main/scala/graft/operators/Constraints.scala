@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Declarative data-quality constraints — the corpus-level gate a
+  * 100 TB pipeline runs before shipping a release (the
+  * per-record validation F-1 answers "is this row well-formed"; this
+  * answers "is this TABLE internally consistent"). The standard
+  * check vocabulary (uniqueness, referential integrity, not-null,
+  * value ranges — the Deequ/expectations core) expressed as plain
+  * aggregations, so every verdict is an exact integer count and the
+  * whole suite hash-replays in SQL.
+  *
+  * Scale shape: uniqueness and not-null are one map-side-combined agg
+  * per check; a foreign-key check is one left anti/null-probe join
+  * (broadcast when the parent's key column is small, SMJ otherwise —
+  * Catalyst's choice); checks are independent 1-row frames, so the
+  * suite unions without a shuffle. Nothing is row-expanded.
+  */
+object Constraints {
+
+  /** 1-row `(constraint, violations)`: rows whose `cols` tuple is
+    * shared with at least one other row (total − distinct). */
+  def unique(df: DataFrame, name: String, cols: String*): DataFrame =
+    df.agg((count(lit(1)) -
+        count_distinct(col(cols.head), cols.tail.map(col): _*))
+      .as("violations"))
+      .select(lit(name).as("constraint"), col("violations"))
+
+  /** 1-row: rows where `c` is null. */
+  def notNull(df: DataFrame, name: String, c: String): DataFrame =
+    df.agg(sum(when(col(c).isNull, 1L).otherwise(0L)).as("violations"))
+      .select(lit(name).as("constraint"),
+        coalesce(col("violations"), lit(0L)).as("violations"))
+
+  /** 1-row: rows where `c` falls outside `[lo, hi]` (nulls count —
+    * an absent value cannot certify the range). */
+  def inRange(df: DataFrame, name: String, c: String,
+              lo: Column, hi: Column): DataFrame =
+    df.agg(sum(when(col(c).isNull || col(c) < lo || col(c) > hi, 1L)
+        .otherwise(0L)).as("violations"))
+      .select(lit(name).as("constraint"),
+        coalesce(col("violations"), lit(0L)).as("violations"))
+
+  /** 1-row: child rows whose `fk` has no parent `pk` (null-probe left
+    * join, so a NULL fk counts as a violation — same as the anti-join
+    * reading, and replayable without NOT IN's null trap). */
+  def foreignKey(child: DataFrame, name: String, fk: String,
+                 parent: DataFrame, pk: String): DataFrame = {
+    val p = parent.select(col(pk).as("__pk")).distinct()
+    child.select(col(fk).as("__fk"))
+      .join(p, col("__fk") === col("__pk"), "left")
+      .agg(sum(when(col("__pk").isNull, 1L).otherwise(0L)).as("violations"))
+      .select(lit(name).as("constraint"),
+        coalesce(col("violations"), lit(0L)).as("violations"))
+  }
+
+  /** Union the checks into the suite report `(constraint, violations,
+    * ok)` — each check is a 1-row frame, so this is a union of
+    * scalars, not a shuffle. */
+  def suite(checks: Seq[DataFrame]): DataFrame =
+    checks.reduce(_ unionByName _)
+      .select(col("constraint"), col("violations").cast("long"),
+        (col("violations") === 0L).as("ok"))
+}

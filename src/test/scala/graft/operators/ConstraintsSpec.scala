@@ -1,0 +1,44 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The data-quality gate counts exactly the planted violations. */
+class ConstraintsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("each check counts its planted violations exactly") {
+    val child = Seq((1L, Some(10L)), (2L, Some(10L)), (2L, Some(11L)),
+        (3L, Some(99L)), (4L, None))
+      .toDF("id", "fk")
+    val parent = Seq(10L, 11L).toDF("pk")
+    val vals = Seq(Some(1L), Some(50L), Some(0L), Some(51L), None)
+      .toDF("v")
+    val named = Seq(Some("a"), None, Some("c")).toDF("name")
+    val out = Constraints.suite(Seq(
+        Constraints.unique(child, "unique:id", "id"),
+        Constraints.foreignKey(child, "fk:fk->pk", "fk", parent, "pk"),
+        Constraints.inRange(vals, "range:v[1,50]", "v", lit(1L), lit(50L)),
+        Constraints.notNull(named, "notnull:name", "name")))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getBoolean(2)))
+      .toMap
+    // id=2 appears twice → 5 rows, 4 distinct → 1 violation
+    assert(out("unique:id") == (1L, false))
+    // fk 99 orphaned + null fk → 2
+    assert(out("fk:fk->pk") == (2L, false))
+    // 0, 51, and null → 3
+    assert(out("range:v[1,50]") == (3L, false))
+    assert(out("notnull:name") == (1L, false))
+  }
+
+  test("a clean table passes every check") {
+    val t = Seq((1L, "x"), (2L, "y")).toDF("id", "name")
+    val out = Constraints.suite(Seq(
+        Constraints.unique(t, "u", "id"),
+        Constraints.notNull(t, "n", "name"),
+        Constraints.inRange(t, "r", "id", lit(1L), lit(2L)),
+        Constraints.foreignKey(t, "f", "id", t, "id")))
+      .collect()
+    assert(out.forall(r => r.getLong(1) == 0L && r.getBoolean(2)))
+  }
+}
