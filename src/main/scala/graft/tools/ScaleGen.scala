@@ -82,6 +82,15 @@ object ScaleGen {
     }.repartition(cpus.toInt).write.mode("overwrite")
       .parquet(s"$out/orders.parquet")
 
+    // customer: keys shifted per copy; o_custkey is left in the base
+    // range, so referential integrity holds via copy 0 while the
+    // constraint suite's FK probe faces a 10× parent (q126's sweep)
+    val cust = spark.read.parquet(s"$src/customer.parquet")
+    tenfold(cust) { (d, c) =>
+      d.withColumn("c_custkey", col("c_custkey") + lit(c * IdShift))
+    }.repartition(cpus.toInt).write.mode("overwrite")
+      .parquet(s"$out/customer.parquet")
+
     // events: ids/users shifted; each copy's timestamps move forward
     // by copy × 31 days, so the per-copy HOURLY structure (including
     // the genuine gaps q110's fill exercises) repeats end to end —
@@ -94,7 +103,8 @@ object ScaleGen {
     }.repartition(cpus.toInt).write.mode("overwrite")
       .parquet(s"$out/events.parquet")
 
-    Seq("documents", "embeddings", "lineitem", "orders", "events").foreach { t =>
+    Seq("documents", "embeddings", "lineitem", "orders", "customer",
+        "events").foreach { t =>
       println(s"$t: ${spark.read.parquet(s"$out/$t.parquet").count()} rows")
     }
     spark.stop()
