@@ -62,6 +62,28 @@ class ZorderSpec extends SparkSpec {
     assert(hit <= 5L, s"box [20,30]² overlapped $hit of 10 shards")
   }
 
+  test("the manifest drives a pruned layout read equal to the full filter") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-zorder").toString
+    Layout.zorderSharded(grid, "x", "y", bits = 8, numShards = 10)
+      .write.partitionBy("shard").mode("overwrite").parquet(dir)
+    val (a1, a2, b1, b2) = (20L, 30L, 20L, 30L)
+    val hit = Layout.zorderManifest(grid, "x", "y", bits = 8, numShards = 10)
+      .filter(col("min_a") <= a2 && col("max_a") >= a1 &&
+        col("min_b") <= b2 && col("max_b") >= b1)
+      .select(col("shard")).as[Long].collect()
+    assert(hit.length < 10, "the box must skip at least one shard")
+    val pruned = spark.read.parquet(dir)
+      .filter(col("shard").isin(hit: _*))
+      .filter(col("x").between(a1, a2) && col("y").between(b1, b2))
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("shard"), plan)
+    val got = pruned.select("id").as[Long].collect().toSet
+    val want = grid.filter(col("x").between(a1, a2) &&
+        col("y").between(b1, b2))
+      .select("id").as[Long].collect().toSet
+    assert(got == want)
+  }
+
   test("sharding is deterministic under repartition") {
     val a = Layout.zorderSharded(grid, "x", "y", bits = 8, numShards = 10)
       .select("id", "shard").as[(Long, Long)].collect().toMap
