@@ -1460,7 +1460,26 @@ object SparkEntry {
       Scd.type2(Tables.events(s, d), "user_id", "event_type",
           "ts", "event_id")
         .filter(col("user_id") % 20 === 0) // bound the gate output
-        .orderBy(col("user_id"), col("version")))
+        .orderBy(col("user_id"), col("version"))),
+
+    // Triangle counting on the co-purchase graph (parts co-ordered in
+    // one order are connected) — the graph triad's third member after
+    // PageRank (q102) and connected components (x18): degree-oriented
+    // wedge enumeration, every triangle owned by its orientation-
+    // smallest corner, hub fan-out capped at out-degree (Suri-
+    // Vassilvitskii; see Graph.triangles scaladoc).
+    "q128_triangles" -> q((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .filter(col("l_orderkey") % 3 === 0)
+        .select(col("l_orderkey"), col("l_partkey").cast("long").as("p"))
+      val pairs = li.select(col("l_orderkey"), col("p").as("p1"))
+        .join(li.select(col("l_orderkey"), col("p").as("p2")), "l_orderkey")
+        .filter(col("p1") < col("p2"))
+        .select(col("p1"), col("p2")).distinct()
+      Graph.triangles(pairs, "p1", "p2")
+        .filter(col("n_tri") > 0)
+        .orderBy(col("id"))
+    })
   ) ++ NonSqlQueries.queries
 
   /** q92's bad-words stage (literal so the oracle renders the same
@@ -4301,6 +4320,43 @@ object SparkEntry {
            FROM ch)
          SELECT user_id, event_type, valid_from, valid_to, version
          FROM v WHERE user_id % 20 = 0
-         ORDER BY user_id, version"""
+         ORDER BY user_id, version""",
+
+    // Triangle replay: same orientation ((deg, id) total order), same
+    // wedge filter, same per-corner attribution — all integer joins.
+    "q128_triangles" ->
+      """WITH li AS (
+           SELECT l_orderkey, CAST(l_partkey AS BIGINT) AS p
+           FROM lineitem WHERE l_orderkey % 3 = 0),
+         e AS (
+           SELECT DISTINCT a.p AS u, b.p AS v
+           FROM li a JOIN li b USING (l_orderkey) WHERE a.p < b.p),
+         deg AS (
+           SELECT id, CAST(count(*) AS BIGINT) AS deg
+           FROM (SELECT u AS id FROM e UNION ALL SELECT v AS id FROM e)
+           GROUP BY id),
+         dir AS (
+           SELECT CASE WHEN du.deg < dv.deg
+                         OR (du.deg = dv.deg AND e.u < e.v)
+                  THEN e.u ELSE e.v END AS s,
+                  CASE WHEN du.deg < dv.deg
+                         OR (du.deg = dv.deg AND e.u < e.v)
+                  THEN e.v ELSE e.u END AS d
+           FROM e JOIN deg du ON e.u = du.id JOIN deg dv ON e.v = dv.id),
+         w AS (
+           SELECT d1.s AS s, d1.d AS x, d2.d AS y
+           FROM dir d1 JOIN dir d2 ON d1.s = d2.s
+           JOIN deg kx ON d1.d = kx.id JOIN deg ky ON d2.d = ky.id
+           WHERE kx.deg < ky.deg OR (kx.deg = ky.deg AND d1.d < d2.d)),
+         tri AS (
+           SELECT w.s, w.x, w.y FROM w
+           JOIN dir ON w.x = dir.s AND w.y = dir.d),
+         corners AS (
+           SELECT s AS id FROM tri
+           UNION ALL SELECT x AS id FROM tri
+           UNION ALL SELECT y AS id FROM tri),
+         cnt AS (SELECT id, CAST(count(*) AS BIGINT) AS n_tri
+                 FROM corners GROUP BY id)
+         SELECT id, n_tri FROM cnt WHERE n_tri > 0 ORDER BY id"""
   )
 }

@@ -139,4 +139,69 @@ object Graph {
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
     pageRank(sym, "src", "dst", iters, dampNum, dampDen, scale)
   }
+
+  /** Per-node TRIANGLE counts over an undirected pair list — the
+    * third member of the graph triad (PageRank centrality, connected
+    * components, triangles/clustering): co-occurrence cliques are the
+    * community signal near-dup/co-purchase graphs are mined for.
+    *
+    * Algorithm: degree ORIENTATION (Suri & Vassilvitskii 2011 — "the
+    * curse of the last reducer"): direct every edge from its
+    * (degree, id)-smaller endpoint to the larger, enumerate wedges
+    * only at each node's OUT-neighbors, and close them against the
+    * directed edge set. Every triangle is counted exactly once (its
+    * orientation-smallest vertex owns it), and a hub of degree d
+    * contributes wedges bounded by its OUT-degree — O(√|E|) — instead
+    * of d²: the skew that makes the naive wedge join explode on a
+    * viral node is capped by construction. Two shuffles (wedge join +
+    * closing semi-join), integer-exact, no iteration.
+    *
+    * Returns `(id, n_tri)` for every node of the graph (0 for
+    * triangle-free nodes). */
+  def triangles(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    // undirected edge list, deduped, self-loops dropped
+    val e = pairs.select(col(aCol).cast("long").as("u"),
+        col(bCol).cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+      .select(least(col("u"), col("v")).as("u"),
+        greatest(col("u"), col("v")).as("v"))
+      .distinct()
+    val deg = e.select(col("u").as("id"))
+      .union(e.select(col("v").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+    // orientation key: (deg, id) — total order, hubs point nowhere
+    val du = deg.select(col("id").as("u"), col("deg").as("du"))
+    val dv = deg.select(col("id").as("v"), col("deg").as("dv"))
+    val directed = e.join(du, "u").join(dv, "v")
+      .select(
+        when(col("du") < col("dv") ||
+            (col("du") === col("dv") && col("u") < col("v")),
+          struct(col("u").as("s"), col("v").as("d")))
+          .otherwise(struct(col("v").as("s"), col("u").as("d")))
+          .as("e"))
+      .select(col("e.s").as("s"), col("e.d").as("d"))
+    // wedges at s: ordered pairs of out-neighbors; the closing edge
+    // is directed low→high in the SAME (deg, id) order, which on the
+    // directed set is simply (d1, d2) with d1 before d2 — recover the
+    // order via the orientation key of the two endpoints
+    val d1 = directed.select(col("s"), col("d").as("x"))
+    val d2 = directed.select(col("s"), col("d").as("y"))
+    val k1 = deg.select(col("id").as("x"), col("deg").as("kx"))
+    val k2 = deg.select(col("id").as("y"), col("deg").as("ky"))
+    val wedges = d1.join(d2, "s")
+      .join(k1, "x").join(k2, "y")
+      .filter(col("kx") < col("ky") ||
+        (col("kx") === col("ky") && col("x") < col("y")))
+      .select(col("s"), col("x"), col("y"))
+    val tri = wedges.join(directed
+        .select(col("s").as("x"), col("d").as("y")), Seq("x", "y"),
+        "left_semi")
+    // attribute each triangle to all three corners
+    val corners = tri.select(explode(array(col("s"), col("x"), col("y")))
+      .as("id"))
+    deg.select(col("id"))
+      .join(corners.groupBy(col("id")).agg(count(lit(1)).as("n_tri")),
+        Seq("id"), "left")
+      .select(col("id"), coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+  }
 }

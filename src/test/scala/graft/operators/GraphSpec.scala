@@ -81,4 +81,43 @@ class GraphSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
     assert(a.sameElements(b))
   }
+
+  private def triMap(pairs: Seq[(Long, Long)]): Map[Long, Long] =
+    Graph.triangles(pairs.toDF("id_a", "id_b"), "id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+
+  test("triangles: K4 gives every node C(3,2)=3; a path gives zero") {
+    val k4 = for { i <- 1L to 4L; j <- (i + 1) to 4L } yield (i, j)
+    assert(triMap(k4) == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L))
+    assert(triMap(path).values.forall(_ == 0L))
+  }
+
+  test("triangles: a star hub has none until a rim edge closes one") {
+    val star = (2L to 6L).map(i => (1L, i))
+    assert(triMap(star).values.forall(_ == 0L))
+    val closed = star :+ (2L, 3L)
+    val got = triMap(closed)
+    assert(got(1L) == 1L && got(2L) == 1L && got(3L) == 1L)
+    assert(got(4L) == 0L && got(5L) == 0L && got(6L) == 0L)
+  }
+
+  test("triangles match brute force; duplicate/reversed edges are benign") {
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L),
+      (3L, 5L), (2L, 5L), (1L, 5L), (5L, 1L), (2L, 1L)) // dups + reversed
+    val distinctE = edges.map { case (a, b) =>
+      (math.min(a, b), math.max(a, b))
+    }.distinct.toSet
+    val nodes = distinctE.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+    val brute = nodes.map { n =>
+      n -> (for {
+        a <- nodes; b <- nodes
+        if a < b && a != n && b != n
+        if distinctE(math.min(a, n) -> math.max(a, n)) &&
+          distinctE(math.min(b, n) -> math.max(b, n)) &&
+          distinctE(a -> b)
+      } yield 1).size.toLong
+    }.toMap
+    assert(triMap(edges) == brute)
+  }
 }
