@@ -1479,7 +1479,25 @@ object SparkEntry {
       Graph.triangles(pairs, "p1", "p2")
         .filter(col("n_tri") > 0)
         .orderBy(col("id"))
-    })
+    }),
+
+    // Deterministic training-order schedule (stride scheduling): the
+    // first 500 positions of the weighted source interleave — any
+    // prefix holds each source in weight proportion within one item,
+    // the reproducible-run property a shuffled order cannot give.
+    "q129_mix_schedule" -> q((s, d) =>
+      Sampling.strideSchedule(Tables.documents(s, d), "source", "doc_id",
+        weightOf = length(col("source")) % 3 + 1, k = 500)),
+
+    // Exactly-sized stratified dataset: largest-remainder (Hamilton)
+    // apportionment fixes each stratum's share so Σ = target EXACTLY,
+    // members picked in md5-hash order within the stratum. 137 is
+    // chosen to exercise the remainder seats (N=500 at sf0.01 →
+    // base 6 per 25-doc stratum + 17 largest-remainder extras).
+    "q130_stratified_exact" -> q((s, d) =>
+      Sampling.stratifiedExact(Tables.documents(s, d), "source",
+          "doc_id", target = 137L)
+        .orderBy(col("source"), col("pick_rank")))
   ) ++ NonSqlQueries.queries
 
   /** q92's bad-words stage (literal so the oracle renders the same
@@ -4357,6 +4375,54 @@ object SparkEntry {
            UNION ALL SELECT y AS id FROM tri),
          cnt AS (SELECT id, CAST(count(*) AS BIGINT) AS n_tri
                  FROM corners GROUP BY id)
-         SELECT id, n_tri FROM cnt WHERE n_tri > 0 ORDER BY id"""
+         SELECT id, n_tri FROM cnt WHERE n_tri > 0 ORDER BY id""",
+
+    // Stride-schedule replay: identical virtual-time division of
+    // exact integers, identical (vt, source, rank) tie order.
+    "q129_mix_schedule" ->
+      """WITH r AS (
+           SELECT doc_id, source,
+             CAST((length(source) % 3) + 1 AS BIGINT) AS w,
+             CAST(row_number() OVER (PARTITION BY source
+               ORDER BY doc_id) AS BIGINT) AS r
+           FROM documents),
+         v AS (
+           SELECT doc_id, source, r,
+             CAST(2 * r - 1 AS DOUBLE) / CAST(2 * w AS DOUBLE) AS vt
+           FROM r),
+         t AS (
+           SELECT doc_id, source,
+             CAST(row_number() OVER (ORDER BY vt, source, r) AS BIGINT) AS pos
+           FROM v QUALIFY pos <= 500)
+         SELECT pos, source, doc_id FROM t ORDER BY pos""",
+
+    // Hamilton replay: same integral quotas, same largest-remainder
+    // seat order (rem DESC, key ASC), same md5 pick order.
+    "q130_stratified_exact" ->
+      """WITH c AS (
+           SELECT source AS key, CAST(count(*) AS BIGINT) AS n_rows
+           FROM documents GROUP BY 1),
+         t AS (SELECT CAST(sum(n_rows) AS BIGINT) AS n FROM c),
+         q AS (
+           SELECT key, n_rows,
+             (137 * n_rows) // n AS base, (137 * n_rows) % n AS rem
+           FROM c, t),
+         d AS (SELECT CAST(137 - sum(base) AS BIGINT) AS extra FROM q),
+         a AS (
+           SELECT key,
+             base + CASE WHEN CAST(row_number() OVER
+                 (ORDER BY rem DESC, key) AS BIGINT) <= extra
+               THEN 1 ELSE 0 END AS n_alloc
+           FROM q, d),
+         rk AS (
+           SELECT doc_id, source,
+             CAST(row_number() OVER (PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT)
+               AS pick_rank
+           FROM documents)
+         SELECT rk.doc_id, rk.source, rk.pick_rank
+         FROM rk JOIN a ON rk.source = a.key
+         WHERE rk.pick_rank <= a.n_alloc
+         ORDER BY source, pick_rank"""
   )
 }

@@ -282,4 +282,80 @@ object Sampling {
     dsirWeights(raw, target, idCol, textCol, buckets)
       .orderBy(col("avg_lw_q").desc, col(idCol))
       .limit(k)
+
+  /** Deterministic TRAINING-ORDER schedule — stride scheduling
+    * (Waldspurger & Weihl 1995, the lottery/stride CPU scheduler
+    * applied to data mixing): a reproducible interleaving of weighted
+    * sources where any prefix of the emitted order holds each source
+    * in proportion to its weight (within one item) — the property a
+    * resumable training run needs from its data order, and what
+    * "shuffle then hope" does not give. Item r (1-based, ordered by
+    * `idCol` within its source) is emitted at virtual time
+    * `(2r−1)/(2w)` — one double division of exact integers, identical
+    * IEEE result in any engine, so the schedule hash-replays. The
+    * first `k` positions come off a TakeOrderedAndProject (never a
+    * global sort); the rank window then runs over k rows. */
+  def strideSchedule(df: DataFrame, groupCol: String, idCol: String,
+                     weightOf: Column, k: Int): DataFrame = {
+    val byGroup = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col(idCol))
+    val keyed = df
+      .withColumn("__w", weightOf.cast("long"))
+      .withColumn("__r", row_number().over(byGroup).cast("long"))
+      .withColumn("__vt",
+        (lit(2L) * col("__r") - lit(1L)).cast("double")
+          / (lit(2L) * col("__w")).cast("double"))
+    val topK = keyed
+      .orderBy(col("__vt"), col(groupCol), col("__r"))
+      .limit(k)
+    topK.withColumn("pos", row_number()
+        .over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("__vt"), col(groupCol), col("__r"))).cast("long"))
+      .select(col("pos"), col(groupCol), col(idCol))
+  }
+
+  /** EXACT stratified allocation — largest-remainder (Hamilton)
+    * apportionment: how many docs each stratum contributes to an
+    * exactly-`target`-sized dataset. Base share = floor(target·N_g/N);
+    * the leftover seats go to the largest remainders (ties → smaller
+    * stratum key). Pure integer arithmetic (target·N_g stays far
+    * under 2^63 for any real corpus), Σ n_alloc = target EXACTLY —
+    * the property proportional rounding loses.
+    * Returns `(key, n_rows, n_alloc)`. */
+  def hamiltonAllocate(df: DataFrame, groupCol: String,
+                       target: Long): DataFrame = {
+    val counts = df.groupBy(col(groupCol).as("key"))
+      .agg(count(lit(1)).as("n_rows"))
+    val tot = counts.agg(sum(col("n_rows")).as("__n"))
+    val quotas = counts.crossJoin(broadcast(tot))
+      .withColumn("__num", lit(target) * col("n_rows"))
+      .withColumn("__base", expr("__num div __n")) // integral: `/` is double
+      .withColumn("__rem", col("__num") % col("__n"))
+    val byRem = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__rem").desc, col("key"))
+    val deficit = quotas.agg((lit(target) - sum(col("__base")))
+      .as("__extra"))
+    quotas.crossJoin(broadcast(deficit))
+      .withColumn("__rk", row_number().over(byRem).cast("long"))
+      .withColumn("n_alloc",
+        col("__base") + when(col("__rk") <= col("__extra"), 1L).otherwise(0L))
+      .select(col("key"), col("n_rows"), col("n_alloc"))
+  }
+
+  /** The allocation applied: exactly `target` rows, each stratum
+    * contributing its Hamilton share, members chosen by md5-hash
+    * order within the stratum (deterministic uniform — the
+    * [[bucketOf]] split family's ordering). */
+  def stratifiedExact(df: DataFrame, groupCol: String, idCol: String,
+                      target: Long): DataFrame = {
+    val alloc = hamiltonAllocate(df, groupCol, target)
+      .select(col("key").as(groupCol), col("n_alloc"))
+    val byHash = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.withColumn("__rk", row_number().over(byHash).cast("long"))
+      .join(alloc, Seq(groupCol))
+      .filter(col("__rk") <= col("n_alloc"))
+      .select(col(idCol), col(groupCol), col("__rk").as("pick_rank"))
+  }
 }

@@ -149,4 +149,45 @@ class SamplingSpec extends SparkSpec {
       .orderBy("doc_id").collect().toSeq
     assert(again == w)
   }
+
+  test("strideSchedule: every prefix holds sources within one of weight share") {
+    val docs = (1L to 300L).map(i => (i, if (i % 4 == 0L) "b" else "a"))
+      .toDF("doc_id", "source")
+    // a:w=3, b:w=1 → any prefix of n should hold ~3n/4 a's (±1 item)
+    val sched = Sampling.strideSchedule(docs, "source", "doc_id",
+        when(col("source") === "a", 3L).otherwise(1L), k = 100)
+      .orderBy(col("pos")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    sched.indices.foreach { i =>
+      val n = i + 1
+      val as = sched.take(n).count(_._2 == "a")
+      val want = 3.0 * n / 4.0
+      assert(math.abs(as - want) <= 1.0 + 1e-9,
+        s"prefix $n: $as a's, expected ~$want")
+    }
+    // deterministic under repartition
+    val again = Sampling.strideSchedule(docs.repartition(7), "source",
+        "doc_id", when(col("source") === "a", 3L).otherwise(1L), k = 100)
+      .orderBy(col("pos")).collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(sched.sameElements(again))
+  }
+
+  test("hamiltonAllocate sums exactly to target; shares within one of quota") {
+    val docs = (1L to 500L)
+      .map(i => (i, s"s${i % 7}")).toDF("doc_id", "source")
+    val alloc = Sampling.hamiltonAllocate(docs, "source", target = 137L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(alloc.map(_._3).sum == 137L)
+    alloc.foreach { case (k, n, a) =>
+      val quota = 137.0 * n / 500.0
+      assert(a == math.floor(quota).toLong || a == math.ceil(quota).toLong,
+        s"$k: alloc $a vs quota $quota")
+    }
+    // applied: exactly target rows, each stratum at its allocation
+    val picked = Sampling.stratifiedExact(docs, "source", "doc_id", 137L)
+    assert(picked.count() == 137L)
+    val perKey = picked.groupBy(col("source")).count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    alloc.foreach { case (k, _, a) => assert(perKey.getOrElse(k, 0L) == a) }
+  }
 }
