@@ -1497,7 +1497,32 @@ object SparkEntry {
     "q130_stratified_exact" -> q((s, d) =>
       Sampling.stratifiedExact(Tables.documents(s, d), "source",
           "doc_id", target = 137L)
-        .orderBy(col("source"), col("pick_rank")))
+        .orderBy(col("source"), col("pick_rank"))),
+
+    // BLOOM data skipping: lineitem laid out by ship MONTH (the
+    // realistic time partitioning), point lookups by ORDER KEY — a
+    // non-partition column — consult one small bloom per shard and
+    // read only the shards that might hold the key. No false
+    // negatives → the pruned read is EXACT (the oracle is the plain
+    // filter); false positives only cost extra shard reads
+    // (LayoutSpec measures the skip).
+    "q131_bloom_skipping" -> q((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .withColumn("shard", date_trunc("month",
+          to_date(col("l_shipdate"))).cast("date").cast("string"))
+      val dir = Scratch.dir("graft-bloom-skip")
+      li.write.partitionBy("shard").mode("overwrite").parquet(dir)
+      val manifest = Layout.bloomManifest(li, "shard", "l_orderkey")
+      val keys = Seq("3", "1000", "29987", "58368", "111111")
+      val shards = Layout.bloomCandidates(manifest, "shard", keys)
+        .collect().map(_.getString(0)).toSeq
+      s.read.parquet(dir)
+        .filter(col("shard").isin(shards: _*))
+        .filter(col("l_orderkey").cast("string").isin(keys: _*))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").cast("long").as("qty"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    })
   ) ++ NonSqlQueries.queries
 
   /** q92's bad-words stage (literal so the oracle renders the same
@@ -4423,6 +4448,17 @@ object SparkEntry {
          SELECT rk.doc_id, rk.source, rk.pick_rank
          FROM rk JOIN a ON rk.source = a.key
          WHERE rk.pick_rank <= a.n_alloc
-         ORDER BY source, pick_rank"""
+         ORDER BY source, pick_rank""",
+
+    // Bloom-skipping replay: the layout and the bloom are plan
+    // details — no false negatives means the answer is the plain
+    // point-lookup filter.
+    "q131_bloom_skipping" ->
+      """SELECT l_orderkey, l_linenumber,
+           CAST(l_quantity AS BIGINT) AS qty
+         FROM lineitem
+         WHERE CAST(l_orderkey AS VARCHAR) IN
+           ('3', '1000', '29987', '58368', '111111')
+         ORDER BY l_orderkey, l_linenumber"""
   )
 }

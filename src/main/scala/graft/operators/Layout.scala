@@ -77,6 +77,33 @@ object Layout {
       max(col(bCol).cast("long")).as("max_b"))
   }
 
+  /** BLOOM skipping manifest — per-shard bloom filters over a
+    * NON-partition column (the Delta/Iceberg bloom-index use case):
+    * a table laid out by time (or z-order, or anything else) still
+    * answers point lookups on a different key by consulting one
+    * small bloom per shard and reading only the shards that might
+    * hold the key. No false negatives (the filter flags a superset),
+    * so the pruned read is EXACT; false positives only cost extra
+    * shard reads at the documented (1−e^(−hn/m))^h rate. One
+    * map-side-OR-combined aggregation builds it ([[graft.functions
+    * .Bloom.bloomAgg]] is a mergeable TypedImperativeAggregate);
+    * the manifest is numShards rows of m/8 bytes. */
+  def bloomManifest(sharded: DataFrame, shardCol: String, keyCol: String,
+                    numBits: Int = 1 << 20, numHashes: Int = 5): DataFrame =
+    sharded.groupBy(col(shardCol))
+      .agg(graft.functions.Bloom
+        .bloomAgg(col(keyCol).cast("string"), numBits, numHashes)
+        .as("bloom"))
+
+  /** The shards that MIGHT hold any of `keys` — the definite-miss
+    * shards are gone, which is the skip. Manifest-sized work. */
+  def bloomCandidates(manifest: DataFrame, shardCol: String,
+                      keys: Seq[String]): DataFrame =
+    manifest.filter(keys
+        .map(k => graft.functions.Bloom.mightContain(col("bloom"), lit(k)))
+        .reduce(_ || _))
+      .select(col(shardCol))
+
   /** `df` + a `shard` column (1-based) assigning each row its
     * z-order range shard. See [[zorderManifest]] for the contract. */
   def zorderSharded(df: DataFrame, aCol: String, bCol: String,

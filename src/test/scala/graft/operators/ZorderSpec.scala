@@ -84,6 +84,31 @@ class ZorderSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("bloom manifest skips definite-miss shards, never true ones") {
+    // 20 shards, each holding a disjoint key range on a non-shard key
+    val rows = (0L until 4000L)
+      .map(i => (i / 200L, s"k$i", i)).toDF("shard", "key", "v")
+    val manifest = Layout.bloomManifest(rows, "shard", "key",
+      numBits = 1 << 16)
+    assert(manifest.count() == 20L)
+    // a key living in exactly one shard: candidates must include it
+    // (no false negatives) and skip most of the rest
+    val cand = Layout.bloomCandidates(manifest, "shard", Seq("k777"))
+      .as[Long].collect().toSet
+    assert(cand.contains(3L), s"true shard missing: $cand")
+    assert(cand.size < 20, s"no skipping happened: $cand")
+    // the pruned read is exact — present and absent keys alike
+    val pruned = rows.filter(col("shard").isin(cand.toSeq: _*))
+      .filter(col("key") === "k777").select("v").as[Long].collect().toSeq
+    assert(pruned == Seq(777L))
+    val gone = Layout.bloomCandidates(manifest, "shard", Seq("nope"))
+      .as[Long].collect()
+    val prunedGone = rows
+      .filter(col("shard").isin(gone.toSeq: _*))
+      .filter(col("key") === "nope").count()
+    assert(prunedGone == 0L)
+  }
+
   test("sharding is deterministic under repartition") {
     val a = Layout.zorderSharded(grid, "x", "y", bits = 8, numShards = 10)
       .select("id", "shard").as[(Long, Long)].collect().toMap
