@@ -1522,6 +1522,22 @@ object SparkEntry {
         .select(col("l_orderkey"), col("l_linenumber"),
           col("l_quantity").cast("long").as("qty"))
         .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // Correlation as a LEDGER (card family): 6 mergeable co-moments
+    // per key fold in slice by slice, the read takes r = cov/(σx·σy)
+    // with integer numerator/variances and ONE double division+sqrt
+    // at the end (sqrt is IEEE-exact-rounded everywhere, unlike ln) —
+    // "did doc length and token count drift apart" answered without
+    // a corpus rescan.
+    "q132_corr_ledger" -> q((s, d) => {
+      val docs = Tables.documents(s, d).withColumn("n_toks",
+        size(graft.functions.Analyzer.tokenize(
+          coalesce(col("text"), lit("")))).cast("long"))
+      val parts = (0 until 3).map(i =>
+        StatsLedger.corrPartial(docs.filter(col("doc_id") % 3 === i),
+          "source", "n_chars", "n_toks"))
+      StatsLedger.corrRead(parts.reduce(StatsLedger.corrMerge))
     })
   ) ++ NonSqlQueries.queries
 
@@ -4459,6 +4475,32 @@ object SparkEntry {
          FROM lineitem
          WHERE CAST(l_orderkey AS VARCHAR) IN
            ('3', '1000', '29987', '58368', '111111')
-         ORDER BY l_orderkey, l_linenumber"""
+         ORDER BY l_orderkey, l_linenumber""",
+
+    // Correlation-ledger replay: the fold is addition, so the oracle
+    // aggregates full-data co-moments and takes the identical final
+    // double step (sqrt is exact-rounded in every IEEE engine).
+    "q132_corr_ledger" ->
+      """WITH t AS (
+           SELECT source, CAST(n_chars AS BIGINT) AS x,
+             CAST(len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9'']+'), w -> length(w) > 0)) AS BIGINT) AS y
+           FROM documents),
+         l AS (
+           SELECT source AS key, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(y * y) AS BIGINT) AS syy,
+             CAST(sum(x * y) AS BIGINT) AS sxy
+           FROM t GROUP BY 1)
+         SELECT key, n,
+           CASE WHEN (n * sxx - sx * sx) <= 0 OR (n * syy - sy * sy) <= 0
+             THEN 0
+             ELSE CAST(floor(
+               CAST(n * sxy - sx * sy AS DOUBLE)
+                 / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                        * CAST(n * syy - sy * sy AS DOUBLE))
+                 * 1000000.0 + 0.5) AS BIGINT)
+           END AS r_micro
+         FROM l"""
   )
 }

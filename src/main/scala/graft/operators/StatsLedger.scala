@@ -175,6 +175,55 @@ object StatsLedger {
   def quantFold(partials: DataFrame): DataFrame =
     partials.groupBy(col("key"), col("v")).agg(sum(col("cnt")).as("cnt"))
 
+  // ---- co-moments: correlation as a mergeable ledger -----------------
+  // Pearson correlation over two integer-grid columns is ALGEBRAIC in
+  // the 6 co-moments (n, Σx, Σy, Σx², Σy², Σxy) — each a LONG sum, so
+  // the ledger folds exactly like `partial` and the corpus never
+  // rescans to answer "did length and quality drift apart this
+  // release". Overflow bound mirrors partial's sumsq note: per key,
+  // n·max|x|·max|y| < 2^63. The read rearranges r = cov/(σx·σy) into
+  // one integer numerator and two integer variance terms, taking a
+  // SINGLE double division at the very end (micro-quantized) so the
+  // oracle replays it bit-for-bit.
+
+  /** Co-moment ledger `(key, n, sx, sy, sxx, syy, sxy)` of integer
+    * columns `xCol`, `yCol` grouped by `keyCol`. */
+  def corrPartial(df: DataFrame, keyCol: String, xCol: String,
+                  yCol: String): DataFrame = {
+    val x = col(xCol).cast("long"); val y = col(yCol).cast("long")
+    df.groupBy(col(keyCol).as("key")).agg(
+      count(lit(1)).as("n"),
+      sum(x).as("sx"), sum(y).as("sy"),
+      sum(x * x).as("sxx"), sum(y * y).as("syy"),
+      sum(x * y).as("sxy"))
+  }
+
+  /** Sum-merge two co-moment ledgers. */
+  def corrMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy(col("key")).agg(
+      sum(col("n")).as("n"),
+      sum(col("sx")).as("sx"), sum(col("sy")).as("sy"),
+      sum(col("sxx")).as("sxx"), sum(col("syy")).as("syy"),
+      sum(col("sxy")).as("sxy"))
+
+  /** Read-time Pearson r from the ledger, micro-quantized:
+    * r = (n·Σxy − Σx·Σy) / √((n·Σxx − Σx²)·(n·Σyy − Σy²)) — the
+    * numerator and both variance terms are exact integers, the
+    * division + sqrt happen once on the final pair (one IEEE double
+    * op chain, engine-identical), then quantize. Degenerate keys
+    * (either variance 0) report r_micro = 0. */
+  def corrRead(ledger: DataFrame): DataFrame = {
+    val num = col("n") * col("sxy") - col("sx") * col("sy")
+    val vx = col("n") * col("sxx") - col("sx") * col("sx")
+    val vy = col("n") * col("syy") - col("sy") * col("sy")
+    ledger.select(col("key"), col("n"),
+      when(vx <= 0L || vy <= 0L, 0L)
+        .otherwise(floor(num.cast("double")
+          / sqrt(vx.cast("double") * vy.cast("double")) * 1000000.0
+          + lit(0.5)).cast("long"))
+        .as("r_micro"))
+  }
+
   /** Read-time EXACT percentiles from a value-count ledger: for each
     * requested percentile p, the smallest value whose cumulative
     * count reaches p% of the key's total (type-1 / lower quantile).

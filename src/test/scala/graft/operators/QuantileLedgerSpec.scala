@@ -49,6 +49,39 @@ class QuantileLedgerSpec extends SparkSpec {
     assert(got == expect)
   }
 
+  test("corr ledger: fold order invariant; r matches the closed form") {
+    // y = 2x + deterministic jitter → strong but imperfect correlation
+    val rows = (1L to 200L).map(i => ("k", i, 2 * i + (i * 7) % 11))
+      .toDF("key", "x", "y")
+    val parts = (0 until 3).map(i =>
+      StatsLedger.corrPartial(rows.filter(col("x") % 3 === i),
+        "key", "x", "y"))
+    val a = StatsLedger.corrRead(parts.reduce(StatsLedger.corrMerge))
+      .collect()(0).getLong(2)
+    val b = StatsLedger.corrRead(Seq(parts(2), parts(0), parts(1))
+        .reduce(StatsLedger.corrMerge))
+      .collect()(0).getLong(2)
+    val oneShot = StatsLedger.corrRead(
+      StatsLedger.corrPartial(rows, "key", "x", "y"))
+      .collect()(0).getLong(2)
+    assert(a == oneShot && b == oneShot)
+    // closed form on the driver
+    val xs = (1L to 200L).map(_.toDouble)
+    val ys = (1L to 200L).map(i => (2 * i + (i * 7) % 11).toDouble)
+    val n = xs.length.toDouble
+    val num = n * xs.zip(ys).map { case (x, y) => x * y }.sum -
+      xs.sum * ys.sum
+    val den = math.sqrt((n * xs.map(x => x * x).sum - xs.sum * xs.sum) *
+      (n * ys.map(y => y * y).sum - ys.sum * ys.sum))
+    val want = math.floor(num / den * 1e6 + 0.5).toLong
+    assert(math.abs(a - want) <= 1L, s"$a vs $want") // driver sums reorder
+    // degenerate: constant column reports 0
+    val const = (1L to 50L).map(i => ("k", i, 9L)).toDF("key", "x", "y")
+    assert(StatsLedger.corrRead(
+      StatsLedger.corrPartial(const, "key", "x", "y"))
+      .collect()(0).getLong(2) == 0L)
+  }
+
   test("quantFold collapses appended partial rows to the same ledger") {
     val df = rows.toDF("key", "v")
     val parts = (0 until 3).map(i =>
