@@ -1538,6 +1538,19 @@ object SparkEntry {
         StatsLedger.corrPartial(docs.filter(col("doc_id") % 3 === i),
           "source", "n_chars", "n_toks"))
       StatsLedger.corrRead(parts.reduce(StatsLedger.corrMerge))
+    }),
+
+    // K-anonymity over the event log (the aggregate governance gate
+    // next to q56's per-record PII scan): quasi-identifiers =
+    // (event_type, hour-of-day, integer value bin) — every
+    // equivalence class with its size and k=5 verdict; the failing
+    // classes ARE the suppression work-list.
+    "q133_k_anonymity" -> q((s, d) => {
+      val ev = Tables.events(s, d).select(col("event_type"),
+        hour(col("ts")).cast("long").as("hod"),
+        expr("CAST(floor(value) AS BIGINT)").as("vbin"))
+      Pii.kAnonymityClasses(ev, k = 5L, Seq("event_type", "hod", "vbin"))
+        .orderBy(col("event_type"), col("hod"), col("vbin"))
     })
   ) ++ NonSqlQueries.queries
 
@@ -4501,6 +4514,17 @@ object SparkEntry {
                         * CAST(n * syy - sy * sy AS DOUBLE))
                  * 1000000.0 + 0.5) AS BIGINT)
            END AS r_micro
-         FROM l"""
+         FROM l""",
+
+    // K-anonymity replay: one grouped count over the QI tuple.
+    "q133_k_anonymity" ->
+      """SELECT event_type,
+           CAST(date_part('hour', ts) AS BIGINT) AS hod,
+           CAST(floor(value) AS BIGINT) AS vbin,
+           CAST(count(*) AS BIGINT) AS class_size,
+           count(*) >= 5 AS anonymous
+         FROM events
+         GROUP BY 1, 2, 3
+         ORDER BY event_type, hod, vbin"""
   )
 }

@@ -58,4 +58,29 @@ object Pii {
         length(redacted).cast("long").as("red_len"),
         md5(redacted.cast("binary")).as("red_md5")): _*)
   }
+
+  /** K-ANONYMITY report (Sweeney 2002) — the aggregate governance
+    * gate next to the per-record PII scan: group by the
+    * quasi-identifier columns and report each equivalence class's
+    * size plus its verdict (`size ≥ k`). A release ships only if
+    * every class passes; the failing classes ARE the suppression
+    * work-list. One map-side-combined groupBy — the corpus never
+    * shuffles rows, only (QI-tuple, count) partials. */
+  def kAnonymityClasses(df: DataFrame, k: Long,
+                        quasiIds: Seq[String]): DataFrame =
+    df.groupBy(quasiIds.map(col): _*)
+      .agg(count(lit(1)).as("class_size"))
+      .withColumn("anonymous", col("class_size") >= k)
+
+  /** The one-row gate summary: classes/rows below `k`, and whether
+    * the table is k-anonymous. */
+  def kAnonymityReport(df: DataFrame, k: Long,
+                       quasiIds: Seq[String]): DataFrame =
+    kAnonymityClasses(df, k, quasiIds).agg(
+      count(lit(1)).as("n_classes"),
+      sum(when(!col("anonymous"), 1L).otherwise(0L)).as("classes_at_risk"),
+      sum(when(!col("anonymous"), col("class_size")).otherwise(0L))
+        .as("rows_at_risk"),
+      (sum(when(!col("anonymous"), 1L).otherwise(0L)) === 0L)
+        .as("k_anonymous"))
 }

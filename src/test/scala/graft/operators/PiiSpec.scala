@@ -41,4 +41,25 @@ class PiiSpec extends SparkSpec {
       .select("n_email", "red_len").as[(Long, Long)].head()
     assert(r === ((0L, 0L)))
   }
+
+  test("k-anonymity: classes verdict by size; report gates the table") {
+    // QI (city, age): one class of 5 (safe at k=5), one of 2 (at risk)
+    val rows = (1 to 5).map(i => (i.toLong, "ny", 30L)) ++
+      Seq((6L, "sf", 40L), (7L, "sf", 40L))
+    val df = rows.toDF("id", "city", "age")
+    val classes = Pii.kAnonymityClasses(df, 5L, Seq("city", "age"))
+      .collect().map(r => ((r.getString(0), r.getLong(1)),
+        (r.getLong(2), r.getBoolean(3)))).toMap
+    assert(classes(("ny", 30L)) == ((5L, true)))
+    assert(classes(("sf", 40L)) == ((2L, false)))
+    val rep = Pii.kAnonymityReport(df, 5L, Seq("city", "age")).collect()(0)
+    assert(rep.getLong(0) == 2L)      // n_classes
+    assert(rep.getLong(1) == 1L)      // classes_at_risk
+    assert(rep.getLong(2) == 2L)      // rows_at_risk
+    assert(!rep.getBoolean(3))        // not k-anonymous
+    // suppressing the risky class flips the gate
+    val ok = Pii.kAnonymityReport(df.filter(col("city") =!= "sf"),
+      5L, Seq("city", "age")).collect()(0)
+    assert(ok.getBoolean(3))
+  }
 }
