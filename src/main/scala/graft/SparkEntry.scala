@@ -1551,6 +1551,18 @@ object SparkEntry {
         expr("CAST(floor(value) AS BIGINT)").as("vbin"))
       Pii.kAnonymityClasses(ev, k = 5L, Seq("event_type", "hod", "vbin"))
         .orderBy(col("event_type"), col("hod"), col("vbin"))
+    }),
+
+    // L-diversity over the same log: a k-anonymous class still leaks
+    // if every member shares one SENSITIVE value, so each QI class
+    // (event_type, hour) must hold ≥3 distinct value bins. Same
+    // one-groupBy shape as q133, exact distinct per class.
+    "q134_l_diversity" -> q((s, d) => {
+      val ev = Tables.events(s, d).select(col("event_type"),
+        hour(col("ts")).cast("long").as("hod"),
+        expr("CAST(floor(value) AS BIGINT)").as("vbin"))
+      Pii.lDiversityClasses(ev, l = 3L, Seq("event_type", "hod"), "vbin")
+        .orderBy(col("event_type"), col("hod"))
     })
   ) ++ NonSqlQueries.queries
 
@@ -4525,6 +4537,18 @@ object SparkEntry {
            count(*) >= 5 AS anonymous
          FROM events
          GROUP BY 1, 2, 3
-         ORDER BY event_type, hod, vbin"""
+         ORDER BY event_type, hod, vbin""",
+
+    // L-diversity replay: grouped count + exact distinct-sensitive.
+    "q134_l_diversity" ->
+      """SELECT event_type,
+           CAST(date_part('hour', ts) AS BIGINT) AS hod,
+           CAST(count(*) AS BIGINT) AS class_size,
+           CAST(count(DISTINCT CAST(floor(value) AS BIGINT)) AS BIGINT)
+             AS n_sensitive,
+           count(DISTINCT CAST(floor(value) AS BIGINT)) >= 3 AS diverse
+         FROM events
+         GROUP BY 1, 2
+         ORDER BY event_type, hod"""
   )
 }

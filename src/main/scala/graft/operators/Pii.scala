@@ -72,6 +72,18 @@ object Pii {
       .agg(count(lit(1)).as("class_size"))
       .withColumn("anonymous", col("class_size") >= k)
 
+  /** L-DIVERSITY classes (Machanavajjhala 2007) — k-anonymity's
+    * stronger sibling: a class of k identical rows still leaks if
+    * they all share one SENSITIVE value, so each QI class must hold
+    * at least `l` distinct sensitive values. Same one-groupBy shape
+    * (count + exact distinct per class). */
+  def lDiversityClasses(df: DataFrame, l: Long, quasiIds: Seq[String],
+                        sensitiveCol: String): DataFrame =
+    df.groupBy(quasiIds.map(col): _*)
+      .agg(count(lit(1)).as("class_size"),
+        count_distinct(col(sensitiveCol)).as("n_sensitive"))
+      .withColumn("diverse", col("n_sensitive") >= l)
+
   /** The one-row gate summary: classes/rows below `k`, and whether
     * the table is k-anonymous. */
   def kAnonymityReport(df: DataFrame, k: Long,

@@ -62,4 +62,18 @@ class PiiSpec extends SparkSpec {
       5L, Seq("city", "age")).collect()(0)
     assert(ok.getBoolean(3))
   }
+
+  test("l-diversity: k-anonymous class with one sensitive value fails") {
+    // class (ny,30) has 5 rows but only ONE diagnosis — k-anonymous
+    // at k=5 yet l-diverse only at l=1; class (sf,40) has 2 rows with
+    // 2 distinct values — diverse at l=2.
+    val rows = (1 to 5).map(i => (i.toLong, "ny", 30L, "flu")) ++
+      Seq((6L, "sf", 40L, "flu"), (7L, "sf", 40L, "cold"))
+    val df = rows.toDF("id", "city", "age", "dx")
+    val out = Pii.lDiversityClasses(df, 2L, Seq("city", "age"), "dx")
+      .collect().map(r => ((r.getString(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(out(("ny", 30L)) == ((5L, 1L, false)))
+    assert(out(("sf", 40L)) == ((2L, 2L, true)))
+  }
 }
