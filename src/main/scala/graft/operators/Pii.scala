@@ -84,6 +84,66 @@ object Pii {
         count_distinct(col(sensitiveCol)).as("n_sensitive"))
       .withColumn("diverse", col("n_sensitive") >= l)
 
+  /** T-CLOSENESS classes (Li, Li & Venkatasubramanian 2007) — the
+    * third rung of the governance ladder: l-diversity counts distinct
+    * sensitive values but ignores their DISTRIBUTION (a class that is
+    * 99% one diagnosis "has" 2 values yet still leaks). t-closeness
+    * bounds the Earth Mover's Distance between each class's sensitive
+    * distribution and the global one. For an ORDERED sensitive
+    * attribute over m bins, EMD = Σ_j |P_cum(j) − Q_cum(j)| / (m−1).
+    *
+    * Exactness: every cumulative term is kept integral by
+    * cross-multiplying — term_j = |cum_class_j·N − cum_global_j·s| —
+    * and the verdict compares `Σterm·den ≤ num·N·s·(m−1)` in integers;
+    * only the reported `emd_micro` takes one double division.
+    * Overflow headroom (cf. Graph.scala): terms are ≤ s·N and the
+    * verdict multiplies by den, so den·m·s_max·N < 2⁶³ must hold —
+    * at 1e12 rows bin the sensitive domain coarsely or shard by a
+    * partition column first (the report is per-release, not global).
+    *
+    * Shape: two grouped counts over the data (map-side combined), a
+    * broadcastable domain-sized global-bin table, and a classes×bins
+    * grid for the cumulative walk — the corpus itself never shuffles
+    * rows. The grid requires a BOUNDED bin domain; that is what
+    * "binned sensitive attribute" means in a governance report.
+    */
+  def tClosenessClasses(df: DataFrame, num: Long, den: Long,
+                        quasiIds: Seq[String],
+                        sensitiveCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val qis = quasiIds.map(col)
+    val sv = col(sensitiveCol)
+    val g = df.groupBy(sv.as("__bin")).agg(count(lit(1)).as("__gc"))
+    val gg = g.select(col("__bin"),
+      sum(col("__gc")).over(Window.orderBy(col("__bin"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .as("__cum_gc"))
+    val tot = g.agg(sum(col("__gc")).as("__N"),
+      count(lit(1)).as("__m"))
+    val sizes = df.groupBy(qis: _*).agg(count(lit(1)).as("class_size"))
+    val cc = df.groupBy(qis :+ sv.as("__bin"): _*)
+      .agg(count(lit(1)).as("__c"))
+    val grid = sizes.crossJoin(broadcast(gg))
+      .join(cc, quasiIds :+ "__bin", "left")
+      .withColumn("__cum_cc",
+        sum(coalesce(col("__c"), lit(0L))).over(
+          Window.partitionBy(qis: _*).orderBy(col("__bin"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .crossJoin(broadcast(tot))
+    grid
+      .withColumn("__term",
+        abs(col("__cum_cc") * col("__N") - col("__cum_gc") * col("class_size")))
+      .groupBy(qis :+ col("class_size") :+ col("__N") :+ col("__m"): _*)
+      .agg(sum(col("__term")).as("__emd_num"))
+      .withColumn("__denom",
+        col("__N") * col("class_size") * greatest(col("__m") - 1L, lit(1L)))
+      .select(qis ++ Seq(
+        col("class_size"),
+        floor(col("__emd_num").cast("double") / col("__denom").cast("double")
+          * 1e6 + 0.5).cast("long").as("emd_micro"),
+        (col("__emd_num") * den <= col("__denom") * num).as("close")): _*)
+  }
+
   /** The one-row gate summary: classes/rows below `k`, and whether
     * the table is k-anonymous. */
   def kAnonymityReport(df: DataFrame, k: Long,

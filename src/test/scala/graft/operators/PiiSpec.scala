@@ -76,4 +76,31 @@ class PiiSpec extends SparkSpec {
     assert(out(("ny", 30L)) == ((5L, 1L, false)))
     assert(out(("sf", 40L)) == ((2L, 2L, true)))
   }
+
+  test("t-closeness: hand-computed EMD, verdict at an exact edge") {
+    // global bins {1,2}: 3+3; class a = (1,1) → EMD 0.5,
+    // class b = (1,2,2,2) → EMD 0.25
+    val df = Seq(("a", 1L), ("a", 1L),
+      ("b", 1L), ("b", 2L), ("b", 2L), ("b", 2L)).toDF("qi", "bin")
+    val out = Pii.tClosenessClasses(df, 3L, 10L, Seq("qi"), "bin")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(out("a") == ((2L, 500000L, false)))   // 0.5 > 0.3
+    assert(out("b") == ((4L, 250000L, true)))    // 0.25 ≤ 0.3
+    // exact rational edge: t = 1/4 admits b with EMD exactly 1/4
+    val edge = Pii.tClosenessClasses(df, 1L, 4L, Seq("qi"), "bin")
+      .collect().map(r => r.getString(0) -> r.getBoolean(3)).toMap
+    assert(edge("b") && !edge("a"))
+  }
+
+  test("t-closeness: classes missing middle bins get grid-filled") {
+    // global bins {1,2,3}: 2 each; a holds {1,3} only, b holds {2} only
+    val df = Seq(("a", 1L), ("a", 1L), ("a", 3L), ("a", 3L),
+      ("b", 2L), ("b", 2L)).toDF("qi", "bin")
+    val out = Pii.tClosenessClasses(df, 1L, 3L, Seq("qi"), "bin")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(2), r.getBoolean(3)))).toMap
+    assert(out("a") == ((166667L, true)))   // EMD 1/6 ≤ 1/3
+    assert(out("b") == ((333333L, true)))   // EMD 1/3 ≤ 1/3 (edge)
+  }
 }
