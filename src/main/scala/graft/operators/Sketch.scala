@@ -149,4 +149,81 @@ object Sketch {
     ledger.withColumn("rank", row_number().over(w).cast("long"))
       .select(col("key"), col("rank"), col("id"), col("h"))
   }
+
+  // ---- KMV distinct SET OPERATIONS -----------------------------------
+  // The k-minimum-values sketch (Beyer et al. 2007) keeps the k
+  // smallest DISTINCT value hashes per key. Its fold is exact like the
+  // sample ledger's (bottom-k of a union = re-truncated union of
+  // bottom-k's), but it buys what the HLL registers above cannot:
+  // SET-OPERATION cardinalities. For keys A and B,
+  //   K(A∪B) = merge of the two ledgers (exact bottom-k of the union),
+  //   Ĵ      = |K(A∪B) ∩ K(A) ∩ K(B)| / |K(A∪B)|   (unbiased Jaccard),
+  //   |A∪B|  ≈ (k−1)·2⁶⁰ / h₍ₖ₎, exact count when the ledger is short,
+  //   |A∩B|  ≈ Ĵ · |A∪B|.
+  // Everything is integer until one fixed tree of double ops per
+  // output column, so the DuckDB oracle replays it bit-for-bit. The
+  // (k−1)·2⁶⁰ numerator is a small-integer × power-of-two — exactly
+  // representable as one double literal, the HllNumerator discipline.
+
+  /** KMV ledger `(key, h)`: the k smallest distinct [[hash60]] values
+    * per key — persistable, mergeable sketch state. */
+  def kmvLedger(df: DataFrame, keyCol: String, valCol: String,
+                k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("key")).orderBy(col("h").asc)
+    df.select(col(keyCol).as("key"), hash60(col(valCol)).as("h"))
+      .dropDuplicates("key", "h")
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k).drop("__rn")
+  }
+
+  /** Merge KMV ledgers: distinct union, re-truncate to bottom-k.
+    * Exact, associative, commutative, idempotent. */
+  def kmvMerge(a: DataFrame, b: DataFrame, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("key")).orderBy(col("h").asc)
+    a.unionByName(b).dropDuplicates("key", "h")
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k).drop("__rn")
+  }
+
+  /** Pairwise set-operation estimates across every pair of keys in a
+    * KMV ledger: `(key_a, key_b, ku, n_both, union_est_micro,
+    * jac_micro, inter_est_micro)`. The pair table and the per-pair
+    * work are KEY-DOMAIN-sized (ledgers are ≤ k rows per key), so
+    * this is a report over sketch state, never a corpus scan. */
+  def kmvPairwise(ledger: DataFrame, k: Int): DataFrame = {
+    val keys = ledger.select(col("key")).distinct()
+    val pairs = keys.as("x").crossJoin(keys.as("y"))
+      .filter(col("x.key") < col("y.key"))
+      .select(col("x.key").as("key_a"), col("y.key").as("key_b"))
+    // each pair gathers both members' ledger rows; one row per
+    // distinct hash with membership flags
+    val rows = broadcast(pairs).join(ledger.as("l"),
+        col("l.key") === col("key_a") || col("l.key") === col("key_b"))
+      .groupBy(col("key_a"), col("key_b"), col("h"))
+      .agg(
+        max(when(col("l.key") === col("key_a"), 1L).otherwise(0L)).as("in_a"),
+        max(when(col("l.key") === col("key_b"), 1L).otherwise(0L)).as("in_b"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("key_a"), col("key_b")).orderBy(col("h").asc)
+    val topk = rows.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+    // (k−1)·2⁶⁰ exactly, as one double literal (class doc)
+    val kmvNum = (k - 1).toDouble * 1.152921504606847e18
+    val uDouble = when(col("ku") < k, col("ku").cast("double"))
+      .otherwise(lit(kmvNum) / col("hk").cast("double"))
+    topk.groupBy(col("key_a"), col("key_b"))
+      .agg(
+        count(lit(1)).as("ku"),
+        max(col("h")).as("hk"),
+        sum(when(col("in_a") === 1L && col("in_b") === 1L, 1L)
+          .otherwise(0L)).as("n_both"))
+      .select(col("key_a"), col("key_b"), col("ku"), col("n_both"),
+        floor(uDouble * 1e6 + 0.5).cast("long").as("union_est_micro"),
+        floor(col("n_both").cast("double") / col("ku").cast("double")
+          * 1e6 + 0.5).cast("long").as("jac_micro"),
+        floor(col("n_both").cast("double") / col("ku").cast("double")
+          * uDouble * 1e6 + 0.5).cast("long").as("inter_est_micro"))
+  }
 }

@@ -124,4 +124,44 @@ class SketchSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
     assert(norm(folded) == norm(Sketch.hllRegisters(df, "key", "v")))
   }
+
+  // ---- KMV set operations --------------------------------------------
+
+  test("kmv: short ledgers give EXACT union/intersection counts") {
+    // |A|=40, |B|=30, |A∩B|=20 — all below k, so nothing truncates
+    val a = (1 to 40).map(i => ("a", s"u$i"))
+    val b = (21 to 50).map(i => ("b", s"u$i"))
+    val led = Sketch.kmvLedger((a ++ b).toDF("key", "v"), "key", "v", 256)
+    val r = Sketch.kmvPairwise(led, 256).collect()(0)
+    assert((r.getLong(2), r.getLong(3)) == ((50L, 20L)))      // ku, n_both
+    assert(r.getLong(4) == 50000000L)                          // union exact
+    assert(r.getLong(6) == 20000000L)                          // inter exact
+    assert(r.getLong(5) == math.floor(20.0 / 50.0 * 1e6 + 0.5).toLong)
+  }
+
+  test("kmv: slice-built ledgers merge to the one-shot ledger, bit for bit") {
+    val df = (1 to 3000).map(i => (s"g${i % 2}", s"doc-${i % 700}"))
+      .toDF("key", "v")
+    val slices = (0 until 3).map(j =>
+      Sketch.kmvLedger(df.filter(hash($"v") % 3 === j ||
+        hash($"v") % 3 === j - 3), "key", "v", 64))
+    val merged = slices.reduce(Sketch.kmvMerge(_, _, 64))
+    val idem = Sketch.kmvMerge(merged, merged, 64)
+    def norm(d: DataFrame) = d.collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    val oneShot = norm(Sketch.kmvLedger(df, "key", "v", 64))
+    assert(norm(merged) == oneShot)
+    assert(norm(idem) == oneShot)
+  }
+
+  test("kmv: estimator lands near known cardinalities at k=64") {
+    // two keys sharing half their values: |A|=|B|=1000, |A∩B|=500
+    val a = (1 to 1000).map(i => ("a", s"v$i"))
+    val b = (501 to 1500).map(i => ("b", s"v$i"))
+    val led = Sketch.kmvLedger((a ++ b).toDF("key", "v"), "key", "v", 64)
+    val r = Sketch.kmvPairwise(led, 64).collect()(0)
+    val union = r.getLong(4) / 1e6; val inter = r.getLong(6) / 1e6
+    assert(union > 1000 && union < 2300, s"union est $union vs 1500")
+    assert(inter > 200 && inter < 900, s"inter est $inter vs 500")
+  }
 }
