@@ -1563,7 +1563,55 @@ object SparkEntry {
         expr("CAST(floor(value) AS BIGINT)").as("vbin"))
       Pii.lDiversityClasses(ev, l = 3L, Seq("event_type", "hod"), "vbin")
         .orderBy(col("event_type"), col("hod"))
-    })
+    }),
+
+    // EXACT set-similarity join via prefix filtering: every 5-gram
+    // shingle-set pair with Jaccard ≥ 0.8, guaranteed complete —
+    // unlike x11's df-capped inverted index, nothing is dropped; the
+    // quadratic term is bounded by rarest-first PREFIXES instead.
+    // Threshold = rational 8/10, all pruning integer cross-multiplied.
+    "q135_prefix_jaccard" -> q((s, d) =>
+      SetJoin.prefixJaccardPairs(Tables.documents(s, d), "doc_id", "text",
+        shingleN = 5, num = 8, den = 10)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // T-closeness completes the governance ladder (q133 k-anonymity →
+    // q134 l-diversity → distribution distance): per QI class, the
+    // EMD between its value-bin distribution and the global one, with
+    // the t=0.02 verdict integer-cross-multiplied (only emd_micro
+    // takes a double division).
+    "q136_t_closeness" -> q((s, d) => {
+      val ev = Tables.events(s, d).select(col("event_type"),
+        hour(col("ts")).cast("long").as("hod"),
+        expr("CAST(floor(value) AS BIGINT)").as("vbin"))
+      Pii.tClosenessClasses(ev, num = 2L, den = 100L,
+          Seq("event_type", "hod"), "vbin")
+        .orderBy(col("event_type"), col("hod"))
+    }),
+
+    // KMV set operations: distinct (user,hour) audiences per event
+    // type as mergeable bottom-256 ledgers, then pairwise UNION /
+    // JACCARD / INTERSECTION estimates across all type pairs — the
+    // set-op cardinalities the HLL card (q104) cannot deliver. Pure
+    // sketch-state report; the corpus contributes one distinct+window
+    // pass per ledger build.
+    "q137_kmv_setops" -> q((s, d) => {
+      val ev = Tables.events(s, d).select(col("event_type"),
+        concat(col("user_id").cast("string"), lit(":"),
+          hour(col("ts")).cast("string")).as("uh"))
+      Sketch.kmvPairwise(
+          Sketch.kmvLedger(ev, "event_type", "uh", k = 256), k = 256)
+        .orderBy(col("key_a"), col("key_b"))
+    }),
+
+    // ANALYZE-style table profile: per column, row/null counts, exact
+    // distinct cardinality, canonicalized min/max — one aggregation
+    // over one scan (the distincts expand map-side, still a single
+    // shuffle of partials).
+    "q138_profile" -> q((s, d) =>
+      Profile.tableProfile(Tables.events(s, d)
+        .select("event_id", "ts", "user_id", "event_type", "value",
+          "props")))
   ) ++ NonSqlQueries.queries
 
   /** q92's bad-words stage (literal so the oracle renders the same
@@ -4549,6 +4597,163 @@ object SparkEntry {
            count(DISTINCT CAST(floor(value) AS BIGINT)) >= 3 AS diverse
          FROM events
          GROUP BY 1, 2
-         ORDER BY event_type, hod"""
+         ORDER BY event_type, hod""",
+
+    // Prefix-filter join replay: the prefix index is a plan detail —
+    // exactness means the answer IS the brute-force definition, which
+    // the oracle can afford at sf0.01.
+    "q135_prefix_jaccard" ->
+      """WITH t AS (
+           SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9'']+'), x -> length(x) > 0) AS toks
+           FROM documents),
+         shg AS (
+           SELECT doc_id,
+             list_distinct(CASE
+               WHEN len(toks) = 0 THEN []
+               WHEN len(toks) < 5 THEN [array_to_string(toks, ' ')]
+               ELSE [array_to_string(toks[i:i+4], ' ') for i in generate_series(1, len(toks)-4)]
+             END) AS sh
+           FROM t),
+         s AS (SELECT doc_id, sh, CAST(len(sh) AS BIGINT) AS n
+               FROM shg WHERE len(sh) > 0),
+         p AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS inter,
+             a.n + b.n - CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS uni
+           FROM s a JOIN s b ON a.doc_id < b.doc_id)
+         SELECT id_a, id_b, inter, uni,
+           CAST(floor(CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE)
+             * 1000000 + 0.5) AS BIGINT) AS jac_micro
+         FROM p WHERE inter * 10 >= uni * 8
+         ORDER BY id_a, id_b""",
+
+    // T-closeness replay: identical integer cumulative walk over the
+    // classes×bins grid; one double division for emd_micro.
+    "q136_t_closeness" ->
+      """WITH e AS (
+           SELECT event_type, CAST(date_part('hour', ts) AS BIGINT) hod,
+                  CAST(floor(value) AS BIGINT) vbin
+           FROM events),
+         g AS (SELECT vbin, CAST(count(*) AS BIGINT) gc FROM e GROUP BY 1),
+         gg AS (SELECT vbin,
+                  CAST(sum(gc) OVER (ORDER BY vbin
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) cum_gc FROM g),
+         tot AS (SELECT CAST(sum(gc) AS BIGINT) n_tot,
+                        CAST(count(*) AS BIGINT) m FROM g),
+         s AS (SELECT event_type, hod, CAST(count(*) AS BIGINT) class_size
+               FROM e GROUP BY 1, 2),
+         cc AS (SELECT event_type, hod, vbin, CAST(count(*) AS BIGINT) c
+                FROM e GROUP BY 1, 2, 3),
+         grid AS (SELECT s.event_type, s.hod, s.class_size,
+                         gg.vbin, gg.cum_gc
+                  FROM s CROSS JOIN gg),
+         cum AS (SELECT grid.event_type, grid.hod, grid.class_size,
+                   grid.cum_gc,
+                   CAST(sum(COALESCE(cc.c, 0)) OVER (
+                     PARTITION BY grid.event_type, grid.hod
+                     ORDER BY grid.vbin
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS BIGINT) cum_cc
+                 FROM grid LEFT JOIN cc
+                   ON grid.event_type = cc.event_type
+                  AND grid.hod = cc.hod AND grid.vbin = cc.vbin)
+         SELECT event_type, hod, class_size,
+           CAST(floor(
+             CAST(sum(abs(cum_cc * tot.n_tot - cum_gc * class_size))
+               AS DOUBLE)
+             / CAST(tot.n_tot * class_size * greatest(tot.m - 1, 1)
+               AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS emd_micro,
+           sum(abs(cum_cc * tot.n_tot - cum_gc * class_size)) * 100
+             <= tot.n_tot * class_size * greatest(tot.m - 1, 1) * 2
+             AS close
+         FROM cum, tot
+         GROUP BY event_type, hod, class_size, tot.n_tot, tot.m
+         ORDER BY event_type, hod""",
+
+    "q137_kmv_setops" -> q137Sql(),
+
+    // Profile replay: one SELECT per column, same per-type renders
+    // (timestamps to fixed 6-digit micros, doubles micro-rounded).
+    "q138_profile" ->
+      """WITH e AS (SELECT * FROM events)
+         SELECT 'event_id' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) - count(event_id) AS BIGINT) AS n_nulls,
+           CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct,
+           CAST(min(event_id) AS VARCHAR) AS min_s,
+           CAST(max(event_id) AS VARCHAR) AS max_s FROM e
+         UNION ALL
+         SELECT 'ts', CAST(count(*) AS BIGINT),
+           CAST(count(*) - count(ts) AS BIGINT),
+           CAST(count(DISTINCT ts) AS BIGINT),
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f'),
+           strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') FROM e
+         UNION ALL
+         SELECT 'user_id', CAST(count(*) AS BIGINT),
+           CAST(count(*) - count(user_id) AS BIGINT),
+           CAST(count(DISTINCT user_id) AS BIGINT),
+           CAST(min(user_id) AS VARCHAR),
+           CAST(max(user_id) AS VARCHAR) FROM e
+         UNION ALL
+         SELECT 'event_type', CAST(count(*) AS BIGINT),
+           CAST(count(*) - count(event_type) AS BIGINT),
+           CAST(count(DISTINCT event_type) AS BIGINT),
+           CAST(min(event_type) AS VARCHAR),
+           CAST(max(event_type) AS VARCHAR) FROM e
+         UNION ALL
+         SELECT 'value', CAST(count(*) AS BIGINT),
+           CAST(count(*) - count(value) AS BIGINT),
+           CAST(count(DISTINCT value) AS BIGINT),
+           CAST(CAST(floor(min(value) * 1000000 + 0.5) AS BIGINT) AS VARCHAR),
+           CAST(CAST(floor(max(value) * 1000000 + 0.5) AS BIGINT) AS VARCHAR)
+           FROM e
+         UNION ALL
+         SELECT 'props', CAST(count(*) AS BIGINT),
+           CAST(count(*) - count(props) AS BIGINT),
+           CAST(count(DISTINCT props) AS BIGINT),
+           CAST(min(props) AS VARCHAR),
+           CAST(max(props) AS VARCHAR) FROM e
+         ORDER BY "column""""
   )
+
+  /** KMV set-ops replay: same bottom-k ledgers (QUALIFY rank), same
+    * membership flags, same one-tree double arithmetic. The
+    * (k−1)·2⁶⁰ numerator renders through Double.toString, which
+    * round-trips — the HllNumerator discipline. */
+  private def q137Sql(k: Int = 256): String = {
+    val num = (k - 1).toDouble * 1.152921504606847e18
+    val u = s"(CASE WHEN ku < $k THEN CAST(ku AS DOUBLE) ELSE ${num} / CAST(hk AS DOUBLE) END)"
+    s"""WITH e AS (
+         SELECT event_type AS key,
+           CAST('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':' ||
+             CAST(date_part('hour', ts) AS VARCHAR)), 1, 15) AS BIGINT) AS h
+         FROM events),
+       dl AS (SELECT DISTINCT key, h FROM e),
+       led AS (SELECT key, h FROM dl
+               QUALIFY row_number() OVER (PARTITION BY key ORDER BY h) <= $k),
+       keys AS (SELECT DISTINCT key FROM led),
+       pairs AS (SELECT a.key AS key_a, b.key AS key_b
+                 FROM keys a JOIN keys b ON a.key < b.key),
+       rws AS (
+         SELECT p.key_a, p.key_b, l.h,
+           max(CASE WHEN l.key = p.key_a THEN 1 ELSE 0 END) AS in_a,
+           max(CASE WHEN l.key = p.key_b THEN 1 ELSE 0 END) AS in_b
+         FROM pairs p JOIN led l ON l.key = p.key_a OR l.key = p.key_b
+         GROUP BY 1, 2, 3),
+       topk AS (SELECT * FROM rws
+                QUALIFY row_number() OVER (PARTITION BY key_a, key_b ORDER BY h) <= $k),
+       agg AS (SELECT key_a, key_b, CAST(count(*) AS BIGINT) AS ku,
+                 max(h) AS hk,
+                 CAST(sum(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_both
+               FROM topk GROUP BY 1, 2)
+       SELECT key_a, key_b, ku, n_both,
+         CAST(floor($u * 1000000 + 0.5) AS BIGINT) AS union_est_micro,
+         CAST(floor(CAST(n_both AS DOUBLE) / CAST(ku AS DOUBLE)
+           * 1000000 + 0.5) AS BIGINT) AS jac_micro,
+         CAST(floor(CAST(n_both AS DOUBLE) / CAST(ku AS DOUBLE) * $u
+           * 1000000 + 0.5) AS BIGINT) AS inter_est_micro
+       FROM agg ORDER BY key_a, key_b"""
+  }
 }

@@ -63,17 +63,23 @@ object SetJoin {
     // prefix length: n − ceil(num·n/den) + 1, in integer arithmetic
     val prefLen = (col("n") -
       expr(s"(${num}L * n + ${den - 1}L) div ${den}L") + lit(1L)).cast("int")
-    val pref = sets.select(col("id"), col("toks"), col("n"),
+    // candidate generation runs on BARE (id, prefix-shingle, n) rows —
+    // the shingle arrays never ride the self-join shuffle; they are
+    // joined back only onto the DEDUPED candidate pairs
+    val pref = sets.select(col("id"), col("n"),
       explode(slice(col("toks"), lit(1), prefLen)).as("ptok"))
-    val cand = pref.as("a").join(pref.as("b"),
+    val candIds = pref.as("a").join(pref.as("b"),
         col("a.ptok") === col("b.ptok") && col("a.id") < col("b.id"))
       .filter( // length filter: num·max ≤ den·min rules the pair out early
         lit(num.toLong) * greatest(col("a.n"), col("b.n")) <=
           lit(den.toLong) * least(col("a.n"), col("b.n")))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.toks").as("ta"), col("b.toks").as("tb"),
-        col("a.n").as("na"), col("b.n").as("nb"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
+    val cand = candIds
+      .join(sets.select(col("id").as("id_a"), col("toks").as("ta"),
+        col("n").as("na")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("toks").as("tb"),
+        col("n").as("nb")), "id_b")
     val inter = size(array_intersect(col("ta"), col("tb"))).cast("long")
     cand
       .withColumn("inter", inter)
