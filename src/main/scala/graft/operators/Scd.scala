@@ -42,4 +42,30 @@ object Scd {
       .select(col(keyCol), col(attrCol), col(tsCol).as("valid_from"),
         col("valid_to"), col("version"))
   }
+
+  /** Snapshot diff — "what changed between corpus releases": one
+    * FULL OUTER join of two keyed snapshots on `keyCol`, comparing a
+    * content fingerprint column → `(key, status, fp_prev, fp_cur)`
+    * with status ∈ added / removed / changed / unchanged.
+    *
+    * The fingerprint should be non-null for present rows (hash a
+    * coalesced content column) so `IS NULL` cleanly means "absent on
+    * that side". One shuffle on the key for equal-sized snapshots —
+    * snapshots bucketed by the key diff with no shuffle at all. */
+  def snapshotDiff(prev: DataFrame, cur: DataFrame, keyCol: String,
+                   fpCol: String): DataFrame = {
+    val p = prev.select(col(keyCol).as("key"), col(fpCol).as("fp_prev"))
+    val c = cur.select(col(keyCol).as("key"), col(fpCol).as("fp_cur"))
+    p.join(c, Seq("key"), "full_outer")
+      .withColumn("status",
+        when(col("fp_prev").isNull, "added")
+          .when(col("fp_cur").isNull, "removed")
+          .when(col("fp_prev") =!= col("fp_cur"), "changed")
+          .otherwise("unchanged"))
+      .select(col("key"), col("status"), col("fp_prev"), col("fp_cur"))
+  }
+
+  /** One row per status with its count — the release gate summary. */
+  def diffSummary(diff: DataFrame): DataFrame =
+    diff.groupBy(col("status")).agg(count(lit(1)).as("n"))
 }

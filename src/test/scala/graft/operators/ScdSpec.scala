@@ -51,4 +51,18 @@ class ScdSpec extends SparkSpec {
   test("deterministic under repartition") {
     assert(collectScd(ev).toSeq == collectScd(ev.repartition(5)).toSeq)
   }
+
+  test("snapshotDiff classifies all four statuses; summary counts them") {
+    val prev = Seq((1L, "h1"), (2L, "h2"), (3L, "h3")).toDF("id", "fp")
+    val cur = Seq((1L, "h1"), (2L, "h2x"), (4L, "h4")).toDF("id", "fp")
+    val diff = Scd.snapshotDiff(prev, cur, "id", "fp")
+    val byKey = diff.collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(byKey == Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "removed", 4L -> "added"))
+    val sum = Scd.diffSummary(diff).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sum == Map("unchanged" -> 1L, "changed" -> 1L,
+      "removed" -> 1L, "added" -> 1L))
+  }
 }
