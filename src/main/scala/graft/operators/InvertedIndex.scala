@@ -320,4 +320,44 @@ object InvertedIndex {
       .filter(col("n_phrase") > 0L)
       .select(col("doc_id"), col("n_phrase"))
   }
+
+  /** PROXIMITY retrieval: docs containing EVERY query term, scored by
+    * the minimal token window covering one occurrence of each (the
+    * cover semantics behind Lucene's sloppy phrase — Clarke, Cormack
+    * & Tudhope 2000). Same doc-keyed posting-list AND-join as
+    * [[phraseCount]], then a scan-local minimization: a candidate
+    * window is anchored at some occurring position `a` (its minimum);
+    * each term contributes its smallest position ≥ a; span =
+    * greatest(nexts) − a + 1; the doc's span is the min over anchors
+    * (the optimum's minimum IS one of the positions, so anchors
+    * suffice for exactness). O(|union|·Σ|positions|) per candidate
+    * doc over posting-sized arrays — HOFs off the corpus path, the
+    * corpus never read. */
+  def minSpan(spark: SparkSession, dir: String,
+              terms: Seq[String]): DataFrame = {
+    require(terms.length >= 2, "minSpan needs at least two terms")
+    val ts = terms.map(_.toLowerCase).distinct
+    val nb = spark.read.parquet(s"$dir/stats")
+      .agg(max(col("num_buckets")).as("nb"))
+      .collect()(0).getInt(0)
+    val post = readPostings(spark, dir, ts, nb)
+    val legs = ts.zipWithIndex.map { case (t, i) =>
+      post.filter(col("term") === t)
+        .select(col("doc_id"), col("positions").as(s"__p$i"))
+    }
+    val joined = legs.reduce((a, b) => a.join(b, "doc_id"))
+    val anchors = array_sort(array_distinct(flatten(
+      array(ts.indices.map(i => col(s"__p$i")): _*))))
+    val spanAt = (a: Column) => {
+      val nexts = ts.indices.map(i =>
+        array_min(filter(col(s"__p$i"), p => p >= a)))
+      // a term with no position ≥ a voids the anchor (NULL, skipped
+      // by the outer array_min); the global-min anchor always lands
+      when(nexts.map(_.isNull).reduce(_ || _), lit(null))
+        .otherwise(greatest(nexts: _*) - a + lit(1))
+    }
+    joined
+      .withColumn("span", array_min(transform(anchors, spanAt)).cast("long"))
+      .select(col("doc_id"), col("span"))
+  }
 }

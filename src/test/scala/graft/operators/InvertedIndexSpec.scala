@@ -222,4 +222,23 @@ class InvertedIndexSpec extends SparkSpec {
       case Array(a, b) => a >= b; case _ => true
     })
   }
+
+  test("minSpan: hand-checked windows; AND semantics; order-free") {
+    val docs = Seq(
+      // a=0,4  b=2,5  c=6 → the best window is the LATE [4,6] = 3,
+      // not the greedy-from-start [0,6]
+      (1L, "a x b x a b c"),
+      // a=0 b=1 c=2 → adjacent, span 3; later spread occurrences
+      (2L, "a b c x x a x x c"),
+      // terms out of query order: c=0 b=2 a=3 → window [0,3] = 4
+      (3L, "c x b a"),
+      (4L, "a b x"),            // missing c → excluded
+      (5L, "x y z")             // no terms → excluded
+    ).toDF("doc_id", "text")
+    val d = java.nio.file.Files.createTempDirectory("graft-span-spec").toString
+    InvertedIndex.writeIndex(docs, "doc_id", Seq("text"), d)
+    val got = InvertedIndex.minSpan(spark, d, Seq("a", "b", "c"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 4L))
+  }
 }
