@@ -1611,7 +1611,58 @@ object SparkEntry {
     "q138_profile" -> q((s, d) =>
       Profile.tableProfile(Tables.events(s, d)
         .select("event_id", "ts", "user_id", "event_type", "value",
-          "props")))
+          "props"))),
+
+    // Release-over-release snapshot diff: v1 drops doc_id%10==0,
+    // v2 drops doc_id%13==0 and edits doc_id%7==0 — so the diff
+    // exercises all four statuses. One full-outer join on the key.
+    "q139_snapshot_diff" -> q((s, d) => {
+      val docs = Tables.documents(s, d)
+      val fp = md5(coalesce(col("text"), lit("")).cast("binary"))
+      val v1 = docs.filter(col("doc_id") % 10 =!= 0)
+        .select(col("doc_id"), fp.as("fp"))
+      val v2 = docs.filter(col("doc_id") % 13 =!= 0)
+        .select(col("doc_id"),
+          md5(concat(coalesce(col("text"), lit("")),
+            when(col("doc_id") % 7 === 0, "!").otherwise(""))
+            .cast("binary")).as("fp"))
+      Scd.snapshotDiff(v1, v2, "doc_id", "fp").orderBy(col("key"))
+    }),
+
+    // PROXIMITY search from the positional index (Lucene sloppy
+    // phrase): docs holding all three terms, scored by the minimal
+    // token window covering one occurrence of each — posting lists
+    // only, the corpus never read.
+    "q140_min_span" -> q((s, d) => {
+      val dir = Scratch.dir("graft-invidx-span")
+      InvertedIndex.writeIndex(Tables.documents(s, d), "doc_id",
+        Seq("text"), dir)
+      InvertedIndex.minSpan(s, dir, Seq("fast", "scan", "window"))
+        .orderBy(col("span"), col("doc_id"))
+    }),
+
+    // IR evaluation harness: score a crawl-order baseline ranking
+    // (first 10 docs containing each query term) against graded
+    // relevance (rel = min(tf−1, 3) for tf ≥ 2) — MRR / P@10 /
+    // recall@10 / nDCG@10 per query, DCG folded in pinned rank order.
+    "q141_search_eval" -> q((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val toks = graft.functions.Analyzer.tokenize(
+        coalesce(col("text"), lit("")))
+      val terms = Seq("fast", "scan", "window")
+      val tf = Tables.documents(s, d)
+        .select(col("doc_id"), explode(toks).as("tok"))
+        .filter(col("tok").isin(terms: _*))
+        .groupBy(col("tok").as("qid"), col("doc_id"))
+        .agg(count(lit(1)).as("tf"))
+      val rankings = tf.withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("doc_id"))).cast("long"))
+      val qrels = tf.filter(col("tf") >= 2L)
+        .select(col("qid"), col("doc_id"),
+          least(col("tf") - 1L, lit(3L)).as("rel"))
+      SearchEval.rankingMetrics(rankings, qrels, k = 10)
+        .orderBy(col("qid"))
+    })
   ) ++ NonSqlQueries.queries
 
   /** q92's bad-words stage (literal so the oracle renders the same
@@ -4714,7 +4765,115 @@ object SparkEntry {
            CAST(count(DISTINCT props) AS BIGINT),
            CAST(min(props) AS VARCHAR),
            CAST(max(props) AS VARCHAR) FROM e
-         ORDER BY "column""""
+         ORDER BY "column"""",
+
+    // Snapshot-diff replay: same derived v1/v2 and the same
+    // FULL OUTER status arithmetic.
+    "q139_snapshot_diff" ->
+      """WITH v1 AS (
+           SELECT doc_id, md5(COALESCE(text, '')) AS fp
+           FROM documents WHERE doc_id % 10 <> 0),
+         v2 AS (
+           SELECT doc_id, md5(COALESCE(text, '') ||
+             CASE WHEN doc_id % 7 = 0 THEN '!' ELSE '' END) AS fp
+           FROM documents WHERE doc_id % 13 <> 0)
+         SELECT COALESCE(v1.doc_id, v2.doc_id) AS key,
+           CASE WHEN v1.doc_id IS NULL THEN 'added'
+                WHEN v2.doc_id IS NULL THEN 'removed'
+                WHEN v1.fp <> v2.fp THEN 'changed'
+                ELSE 'unchanged' END AS status,
+           v1.fp AS fp_prev, v2.fp AS fp_cur
+         FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+         ORDER BY key""",
+
+    // Min-span replay: positions from the tokenizer, the same
+    // anchor-minimization (the index is a plan detail).
+    "q140_min_span" ->
+      """WITH t AS (
+           SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9'']+'), x -> length(x) > 0) AS toks
+           FROM documents),
+         f AS (
+           SELECT doc_id,
+             [i - 1 FOR i IN generate_series(1, len(toks)) IF toks[i] = 'fast'] AS p0,
+             [i - 1 FOR i IN generate_series(1, len(toks)) IF toks[i] = 'scan'] AS p1,
+             [i - 1 FOR i IN generate_series(1, len(toks)) IF toks[i] = 'window'] AS p2
+           FROM t)
+         SELECT doc_id,
+           CAST(list_min([
+             CASE WHEN len([p FOR p IN p0 IF p >= a]) > 0
+                   AND len([p FOR p IN p1 IF p >= a]) > 0
+                   AND len([p FOR p IN p2 IF p >= a]) > 0
+               THEN greatest(
+                 list_min([p FOR p IN p0 IF p >= a]),
+                 list_min([p FOR p IN p1 IF p >= a]),
+                 list_min([p FOR p IN p2 IF p >= a])) - a + 1
+               ELSE NULL END
+             FOR a IN list_sort(list_distinct(p0 || p1 || p2))])
+             AS BIGINT) AS span
+         FROM f
+         WHERE len(p0) > 0 AND len(p1) > 0 AND len(p2) > 0
+         ORDER BY span, doc_id""",
+
+    // IR-eval replay: identical rank-ordered DCG folds (list_reduce,
+    // the sqlFold discipline); ln2 as the shared double literal.
+    "q141_search_eval" ->
+      """WITH t AS (
+           SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9'']+'), x -> length(x) > 0) AS toks
+           FROM documents),
+         tok AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+         tf AS (SELECT tok AS qid, doc_id, CAST(count(*) AS BIGINT) AS tf
+                FROM tok WHERE tok IN ('fast', 'scan', 'window')
+                GROUP BY 1, 2),
+         rk AS (SELECT qid, doc_id,
+                  CAST(row_number() OVER (PARTITION BY qid ORDER BY doc_id)
+                    AS BIGINT) AS rnk
+                FROM tf),
+         qr AS (SELECT qid, doc_id, CAST(least(tf - 1, 3) AS BIGINT) AS rel
+                FROM tf WHERE tf >= 2),
+         j AS (SELECT rk.qid, rk.rnk, COALESCE(qr.rel, 0) AS rel
+               FROM rk LEFT JOIN qr
+                 ON rk.qid = qr.qid AND rk.doc_id = qr.doc_id
+               WHERE rk.rnk <= 10),
+         perq AS (
+           SELECT qid, list(rel ORDER BY rnk) AS g,
+             min(CASE WHEN rel > 0 THEN rnk END) AS first_rel,
+             CAST(sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_rel_topk
+           FROM j GROUP BY 1),
+         ideal AS (
+           SELECT qid, CAST(count(*) AS BIGINT) AS n_judged,
+             (list(rel ORDER BY rel DESC))[1:10] AS ig
+           FROM qr GROUP BY 1),
+         m AS (
+           SELECT p.qid, COALESCE(i.n_judged, 0) AS n_judged,
+             p.n_rel_topk, p.first_rel,
+             list_reduce(list_prepend(0.0,
+               [CAST((CAST(1 AS BIGINT) << g[x]) - 1 AS DOUBLE)
+                  * 0.6931471805599453 / ln(CAST(x + 1 AS DOUBLE))
+                FOR x IN generate_series(1, len(g))]),
+               (a, b) -> a + b) AS dcg,
+             CASE WHEN i.qid IS NULL THEN 0.0 ELSE
+               list_reduce(list_prepend(0.0,
+                 [CAST((CAST(1 AS BIGINT) << ig[x]) - 1 AS DOUBLE)
+                    * 0.6931471805599453 / ln(CAST(x + 1 AS DOUBLE))
+                  FOR x IN generate_series(1, len(ig))]),
+                 (a, b) -> a + b) END AS idcg
+           FROM perq p LEFT JOIN ideal i ON p.qid = i.qid)
+         SELECT qid, n_judged, n_rel_topk,
+           COALESCE(CAST(floor(1.0 / CAST(first_rel AS DOUBLE) * 1000000
+             + 0.5) AS BIGINT), 0) AS mrr_micro,
+           CAST(floor(CAST(n_rel_topk AS DOUBLE) / 10.0 * 1000000 + 0.5)
+             AS BIGINT) AS p_at_k_micro,
+           CASE WHEN n_judged = 0 THEN 0
+             ELSE CAST(floor(CAST(n_rel_topk AS DOUBLE)
+               / CAST(n_judged AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
+           END AS recall_micro,
+           CASE WHEN idcg <= 0.0 THEN 0
+             ELSE CAST(floor(dcg / idcg * 1000000 + 0.5) AS BIGINT)
+           END AS ndcg_micro
+         FROM m ORDER BY qid"""
   )
 
   /** KMV set-ops replay: same bottom-k ledgers (QUALIFY rank), same

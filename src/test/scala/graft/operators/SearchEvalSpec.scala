@@ -1,0 +1,58 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Ranking metrics: hand-computed MRR/P@k/recall/nDCG, unjudged and
+  * no-hit edge cases, and the pinned DCG fold order. */
+class SearchEvalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val ln2 = StrictMath.log(2.0)
+  private def gain(rel: Long, rank: Long): Double =
+    ((1L << rel) - 1).toDouble * ln2 / StrictMath.log((rank + 1).toDouble)
+  private def micro(x: Double): Long = math.floor(x * 1e6 + 0.5).toLong
+
+  test("per-query metrics match hand computation") {
+    val rankings = Seq(
+      ("q1", 1L, 1L), ("q1", 2L, 2L), ("q1", 3L, 3L),
+      ("q2", 1L, 1L), ("q2", 2L, 2L),   // judged but nothing relevant retrieved
+      ("q3", 7L, 1L)                    // no qrels at all for q3
+    ).toDF("qid", "doc_id", "rank")
+    val qrels = Seq(
+      ("q1", 2L, 1L), ("q1", 3L, 2L), ("q1", 9L, 3L),
+      ("q2", 5L, 2L)
+    ).toDF("qid", "doc_id", "rel")
+    val out = SearchEval.rankingMetrics(rankings, qrels, k = 3)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6)))).toMap
+
+    // q1: 3 judged; retrieved rel = (0, 1, 2) at ranks 1..3
+    val dcg = gain(0, 1) + gain(1, 2) + gain(2, 3)
+    val idcg = gain(3, 1) + gain(2, 2) + gain(1, 3)
+    assert(out("q1") == ((3L, 2L, 500000L,          // first rel at rank 2
+      micro(2.0 / 3.0), micro(2.0 / 3.0), micro(dcg / idcg))))
+    // q2: 1 judged, none retrieved → everything zero except p/recall denom
+    assert(out("q2") == ((1L, 0L, 0L, 0L, 0L, 0L)))
+    // q3: no qrels → all zero, no division blow-ups
+    assert(out("q3") == ((0L, 0L, 0L, 0L, 0L, 0L)))
+  }
+
+  test("perfect ranking scores nDCG = 1 and MRR = 1") {
+    val rankings = Seq(("q", 1L, 1L), ("q", 2L, 2L)).toDF("qid", "doc_id", "rank")
+    val qrels = Seq(("q", 1L, 3L), ("q", 2L, 1L)).toDF("qid", "doc_id", "rel")
+    val r = SearchEval.rankingMetrics(rankings, qrels, 2).collect()(0)
+    assert(r.getLong(3) == 1000000L)   // mrr
+    assert(r.getLong(6) == 1000000L)   // ndcg
+  }
+
+  test("ideal list truncates at k (IDCG@k, not IDCG@all)") {
+    // 3 judged rel=1 docs, k=2: idcg uses only the best 2
+    val rankings = Seq(("q", 1L, 1L), ("q", 2L, 2L)).toDF("qid", "doc_id", "rank")
+    val qrels = Seq(("q", 1L, 1L), ("q", 2L, 1L), ("q", 3L, 1L))
+      .toDF("qid", "doc_id", "rel")
+    val r = SearchEval.rankingMetrics(rankings, qrels, 2).collect()(0)
+    assert(r.getLong(6) == 1000000L)   // retrieved == ideal top-2
+    assert(r.getLong(5) == micro(2.0 / 3.0))  // recall over all 3 judged
+  }
+}
