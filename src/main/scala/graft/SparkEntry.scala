@@ -1662,6 +1662,24 @@ object SparkEntry {
           least(col("tf") - 1L, lit(3L)).as("rel"))
       SearchEval.rankingMetrics(rankings, qrels, k = 10)
         .orderBy(col("qid"))
+    }),
+
+    // ANN quality gate: recall@20 of the IVF probe path (x23's
+    // layout) against the exact brute-force top-20 (x27's leg) for
+    // four queries — the approximate scale path continuously measured
+    // against the baseline it approximates.
+    "q142_ann_recall" -> q((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val qids = Seq(0L, 1L, 2L, 3L)
+      val truth = Similarity.topKBatch(emb, "vec_id", "embedding",
+        qids, k = 20).select(col("query_id"), col("vec_id"))
+      val approx = qids.map(qid =>
+        Similarity.ivfTopK(emb, "vec_id", "embedding", qid,
+            numCentroids = 8, nprobe = 3, k = 20)
+          .select(lit(qid).as("query_id"), col("vec_id")))
+        .reduce(_.unionByName(_))
+      Similarity.recallAgainst(truth, approx, "vec_id")
+        .orderBy(col("query_id"))
     })
   ) ++ NonSqlQueries.queries
 
@@ -4873,8 +4891,62 @@ object SparkEntry {
            CASE WHEN idcg <= 0.0 THEN 0
              ELSE CAST(floor(dcg / idcg * 1000000 + 0.5) AS BIGINT)
            END AS ndcg_micro
-         FROM m ORDER BY qid"""
+         FROM m ORDER BY qid""",
+
+    "q142_ann_recall" -> q142Sql()
   )
+
+  /** ANN-recall replay: x27's exact-top-k leg as truth, x23's IVF
+    * probe leg per query as candidate (assignment hoisted into one
+    * shared CTE — it does not depend on the query), then the set
+    * overlap. All cosines through [[sqlCos]], bit-identical. */
+  private def q142Sql(qids: Seq[Long] = Seq(0L, 1L, 2L, 3L),
+                      k: Int = 20): String = {
+    val probeLegs = qids.map { qid =>
+      s"""q$qid AS (SELECT v AS qv FROM e WHERE vec_id = $qid),
+         p$qid AS (
+           SELECT cid FROM (
+             SELECT c.cid, ROW_NUMBER() OVER (ORDER BY ${sqlCos("qv", "cv")} DESC, cid) AS rn
+             FROM c, q$qid) WHERE rn <= 3),
+         a$qid AS (
+           SELECT vec_id FROM (
+             SELECT asg.vec_id,
+               ROW_NUMBER() OVER (ORDER BY ${sqlCos("e.v", "qv")} DESC, asg.vec_id) AS rn
+             FROM asg JOIN p$qid ON asg.assigned = p$qid.cid
+             JOIN e ON asg.vec_id = e.vec_id, q$qid
+             WHERE asg.vec_id <> $qid) WHERE rn <= $k)"""
+    }.mkString(",\n")
+    val unionApprox = qids
+      .map(qid => s"SELECT $qid AS query_id, vec_id FROM a$qid")
+      .mkString(" UNION ALL ")
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       c AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 8),
+       asg AS (
+         SELECT vec_id, cid AS assigned FROM (
+           SELECT e.vec_id, c.cid,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY ${sqlCos("e.v", "c.cv")} DESC, c.cid) AS rn
+           FROM e, c) WHERE rn = 1),
+       $probeLegs,
+       q AS (SELECT vec_id AS query_id, v AS qv FROM e
+             WHERE vec_id IN (${qids.mkString(", ")})),
+       sc AS (SELECT q.query_id, e.vec_id, ${sqlCos("e.v", "q.qv")} AS cos
+              FROM e, q WHERE e.vec_id <> q.query_id),
+       t AS (SELECT query_id, vec_id FROM (
+               SELECT query_id, vec_id,
+                 ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rnk
+               FROM sc)
+             WHERE rnk <= $k),
+       ap AS ($unionApprox)
+       SELECT t.query_id, CAST(count(*) AS BIGINT) AS n_truth,
+         CAST(count(ap.vec_id) AS BIGINT) AS n_overlap,
+         CAST(floor(CAST(count(ap.vec_id) AS DOUBLE)
+           / CAST(count(*) AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
+           AS recall_micro
+       FROM t LEFT JOIN ap
+         ON t.query_id = ap.query_id AND t.vec_id = ap.vec_id
+       GROUP BY t.query_id
+       ORDER BY t.query_id"""
+  }
 
   /** KMV set-ops replay: same bottom-k ledgers (QUALIFY rank), same
     * membership flags, same one-tree double arithmetic. The

@@ -1152,4 +1152,25 @@ object Similarity {
         lit(0L), (acc, x) => acc + x)
     }: _*)
   }
+
+  /** ANN quality gate — recall of an approximate retrieval against
+    * its exact baseline, the number FAISS reports as `R@k`. Both
+    * inputs are `(query_id, <id>)` result sets (e.g. [[topKBatch]]
+    * as truth, [[ivfTopK]] legs as candidate); output per query:
+    * `(query_id, n_truth, n_overlap, recall_micro)`. Report-sized
+    * join — the corpora were already reduced to top-k sets upstream.
+    * This is what closes the ANN family's loop: the scale path
+    * (IVF/LSH probe) is continuously measured against the exact
+    * brute-force leg it approximates. */
+  def recallAgainst(truth: DataFrame, approx: DataFrame,
+                    idCol: String): DataFrame =
+    truth.join(approx.withColumn("__hit", lit(1L)),
+        Seq("query_id", idCol), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_truth"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_overlap"))
+      .select(col("query_id"), col("n_truth"), col("n_overlap"),
+        floor(col("n_overlap").cast("double")
+          / col("n_truth").cast("double") * 1e6 + 0.5).cast("long")
+          .as("recall_micro"))
 }
