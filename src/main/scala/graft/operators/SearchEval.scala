@@ -82,4 +82,52 @@ object SearchEval {
         when(col("__idcg") <= 0.0, lit(0L))
           .otherwise(micro(col("__dcg") / col("__idcg"))).as("ndcg_micro"))
   }
+
+  /** p^0 … p^(k−1) by successive multiplication — the same doubles
+    * render as literals into both engines. */
+  private[graft] def rboPowers(p: Double, k: Int): Seq[Double] =
+    Seq.iterate(1.0, k)(_ * p)
+
+  /** Agreement between two rankings of the same queries — overlap@k
+    * and Rank-Biased Overlap (Webber, Moffat & Zobel 2010):
+    * RBO@k = (1−p) · Σ_{d=1..k} p^(d−1) · |A_d ∩ B_d| / d.
+    * The diagnostic behind hybrid fusion: how much do the lexical and
+    * vector rankings actually agree before RRF merges them?
+    *
+    * Inputs are `(query_id, id, rank)`; output per query (every query
+    * present in `a`, empty intersections scoring 0):
+    * `(query_id, n_both, overlap_micro, rbo_micro)`.
+    *
+    * Determinism: prefix-overlap counts are integral (a doc enters at
+    * depth max(rank_a, rank_b)); the p-powers are PRECOMPUTED doubles
+    * rendered as literals (no pow() in either engine); the weighted
+    * sum folds over d ascending — one pinned float tree, micro-
+    * rounded. Per-query state is two top-k lists: report-sized. */
+  def rankAgreement(a: DataFrame, b: DataFrame, k: Int,
+                    p: Double): DataFrame = {
+    val powers = rboPowers(p, k)
+    val aa = a.filter(col("rank") <= k)
+      .select(col("query_id"), col("id"), col("rank").as("__ra"))
+    val bb = b.filter(col("rank") <= k)
+      .select(col("query_id"), col("id"), col("rank").as("__rb"))
+    val both = aa.join(bb, Seq("query_id", "id"))
+      .select(col("query_id"),
+        greatest(col("__ra"), col("__rb")).cast("long").as("__m"))
+    val perQ = aa.select(col("query_id")).distinct()
+      .join(both.groupBy(col("query_id"))
+          .agg(sort_array(collect_list(col("__m"))).as("__ms"),
+            count(lit(1)).as("n_both")),
+        Seq("query_id"), "left")
+      .withColumn("__ms",
+        coalesce(col("__ms"), array().cast("array<long>")))
+      .withColumn("n_both", coalesce(col("n_both"), lit(0L)))
+    val wsum = aggregate(sequence(lit(1), lit(k)), lit(0.0), (acc, d) =>
+      acc + element_at(typedlit(powers), d)
+        * size(filter(col("__ms"), m => m <= d)).cast("double")
+        / d.cast("double"))
+    perQ.select(col("query_id"), col("n_both"),
+      floor(col("n_both").cast("double") / lit(k.toDouble) * 1e6 + 0.5)
+        .cast("long").as("overlap_micro"),
+      floor(lit(1.0 - p) * wsum * 1e6 + 0.5).cast("long").as("rbo_micro"))
+  }
 }

@@ -55,4 +55,25 @@ class SearchEvalSpec extends SparkSpec {
     assert(r.getLong(6) == 1000000L)   // retrieved == ideal top-2
     assert(r.getLong(5) == micro(2.0 / 3.0))  // recall over all 3 judged
   }
+
+  test("rankAgreement: hand-computed RBO at k=2, p=0.5") {
+    def rk(rows: (Long, Long, Long)*) =
+      rows.toDF("query_id", "id", "rank")
+    // identical rankings: ov=(1,2) → s = 1 + 0.5 → rbo = 0.5·1.5 = 0.75
+    val same = SearchEval.rankAgreement(
+      rk((0L, 7L, 1L), (0L, 8L, 2L)), rk((0L, 7L, 1L), (0L, 8L, 2L)),
+      k = 2, p = 0.5).collect()(0)
+    assert((same.getLong(1), same.getLong(2), same.getLong(3)) ==
+      ((2L, 1000000L, 750000L)))
+    // swapped order: ov=(0,2) → s = 0 + 0.5·1 → rbo = 0.25
+    val swap = SearchEval.rankAgreement(
+      rk((0L, 7L, 1L), (0L, 8L, 2L)), rk((0L, 8L, 1L), (0L, 7L, 2L)),
+      k = 2, p = 0.5).collect()(0)
+    assert((swap.getLong(1), swap.getLong(3)) == ((2L, 250000L)))
+    // disjoint: still one row, everything 0
+    val disj = SearchEval.rankAgreement(
+      rk((0L, 1L, 1L)), rk((0L, 2L, 1L)), k = 2, p = 0.5).collect()(0)
+    assert((disj.getLong(1), disj.getLong(2), disj.getLong(3)) ==
+      ((0L, 0L, 0L)))
+  }
 }
