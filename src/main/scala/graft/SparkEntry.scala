@@ -1680,8 +1680,85 @@ object SparkEntry {
         .reduce(_.unionByName(_))
       Similarity.recallAgainst(truth, approx, "vec_id")
         .orderBy(col("query_id"))
-    })
+    }),
+
+    // Ranking agreement: overlap@20 + RBO(p=0.9) between q124's two
+    // retrieval legs — the pre-fusion diagnostic (how much do lexical
+    // and vector actually agree? here: barely — which is WHY RRF
+    // fusion adds value). Powers of p precomputed, no pow() anywhere.
+    "q143_rank_agreement" -> q((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val bmRank = Search.bm25Scored(Tables.documents(s, d), Seq("text"),
+          Seq("window", "vector", "stream"))
+        .withColumn("score_q",
+          floor(col("score") * 1000000000.0 + 0.5).cast("long"))
+        .filter(col("score_q") > 0)
+        .withColumn("rank", row_number()
+          .over(Window.orderBy(col("score_q").desc, col("doc_id")))
+          .cast("long"))
+        .filter(col("rank") <= 20)
+        .select(lit(0L).as("query_id"),
+          col("doc_id").cast("long").as("id"), col("rank"))
+      val emb = Tables.embeddings(s, d)
+      val query = broadcast(emb.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>").as("qv")))
+      val cosRank = emb.filter(col("vec_id") =!= 0).crossJoin(query)
+        .select(col("vec_id"), Similarity.cosineFast(
+          col("embedding").cast("array<double>"), col("qv")).as("cos"))
+        .withColumn("rank", row_number()
+          .over(Window.orderBy(col("cos").desc, col("vec_id")))
+          .cast("long"))
+        .filter(col("rank") <= 20)
+        .select(lit(0L).as("query_id"),
+          col("vec_id").cast("long").as("id"), col("rank"))
+      SearchEval.rankAgreement(bmRank, cosRank, k = 20, p = 0.9)
+    }),
+
+    // PERCOLATION (ES percolate): stored term-conjunction queries run
+    // in reverse against the corpus — the alerting primitive.
+    "q144_percolate" -> q((s, d) => {
+      import s.implicits._
+      val stored = percolateStored.map { case (id, ts) => (id, ts) }
+        .toDF("query_id", "terms")
+      Search.percolate(Tables.documents(s, d), "doc_id", Seq("text"),
+          stored)
+        .orderBy(col("doc_id"), col("query_id"))
+    }),
+
+    // MORE-LIKE-THIS (ES MLT): doc 45's rare 5-gram shingles
+    // (df ≤ 20) as the query, others ranked by shared count — finds
+    // its two planted near-dups (267, 413) at the top.
+    "q145_more_like_this" -> q((s, d) =>
+      Search.moreLikeThis(Tables.documents(s, d), "doc_id", Seq("text"),
+        sourceId = 45L, maxDf = 20L, k = 10, shingleN = 5)),
+
+    // COMPLETION SUGGEST (ES completion): top-5 vocabulary
+    // completions of prefix "s" by collection frequency.
+    "q146_suggest" -> q((s, d) =>
+      Search.suggest(Tables.documents(s, d), Seq("text"),
+        prefix = "s", k = 5)),
+
+    // HIGHLIGHT (ES highlight): first-match snippet with the hit
+    // wrapped in <em> — pure string expressions over the scan.
+    "q147_highlight" -> q((s, d) =>
+      Search.highlight(Tables.documents(s, d), "doc_id", "text",
+          term = "window", before = 20, after = 20)
+        .orderBy(col("doc_id"))),
+
+    // SIGNIFICANT TERMS (ES significant_terms, JLH): vocabulary
+    // overrepresented in src0's documents vs the whole corpus.
+    "q148_significant_terms" -> q((s, d) =>
+      Search.significantTerms(Tables.documents(s, d), "doc_id",
+        Seq("text"), col("source") === "src0", k = 10))
   ) ++ NonSqlQueries.queries
+
+  /** q144's stored percolation queries (literal so the oracle renders
+    * the same table). */
+  private val percolateStored: Seq[(Long, Seq[String])] = Seq(
+    1L -> Seq("fast", "scan"),
+    2L -> Seq("window", "stream", "batch"),
+    3L -> Seq("dup", "merge"),
+    4L -> Seq("spark", "vector", "the"))
 
   /** q92's bad-words stage (literal so the oracle renders the same
     * list; hit rates measured non-trivial on the synthetic corpus). */
@@ -4893,8 +4970,175 @@ object SparkEntry {
            END AS ndcg_micro
          FROM m ORDER BY qid""",
 
-    "q142_ann_recall" -> q142Sql()
+    "q142_ann_recall" -> q142Sql(),
+
+    "q143_rank_agreement" -> q143Sql(),
+
+    "q144_percolate" -> q144Sql,
+
+    // MLT replay: same rare-shingle selection and shared-count rank.
+    "q145_more_like_this" ->
+      """WITH t AS (
+           SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9'']+'), x -> length(x) > 0) AS toks
+           FROM documents),
+         shg AS (
+           SELECT doc_id,
+             list_distinct(CASE
+               WHEN len(toks) = 0 THEN []
+               WHEN len(toks) < 5 THEN [array_to_string(toks, ' ')]
+               ELSE [array_to_string(toks[i:i+4], ' ') for i in generate_series(1, len(toks)-4)]
+             END) AS sh
+           FROM t),
+         d AS (SELECT doc_id, unnest(sh) AS term FROM shg),
+         dfs AS (SELECT term, count(*) AS df FROM d GROUP BY 1),
+         sel AS (SELECT d.term FROM d JOIN dfs USING (term)
+                 WHERE d.doc_id = 45 AND dfs.df <= 20),
+         sc AS (SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+                  CAST(count(*) AS BIGINT) AS n_shared
+                FROM d JOIN sel USING (term)
+                WHERE d.doc_id <> 45 GROUP BY 1)
+         SELECT doc_id, n_shared FROM sc
+         QUALIFY row_number() OVER (ORDER BY n_shared DESC, doc_id) <= 10
+         ORDER BY n_shared DESC, doc_id""",
+
+    // Suggest replay: vocabulary stats restricted to the prefix.
+    "q146_suggest" ->
+      """WITH t AS (
+           SELECT list_filter(regexp_split_to_array(lower(text), '[^a-z0-9'']+'), x -> length(x) > 0) AS toks
+           FROM documents),
+         d AS (SELECT unnest(toks) AS term FROM t)
+         SELECT term, CAST(count(*) AS BIGINT) AS cf FROM d
+         WHERE term LIKE 's%'
+         GROUP BY term
+         QUALIFY row_number() OVER (ORDER BY cf DESC, term) <= 5
+         ORDER BY cf DESC, term""",
+
+    // Highlight replay: same 1-based strpos arithmetic and window.
+    "q147_highlight" ->
+      """WITH b AS (SELECT doc_id, lower(COALESCE(text, '')) AS t
+                    FROM documents),
+         p AS (SELECT doc_id, t, strpos(t, 'window') AS pos FROM b
+               WHERE strpos(t, 'window') > 0),
+         s AS (SELECT doc_id, t, pos, greatest(1, pos - 20) AS st FROM p)
+         SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+           substr(t, st, pos - st) || '<em>window</em>'
+             || substr(t, pos + 6, 20) AS snippet
+         FROM s ORDER BY doc_id""",
+
+    // Significant-terms replay: same counts, same one-tree JLH.
+    "q148_significant_terms" ->
+      """WITH t AS (
+           SELECT doc_id, source,
+             list_distinct(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9'']+'), x -> length(x) > 0)) AS toks
+           FROM documents),
+         d AS (SELECT doc_id, source = 'src0' AS fgf, unnest(toks) AS term
+               FROM t),
+         stats AS (SELECT term,
+                     CAST(sum(CASE WHEN fgf THEN 1 ELSE 0 END) AS BIGINT) AS fg,
+                     CAST(count(*) AS BIGINT) AS bg
+                   FROM d GROUP BY 1),
+         sizes AS (SELECT
+                     CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS nf,
+                     CAST(count(*) AS BIGINT) AS nb
+                   FROM documents)
+         SELECT term, fg, bg,
+           CAST(floor(
+             ((CAST(fg AS DOUBLE) / CAST(nf AS DOUBLE))
+               - (CAST(bg AS DOUBLE) / CAST(nb AS DOUBLE)))
+             * ((CAST(fg AS DOUBLE) / CAST(nf AS DOUBLE))
+               / (CAST(bg AS DOUBLE) / CAST(nb AS DOUBLE)))
+             * 1000000 + 0.5) AS BIGINT) AS jlh_micro
+         FROM stats, sizes WHERE fg > 0
+         QUALIFY row_number() OVER (ORDER BY jlh_micro DESC, term) <= 10
+         ORDER BY jlh_micro DESC, term"""
   )
+
+  /** Percolate replay: the stored-query table as VALUES from the same
+    * literal, then the matched-count == arity check. */
+  private def q144Sql: String = {
+    val rows = percolateStored.flatMap { case (id, ts) =>
+      ts.distinct.map(t => s"($id, '$t', ${ts.distinct.size})")
+    }.mkString(", ")
+    s"""WITH t AS (
+         SELECT doc_id,
+           list_distinct(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9'']+'), x -> length(x) > 0)) AS toks
+         FROM documents),
+       d AS (SELECT doc_id, unnest(toks) AS term FROM t),
+       q(query_id, term, arity) AS (VALUES $rows)
+       SELECT d.doc_id, CAST(q.query_id AS BIGINT) AS query_id,
+         CAST(q.arity AS BIGINT) AS n_terms
+       FROM d JOIN q USING (term)
+       GROUP BY d.doc_id, q.query_id, q.arity
+       HAVING count(*) = q.arity
+       ORDER BY doc_id, query_id"""
+  }
+
+  /** Rank-agreement replay: q124's two retrieval legs at k, then the
+    * RBO fold with the same precomputed p-power literals. */
+  private def q143Sql(k: Int = 20, p: Double = 0.9): String = {
+    val powers = operators.SearchEval.rboPowers(p, k)
+      .map(_.toString).mkString("([", ", ", "])")
+    val oneMinusP = (1.0 - p).toString
+    s"""WITH t AS (
+         SELECT doc_id,
+           list_filter(regexp_split_to_array(lower(text), '[^a-z0-9'']+'), x -> length(x) > 0) AS toks
+         FROM documents),
+       td AS (SELECT doc_id, toks, CAST(len(toks) AS DOUBLE) AS dl FROM t),
+       s AS (
+         SELECT CAST(count(*) AS DOUBLE) AS n,
+           CAST(SUM(CAST(len(toks) AS BIGINT)) AS DOUBLE) AS sumdl,
+           CAST(count(*) FILTER (WHERE list_contains(toks, 'window')) AS DOUBLE) AS df0,
+           CAST(count(*) FILTER (WHERE list_contains(toks, 'vector')) AS DOUBLE) AS df1,
+           CAST(count(*) FILTER (WHERE list_contains(toks, 'stream')) AS DOUBLE) AS df2
+         FROM t),
+       sc AS (
+         SELECT doc_id,
+           (CASE WHEN df0 = 0 THEN 0.0 ELSE
+              ln((n - df0 + 0.5) / (df0 + 0.5) + 1.0)
+              * ((CAST(len(list_filter(toks, x -> x = 'window')) AS DOUBLE) * (1.2 + 1.0))
+                 / (CAST(len(list_filter(toks, x -> x = 'window')) AS DOUBLE)
+                    + 1.2 * (1.0 - 0.75 + 0.75 * (dl / (sumdl / n))))) END
+            + CASE WHEN df1 = 0 THEN 0.0 ELSE
+              ln((n - df1 + 0.5) / (df1 + 0.5) + 1.0)
+              * ((CAST(len(list_filter(toks, x -> x = 'vector')) AS DOUBLE) * (1.2 + 1.0))
+                 / (CAST(len(list_filter(toks, x -> x = 'vector')) AS DOUBLE)
+                    + 1.2 * (1.0 - 0.75 + 0.75 * (dl / (sumdl / n))))) END
+            + CASE WHEN df2 = 0 THEN 0.0 ELSE
+              ln((n - df2 + 0.5) / (df2 + 0.5) + 1.0)
+              * ((CAST(len(list_filter(toks, x -> x = 'stream')) AS DOUBLE) * (1.2 + 1.0))
+                 / (CAST(len(list_filter(toks, x -> x = 'stream')) AS DOUBLE)
+                    + 1.2 * (1.0 - 0.75 + 0.75 * (dl / (sumdl / n))))) END) AS score
+         FROM td, s),
+       bmtop AS (
+         SELECT doc_id AS id,
+           CAST(row_number() OVER (ORDER BY score_q DESC, doc_id) AS BIGINT) AS r
+         FROM (SELECT doc_id,
+                 CAST(floor(score * 1000000000.0 + 0.5) AS BIGINT) AS score_q
+               FROM sc)
+         WHERE score_q > 0
+         QUALIFY r <= $k),
+       e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       qv AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+       costop AS (
+         SELECT vec_id AS id,
+           CAST(row_number() OVER (ORDER BY cos DESC, vec_id) AS BIGINT) AS r
+         FROM (SELECT vec_id, ${sqlCos("v", "qv")} AS cos
+               FROM e, qv WHERE vec_id <> 0)
+         QUALIFY r <= $k),
+       bth AS (SELECT greatest(a.r, b.r) AS m
+               FROM bmtop a JOIN costop b ON a.id = b.id),
+       pq AS (SELECT list_sort(list(m)) AS ms,
+                CAST(count(*) AS BIGINT) AS n_both FROM bth)
+       SELECT CAST(0 AS BIGINT) AS query_id, n_both,
+         CAST(floor(CAST(n_both AS DOUBLE) / ${k.toDouble} * 1000000
+           + 0.5) AS BIGINT) AS overlap_micro,
+         CAST(floor($oneMinusP * list_reduce(list_prepend(0.0,
+           [$powers[d] * CAST(len([m FOR m IN COALESCE(ms, []) IF m <= d]) AS DOUBLE) / CAST(d AS DOUBLE)
+            FOR d IN generate_series(1, $k)]), (x, y) -> x + y)
+           * 1000000 + 0.5) AS BIGINT) AS rbo_micro
+       FROM pq"""
+  }
 
   /** ANN-recall replay: x27's exact-top-k leg as truth, x23's IVF
     * probe leg per query as candidate (assignment hoisted into one

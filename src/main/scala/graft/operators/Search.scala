@@ -201,6 +201,126 @@ object Search {
     * Inputs are `(idCol, rank)` frames (1-based ranks, typically
     * top-k — both legs are k-row, so the fusion is a k-row full-outer
     * join: driver-light, corpus-free). */
+  /** PERCOLATION (ES `percolate`) — search turned inside out: STORED
+    * term-conjunction queries match against incoming documents; the
+    * alerting/routing primitive ("tell me when a doc about X
+    * arrives"). `queries` is `(query_id, terms)`; a doc matches when
+    * it contains EVERY term of the query. One distinct-token explode
+    * per doc, a term-keyed join against the (tiny, broadcastable)
+    * exploded query table, and a matched-count == arity check — the
+    * corpus shuffles only (doc, matched-term) pairs that hit some
+    * stored query. */
+  def percolate(df: DataFrame, idCol: String, fields: Seq[String],
+                queries: DataFrame): DataFrame = {
+    val qx = queries.select(col("query_id"),
+        size(col("terms")).cast("long").as("arity"),
+        explode(col("terms")).as("term"))
+      .dropDuplicates("query_id", "term")
+    val docTerms = df.select(col(idCol),
+        explode(array_distinct(graft.functions.Analyzer.tokenize(
+          concat_ws(" ", fields.map(col): _*)))).as("term"))
+    docTerms.join(broadcast(qx), "term")
+      .groupBy(col(idCol), col("query_id"), col("arity"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") === col("arity"))
+      .select(col(idCol), col("query_id"), col("arity").as("n_terms"))
+  }
+
+  /** MORE-LIKE-THIS (ES `more_like_this`, deterministic core): take
+    * the source doc's distinct tokens, keep the RARE ones (global
+    * df ≤ maxDf — ES's `max_doc_freq` knob, which is also what makes
+    * the posting join scale: candidate volume is bounded by rare-term
+    * df), then rank other docs by how many selected terms they share.
+    * Integer-exact end to end. Output: `(doc_id, n_shared)` top-k by
+    * (shared desc, id). */
+  def moreLikeThis(df: DataFrame, idCol: String, fields: Seq[String],
+                   sourceId: Long, maxDf: Long, k: Int,
+                   shingleN: Int = 1): DataFrame = {
+    val assembled = concat_ws(" ", fields.map(col): _*)
+    val termsOf =
+      if (shingleN <= 1)
+        array_distinct(graft.functions.Analyzer.tokenize(assembled))
+      else DedupApprox.shingles(assembled, shingleN) // already distinct
+    val toks = df.select(col(idCol).cast("long").as("__id"),
+      explode(termsOf).as("term"))
+    val dfs = toks.groupBy(col("term")).agg(count(lit(1)).as("__df"))
+    val selected = toks.filter(col("__id") === sourceId)
+      .join(dfs, "term").filter(col("__df") <= maxDf)
+      .select(col("term"))
+    toks.filter(col("__id") =!= sourceId)
+      .join(broadcast(selected), "term")
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy(col("n_shared").desc, col("__id"))
+      .limit(k)
+      .select(col("__id").as(idCol), col("n_shared"))
+  }
+
+  /** COMPLETION SUGGEST (ES `completion`): top completions of a
+    * prefix over the corpus vocabulary, ranked by collection
+    * frequency — served from the dictionary-sized term-stats table,
+    * never the corpus. */
+  def suggest(df: DataFrame, fields: Seq[String], prefix: String,
+              k: Int): DataFrame =
+    df.select(explode(graft.functions.Analyzer.tokenize(
+        concat_ws(" ", fields.map(col): _*))).as("term"))
+      .filter(col("term").startsWith(prefix))
+      .groupBy(col("term")).agg(count(lit(1)).as("cf"))
+      .orderBy(col("cf").desc, col("term"))
+      .limit(k)
+
+  /** HIGHLIGHT (ES `highlight`, single-fragment form): the first
+    * occurrence of `term` in the lowercased text, returned as a
+    * fixed-width snippet with the match wrapped in `<em>` tags.
+    * Pure string expressions over the scan — positions are
+    * 1-based `instr`, the snippet window is `[max(1, pos−before),
+    * pos+len(term)+after)`. Docs without the term are dropped. */
+  def highlight(df: DataFrame, idCol: String, textCol: String,
+                term: String, before: Int, after: Int): DataFrame = {
+    val low = lower(coalesce(col(textCol), lit("")))
+    val pos = instr(low, term)
+    val start = greatest(lit(1), pos - before)
+    val tlen = term.length
+    df.select(col(idCol), low.as("__t"), pos.as("__p"), start.as("__s"))
+      .filter(col("__p") > 0)
+      .select(col(idCol), col("__p").cast("long").as("pos"),
+        concat(
+          col("__t").substr(col("__s"), col("__p") - col("__s")),
+          lit("<em>"), lit(term), lit("</em>"),
+          col("__t").substr(col("__p") + tlen, lit(after)))
+          .as("snippet"))
+  }
+
+  /** SIGNIFICANT TERMS (ES `significant_terms`, JLH heuristic):
+    * terms overrepresented in a FOREGROUND doc set versus the whole
+    * index. Doc-frequency rates fr = fg/nf and br = bg/nb;
+    * JLH = (fr − br) · (fr / br) — rewards both absolute and
+    * relative lift. Counts are integral (one distinct-token explode,
+    * one grouped sum, a 1-row broadcast of the set sizes); the score
+    * is one pinned double tree, micro-rounded, and the rank order is
+    * taken on the integral micro value. */
+  def significantTerms(df: DataFrame, idCol: String,
+                       fields: Seq[String], foreground: Column,
+                       k: Int): DataFrame = {
+    val toks = df.select(col(idCol), foreground.as("__fg"),
+      explode(array_distinct(graft.functions.Analyzer.tokenize(
+        concat_ws(" ", fields.map(col): _*)))).as("term"))
+    val stats = toks.groupBy(col("term")).agg(
+      sum(when(col("__fg"), 1L).otherwise(0L)).as("fg"),
+      count(lit(1)).as("bg"))
+    val sizes = df.agg(
+      sum(when(foreground, 1L).otherwise(0L)).as("__nf"),
+      count(lit(1)).as("__nb"))
+    val fr = col("fg").cast("double") / col("__nf").cast("double")
+    val br = col("bg").cast("double") / col("__nb").cast("double")
+    stats.filter(col("fg") > 0L).crossJoin(broadcast(sizes))
+      .select(col("term"), col("fg"), col("bg"),
+        floor((fr - br) * (fr / br) * 1e6 + 0.5).cast("long")
+          .as("jlh_micro"))
+      .orderBy(col("jlh_micro").desc, col("term"))
+      .limit(k)
+  }
+
   def rrfFuse(lexical: DataFrame, vector: DataFrame, idCol: String,
               k0: Int = 60): DataFrame = {
     def leg(r: Column): Column =

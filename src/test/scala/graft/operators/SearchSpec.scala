@@ -78,4 +78,66 @@ class SearchSpec extends SparkSpec {
     // an id on both lists outranks either of its single-leg scores
     assert(got(2L) > got(1L) && got(2L) > got(4L))
   }
+
+  test("percolate: conjunction matches only, repeated terms count once") {
+    val docs = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "alpha alpha beta"),    // repeated term must not fake arity
+      (3L, "beta gamma"),
+      (4L, "delta")
+    ).toDF("doc_id", "text")
+    val stored = Seq((10L, Seq("alpha", "beta")), (20L, Seq("gamma")),
+      (30L, Seq("alpha", "delta"))).toDF("query_id", "terms")
+    val got = Search.percolate(docs, "doc_id", Seq("text"), stored)
+      .select("doc_id", "query_id").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 10L), (2L, 10L), (1L, 20L), (3L, 20L)))
+  }
+
+  test("moreLikeThis ranks by shared rare terms, excludes the source") {
+    val docs = Seq(
+      (1L, "rare1 rare2 rare3 common"),
+      (2L, "rare1 rare2 other common"),   // shares 2 rare
+      (3L, "rare3 misc common"),          // shares 1 rare
+      (4L, "common only")                 // shares none rare
+    ).toDF("doc_id", "text")
+    // common appears in all 4 docs; with maxDf=3 it is excluded
+    val got = Search.moreLikeThis(docs, "doc_id", Seq("text"),
+        sourceId = 1L, maxDf = 3L, k = 5)
+      .as[(Long, Long)].collect().toSeq
+    assert(got == Seq((2L, 2L), (3L, 1L)))
+  }
+
+  test("suggest: prefix completions ranked by collection frequency") {
+    val docs = Seq((1L, "scan scan sort spark other"),
+      (2L, "scan sort zebra")).toDF("doc_id", "text")
+    val got = Search.suggest(docs, Seq("text"), "s", 2)
+      .as[(String, Long)].collect().toSeq
+    assert(got == Seq(("scan", 3L), ("sort", 2L)))
+  }
+
+  test("highlight wraps the first match with context bounds clamped") {
+    val docs = Seq(
+      (1L, "The WINDOW opens"),            // case-folded match at pos 5
+      (2L, "no match here"),
+      (3L, "window first")                 // match at pos 1: clamp
+    ).toDF("doc_id", "text")
+    val got = Search.highlight(docs, "doc_id", "text", "window", 3, 3)
+      .as[(Long, Long, String)].collect().map(r => r._1 -> ((r._2, r._3)))
+      .toMap
+    assert(got == Map(
+      1L -> ((5L, "he <em>window</em> op")),
+      3L -> ((1L, "<em>window</em> fi"))))
+  }
+
+  test("significantTerms: JLH rewards foreground lift, hand-computed") {
+    val docs = Seq((1L, "hot alpha"), (2L, "hot beta"),
+      (3L, "alpha beta"), (4L, "alpha")).toDF("doc_id", "text")
+    val got = Search.significantTerms(docs, "doc_id", Seq("text"),
+        col("doc_id") <= 2L, k = 10)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    // hot: fr=1 br=.5 → .5·2 = 1.0; beta: fr=br=.5 → 0;
+    // alpha: fr=.5 br=.75 → −.25·(2/3) → floor(−166666.17) = −166667
+    assert(got == Seq(("hot", 2L, 2L, 1000000L),
+      ("beta", 1L, 2L, 0L), ("alpha", 1L, 3L, -166667L)))
+  }
 }
