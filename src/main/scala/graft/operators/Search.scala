@@ -291,6 +291,41 @@ object Search {
           .as("snippet"))
   }
 
+  /** One alert micro-batch: [[percolate]] the batch, then
+    * insert-if-absent on (doc, query) into the standing alert log —
+    * redelivered batches land nothing, so alerts fire effectively
+    * once (the crash-safety contract the funnel sinks share). */
+  def percolateDeltaBatch(batch: DataFrame, idCol: String,
+                          fields: Seq[String], queries: DataFrame,
+                          targetDir: String): Unit = {
+    val spark = batch.sparkSession
+    val matched = percolate(batch, idCol, fields, queries)
+    def keyed(df: DataFrame): DataFrame = df.withColumn("__mk",
+      concat_ws(":", col(idCol), col("query_id")))
+    // missing-path → first batch; any other read failure must fail
+    // the micro-batch (retry) rather than land vs an empty target
+    val existing = keyed(Dedup.readStateOr(spark, targetDir,
+      matched.limit(0))).select(col("__mk"))
+    Dedup.idempotentBatch(keyed(matched), existing, "__mk")
+      .drop("__mk")
+      .write.mode("append").parquet(targetDir)
+    ()
+  }
+
+  /** Streaming PERCOLATION — the alerting use case stored queries
+    * exist for ("tell me ONCE when a doc about X arrives"): each
+    * micro-batch runs [[percolateDeltaBatch]] against the standing
+    * alert log. */
+  def percolateSink(docs: DataFrame, idCol: String,
+                    fields: Seq[String], queries: DataFrame,
+                    targetDir: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        percolateDeltaBatch(batch, idCol, fields, queries, targetDir)
+      }
+
   /** SIGNIFICANT TERMS (ES `significant_terms`, JLH heuristic):
     * terms overrepresented in a FOREGROUND doc set versus the whole
     * index. Doc-frequency rates fr = fg/nf and br = bg/nb;
