@@ -70,5 +70,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[CountMinEstimateExpr].getName, "cms_estimate"),
       exprs => { arity("cms_estimate", exprs, 2); CountMinEstimateExpr(exprs(0), exprs(1)) }))
     e.injectOptimizerRule(_ => graft.rules.SimplifyLabelFilter)
+    // whole-operator extension point: the as-of join's custom
+    // LogicalPlan → SparkPlan strategy (graft.plans.AsOfJoinPhysical)
+    e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }

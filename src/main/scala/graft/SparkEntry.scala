@@ -1749,7 +1749,48 @@ object SparkEntry {
     // overrepresented in src0's documents vs the whole corpus.
     "q148_significant_terms" -> q((s, d) =>
       Search.significantTerms(Tables.documents(s, d), "doc_id",
-        Seq("text"), col("source") === "src0", k = 10))
+        Seq("text"), col("source") === "src0", k = 10)),
+
+    // INCREMENTAL percolation: the corpus arrives in three slices
+    // (slice 1 redelivered once — the crash window), alerts append
+    // insert-if-absent; the accumulated log hash-matches q144's
+    // ONE-SHOT oracle verbatim — incremental alerting and a full
+    // re-percolate are indistinguishable.
+    "q149_percolate_incremental" -> q((s, d) => {
+      import s.implicits._
+      val stored = percolateStored.map { case (id, ts) => (id, ts) }
+        .toDF("query_id", "terms")
+      val docs = Tables.documents(s, d)
+      val target = Scratch.dir("graft-percolate-inc")
+      (Seq(0, 1, 2, 1)).foreach { slice => // 1 redelivered
+        Search.percolateDeltaBatch(docs.filter(col("doc_id") % 3 === slice),
+          "doc_id", Seq("text"), stored, target)
+      }
+      s.read.parquet(target)
+        .select(col("doc_id"), col("query_id"), col("n_terms"))
+        .orderBy(col("doc_id"), col("query_id"))
+    }),
+
+    // The as-of join as a CUSTOM PHYSICAL OPERATOR (AsOfJoinPlan →
+    // AsOfJoinStrategy → AsOfJoinExec): same single key-shuffle as
+    // the union+window form (q44), then a zero-buffer partition-local
+    // merge — O(1) task memory beyond the sort. Right side
+    // pre-aggregated to unique (key, µs) so the as-of pick is
+    // deterministic; oracle = DuckDB's native ASOF JOIN.
+    "q150_asof_exec" -> q((s, d) => {
+      val ev = Tables.events(s, d)
+        .withColumn("ts_us", expr("ts_ns div 1000"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts_us").as("t"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id").as("c_user"), col("ts_us").as("c_t"))
+        .agg(expr("CAST(floor(max(value)) AS BIGINT)").as("c_v"))
+      plans.AsOfJoinPhysical.asofExec(purchases, clicks,
+          "user_id", "c_user", "t", "c_t")
+        .select(col("event_id"), col("user_id"), col("t"),
+          col("c_t").cast("string").as("c_ts"), col("c_v"))
+        .orderBy(col("event_id"))
+    })
   ) ++ NonSqlQueries.queries
 
   /** q144's stored percolation queries (literal so the oracle renders
@@ -5051,7 +5092,27 @@ object SparkEntry {
              * 1000000 + 0.5) AS BIGINT) AS jlh_micro
          FROM stats, sizes WHERE fg > 0
          QUALIFY row_number() OVER (ORDER BY jlh_micro DESC, term) <= 10
-         ORDER BY jlh_micro DESC, term"""
+         ORDER BY jlh_micro DESC, term""",
+
+    // Incremental percolation accumulates to exactly the one-shot
+    // answer — same oracle as q144.
+    "q149_percolate_incremental" -> q144Sql,
+
+    // Custom-exec as-of replay: DuckDB's native ASOF JOIN, µs
+    // granularity (the q44 precision note), unique right (key, t).
+    "q150_asof_exec" ->
+      """WITH p AS (
+           SELECT event_id, user_id, epoch_us(ts) AS t
+           FROM events WHERE event_type = 'purchase'),
+         c AS (
+           SELECT user_id AS c_user, epoch_us(ts) AS c_t,
+             CAST(floor(max(value)) AS BIGINT) AS c_v
+           FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+         SELECT p.event_id, p.user_id, p.t,
+           CAST(c.c_t AS VARCHAR) AS c_ts, c.c_v
+         FROM p ASOF LEFT JOIN c
+           ON p.user_id = c.c_user AND p.t >= c.c_t
+         ORDER BY p.event_id"""
   )
 
   /** Percolate replay: the stored-query table as VALUES from the same
