@@ -37,7 +37,7 @@ object SetJoin {
 
   /** Canonically-ordered shingle sets: (id, toks, n) with `toks`
     * sorted rarest-first by (global df, shingle). */
-  private[operators] def canonicalSets(df: DataFrame, idCol: String,
+  private[graft] def canonicalSets(df: DataFrame, idCol: String,
                                        textCol: String,
                                        shingleN: Int): DataFrame = {
     val base = df
@@ -59,7 +59,10 @@ object SetJoin {
   def prefixJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                          shingleN: Int, num: Int, den: Int): DataFrame = {
     require(num > 0 && den > 0 && num <= den, "threshold must be in (0,1]")
-    val sets = canonicalSets(df, idCol, textCol, shingleN)
+    // materialize once: the sets subtree is referenced three times
+    // (prefix explode + two joins back) and would otherwise re-run
+    // its tokenize+df build per reference (plan-audited at round 10)
+    val sets = canonicalSets(df, idCol, textCol, shingleN).localCheckpoint()
     // prefix length: n − ceil(num·n/den) + 1, in integer arithmetic
     val prefLen = (col("n") -
       expr(s"(${num}L * n + ${den - 1}L) div ${den}L") + lit(1L)).cast("int")
