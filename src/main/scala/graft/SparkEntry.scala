@@ -4978,13 +4978,28 @@ object SparkEntry {
              CAST(sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS BIGINT)
                AS n_rel_topk
            FROM j GROUP BY 1),
+         jj AS (
+           SELECT qid, rnk, rel,
+             CAST(sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) OVER (
+               PARTITION BY qid ORDER BY rnk
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum
+           FROM j),
+         apq AS (
+           SELECT qid,
+             list_reduce(list_prepend(0.0,
+               list(CASE WHEN rel > 0
+                      THEN CAST(cum AS DOUBLE) / CAST(rnk AS DOUBLE)
+                      ELSE 0.0 END ORDER BY rnk)),
+               (a, b) -> a + b) AS ap_sum
+           FROM jj GROUP BY 1),
          ideal AS (
            SELECT qid, CAST(count(*) AS BIGINT) AS n_judged,
              (list(rel ORDER BY rel DESC))[1:10] AS ig
            FROM qr GROUP BY 1),
          m AS (
            SELECT p.qid, COALESCE(i.n_judged, 0) AS n_judged,
-             p.n_rel_topk, p.first_rel,
+             p.n_rel_topk, p.first_rel, a.ap_sum,
              list_reduce(list_prepend(0.0,
                [CAST((CAST(1 AS BIGINT) << g[x]) - 1 AS DOUBLE)
                   * 0.6931471805599453 / ln(CAST(x + 1 AS DOUBLE))
@@ -4996,7 +5011,9 @@ object SparkEntry {
                     * 0.6931471805599453 / ln(CAST(x + 1 AS DOUBLE))
                   FOR x IN generate_series(1, len(ig))]),
                  (a, b) -> a + b) END AS idcg
-           FROM perq p LEFT JOIN ideal i ON p.qid = i.qid)
+           FROM perq p
+           LEFT JOIN ideal i ON p.qid = i.qid
+           JOIN apq a ON p.qid = a.qid)
          SELECT qid, n_judged, n_rel_topk,
            COALESCE(CAST(floor(1.0 / CAST(first_rel AS DOUBLE) * 1000000
              + 0.5) AS BIGINT), 0) AS mrr_micro,
@@ -5008,7 +5025,12 @@ object SparkEntry {
            END AS recall_micro,
            CASE WHEN idcg <= 0.0 THEN 0
              ELSE CAST(floor(dcg / idcg * 1000000 + 0.5) AS BIGINT)
-           END AS ndcg_micro
+           END AS ndcg_micro,
+           CASE WHEN n_judged = 0 THEN 0
+             ELSE CAST(floor(ap_sum
+               / CAST(least(n_judged, 10) AS DOUBLE) * 1000000 + 0.5)
+               AS BIGINT)
+           END AS ap_micro
          FROM m ORDER BY qid""",
 
     "q142_ann_recall" -> q142Sql(),

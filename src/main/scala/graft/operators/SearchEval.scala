@@ -39,7 +39,10 @@ object SearchEval {
       .cast("double") * Ln2 / log((rank + 1L).cast("double"))
 
   /** Per-query metrics: `(qid, n_judged, n_rel_topk, mrr_micro,
-    * p_at_k_micro, recall_micro, ndcg_micro)`. */
+    * p_at_k_micro, recall_micro, ndcg_micro, ap_micro)`. AP@k is the
+    * TREC form — (1/min(R,k)) Σ_{i≤k} P(i)·[rel_i>0] — folded over
+    * the same rank-sorted array as DCG (running hit count carried in
+    * a struct accumulator), so its float sum order is pinned too. */
   def rankingMetrics(rankings: DataFrame, qrels: DataFrame,
                      k: Int): DataFrame = {
     val topk = rankings.filter(col("rank") <= k)
@@ -66,11 +69,23 @@ object SearchEval {
       lit(0.0),
       (acc, x) => when(x.getField("rel").isNull, acc)
         .otherwise(acc + gainAt(x.getField("rel"), x.getField("rank"))))
+    val ap = aggregate(col("rr"),
+      struct(lit(0L).as("h"), lit(0.0).as("s")),
+      (acc, x) => {
+        val hits = acc.getField("h") +
+          when(x.getField("rel") > 0L, 1L).otherwise(0L)
+        struct(hits.as("h"),
+          (acc.getField("s") + when(x.getField("rel") > 0L,
+            hits.cast("double") / x.getField("rank").cast("double"))
+            .otherwise(lit(0.0))).as("s"))
+      },
+      acc => acc.getField("s"))
     perQ.join(ideal, Seq("qid"), "left")
       .withColumn("n_judged", coalesce(col("n_judged"), lit(0L)))
       .withColumn("__dcg", dcg)
       .withColumn("__idcg", when(col("ideal_rels").isNull, lit(0.0))
         .otherwise(idcg))
+      .withColumn("__ap", ap)
       .select(col("qid"), col("n_judged"), col("n_rel_topk"),
         coalesce(micro(lit(1.0) / col("first_rel").cast("double")), lit(0L))
           .as("mrr_micro"),
@@ -80,7 +95,11 @@ object SearchEval {
           .otherwise(micro(col("n_rel_topk").cast("double") /
             col("n_judged").cast("double"))).as("recall_micro"),
         when(col("__idcg") <= 0.0, lit(0L))
-          .otherwise(micro(col("__dcg") / col("__idcg"))).as("ndcg_micro"))
+          .otherwise(micro(col("__dcg") / col("__idcg"))).as("ndcg_micro"),
+        when(col("n_judged") === 0L, lit(0L))
+          .otherwise(micro(col("__ap") /
+            least(col("n_judged"), lit(k.toLong)).cast("double")))
+          .as("ap_micro"))
   }
 
   /** p^0 … p^(k−1) by successive multiplication — the same doubles

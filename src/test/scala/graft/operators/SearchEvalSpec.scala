@@ -36,6 +36,11 @@ class SearchEvalSpec extends SparkSpec {
     assert(out("q2") == ((1L, 0L, 0L, 0L, 0L, 0L)))
     // q3: no qrels → all zero, no division blow-ups
     assert(out("q3") == ((0L, 0L, 0L, 0L, 0L, 0L)))
+    // AP@3: hits at ranks 2,3 → (1/2 + 2/3) / min(R=3, k=3)
+    val aps = SearchEval.rankingMetrics(rankings, qrels, k = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(7)).toMap
+    assert(aps("q1") == micro((0.0 + 1.0 / 2.0 + 2.0 / 3.0) / 3.0))
+    assert(aps("q2") == 0L && aps("q3") == 0L)
   }
 
   test("perfect ranking scores nDCG = 1 and MRR = 1") {
@@ -44,6 +49,7 @@ class SearchEvalSpec extends SparkSpec {
     val r = SearchEval.rankingMetrics(rankings, qrels, 2).collect()(0)
     assert(r.getLong(3) == 1000000L)   // mrr
     assert(r.getLong(6) == 1000000L)   // ndcg
+    assert(r.getLong(7) == 1000000L)   // ap: (1/1 + 2/2) / 2
   }
 
   test("ideal list truncates at k (IDCG@k, not IDCG@all)") {
