@@ -93,6 +93,32 @@ class PiiSpec extends SparkSpec {
     assert(edge("b") && !edge("a"))
   }
 
+  test("t-closeness: randomized data matches a brute-force EMD (3 seeds)") {
+    for (seed <- Seq(11, 47, 83)) {
+      val rnd = new scala.util.Random(seed)
+      val rows = (1 to 300).map(_ =>
+        (s"q${rnd.nextInt(5)}", rnd.nextInt(8).toLong))
+      val df = rows.toDF("qi", "bin")
+      // brute force in plain Scala: ordered-bin EMD per class
+      val bins = rows.map(_._2).distinct.sorted
+      val n = rows.size.toLong
+      val gCum = bins.scanLeft(0L)((a, b) =>
+        a + rows.count(_._2 == b)).tail
+      val want = rows.groupBy(_._1).map { case (qi, rs) =>
+        val s = rs.size.toLong
+        val cCum = bins.scanLeft(0L)((a, b) =>
+          a + rs.count(_._2 == b)).tail
+        val num = cCum.zip(gCum).map { case (c, g) =>
+          math.abs(c * n - g * s) }.sum
+        val denom = n * s * math.max(bins.size - 1, 1)
+        qi -> math.floor(num.toDouble / denom.toDouble * 1e6 + 0.5).toLong
+      }
+      val got = Pii.tClosenessClasses(df, 1L, 5L, Seq("qi"), "bin")
+        .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+      assert(got == want, s"seed $seed")
+    }
+  }
+
   test("t-closeness: classes missing middle bins get grid-filled") {
     // global bins {1,2,3}: 2 each; a holds {1,3} only, b holds {2} only
     val df = Seq(("a", 1L), ("a", 1L), ("a", 3L), ("a", 3L),

@@ -56,6 +56,32 @@ class SetJoinSpec extends SparkSpec {
     assert(!got.contains((1L, 3L)))     // 8/12 < 9/11
   }
 
+  test("randomized corpora: prefix join == brute force (3 seeds)") {
+    val vocab = Vector("ant", "bee", "cat", "dog", "elk", "fox",
+      "gnu", "hen", "ibis", "jay", "kit", "lark")
+    for (seed <- Seq(7, 41, 97)) {
+      val rnd = new scala.util.Random(seed)
+      val corpus = (1 to 40).map { i =>
+        val n = 3 + rnd.nextInt(13)
+        (i.toLong, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      val df = corpus.toDF("doc_id", "text")
+      val sets = corpus.map { case (id, t) =>
+        (id, DedupApprox.shinglesOf(t, 2).toSet) }.filter(_._2.nonEmpty)
+      for ((num, den) <- Seq((1, 2), (7, 10))) {
+        val want = (for {
+          (ia, sa) <- sets; (ib, sb) <- sets if ia < ib
+          inter = (sa & sb).size; uni = (sa | sb).size
+          if inter.toLong * den >= uni.toLong * num
+        } yield (ia, ib)).toSet
+        val got = SetJoin.prefixJaccardPairs(df, "doc_id", "text",
+            shingleN = 2, num = num, den = den)
+          .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+        assert(got == want, s"seed $seed threshold $num/$den")
+      }
+    }
+  }
+
   test("canonical order puts rarest shingles first") {
     // 'k' appears in one doc, 'a' in three — doc 2's set must open
     // with its rare tokens, so the prefix join keys stay low-df

@@ -154,6 +154,22 @@ class SketchSpec extends SparkSpec {
     assert(norm(idem) == oneShot)
   }
 
+  test("kmv: random slicings fold to the one-shot ledger (3 seeds)") {
+    val df = (1 to 2000).map(i => (s"k${i % 3}", s"val-${i % 400}"))
+      .toDF("key", "v")
+    val oneShot = Sketch.kmvLedger(df, "key", "v", 48).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    for (seed <- Seq(5, 23, 71)) {
+      val nSlices = 2 + seed % 4
+      val slices = (0 until nSlices).map(j =>
+        Sketch.kmvLedger(df.filter(
+          pmod(hash($"v") + lit(seed), lit(nSlices)) === j), "key", "v", 48))
+      val merged = slices.reduce(Sketch.kmvMerge(_, _, 48)).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(merged == oneShot, s"seed $seed, $nSlices slices")
+    }
+  }
+
   test("kmv: estimator lands near known cardinalities at k=64") {
     // two keys sharing half their values: |A|=|B|=1000, |A∩B|=500
     val a = (1 to 1000).map(i => ("a", s"v$i"))
