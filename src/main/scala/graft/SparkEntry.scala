@@ -1790,7 +1790,15 @@ object SparkEntry {
         .select(col("event_id"), col("user_id"), col("t"),
           col("c_t").cast("string").as("c_ts"), col("c_v"))
         .orderBy(col("event_id"))
-    })
+    }),
+
+    // ES PIPELINE AGGREGATIONS (q120's sibling): cumulative_sum /
+    // derivative / moving_fn / bucket_script over the gap-filled
+    // hourly histogram, flagged sub-count = high-value events.
+    "q151_pipeline_aggs" -> q((s, d) =>
+      Monitoring.pipelineAggs(Tables.events(s, d), "event_type", "ts",
+          flag = col("value") >= 250.0, movWindow = 3)
+        .orderBy(col("key"), col("hour")))
   ) ++ NonSqlQueries.queries
 
   /** q144's stored percolation queries (literal so the oracle renders
@@ -5119,6 +5127,42 @@ object SparkEntry {
     // Incremental percolation accumulates to exactly the one-shot
     // answer — same oracle as q144.
     "q149_percolate_incremental" -> q144Sql,
+
+    // Pipeline-aggs replay: same spine, same windows, one double
+    // division per ratio.
+    "q151_pipeline_aggs" ->
+      """WITH h AS (
+           SELECT event_type AS key, date_trunc('hour', ts) AS hour,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(sum(CASE WHEN value >= 250.0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_flag
+           FROM events GROUP BY 1, 2),
+         b AS (SELECT key, min(hour) AS mn, max(hour) AS mx
+               FROM h GROUP BY 1),
+         spine AS (
+           SELECT key, unnest(generate_series(mn, mx, INTERVAL 1 HOUR))
+             AS hour
+           FROM b),
+         dense AS (
+           SELECT s.key, s.hour, COALESCE(h.n_events, 0) AS cnt,
+                  COALESCE(h.n_flag, 0) AS flagged
+           FROM spine s LEFT JOIN h USING (key, hour))
+         SELECT key, hour, cnt, flagged,
+           CAST(sum(cnt) OVER (PARTITION BY key ORDER BY hour
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS cum,
+           cnt - lag(cnt, 1) OVER (PARTITION BY key ORDER BY hour)
+             AS deriv,
+           CASE WHEN count(*) OVER mv = 3
+             THEN CAST(floor(CAST(sum(cnt) OVER mv AS DOUBLE) / 3.0
+               * 1000000 + 0.5) AS BIGINT) END AS mov_avg_micro,
+           CASE WHEN cnt > 0
+             THEN CAST(floor(CAST(flagged AS DOUBLE) / CAST(cnt AS DOUBLE)
+               * 1000000 + 0.5) AS BIGINT) END AS rate_micro
+         FROM dense
+         WINDOW mv AS (PARTITION BY key ORDER BY hour
+           ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)
+         ORDER BY key, hour""",
 
     // Custom-exec as-of replay: DuckDB's native ASOF JOIN, µs
     // granularity (the q44 precision note), unique right (key, t).

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -59,5 +59,47 @@ object Monitoring {
     dense.withColumn("spike",
       n === trailingHours.toLong && dev > 0L &&
         dev * dev > lit(k.toLong * k) * varN2)
+  }
+
+  /** ES PIPELINE AGGREGATIONS over the gap-filled hourly histogram —
+    * the second-pass aggs that consume bucket values rather than
+    * documents: `cumulative_sum`, `derivative` (null on each key's
+    * first bucket, ES semantics), `moving_fn` average over the
+    * `movWindow` PRECEDING buckets (only once the window is full),
+    * and a `bucket_script` ratio of a flagged sub-count to the bucket
+    * count. Counts and the spine are integer-exact; the two ratios
+    * take one double division each, micro-rounded. Same scale shape
+    * as [[hourlySpikes]]: hourly rollup, tiny spine, one per-key
+    * window. */
+  def pipelineAggs(events: DataFrame, keyCol: String, tsCol: String,
+                   flag: Column, movWindow: Int = 3): DataFrame = {
+    val hourly = events
+      .select(col(keyCol).as("key"),
+        date_trunc("hour", col(tsCol)).as("hour"), flag.as("__f"))
+      .groupBy(col("key"), col("hour"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("__f"), 1L).otherwise(0L)).as("n_flag"))
+    val spine = hourly.groupBy(col("key"))
+      .agg(min(col("hour")).as("mn"), max(col("hour")).as("mx"))
+      .select(col("key"),
+        explode(expr("sequence(mn, mx, interval 1 hour)")).as("hour"))
+    val dense = spine.join(hourly, Seq("key", "hour"), "left")
+      .select(col("key"), col("hour"),
+        coalesce(col("n_events"), lit(0L)).as("cnt"),
+        coalesce(col("n_flag"), lit(0L)).as("flagged"))
+    val w = Window.partitionBy(col("key")).orderBy(col("hour"))
+    val cumW = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val movW = w.rowsBetween(-movWindow, -1)
+    dense
+      .withColumn("cum", sum(col("cnt")).over(cumW))
+      .withColumn("deriv", col("cnt") - lag(col("cnt"), 1).over(w))
+      .withColumn("mov_avg_micro",
+        when(count(lit(1)).over(movW) === movWindow.toLong,
+          floor(sum(col("cnt")).over(movW).cast("double")
+            / lit(movWindow.toDouble) * 1e6 + 0.5).cast("long")))
+      .withColumn("rate_micro",
+        when(col("cnt") > 0L,
+          floor(col("flagged").cast("double") / col("cnt").cast("double")
+            * 1e6 + 0.5).cast("long")))
   }
 }

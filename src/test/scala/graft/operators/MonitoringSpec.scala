@@ -68,4 +68,30 @@ class MonitoringSpec extends SparkSpec {
         (r.getTimestamp(0).getTime, r.getBoolean(1))).toSet
     assert(a == b)
   }
+
+  test("pipelineAggs: cum/derivative/moving-avg/bucket-script, gaps filled") {
+    // hours 0..4 with counts 4, 2, GAP, 6, 1; flagged = value ≥ 10
+    // planted as 2, 1, 0, 3, 0
+    val ev = Seq(
+      (0, 4, 2), (1, 2, 1), (3, 6, 3), (4, 1, 0)
+    ).flatMap { case (h, n, f) =>
+      (0 until n).map(i => ("k", at(h), if (i < f) 10.0 else 1.0))
+    }.toDF("event_type", "ts", "value")
+    val rows = Monitoring.pipelineAggs(ev, "event_type", "ts",
+        flag = col("value") >= 10.0, movWindow = 3)
+      .orderBy(col("hour")).collect()
+      .map(r => (r.getLong(2), r.getLong(3), r.getLong(4),
+        Option(r.get(5)).map(_.asInstanceOf[Long]),
+        Option(r.get(6)).map(_.asInstanceOf[Long]),
+        Option(r.get(7)).map(_.asInstanceOf[Long])))
+    // (cnt, flagged, cum, deriv, mov_avg_micro, rate_micro)
+    assert(rows.toSeq == Seq(
+      (4L, 2L, 4L, None, None, Some(500000L)),
+      (2L, 1L, 6L, Some(-2L), None, Some(500000L)),
+      (0L, 0L, 6L, Some(-2L), None, None),              // the gap hour
+      (6L, 3L, 12L, Some(6L), Some(2000000L), Some(500000L)),
+      (1L, 0L, 13L, Some(-5L),
+        Some(math.floor((2 + 0 + 6) / 3.0 * 1e6 + 0.5).toLong),
+        Some(0L))))
+  }
 }
