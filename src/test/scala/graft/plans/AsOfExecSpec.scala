@@ -69,4 +69,29 @@ class AsOfExecSpec extends SparkSpec {
     assert(run(trades.repartition(7), quotes.repartition(3)) ==
       run(trades.coalesce(1), quotes.coalesce(1)))
   }
+
+  test("randomized: exec == plain-Scala as-of on dup-heavy data (3 seeds)") {
+    for (seed <- Seq(13, 59, 101)) {
+      val rnd = new scala.util.Random(seed)
+      // small key/time domains force duplicate times and empty keys
+      val lRows = (1 to 120).map(_ =>
+        (rnd.nextInt(6).toLong, rnd.nextInt(30).toLong, rnd.nextInt(100).toLong))
+      // unique right (key, time) — the determinism precondition
+      val rRows = (1 to 80).map(_ =>
+        (rnd.nextInt(8).toLong, rnd.nextInt(30).toLong))
+        .distinct.map { case (k, t) => (k, t, k * 1000 + t) }
+      val l = lRows.toDF("user_id", "t", "trade")
+      val r = rRows.toDF("q_user", "q_t", "q_px")
+      val want = lRows.map { case (k, t, _) =>
+        val best = rRows.filter(p => p._1 == k && p._2 <= t)
+          .sortBy(_._2).lastOption
+        (k, t, best.map(_._2), best.map(_._3))
+      }
+      val got = AsOfJoinPhysical.asofExec(l, r, "user_id", "q_user", "t", "q_t")
+        .select($"user_id", $"t", $"q_t", $"q_px")
+        .as[(Long, Long, Option[Long], Option[Long])].collect()
+      // multiset compare: left rows can repeat
+      assert(got.sorted.toSeq == want.sorted.toSeq, s"seed $seed")
+    }
+  }
 }
