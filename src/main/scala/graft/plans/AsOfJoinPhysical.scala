@@ -84,7 +84,15 @@ case class AsOfJoinExec(leftKey: Expression, rightKey: Expression,
       newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
     copy(left = newLeft, right = newRight)
 
+  override lazy val metrics = Map(
+    "numOutputRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of output rows"),
+    "numMatched" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "rows with an as-of match"))
+
   protected override def doExecute(): RDD[InternalRow] = {
+    val outRows = longMetric("numOutputRows")
+    val matched = longMetric("numMatched")
     val lk = BindReferences.bindReference(leftKey, left.output)
     val lt = BindReferences.bindReference(leftTime, left.output)
     val rk = BindReferences.bindReference(rightKey, right.output)
@@ -106,6 +114,7 @@ case class AsOfJoinExec(leftKey: Expression, rightKey: Expression,
         val lkv = lk.eval(lrow)
         val ltv = lt.eval(lrow)
         if (lkv == null || ltv == null) {
+          outRows += 1
           proj(joined(lrow, nullRight))
         } else {
           if (candidate != null && keyOrd.compare(candidateKey, lkv) != 0) {
@@ -133,6 +142,8 @@ case class AsOfJoinExec(leftKey: Expression, rightKey: Expression,
               }
             }
           }
+          outRows += 1
+          if (candidate != null) matched += 1
           proj(joined(lrow,
             if (candidate != null) candidate else nullRight))
         }
