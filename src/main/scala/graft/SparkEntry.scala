@@ -1798,8 +1798,31 @@ object SparkEntry {
     "q151_pipeline_aggs" -> q((s, d) =>
       Monitoring.pipelineAggs(Tables.events(s, d), "event_type", "ts",
           flag = col("value") >= 250.0, movWindow = 3)
-        .orderBy(col("key"), col("hour")))
+        .orderBy(col("key"), col("hour"))),
+
+    // HTML text extraction (the WET step): each doc wrapped in a
+    // deterministic page template (script/style/comments/entities),
+    // then extracted back; output is md5+len of the extraction, so
+    // the whole regex chain is hash-certified against RE2.
+    "q152_html_extract" -> q((s, d) => {
+      val html = concat(lit(Q152Tpl1),
+        coalesce(col("text"), lit("")), lit(Q152Tpl2))
+      Tables.documents(s, d)
+        .select(col("doc_id"), TextExtract.extractText(html).as("ext"))
+        .select(col("doc_id"),
+          length(col("ext")).cast("long").as("ext_len"),
+          md5(col("ext").cast("binary")).as("ext_md5"))
+        .orderBy(col("doc_id"))
+    })
   ) ++ NonSqlQueries.queries
+
+  /** q152's page template (single-quote-free so it renders into the
+    * oracle SQL verbatim). */
+  private val Q152Tpl1 =
+    "<html><head><title>t&amp;d</title><style type=\"text/css\">body { color: red; }</style></head>" +
+      "<body><!-- boilerplate note --><h1>Doc &quot;A&quot; &#39;B&#39;&nbsp;C</h1><p>"
+  private val Q152Tpl2 =
+    "</p><script>var x = 1 < 2 && true;</script></body></html>"
 
   /** q144's stored percolation queries (literal so the oracle renders
     * the same table). */
@@ -5128,6 +5151,10 @@ object SparkEntry {
     // answer — same oracle as q144.
     "q149_percolate_incremental" -> q144Sql,
 
+    // Extraction replay: the same stage chain rendered from the same
+    // Stage list (RE2 needs the explicit 'g' option).
+    "q152_html_extract" -> q152Sql,
+
     // Pipeline-aggs replay: same spine, same windows, one double
     // division per ratio.
     "q151_pipeline_aggs" ->
@@ -5180,6 +5207,23 @@ object SparkEntry {
            ON p.user_id = c.c_user AND p.t >= c.c_t
          ORDER BY p.event_id"""
   )
+
+  /** Extraction replay generated from [[operators.TextExtract.Stages]]
+    * so engine and oracle share the exact pattern strings. */
+  private def q152Sql: String = {
+    def sq(s: String) = s.replace("'", "''")
+    val nested = operators.TextExtract.Stages.foldLeft("h") {
+      case (e, (p, r)) => s"regexp_replace($e, '${sq(p)}', '${sq(r)}', 'g')"
+    }
+    s"""WITH t AS (
+         SELECT doc_id,
+           '${sq(Q152Tpl1)}' || COALESCE(text, '') || '${sq(Q152Tpl2)}' AS h
+         FROM documents)
+       SELECT doc_id,
+         CAST(length(trim($nested)) AS BIGINT) AS ext_len,
+         md5(trim($nested)) AS ext_md5
+       FROM t ORDER BY doc_id"""
+  }
 
   /** Percolate replay: the stored-query table as VALUES from the same
     * literal, then the matched-count == arity check. */

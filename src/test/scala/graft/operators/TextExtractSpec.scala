@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** HTML extraction: blocks dropped, tags stripped, entities decoded
+  * exactly once, whitespace collapsed, null-safe. */
+class TextExtractSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ext(s: String): String =
+    Seq(Tuple1(s)).toDF("h")
+      .select(TextExtract.extractText(col("h"))).as[String].head()
+
+  test("tags strip to word separators") {
+    assert(ext("<p>alpha</p><p>beta</p>") == "alpha beta")
+    assert(ext("x<br/>y <a href=\"u\">link</a>") == "x y link")
+  }
+
+  test("script/style/comment blocks vanish, embedded < and newlines included") {
+    assert(ext("a<script>\nvar x = 1 < 2;\n</script>b") == "a b")
+    assert(ext("a<STYLE type=\"x\">p { c: <weird> }</StYlE>b") == "a b")
+    assert(ext("a<!-- multi\nline\ncomment -->b") == "a b")
+  }
+
+  test("entities decode exactly once, &amp; last") {
+    assert(ext("1 &lt; 2 &amp;&amp; &quot;q&#39;s&quot;&nbsp;end")
+      == "1 < 2 && \"q's\" end")
+    // double-encoded survives one level: &amp;lt; → &lt;
+    assert(ext("&amp;lt;tag&amp;gt;") == "&lt;tag&gt;")
+  }
+
+  test("whitespace collapses; null is empty") {
+    assert(ext("  a \t b \r\n c  ") == "a b c")
+    val n = Seq(Tuple1(null: String)).toDF("h")
+      .select(TextExtract.extractText(col("h"))).as[String].head()
+    assert(n == "")
+  }
+
+  test("the q152 template round-trips the body text") {
+    val doc = "the quick brown fox"
+    val page = "<html><head><title>t&amp;d</title><style>b{}</style></head>" +
+      s"<body><!-- n --><h1>H&nbsp;1</h1><p>$doc</p>" +
+      "<script>var x = 1 < 2;</script></body></html>"
+    assert(ext(page) == s"t&d H 1 $doc")
+  }
+}
