@@ -1813,6 +1813,27 @@ object SparkEntry {
           length(col("ext")).cast("long").as("ext_len"),
           md5(col("ext").cast("binary")).as("ext_md5"))
         .orderBy(col("doc_id"))
+    }),
+
+    // URL canonicalization (the dedup/caps key): synthetic crawl URLs
+    // with case / www / default-port / fragment / param-order noise,
+    // reduced to the canonical key + host + registered domain.
+    "q153_url_canonicalize" -> q((s, d) => {
+      val id = col("doc_id")
+      val url = concat(
+        when(id % 3 === 0, "HTTPS://WWW.").when(id % 3 === 1, "https://")
+          .otherwise("HTTP://"),
+        col("source"), lit(".Example.COM"),
+        when(id % 4 === 0, ":443").when(id % 4 === 1, ":8080")
+          .otherwise(""),
+        lit("/Docs/"), id.cast("string"),
+        when(id % 2 === 0, "?b=2&a=1&c=3").otherwise(""),
+        when(id % 5 === 0, "#Section-2").otherwise(""))
+      Tables.documents(s, d).select(col("doc_id"),
+          TextExtract.urlCanonicalize(url).as("canon"),
+          TextExtract.urlHost(url).as("host"),
+          TextExtract.urlDomain(url).as("domain"))
+        .orderBy(col("doc_id"))
     })
   ) ++ NonSqlQueries.queries
 
@@ -5154,6 +5175,55 @@ object SparkEntry {
     // Extraction replay: the same stage chain rendered from the same
     // Stage list (RE2 needs the explicit 'g' option).
     "q152_html_extract" -> q152Sql,
+
+    // URL-canonicalization replay: same anchored extract/replace
+    // chain, same param sort.
+    "q153_url_canonicalize" ->
+      """WITH t AS (
+           SELECT doc_id,
+             (CASE WHEN doc_id % 3 = 0 THEN 'HTTPS://WWW.'
+                   WHEN doc_id % 3 = 1 THEN 'https://'
+                   ELSE 'HTTP://' END)
+             || source || '.Example.COM'
+             || (CASE WHEN doc_id % 4 = 0 THEN ':443'
+                      WHEN doc_id % 4 = 1 THEN ':8080' ELSE '' END)
+             || '/Docs/' || CAST(doc_id AS VARCHAR)
+             || (CASE WHEN doc_id % 2 = 0 THEN '?b=2&a=1&c=3' ELSE '' END)
+             || (CASE WHEN doc_id % 5 = 0 THEN '#Section-2' ELSE '' END)
+             AS u
+           FROM documents),
+         p AS (
+           SELECT doc_id,
+             lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+               AS sch,
+             regexp_replace(u, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest0
+           FROM t),
+         hp AS (
+           SELECT doc_id, sch,
+             regexp_extract(rest0, '^([^/?#]+)', 1) AS hostport,
+             regexp_replace(regexp_replace(rest0, '^[^/?#]+', ''),
+               '#.*$', '') AS pq
+           FROM p),
+         h AS (
+           SELECT doc_id, sch,
+             regexp_replace(lower(regexp_replace(hostport, ':[0-9]+$', '')),
+               '^www\.', '') AS host,
+             regexp_extract(hostport, ':([0-9]+)$', 1) AS port,
+             regexp_extract(pq, '^([^?#]*)', 1) AS path,
+             regexp_extract(pq, '\?(.*)$', 1) AS q
+           FROM hp)
+         SELECT doc_id,
+           sch || '://' || host
+           || (CASE WHEN port = '' OR (sch = 'https' AND port = '443')
+                      OR (sch = 'http' AND port = '80')
+               THEN '' ELSE ':' || port END)
+           || (CASE WHEN path = '' THEN '/' ELSE path END)
+           || (CASE WHEN q = '' THEN ''
+               ELSE '?' || array_to_string(list_sort(string_split(q, '&')), '&')
+               END) AS canon,
+           host,
+           regexp_extract(host, '([^.]+\.[^.]+)$', 1) AS domain
+         FROM h ORDER BY doc_id""",
 
     // Pipeline-aggs replay: same spine, same windows, one double
     // division per ratio.

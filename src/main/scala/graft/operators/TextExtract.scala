@@ -35,4 +35,55 @@ object TextExtract {
     trim(Stages.foldLeft(coalesce(html, lit(""))) {
       case (c, (pat, rep)) => regexp_replace(c, lit(pat), lit(rep))
     })
+
+  // ---- URL canonicalization ------------------------------------------
+  // The other web-crawl primitive: crawl URLs arrive with case noise,
+  // default ports, www. prefixes, fragments, and shuffled query
+  // params — and URL-keyed dedup (the reference's J-1/J-2 key) plus
+  // per-domain caps (q52) are only as good as the key. All anchored
+  // single-match regexes (RE2-parity; DuckDB's replace-first default
+  // equals Java's replaceAll on anchored patterns).
+
+  private def schemeOf(u: Column): Column =
+    lower(regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+  private def afterScheme(u: Column): Column =
+    regexp_replace(u, lit("^[A-Za-z][A-Za-z0-9+.-]*://"), lit(""))
+  private def hostPort(u: Column): Column =
+    regexp_extract(afterScheme(u), "^([^/?#]+)", 1)
+  private def portOf(u: Column): Column =
+    regexp_extract(hostPort(u), ":([0-9]+)$", 1)
+  private def restOf(u: Column): Column = // path?query, fragment dropped
+    regexp_replace(regexp_replace(afterScheme(u),
+      lit("^[^/?#]+"), lit("")), lit("#.*$"), lit(""))
+  private def pathOf(u: Column): Column =
+    regexp_extract(restOf(u), "^([^?#]*)", 1)
+  private def queryOf(u: Column): Column =
+    regexp_extract(restOf(u), "\\?(.*)$", 1)
+
+  /** Lowercased host, `www.` and any `:port` stripped. */
+  def urlHost(url: Column): Column =
+    regexp_replace(lower(regexp_replace(hostPort(coalesce(url, lit(""))),
+      lit(":[0-9]+$"), lit(""))), lit("^www\\."), lit(""))
+
+  /** Registered-domain-ish: the host's last two dot labels. */
+  def urlDomain(url: Column): Column =
+    regexp_extract(urlHost(url), "([^.]+\\.[^.]+)$", 1)
+
+  /** Canonical form: lowercase scheme/host, `www.` and default ports
+    * dropped, fragment dropped, empty path → `/`, query params
+    * sorted. The dedup/caps key. */
+  def urlCanonicalize(url: Column): Column = {
+    val u = coalesce(url, lit(""))
+    val sch = schemeOf(u)
+    val p = portOf(u)
+    val defaultPort = (sch === "https" && p === "443") ||
+      (sch === "http" && p === "80")
+    val portPart = when(p === "" || defaultPort, lit(""))
+      .otherwise(concat(lit(":"), p))
+    val path = when(pathOf(u) === "", lit("/")).otherwise(pathOf(u))
+    val q = queryOf(u)
+    val sortedQ = array_join(sort_array(split(q, "&")), "&")
+    concat(sch, lit("://"), urlHost(u), portPart, path,
+      when(q === "", lit("")).otherwise(concat(lit("?"), sortedQ)))
+  }
 }

@@ -44,4 +44,26 @@ class TextExtractSpec extends SparkSpec {
       "<script>var x = 1 < 2;</script></body></html>"
     assert(ext(page) == s"t&d H 1 $doc")
   }
+
+  private def canon(u: String): (String, String, String) =
+    Seq(Tuple1(u)).toDF("u")
+      .select(TextExtract.urlCanonicalize(col("u")),
+        TextExtract.urlHost(col("u")), TextExtract.urlDomain(col("u")))
+      .as[(String, String, String)].head()
+
+  test("url canonicalization: case, www, default port, fragment, params") {
+    assert(canon("HTTPS://WWW.News.Example.COM:443/A/b?z=1&a=2#frag") ==
+      (("https://news.example.com/A/b?a=2&z=1",
+        "news.example.com", "example.com")))
+    // non-default port kept; empty path becomes /
+    assert(canon("http://Example.org:8080") ==
+      (("http://example.org:8080/", "example.org", "example.org")))
+    // http on 443 is NOT a default port
+    assert(canon("http://a.b.c.example.net:443/x") ==
+      (("http://a.b.c.example.net:443/x",
+        "a.b.c.example.net", "example.net")))
+    // idempotent: canonicalizing a canonical url is a no-op
+    val once = canon("HTTP://WWW.Shop.Example.com:80/p?b=2&a=1")._1
+    assert(canon(once)._1 == once)
+  }
 }
