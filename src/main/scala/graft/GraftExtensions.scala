@@ -5,7 +5,8 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 import graft.functions.{BloomAgg, BloomContainsExpr, CosineSimExpr,
-  CountMinAgg, CountMinEstimateExpr, LexiconPolarityExpr, VaderCompoundExpr}
+  CountMinAgg, CountMinEstimateExpr, LexiconPolarityExpr,
+  NfcNormalizeExpr, NfdNormalizeExpr, VaderCompoundExpr}
 import org.apache.spark.sql.catalyst.expressions.Literal
 
 /** Cluster-wide registration entry point:
@@ -69,6 +70,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("cms_estimate"),
       new ExpressionInfo(classOf[CountMinEstimateExpr].getName, "cms_estimate"),
       exprs => { arity("cms_estimate", exprs, 2); CountMinEstimateExpr(exprs(0), exprs(1)) }))
+    e.injectFunction((
+      FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[NfcNormalizeExpr].getName, "nfc_normalize"),
+      exprs => { arity("nfc_normalize", exprs, 1); NfcNormalizeExpr(exprs.head) }))
+    e.injectFunction((
+      FunctionIdentifier("nfd_normalize"),
+      new ExpressionInfo(classOf[NfdNormalizeExpr].getName, "nfd_normalize"),
+      exprs => { arity("nfd_normalize", exprs, 1); NfdNormalizeExpr(exprs.head) }))
     e.injectOptimizerRule(_ => graft.rules.SimplifyLabelFilter)
     // whole-operator extension point: the as-of join's custom
     // LogicalPlan → SparkPlan strategy (graft.plans.AsOfJoinPhysical)

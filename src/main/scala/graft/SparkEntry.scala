@@ -1834,6 +1834,21 @@ object SparkEntry {
           TextExtract.urlHost(url).as("host"),
           TextExtract.urlDomain(url).as("domain"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Unicode NFC normalization (pre-hash/pre-dedup): decomposed
+    // accent sequences appended to every doc, composed by the native
+    // codegen'd expression (JDK Normalizer) and hash-certified
+    // against DuckDB's independent utf8proc nfc_normalize.
+    "q154_nfc_normalize" -> q((s, d) => {
+      val raw = concat(coalesce(col("text"), lit("")),
+        lit(" café über Español"))
+      val norm = graft.functions.UnicodeNorm.nfcCol(raw)
+      Tables.documents(s, d).select(col("doc_id"),
+          md5(norm.cast("binary")).as("norm_md5"),
+          length(norm).cast("long").as("norm_len"),
+          (norm =!= raw).as("changed"))
+        .orderBy(col("doc_id"))
     })
   ) ++ NonSqlQueries.queries
 
@@ -5175,6 +5190,20 @@ object SparkEntry {
     // Extraction replay: the same stage chain rendered from the same
     // Stage list (RE2 needs the explicit 'g' option).
     "q152_html_extract" -> q152Sql,
+
+    // NFC replay: an INDEPENDENT Unicode implementation (utf8proc)
+    // composing the same decomposed suffix.
+    "q154_nfc_normalize" ->
+      """WITH t AS (
+           SELECT doc_id,
+             COALESCE(text, '') || ' cafe' || chr(769) || ' u'
+               || chr(776) || 'ber Espan' || chr(771) || 'ol' AS raw
+           FROM documents)
+         SELECT doc_id,
+           md5(nfc_normalize(raw)) AS norm_md5,
+           CAST(length(nfc_normalize(raw)) AS BIGINT) AS norm_len,
+           nfc_normalize(raw) <> raw AS changed
+         FROM t ORDER BY doc_id""",
 
     // URL-canonicalization replay: same anchored extract/replace
     // chain, same param sort.

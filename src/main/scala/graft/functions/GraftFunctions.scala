@@ -37,5 +37,11 @@ object GraftFunctions {
       graft.operators.DedupApprox.minhashSigInt(
         graft.operators.DedupApprox.shingleHashesOf(t, 3),
         graft.operators.DedupApprox.perms(n)))
+    spark.udf.register("nfc_normalize", (t: String) =>
+      if (t == null) null
+      else java.text.Normalizer.normalize(t, java.text.Normalizer.Form.NFC))
+    spark.udf.register("nfd_normalize", (t: String) =>
+      if (t == null) null
+      else java.text.Normalizer.normalize(t, java.text.Normalizer.Form.NFD))
   }
 }
