@@ -1849,6 +1849,33 @@ object SparkEntry {
           length(norm).cast("long").as("norm_len"),
           (norm =!= raw).as("changed"))
         .orderBy(col("doc_id"))
+    }),
+
+    // The web-prep stages COMPOSED into one plan (the crawl front
+    // door): HTML extract → NFC normalize → canonical-URL dedup.
+    // URLs collide 2:1 by construction (path = doc_id % 250, with
+    // case/www/port noise), so the URL-keyed keeper halves the
+    // corpus — the reference's J-1 dedup on a canonicalized key.
+    "q155_web_prep" -> q((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val id = col("doc_id")
+      val html = concat(lit(Q152Tpl1), coalesce(col("text"), lit("")),
+        lit(Q152Tpl2))
+      val url = concat(
+        when(id % 2 === 0, "HTTPS://WWW.").otherwise("https://"),
+        lit("crawl.Example.COM"),
+        when(id % 2 === 0, ":443").otherwise(""),
+        lit("/p/"), (id % 250).cast("string"))
+      Tables.documents(s, d)
+        .select(id, TextExtract.urlCanonicalize(url).as("url"),
+          graft.functions.UnicodeNorm.nfcCol(
+            TextExtract.extractText(html)).as("clean"))
+        .withColumn("__rk", row_number().over(
+          Window.partitionBy(col("url")).orderBy(col("doc_id"))))
+        .filter(col("__rk") === 1)
+        .select(col("doc_id"), col("url"),
+          md5(col("clean").cast("binary")).as("clean_md5"))
+        .orderBy(col("doc_id"))
     })
   ) ++ NonSqlQueries.queries
 
@@ -5191,6 +5218,8 @@ object SparkEntry {
     // Stage list (RE2 needs the explicit 'g' option).
     "q152_html_extract" -> q152Sql,
 
+    "q155_web_prep" -> q155Sql,
+
     // NFC replay: an INDEPENDENT Unicode implementation (utf8proc)
     // composing the same decomposed suffix.
     "q154_nfc_normalize" ->
@@ -5307,21 +5336,45 @@ object SparkEntry {
          ORDER BY p.event_id"""
   )
 
-  /** Extraction replay generated from [[operators.TextExtract.Stages]]
-    * so engine and oracle share the exact pattern strings. */
+  private def sqQuote(s: String) = s.replace("'", "''")
+
+  /** The [[operators.TextExtract.Stages]] chain rendered as nested
+    * DuckDB regexp_replace over `inner` — shared by q152/q155 so
+    * engine and oracle use the exact pattern strings. */
+  private def extractChainSql(inner: String): String =
+    "trim(" + operators.TextExtract.Stages.foldLeft(inner) {
+      case (e, (p, r)) =>
+        s"regexp_replace($e, '${sqQuote(p)}', '${sqQuote(r)}', 'g')"
+    } + ")"
+
+  /** Extraction replay generated from the same Stage list. */
   private def q152Sql: String = {
-    def sq(s: String) = s.replace("'", "''")
-    val nested = operators.TextExtract.Stages.foldLeft("h") {
-      case (e, (p, r)) => s"regexp_replace($e, '${sq(p)}', '${sq(r)}', 'g')"
-    }
+    val nested = extractChainSql("h")
     s"""WITH t AS (
          SELECT doc_id,
-           '${sq(Q152Tpl1)}' || COALESCE(text, '') || '${sq(Q152Tpl2)}' AS h
+           '${sqQuote(Q152Tpl1)}' || COALESCE(text, '') || '${sqQuote(Q152Tpl2)}' AS h
          FROM documents)
        SELECT doc_id,
-         CAST(length(trim($nested)) AS BIGINT) AS ext_len,
-         md5(trim($nested)) AS ext_md5
+         CAST(length($nested) AS BIGINT) AS ext_len,
+         md5($nested) AS ext_md5
        FROM t ORDER BY doc_id"""
+  }
+
+  /** Web-prep composition replay: extraction chain + utf8proc NFC +
+    * the canonical-URL group with min-doc_id keeper. */
+  private def q155Sql: String = {
+    val nested = extractChainSql("h")
+    s"""WITH t AS (
+         SELECT doc_id,
+           '${sqQuote(Q152Tpl1)}' || COALESCE(text, '') || '${sqQuote(Q152Tpl2)}' AS h,
+           'https://crawl.example.com/p/' || CAST(doc_id % 250 AS VARCHAR)
+             AS url
+         FROM documents),
+       c AS (SELECT doc_id, url, nfc_normalize($nested) AS clean FROM t)
+       SELECT doc_id, url, md5(clean) AS clean_md5
+       FROM c
+       QUALIFY row_number() OVER (PARTITION BY url ORDER BY doc_id) = 1
+       ORDER BY doc_id"""
   }
 
   /** Percolate replay: the stored-query table as VALUES from the same
