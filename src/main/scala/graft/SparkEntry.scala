@@ -1645,24 +1645,12 @@ object SparkEntry {
     // (first 10 docs containing each query term) against graded
     // relevance (rel = min(tf−1, 3) for tf ≥ 2) — MRR / P@10 /
     // recall@10 / nDCG@10 per query, DCG folded in pinned rank order.
-    "q141_search_eval" -> q((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val toks = graft.functions.Analyzer.tokenize(
-        coalesce(col("text"), lit("")))
-      val terms = Seq("fast", "scan", "window")
-      val tf = Tables.documents(s, d)
-        .select(col("doc_id"), explode(toks).as("tok"))
-        .filter(col("tok").isin(terms: _*))
-        .groupBy(col("tok").as("qid"), col("doc_id"))
-        .agg(count(lit(1)).as("tf"))
-      val rankings = tf.withColumn("rank", row_number().over(
-        Window.partitionBy(col("qid")).orderBy(col("doc_id"))).cast("long"))
-      val qrels = tf.filter(col("tf") >= 2L)
-        .select(col("qid"), col("doc_id"),
-          least(col("tf") - 1L, lit(3L)).as("rel"))
-      SearchEval.rankingMetrics(rankings, qrels, k = 10)
-        .orderBy(col("qid"))
-    }),
+    "q141_search_eval" -> q((s, d) => q141Eval(s, d).orderBy(col("qid"))),
+
+    // The leaderboard row over q141's per-query metrics: mean AP =
+    // MAP, mean RR = MRR proper — integer micro sums, one division.
+    "q156_eval_summary" -> q((s, d) =>
+      SearchEval.systemSummary(q141Eval(s, d))),
 
     // ANN quality gate: recall@20 of the IVF probe path (x23's
     // layout) against the exact brute-force top-20 (x27's leg) for
@@ -1886,6 +1874,26 @@ object SparkEntry {
       "<body><!-- boilerplate note --><h1>Doc &quot;A&quot; &#39;B&#39;&nbsp;C</h1><p>"
   private val Q152Tpl2 =
     "</p><script>var x = 1 < 2 && true;</script></body></html>"
+
+  /** q141/q156's shared evaluation build: crawl-order rankings over
+    * three term queries, graded tf relevance, per-query metrics. */
+  private def q141Eval(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = graft.functions.Analyzer.tokenize(
+      coalesce(col("text"), lit("")))
+    val terms = Seq("fast", "scan", "window")
+    val tf = Tables.documents(s, d)
+      .select(col("doc_id"), explode(toks).as("tok"))
+      .filter(col("tok").isin(terms: _*))
+      .groupBy(col("tok").as("qid"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+    val rankings = tf.withColumn("rank", row_number().over(
+      Window.partitionBy(col("qid")).orderBy(col("doc_id"))).cast("long"))
+    val qrels = tf.filter(col("tf") >= 2L)
+      .select(col("qid"), col("doc_id"),
+        least(col("tf") - 1L, lit(3L)).as("rel"))
+    operators.SearchEval.rankingMetrics(rankings, qrels, k = 10)
+  }
 
   /** q144's stored percolation queries (literal so the oracle renders
     * the same table). */
@@ -5047,7 +5055,20 @@ object SparkEntry {
 
     // IR-eval replay: identical rank-ordered DCG folds (list_reduce,
     // the sqlFold discipline); ln2 as the shared double literal.
-    "q141_search_eval" ->
+    "q141_search_eval" -> Q141OracleSql,
+
+    // Leaderboard replay: means over the q141 subquery.
+    "q156_eval_summary" -> {
+      def m(c: String) =
+        s"CAST(floor(CAST(sum($c) AS DOUBLE) / CAST(count(*) AS DOUBLE) + 0.5) AS BIGINT) AS mean_$c"
+      s"""SELECT CAST(count(*) AS BIGINT) AS n_queries,
+           ${m("mrr_micro")}, ${m("p_at_k_micro")}, ${m("recall_micro")},
+           ${m("ndcg_micro")}, ${m("ap_micro")}
+         FROM ($Q141OracleSql)"""
+    }
+  ) ++ moreOracleSql
+
+  private val Q141OracleSql: String =
       """WITH t AS (
            SELECT doc_id,
              list_filter(regexp_split_to_array(lower(text), '[^a-z0-9'']+'), x -> length(x) > 0) AS toks
@@ -5125,7 +5146,11 @@ object SparkEntry {
                / CAST(least(n_judged, 10) AS DOUBLE) * 1000000 + 0.5)
                AS BIGINT)
            END AS ap_micro
-         FROM m ORDER BY qid""",
+         FROM m ORDER BY qid"""
+
+  /** The oracle entries after q141 (split only to keep the q141 text
+    * reusable by q156's subquery wrapper). */
+  private def moreOracleSql: Map[String, String] = Map(
 
     "q142_ann_recall" -> q142Sql(),
 

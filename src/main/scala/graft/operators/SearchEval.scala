@@ -102,6 +102,19 @@ object SearchEval {
           .as("ap_micro"))
   }
 
+  /** System-level summary over [[rankingMetrics]] output — the
+    * leaderboard row: per-metric MEANS over queries (mean AP = MAP,
+    * mean RR = MRR proper). Each mean is an integer sum of micro
+    * values with one double division, so it replays exactly. */
+  def systemSummary(perQuery: DataFrame): DataFrame = {
+    def mean(c: String) =
+      floor(sum(col(c)).cast("double") / count(lit(1)).cast("double")
+        + 0.5).cast("long").as(s"mean_$c")
+    perQuery.agg(count(lit(1)).as("n_queries"),
+      mean("mrr_micro"), mean("p_at_k_micro"), mean("recall_micro"),
+      mean("ndcg_micro"), mean("ap_micro"))
+  }
+
   /** p^0 … p^(k−1) by successive multiplication — the same doubles
     * render as literals into both engines. */
   private[graft] def rboPowers(p: Double, k: Int): Seq[Double] =

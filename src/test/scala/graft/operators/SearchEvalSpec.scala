@@ -62,6 +62,19 @@ class SearchEvalSpec extends SparkSpec {
     assert(r.getLong(5) == micro(2.0 / 3.0))  // recall over all 3 judged
   }
 
+  test("systemSummary averages the per-query micro metrics") {
+    val rankings = Seq(("q1", 1L, 1L), ("q2", 1L, 1L))
+      .toDF("qid", "doc_id", "rank")
+    val qrels = Seq(("q1", 1L, 1L), ("q2", 9L, 1L))
+      .toDF("qid", "doc_id", "rel")
+    // q1 perfect (mrr 1e6), q2 total miss (0) → means are halves
+    val r = SearchEval.systemSummary(
+      SearchEval.rankingMetrics(rankings, qrels, 1)).collect()(0)
+    assert(r.getLong(0) == 2L)          // n_queries
+    assert(r.getLong(1) == 500000L)     // mean mrr
+    assert(r.getLong(5) == 500000L)     // MAP
+  }
+
   test("rankAgreement: hand-computed RBO at k=2, p=0.5") {
     def rk(rows: (Long, Long, Long)*) =
       rows.toDF("query_id", "id", "rank")
