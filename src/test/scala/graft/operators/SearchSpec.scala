@@ -129,6 +129,27 @@ class SearchSpec extends SparkSpec {
       3L -> ((1L, "<em>window</em> fi"))))
   }
 
+  test("percolate: randomized corpora match brute force (3 seeds)") {
+    val vocab = Vector("w0", "w1", "w2", "w3", "w4", "w5", "w6", "w7")
+    for (seed <- Seq(3, 29, 67)) {
+      val rnd = new scala.util.Random(seed)
+      val corpus = (1 to 60).map(i =>
+        (i.toLong, Seq.fill(2 + rnd.nextInt(8))(
+          vocab(rnd.nextInt(vocab.size))).mkString(" ")))
+      val stored = (1 to 6).map(qi =>
+        (qi.toLong, rnd.shuffle(vocab.toList).take(1 + rnd.nextInt(3))))
+      val want = (for {
+        (did, text) <- corpus
+        toks = text.split(" ").toSet
+        (qid, terms) <- stored if terms.forall(toks)
+      } yield (did, qid)).toSet
+      val got = Search.percolate(corpus.toDF("doc_id", "text"),
+          "doc_id", Seq("text"), stored.toDF("query_id", "terms"))
+        .select("doc_id", "query_id").as[(Long, Long)].collect().toSet
+      assert(got == want, s"seed $seed")
+    }
+  }
+
   test("significantTerms: JLH rewards foreground lift, hand-computed") {
     val docs = Seq((1L, "hot alpha"), (2L, "hot beta"),
       (3L, "alpha beta"), (4L, "alpha")).toDF("doc_id", "text")
