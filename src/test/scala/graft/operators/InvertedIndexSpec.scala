@@ -241,4 +241,32 @@ class InvertedIndexSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 4L))
   }
+
+  test("minSpan: randomized docs match the exhaustive tuple minimum (3 seeds)") {
+    val vocab = Vector("a", "b", "c", "x", "y")
+    val query = Seq("a", "b", "c")
+    for (seed <- Seq(17, 53, 89)) {
+      val rnd = new scala.util.Random(seed)
+      val docs = (1 to 25).map(i =>
+        (i.toLong, Seq.fill(4 + rnd.nextInt(14))(
+          vocab(rnd.nextInt(vocab.size))).mkString(" ")))
+      // brute force: min over one-position-per-term tuples of max−min+1
+      val want = docs.flatMap { case (id, text) =>
+        val toks = text.split(" ")
+        val pos = query.map(t => toks.zipWithIndex.collect {
+          case (w, i) if w == t => i.toLong })
+        if (pos.exists(_.isEmpty)) None
+        else Some(id -> (for {
+          pa <- pos(0); pb <- pos(1); pc <- pos(2)
+        } yield Seq(pa, pb, pc).max - Seq(pa, pb, pc).min + 1).min)
+      }.toMap
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft-span-rnd$seed").toString
+      InvertedIndex.writeIndex(docs.toDF("doc_id", "text"), "doc_id",
+        Seq("text"), dir)
+      val got = InvertedIndex.minSpan(spark, dir, query)
+        .as[(Long, Long)].collect().toMap
+      assert(got == want, s"seed $seed")
+    }
+  }
 }
