@@ -62,6 +62,54 @@ class SearchEvalSpec extends SparkSpec {
     assert(r.getLong(5) == micro(2.0 / 3.0))  // recall over all 3 judged
   }
 
+  test("randomized rankings/qrels match a plain-Scala scorer (3 seeds)") {
+    val k = 5
+    for (seed <- Seq(19, 61, 103)) {
+      val rnd = new scala.util.Random(seed)
+      val qids = (1 to 8).map(q => s"q$q")
+      val rankRows = qids.flatMap { q =>
+        rnd.shuffle((1L to 20L).toList).take(3 + rnd.nextInt(8))
+          .zipWithIndex.map { case (d, i) => (q, d, (i + 1).toLong) }
+      }
+      val qrelRows = qids.flatMap { q =>
+        rnd.shuffle((1L to 25L).toList).take(rnd.nextInt(6))
+          .map(d => (q, d, (1 + rnd.nextInt(3)).toLong))
+      }
+      val want = qids.map { q =>
+        val topk = rankRows.filter(r => r._1 == q && r._3 <= k)
+          .sortBy(_._3)
+        val rels = qrelRows.filter(_._1 == q)
+          .map(r => r._2 -> r._3).toMap
+        val rr = topk.map(r => (r._3, rels.getOrElse(r._2, 0L)))
+        val nJudged = rels.size.toLong
+        val nRel = rr.count(_._2 > 0L).toLong
+        val first = rr.find(_._2 > 0L).map(_._1)
+        val dcg = rr.foldLeft(0.0) { case (a, (rk, rl)) => a + gain(rl, rk) }
+        val ideal = rels.values.toSeq.sorted.reverse.take(k)
+        val idcg = ideal.zipWithIndex.foldLeft(0.0) {
+          case (a, (rl, i)) => a + gain(rl, i + 1L) }
+        var hits = 0L
+        val apSum = rr.foldLeft(0.0) { case (a, (rk, rl)) =>
+          if (rl > 0L) { hits += 1; a + hits.toDouble / rk.toDouble }
+          else a }
+        q -> ((nJudged, nRel,
+          first.map(f => micro(1.0 / f.toDouble)).getOrElse(0L),
+          micro(nRel.toDouble / k.toDouble),
+          if (nJudged == 0L) 0L else micro(nRel.toDouble / nJudged.toDouble),
+          if (idcg <= 0.0) 0L else micro(dcg / idcg),
+          if (nJudged == 0L) 0L
+          else micro(apSum / math.min(nJudged, k.toLong).toDouble)))
+      }.toMap
+      val got = SearchEval.rankingMetrics(
+          rankRows.toDF("qid", "doc_id", "rank"),
+          qrelRows.toDF("qid", "doc_id", "rel"), k)
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+            r.getLong(5), r.getLong(6), r.getLong(7)))).toMap
+      assert(got == want, s"seed $seed")
+    }
+  }
+
   test("systemSummary averages the per-query micro metrics") {
     val rankings = Seq(("q1", 1L, 1L), ("q2", 1L, 1L))
       .toDF("qid", "doc_id", "rank")
