@@ -66,4 +66,31 @@ class TextExtractSpec extends SparkSpec {
     val once = canon("HTTP://WWW.Shop.Example.com:80/p?b=2&a=1")._1
     assert(canon(once)._1 == once)
   }
+
+  test("randomized noise variants of one URL collapse to one key (3 seeds)") {
+    for (seed <- Seq(23, 71, 113)) {
+      val rnd = new scala.util.Random(seed)
+      (1 to 20).foreach { i =>
+        val scheme = if (rnd.nextBoolean()) "https" else "http"
+        val host = s"site$i.example.org"
+        val path = s"/p/$i"
+        val params = List("a=1", "b=2", "c=3")
+        val base = canon(s"$scheme://$host$path?${params.mkString("&")}")._1
+        // noise: case, www, default port, param order, fragment
+        val variants = (1 to 6).map { _ =>
+          val h = (if (rnd.nextBoolean()) "WWW." else "") +
+            (if (rnd.nextBoolean()) host.toUpperCase else host)
+          val port = if (rnd.nextBoolean())
+            (if (scheme == "https") ":443" else ":80") else ""
+          val q = rnd.shuffle(params).mkString("&")
+          val frag = if (rnd.nextBoolean()) "#Sec" + rnd.nextInt(9) else ""
+          val sch = if (rnd.nextBoolean()) scheme.toUpperCase else scheme
+          s"$sch://$h$port$path?$q$frag"
+        }
+        variants.foreach { v =>
+          assert(canon(v)._1 == base, s"seed $seed variant $v")
+        }
+      }
+    }
+  }
 }
