@@ -150,6 +150,36 @@ class SearchSpec extends SparkSpec {
     }
   }
 
+  test("significantTerms: randomized corpora match a Scala JLH (3 seeds)") {
+    val vocab = Vector("t0", "t1", "t2", "t3", "t4", "t5")
+    for (seed <- Seq(31, 73, 127)) {
+      val rnd = new scala.util.Random(seed)
+      val corpus = (1 to 50).map(i =>
+        (i.toLong, Seq.fill(1 + rnd.nextInt(5))(
+          vocab(rnd.nextInt(vocab.size))).mkString(" ")))
+      val fgIds = corpus.map(_._1).filter(_ => rnd.nextBoolean()).toSet
+      val docTerms = corpus.map { case (id, t) => id -> t.split(" ").toSet }
+      val nf = fgIds.size.toLong; val nb = corpus.size.toLong
+      val want = vocab.flatMap { term =>
+        val fg = docTerms.count { case (id, ts) =>
+          fgIds(id) && ts(term) }.toLong
+        val bg = docTerms.count(_._2(term)).toLong
+        if (fg == 0L) None
+        else {
+          val fr = fg.toDouble / nf.toDouble
+          val br = bg.toDouble / nb.toDouble
+          Some((term, fg, bg,
+            math.floor((fr - br) * (fr / br) * 1e6 + 0.5).toLong))
+        }
+      }.sortBy(r => (-r._4, r._1)).take(10)
+      val got = Search.significantTerms(corpus.toDF("doc_id", "text"),
+          "doc_id", Seq("text"),
+          col("doc_id").isin(fgIds.toSeq: _*), k = 10)
+        .as[(String, Long, Long, Long)].collect().toSeq
+      assert(got == want, s"seed $seed")
+    }
+  }
+
   test("significantTerms: JLH rewards foreground lift, hand-computed") {
     val docs = Seq((1L, "hot alpha"), (2L, "hot beta"),
       (3L, "alpha beta"), (4L, "alpha")).toDF("doc_id", "text")
