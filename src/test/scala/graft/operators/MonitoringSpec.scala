@@ -94,4 +94,43 @@ class MonitoringSpec extends SparkSpec {
         Some(math.floor((2 + 0 + 6) / 3.0 * 1e6 + 0.5).toLong),
         Some(0L))))
   }
+
+  test("pipelineAggs: randomized sparse hours match a Scala replay (3 seeds)") {
+    for (seed <- Seq(37, 79, 131)) {
+      val rnd = new scala.util.Random(seed)
+      // sparse, gappy hourly counts on one key; first event per
+      // observed hour carries the flag value
+      val perHour = (0 until 30).map(h =>
+        h -> (if (rnd.nextBoolean()) rnd.nextInt(6) else 0))
+        .filter(_._2 > 0)
+      val ev = perHour.flatMap { case (h, n) =>
+        (0 until n).map(j => ("k", at(h), if (j == 0) 99.0 else 1.0))
+      }.toDF("event_type", "ts", "value")
+      val byHour = perHour.toMap
+      val lo = perHour.map(_._1).min; val hi = perHour.map(_._1).max
+      val counts = (lo to hi).map(h => byHour.getOrElse(h, 0))
+      val flags = (lo to hi).map(h => if (byHour.contains(h)) 1 else 0)
+      val want = counts.indices.map { i =>
+        val cnt = counts(i).toLong
+        val cum = counts.take(i + 1).sum.toLong
+        val deriv = if (i == 0) None else Some(cnt - counts(i - 1).toLong)
+        val win = (math.max(0, i - 3) until i).map(counts)
+        val mov = if (i >= 3)
+          Some(math.floor(win.sum.toDouble / 3.0 * 1e6 + 0.5).toLong)
+        else None
+        val rate = if (cnt > 0)
+          Some(math.floor(flags(i).toDouble / cnt.toDouble * 1e6 + 0.5).toLong)
+        else None
+        (cnt, cum, deriv, mov, rate)
+      }
+      val got = Monitoring.pipelineAggs(ev, "event_type", "ts",
+          flag = col("value") >= 99.0, movWindow = 3)
+        .orderBy(col("hour")).collect().map(r =>
+          (r.getLong(2), r.getLong(4),
+            Option(r.get(5)).map(_.asInstanceOf[Long]),
+            Option(r.get(6)).map(_.asInstanceOf[Long]),
+            Option(r.get(7)).map(_.asInstanceOf[Long])))
+      assert(got.toSeq == want, s"seed $seed")
+    }
+  }
 }
