@@ -107,6 +107,28 @@ class SearchSpec extends SparkSpec {
     assert(got == Seq((2L, 2L), (3L, 1L)))
   }
 
+  test("moreLikeThis: randomized corpora match brute force (3 seeds)") {
+    val vocab = (0 until 30).map(i => s"w$i")
+    for (seed <- Seq(43, 83, 139)) {
+      val rnd = new scala.util.Random(seed)
+      val corpus = (1 to 40).map(i =>
+        (i.toLong, Seq.fill(3 + rnd.nextInt(10))(
+          vocab(rnd.nextInt(vocab.size))).mkString(" ")))
+      val sets = corpus.map { case (id, t) => id -> t.split(" ").toSet }.toMap
+      val dfOf = vocab.map(w => w -> sets.values.count(_(w)).toLong).toMap
+      val maxDf = 8L
+      val sel = sets(1L).filter(w => dfOf(w) <= maxDf)
+      val want = sets.toSeq.filter(_._1 != 1L)
+        .map { case (id, ts) => (id, (ts & sel).size.toLong) }
+        .filter(_._2 > 0L)
+        .sortBy { case (id, n) => (-n, id) }.take(10)
+      val got = Search.moreLikeThis(corpus.toDF("doc_id", "text"),
+          "doc_id", Seq("text"), sourceId = 1L, maxDf = maxDf, k = 10)
+        .as[(Long, Long)].collect().toSeq
+      assert(got == want, s"seed $seed")
+    }
+  }
+
   test("suggest: prefix completions ranked by collection frequency") {
     val docs = Seq((1L, "scan scan sort spark other"),
       (2L, "scan sort zebra")).toDF("doc_id", "text")
