@@ -1864,8 +1864,32 @@ object SparkEntry {
         .select(col("doc_id"), col("url"),
           md5(col("clean").cast("binary")).as("clean_md5"))
         .orderBy(col("doc_id"))
-    })
+    }),
+
+    // Boolean percolation (ES percolate with must_not): the q144
+    // stored set extended with negative terms.
+    "q157_percolate_bool" -> q((s, d) => {
+      import s.implicits._
+      val stored = percolateBoolStored.toDF("query_id", "terms", "not_terms")
+      Search.percolateBool(Tables.documents(s, d), "doc_id", Seq("text"),
+          stored)
+        .orderBy(col("doc_id"), col("query_id"))
+    }),
+
+    // Typo-tolerant completion (ES completion fuzziness): vocabulary
+    // within edit distance 1 of the misspelled "scann".
+    "q158_fuzzy_suggest" -> q((s, d) =>
+      Search.suggestFuzzy(Tables.documents(s, d), Seq("text"),
+        word = "scann", maxEdits = 1, k = 5))
   ) ++ NonSqlQueries.queries
+
+  /** q157's stored boolean percolation queries (literal for the
+    * oracle). */
+  private val percolateBoolStored: Seq[(Long, Seq[String], Seq[String])] =
+    Seq(
+      (1L, Seq("fast", "scan"), Seq("dup")),
+      (2L, Seq("window", "stream"), Seq("slow", "big")),
+      (3L, Seq("merge"), Seq("the")))
 
   /** q152's page template (single-quote-free so it renders into the
     * oracle SQL verbatim). */
@@ -5245,6 +5269,23 @@ object SparkEntry {
 
     "q155_web_prep" -> q155Sql,
 
+    "q157_percolate_bool" -> q157Sql,
+
+    // Fuzzy-suggest replay: vocabulary stats + levenshtein rank.
+    "q158_fuzzy_suggest" ->
+      """WITH t AS (
+           SELECT list_filter(regexp_split_to_array(lower(text), '[^a-z0-9'']+'), x -> length(x) > 0) AS toks
+           FROM documents),
+         d AS (SELECT unnest(toks) AS term FROM t),
+         v AS (SELECT term, CAST(count(*) AS BIGINT) AS cf
+               FROM d GROUP BY 1),
+         f AS (SELECT term, cf,
+                 CAST(levenshtein(term, 'scann') AS BIGINT) AS dist
+               FROM v)
+         SELECT term, cf, dist FROM f WHERE dist <= 1
+         QUALIFY row_number() OVER (ORDER BY dist, cf DESC, term) <= 5
+         ORDER BY dist, cf DESC, term""",
+
     // NFC replay: an INDEPENDENT Unicode implementation (utf8proc)
     // composing the same decomposed suffix.
     "q154_nfc_normalize" ->
@@ -5400,6 +5441,38 @@ object SparkEntry {
        FROM c
        QUALIFY row_number() OVER (PARTITION BY url ORDER BY doc_id) = 1
        ORDER BY doc_id"""
+  }
+
+  /** Boolean-percolate replay: q144's positive leg + NOT EXISTS over
+    * the negative term table, both rendered from the same literal. */
+  private def q157Sql: String = {
+    val mustRows = percolateBoolStored.flatMap { case (id, ts, _) =>
+      ts.distinct.map(t => s"($id, '$t', ${ts.distinct.size})")
+    }.mkString(", ")
+    val notRows = percolateBoolStored.flatMap { case (id, _, ns) =>
+      ns.distinct.map(t => s"($id, '$t')")
+    }.mkString(", ")
+    s"""WITH t AS (
+         SELECT doc_id,
+           list_distinct(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9'']+'), x -> length(x) > 0)) AS toks
+         FROM documents),
+       d AS (SELECT doc_id, unnest(toks) AS term FROM t),
+       q(query_id, term, arity) AS (VALUES $mustRows),
+       nq(query_id, term) AS (VALUES $notRows),
+       pos AS (
+         SELECT d.doc_id, CAST(q.query_id AS BIGINT) AS query_id,
+           CAST(q.arity AS BIGINT) AS n_terms
+         FROM d JOIN q USING (term)
+         GROUP BY d.doc_id, q.query_id, q.arity
+         HAVING count(*) = q.arity),
+       neg AS (SELECT DISTINCT d.doc_id,
+                 CAST(nq.query_id AS BIGINT) AS query_id
+               FROM d JOIN nq USING (term))
+       SELECT pos.doc_id, pos.query_id, pos.n_terms
+       FROM pos LEFT JOIN neg
+         ON pos.doc_id = neg.doc_id AND pos.query_id = neg.query_id
+       WHERE neg.doc_id IS NULL
+       ORDER BY pos.doc_id, pos.query_id"""
   }
 
   /** Percolate replay: the stored-query table as VALUES from the same

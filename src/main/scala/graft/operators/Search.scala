@@ -291,6 +291,41 @@ object Search {
           .as("snippet"))
   }
 
+  /** Boolean percolation: stored queries with BOTH must and must_not
+    * term lists (`queries` = `(query_id, terms, not_terms)`) — a doc
+    * matches when it holds every must term and none of the must_not
+    * terms. The positive leg is [[percolate]]; the negative leg is
+    * one more broadcast join + a LEFT ANTI on (doc, query). */
+  def percolateBool(df: DataFrame, idCol: String, fields: Seq[String],
+                    queries: DataFrame): DataFrame = {
+    val matched = percolate(df, idCol, fields,
+      queries.select(col("query_id"), col("terms")))
+    val nx = queries.select(col("query_id"),
+        explode(col("not_terms")).as("term"))
+      .dropDuplicates("query_id", "term")
+    val docTerms = df.select(col(idCol),
+      explode(array_distinct(graft.functions.Analyzer.tokenize(
+        concat_ws(" ", fields.map(col): _*)))).as("term"))
+    val blocked = docTerms.join(broadcast(nx), "term")
+      .select(col(idCol), col("query_id"))
+      .dropDuplicates(idCol, "query_id")
+    matched.join(blocked, Seq(idCol, "query_id"), "left_anti")
+  }
+
+  /** FUZZY completion suggest (ES `completion` with fuzziness):
+    * vocabulary terms within Levenshtein ≤ `maxEdits` of the typed
+    * word, ranked by collection frequency — typo-tolerant
+    * autocomplete served from the dictionary-sized stats table. */
+  def suggestFuzzy(df: DataFrame, fields: Seq[String], word: String,
+                   maxEdits: Int, k: Int): DataFrame =
+    df.select(explode(graft.functions.Analyzer.tokenize(
+        concat_ws(" ", fields.map(col): _*))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("cf"))
+      .withColumn("dist", levenshtein(col("term"), lit(word)).cast("long"))
+      .filter(col("dist") <= maxEdits)
+      .orderBy(col("dist"), col("cf").desc, col("term"))
+      .limit(k)
+
   /** One alert micro-batch: [[percolate]] the batch, then
     * insert-if-absent on (doc, query) into the standing alert log —
     * redelivered batches land nothing, so alerts fire effectively

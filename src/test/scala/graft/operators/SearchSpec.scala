@@ -107,6 +107,26 @@ class SearchSpec extends SparkSpec {
     assert(got == Seq((2L, 2L), (3L, 1L)))
   }
 
+  test("percolateBool: must_not vetoes a must match") {
+    val docs = Seq((1L, "alpha beta"), (2L, "alpha beta bad"),
+      (3L, "alpha")).toDF("doc_id", "text")
+    val stored = Seq((10L, Seq("alpha", "beta"), Seq("bad")),
+      (20L, Seq("alpha"), Seq[String]()))
+      .toDF("query_id", "terms", "not_terms")
+    val got = Search.percolateBool(docs, "doc_id", Seq("text"), stored)
+      .select("doc_id", "query_id").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 10L), (1L, 20L), (2L, 20L), (3L, 20L)))
+  }
+
+  test("suggestFuzzy ranks by (distance, cf) and tolerates one edit") {
+    val docs = Seq((1L, "scan scan scans span spark plan zebra"))
+      .toDF("doc_id", "text")
+    val got = Search.suggestFuzzy(docs, Seq("text"), "scann", 1, 5)
+      .as[(String, Long, Long)].collect().toSeq
+    // scan (del, cf 2), scans (sub, cf 1) — span/spark/plan are ≥ 2 edits
+    assert(got == Seq(("scan", 2L, 1L), ("scans", 1L, 1L)))
+  }
+
   test("moreLikeThis: randomized corpora match brute force (3 seeds)") {
     val vocab = (0 until 30).map(i => s"w$i")
     for (seed <- Seq(43, 83, 139)) {
