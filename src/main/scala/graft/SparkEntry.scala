@@ -1880,8 +1880,86 @@ object SparkEntry {
     // within edit distance 1 of the misspelled "scann".
     "q158_fuzzy_suggest" -> q((s, d) =>
       Search.suggestFuzzy(Tables.documents(s, d), Seq("text"),
-        word = "scann", maxEdits = 1, k = 5))
+        word = "scann", maxEdits = 1, k = 5)),
+
+    // CLASSIFIER EVALUATION (q159-q161): the reference combines two
+    // sentiment engines (X-3) but never measures their agreement;
+    // these close that loop with the standard two-rater statistics.
+    // Both labelings are SQL-expressible stand-ins (the q03/pseudo
+    // convention) so the whole metric chain is oracle-certified; the
+    // real VADER/TextBlob legs ride the same Eval surface.
+    "q159_confusion" -> q((s, d) =>
+      Eval.confusionMatrix(evalLabeled(s, d), "truth", "pred")),
+
+    // Per-class precision/recall/F1 from ONE corpus pass (the matrix);
+    // the never-predicted class still gets a row (support>0, tp=0).
+    "q160_classifier_f1" -> q((s, d) =>
+      Eval.classReport(evalLabeled(s, d), "truth", "pred")),
+
+    // Cohen's kappa — chance-corrected agreement; pe numerator summed
+    // exactly as BIGINT (no float sum-order hazard).
+    "q161_kappa" -> q((s, d) =>
+      Eval.cohenKappa(evalLabeled(s, d), "truth", "pred")),
+
+    // Distribution drift (PSI + JSD) between day-half slices of the
+    // event value distribution — the "does today still look like
+    // yesterday" monitor behind the T-6 freshness watchdog.
+    "q162_dist_drift" -> q((s, d) => {
+      val binned = Tables.events(s, d).withColumn("bin",
+        least(greatest(floor(coalesce(col("value"), lit(0.0)) / 50.0),
+          lit(0.0)), lit(19.0)).cast("long"))
+      Drift.slicedDrift(binned, "bin", inRef = hour(col("ts")) < 12)
+    }),
+
+    // Overlapping token-window chunking (embedding/RAG prep): window
+    // 24, stride 16 (overlap 8) over the packing tokenizer; chunk
+    // text hash-certified via md5 (the q152 surface trick).
+    "q163_token_chunks" -> q((s, d) =>
+      TextAnalysis.tokenChunks(Tables.documents(s, d), "doc_id", "text",
+        window = 24, stride = 16)),
+
+    // ES composite-aggregation pagination: one keyset page of
+    // (event_type, hour) buckets strictly after the cursor — the
+    // pagination shape that stays cheap when the bucket space is
+    // 100 TB wide (predicate before sort, never OFFSET).
+    "q164_composite_page" -> q((s, d) => {
+      val buckets = Tables.events(s, d)
+        .groupBy(col("event_type"),
+          date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss")
+            .as("hour"))
+        .agg(count(lit(1)).as("n"),
+          sumd(col("value")).cast("string").as("sum_value"))
+      Monitoring.compositePage(buckets, Seq("event_type", "hour"),
+        afterKey = Some(Seq("error", "2024-01-20 00:00:00")), size = 50)
+    }),
+
+    // q162's drift monitor fed INCREMENTALLY (3 slices + 1 redelivered,
+    // the q149 shape): per-batch bin counts fold into a mergeable
+    // ledger effectively-once, and the final drift hash-matches the
+    // ONE-SHOT oracle verbatim — order- and redelivery-free.
+    "q165_drift_incremental" -> q((s, d) => {
+      val binned = Tables.events(s, d).withColumn("bin",
+        least(greatest(floor(coalesce(col("value"), lit(0.0)) / 50.0),
+          lit(0.0)), lit(19.0)).cast("long"))
+      val base = Scratch.dir("graft-drift-inc")
+      Seq(0, 1, 2, 1).zipWithIndex.foreach { case (slice, bid) => // 1 redelivered
+        Drift.driftDeltaBatch(binned.filter(col("event_id") % 3 === slice),
+          "event_id", "bin", inRef = hour(col("ts")) < 12, base,
+          batchId = bid.toLong)
+      }
+      Drift.driftFromDirs(s, base)
+    })
   ) ++ NonSqlQueries.queries
+
+  /** q159-q161's shared two-rater frame: truth = the q03 pseudo-score
+    * classify, pred = a second deterministic pseudo engine over the
+    * token count (coalesced so null text labels like the oracle). */
+  private def evalLabeled(s: SparkSession, d: String): DataFrame = {
+    val wc = operators.TextStats.wordCount(coalesce(col("text"), lit("")))
+    Tables.documents(s, d).select(
+      Classify.overall(pseudoScore(col("n_chars"))).as("truth"),
+      Classify.overall((wc % 199 - 99) / 99.0).as("pred"))
+  }
 
   /** q157's stored boolean percolation queries (literal for the
     * oracle). */
@@ -5286,6 +5364,108 @@ object SparkEntry {
          QUALIFY row_number() OVER (ORDER BY dist, cf DESC, term) <= 5
          ORDER BY dist, cf DESC, term""",
 
+    "q159_confusion" ->
+      s"""WITH $EvalLabelsSql
+         SELECT truth, pred, COUNT(*) AS n FROM l GROUP BY 1, 2""",
+
+    // Same exact-count margins + the same double divisions and micro
+    // grid as Eval.classReport.
+    "q160_classifier_f1" ->
+      s"""WITH $EvalLabelsSql,
+         cm AS (SELECT truth, pred, COUNT(*) AS n FROM l GROUP BY 1, 2),
+         cls AS (SELECT DISTINCT truth AS label FROM cm
+                 UNION SELECT DISTINCT pred FROM cm),
+         tn AS (SELECT truth AS label, SUM(n) AS truth_n FROM cm GROUP BY 1),
+         pn AS (SELECT pred AS label, SUM(n) AS pred_n FROM cm GROUP BY 1),
+         tp AS (SELECT truth AS label, n AS tp FROM cm WHERE truth = pred),
+         j AS (SELECT cls.label,
+                 CAST(coalesce(truth_n, 0) AS BIGINT) AS support,
+                 CAST(coalesce(tp, 0) AS BIGINT) AS tp,
+                 CAST(coalesce(pred_n, 0) - coalesce(tp, 0) AS BIGINT) AS fp,
+                 CAST(coalesce(truth_n, 0) - coalesce(tp, 0) AS BIGINT) AS fn
+               FROM cls LEFT JOIN tn USING(label)
+                 LEFT JOIN pn USING(label) LEFT JOIN tp USING(label)),
+         pr AS (SELECT *,
+                 CASE WHEN tp + fp = 0 THEN 0.0
+                      ELSE CAST(tp AS DOUBLE) / (tp + fp) END AS p,
+                 CASE WHEN tp + fn = 0 THEN 0.0
+                      ELSE CAST(tp AS DOUBLE) / (tp + fn) END AS r
+               FROM j)
+         SELECT label, support, tp, fp, fn,
+           CAST(floor(p * 1000000.0 + 0.5) AS BIGINT) AS precision_micro,
+           CAST(floor(r * 1000000.0 + 0.5) AS BIGINT) AS recall_micro,
+           CAST(floor((CASE WHEN p + r = 0.0 THEN 0.0
+                            ELSE 2.0 * p * r / (p + r) END)
+             * 1000000.0 + 0.5) AS BIGINT) AS f1_micro
+         FROM pr""",
+
+    // pe numerator as an exact integer sum, then the identical
+    // po/pe/kappa double tree (two successive divisions by n — n² is
+    // never formed in integers).
+    "q161_kappa" ->
+      s"""WITH $EvalLabelsSql,
+         cm AS (SELECT truth, pred, COUNT(*) AS n FROM l GROUP BY 1, 2),
+         tn AS (SELECT truth AS label, SUM(n) AS truth_n FROM cm GROUP BY 1),
+         pn AS (SELECT pred AS label, SUM(n) AS pred_n FROM cm GROUP BY 1),
+         pem AS (SELECT SUM(coalesce(truth_n, 0) * coalesce(pred_n, 0)) AS pe_num
+                 FROM tn FULL JOIN pn USING(label)),
+         tot AS (SELECT SUM(n) AS n,
+                   SUM(CASE WHEN truth = pred THEN n ELSE 0 END) AS agree
+                 FROM cm),
+         d AS (SELECT n, agree,
+                 CAST(agree AS DOUBLE) / n AS po,
+                 CAST(pe_num AS DOUBLE) / n / n AS pe
+               FROM tot, pem)
+         SELECT CAST(n AS BIGINT) AS n, CAST(agree AS BIGINT) AS agree,
+           CAST(floor(po * 1000000.0 + 0.5) AS BIGINT) AS po_micro,
+           CAST(floor(pe * 1000000.0 + 0.5) AS BIGINT) AS pe_micro,
+           CAST(floor((CASE WHEN pe = 1.0 THEN 0.0
+                            ELSE (po - pe) / (1.0 - pe) END)
+             * 1000000.0 + 0.5) AS BIGINT) AS kappa_micro
+         FROM d""",
+
+    // Laplace-smoothed per-bin PSI/JSD contributions: the same count
+    // → single-division → ln → micro-grid chain as Drift.slicedDrift
+    // (ln args non-foldable on both sides).
+    "q162_dist_drift" -> Q162Sql,
+
+    // The incremental fold must land exactly the one-shot counts.
+    "q165_drift_incremental" -> Q162Sql,
+
+    // Chunker replay: same whitespace tokens, same ⌈(n−W)/S⌉+1 chunk
+    // count, same 1-based slices, same md5 surface.
+    "q163_token_chunks" ->
+      """WITH t AS (
+           SELECT doc_id,
+             regexp_split_to_array(trim(coalesce(text, '')), '\s+') AS toks
+           FROM documents),
+         c AS (SELECT doc_id, toks, len(toks) AS n,
+             CASE WHEN len(toks) <= 24 THEN 1
+                  ELSE (len(toks) - 24 + 15) // 16 + 1 END AS k
+           FROM t),
+         x AS (SELECT doc_id, toks, n,
+             unnest(generate_series(0, k - 1)) AS i FROM c)
+         SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+           CAST(i * 16 + 1 AS BIGINT) AS start_tok,
+           CAST(least(24, n - (i * 16 + 1) + 1) AS BIGINT) AS n_tok,
+           md5(array_to_string(
+             toks[CAST(i * 16 + 1 AS INT):CAST(least(i * 16 + 24, n) AS INT)],
+             ' ')) AS chunk_md5
+         FROM x""",
+
+    // Keyset page: row-value comparison strictly after the cursor,
+    // then the composite order + limit (DuckDB native tuple compare).
+    "q164_composite_page" ->
+      """WITH b AS (
+           SELECT event_type,
+             strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS sum_value
+           FROM events GROUP BY 1, 2)
+         SELECT * FROM b
+         WHERE (event_type, hour) > ('error', '2024-01-20 00:00:00')
+         ORDER BY event_type, hour LIMIT 50""",
+
     // NFC replay: an INDEPENDENT Unicode implementation (utf8proc)
     // composing the same decomposed suffix.
     "q154_nfc_normalize" ->
@@ -5445,6 +5625,44 @@ object SparkEntry {
 
   /** Boolean-percolate replay: q144's positive leg + NOT EXISTS over
     * the negative term table, both rendered from the same literal. */
+  /** q162/q165's shared drift replay: Laplace-smoothed per-bin
+    * PSI/JSD over the day-half slices — one literal because the
+    * incremental fold must land the one-shot answer verbatim. */
+  private val Q162Sql: String =
+    """WITH e AS (
+           SELECT CAST(least(greatest(floor(coalesce(value, 0) / 50.0), 0.0),
+             19.0) AS BIGINT) AS bin, hour(ts) AS h FROM events),
+         a AS (SELECT bin, COUNT(*) AS a_n FROM e WHERE h < 12 GROUP BY 1),
+         b AS (SELECT bin, COUNT(*) AS b_n FROM e WHERE h >= 12 GROUP BY 1),
+         bins AS (SELECT bin, coalesce(a_n, 0) AS a_n, coalesce(b_n, 0) AS b_n
+                  FROM a FULL JOIN b USING(bin)),
+         tot AS (SELECT SUM(a_n) AS a_tot, SUM(b_n) AS b_tot,
+                   COUNT(*) AS k FROM bins),
+         pq AS (SELECT bin, a_n, b_n,
+                  CAST(a_n + 1 AS DOUBLE) / (a_tot + k) AS p,
+                  CAST(b_n + 1 AS DOUBLE) / (b_tot + k) AS q
+                FROM bins, tot),
+         pqm AS (SELECT *, (p + q) / 2.0 AS m FROM pq)
+         SELECT bin, CAST(a_n AS BIGINT) AS a_n, CAST(b_n AS BIGINT) AS b_n,
+           CAST(floor((p - q) * ln(p / q) * 1000000.0 + 0.5) AS BIGINT)
+             AS psi_contrib_micro,
+           CAST(floor((p * ln(p / m) + q * ln(q / m)) / 2.0
+             * 1000000.0 + 0.5) AS BIGINT) AS jsd_contrib_micro
+         FROM pqm"""
+
+  /** q159-q161's shared labeled frame: the q03 pseudo-score classify
+    * (truth) and the token-count pseudo engine (pred) — the exact SQL
+    * twins of [[evalLabeled]]. */
+  private val EvalLabelsSql: String =
+    """l AS (
+         SELECT CASE WHEN (n_chars % 201 - 100) / 100.0 >= 0.1 THEN 'positive'
+                     WHEN (n_chars % 201 - 100) / 100.0 <= -0.1 THEN 'negative'
+                     ELSE 'neutral' END AS truth,
+                CASE WHEN (len(regexp_split_to_array(trim(coalesce(text, '')), '\s+')) % 199 - 99) / 99.0 >= 0.1 THEN 'positive'
+                     WHEN (len(regexp_split_to_array(trim(coalesce(text, '')), '\s+')) % 199 - 99) / 99.0 <= -0.1 THEN 'negative'
+                     ELSE 'neutral' END AS pred
+         FROM documents)"""
+
   private def q157Sql: String = {
     val mustRows = percolateBoolStored.flatMap { case (id, ts, _) =>
       ts.distinct.map(t => s"($id, '$t', ${ts.distinct.size})")

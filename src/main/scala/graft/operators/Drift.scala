@@ -1,0 +1,142 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distribution-drift monitoring between two corpus slices — the
+  * question behind every "did the feed change under us" alert the
+  * reference's freshness watchdog (T-6) cannot answer: freshness says
+  * data ARRIVED, drift says the data still LOOKS like yesterday's.
+  * Population Stability Index (the credit-scoring standard: PSI < 0.1
+  * stable, > 0.25 shifted) and Jensen-Shannon divergence (symmetric,
+  * bounded by ln 2) over a caller-supplied binning.
+  *
+  * Numeric discipline: bin counts are exact BIGINTs from one
+  * map-side-combined groupBy per slice; the Laplace-smoothed
+  * proportions are single double divisions of exactly-equal integer
+  * operands; `ln` runs on NON-FOLDABLE doubles (so both engines
+  * evaluate at runtime, not at plan time) and every transcendental
+  * output lands on the micro grid before hashing — the q50/q51 ledger
+  * discipline for cross-libm 1-ulp drift.
+  *
+  * Scale shape: one shuffle per slice (groupBy bin, map-side combined
+  * to ≤ |bins| partial rows per task), then all arithmetic on the
+  * bins-row table (constant-size at any corpus scale; the totals join
+  * is a single-row broadcast cross join). Slices are usually two
+  * predicates over ONE scan — Spark collapses the double read under
+  * columnar caching or the caller passes pre-split frames.
+  */
+object Drift {
+
+  private def micro(c: Column): Column =
+    floor(c * 1000000.0 + 0.5).cast("long")
+
+  /** Per-bin drift between slice `a` (reference) and slice `b`
+    * (current), both already carrying an integer/string `binCol`:
+    * `(bin, a_n, b_n, psi_contrib_micro, jsd_contrib_micro)`.
+    *
+    * Bins are the UNION of bins observed in either slice; Laplace
+    * add-one smoothing (p = (n+1)/(N+k) with k = |union bins|) keeps
+    * ln finite when a bin is empty on one side — the standard PSI
+    * treatment for new/vanished buckets. Totals:
+    * PSI = Σ contribs, JSD = Σ contribs ∈ [0, ln 2]. */
+  def binnedDrift(a: DataFrame, b: DataFrame, binCol: String): DataFrame = {
+    val aCnt = a.groupBy(col(binCol).as("bin")).agg(count(lit(1)).as("a_n"))
+    val bCnt = b.groupBy(col(binCol).as("bin")).agg(count(lit(1)).as("b_n"))
+    val bins = aCnt.join(bCnt, Seq("bin"), "full")
+      .select(col("bin"),
+        coalesce(col("a_n"), lit(0L)).as("a_n"),
+        coalesce(col("b_n"), lit(0L)).as("b_n"))
+    driftFromCounts(bins)
+  }
+
+  /** [[binnedDrift]] when both slices come from ONE frame (the usual
+    * monitoring shape: yesterday vs today out of the same table):
+    * rows where `inRef` holds form the reference slice, the rest the
+    * current one. ONE scan and ONE shuffle — conditional counts in a
+    * single groupBy — where filtering the frame twice through
+    * [[binnedDrift]] would read the 100 TB source twice. `inRef` must
+    * be non-null (a null lands the row in the current slice). */
+  def slicedDrift(df: DataFrame, binCol: String, inRef: Column): DataFrame =
+    driftFromCounts(df.groupBy(col(binCol).as("bin")).agg(
+      sum(when(inRef, 1L).otherwise(0L)).as("a_n"),
+      sum(when(inRef, 0L).otherwise(1L)).as("b_n")))
+
+  /** One micro-batch of the INCREMENTAL drift monitor: fold `batch`'s
+    * per-bin slice counts into the standing ledger at `baseDir`,
+    * effectively-once (the cardDeltaBatch contract): rows are
+    * deduped on `idCol`, anti-joined against the seen-ids ledger so a
+    * REDELIVERED batch lands nothing, partial counts append first and
+    * ids last (ledger-last heals a crash between the two appends —
+    * the crashed batch re-lands its counts idempotently because its
+    * ids were never committed). Counts are mergeable BIGINTs, so the
+    * fold is order-free and the final drift equals the one-shot
+    * [[slicedDrift]] bit-for-bit.
+    *
+    * Scale shape per batch: one delta-sized shuffle (the bin groupBy)
+    * + one anti-join probe of the id ledger; the standing state this
+    * monitor keeps is ≤ |bins| rows per batch plus the id ledger. */
+  def driftDeltaBatch(batch: DataFrame, idCol: String, binCol: String,
+                      inRef: Column, baseDir: String, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val b = batch.dropDuplicates(idCol)
+    val seen = Dedup.readStateOr(spark, s"$baseDir/seenIds",
+      b.select(col(idCol)).limit(0))
+    val fresh = b.join(seen, Seq(idCol), "left_anti").localCheckpoint()
+    fresh.groupBy(col(binCol).as("bin")).agg(
+        sum(when(inRef, 1L).otherwise(0L)).as("a_n"),
+        sum(when(inRef, 0L).otherwise(1L)).as("b_n"))
+      .select(lit(batchId).as("batch_id"), col("bin"),
+        col("a_n"), col("b_n"))
+      .write.mode("append").parquet(s"$baseDir/bins")
+    fresh.select(col(idCol)).write.mode("append")
+      .parquet(s"$baseDir/seenIds")
+    fresh.unpersist()
+    ()
+  }
+
+  /** Final drift from the standing ledger: merge the per-batch
+    * partial counts (exact BIGINT sums, any arrival order) and run
+    * the same smoothed PSI/JSD tail as the one-shot paths. The
+    * `(batch_id, bin)` dedup is the torn-batch heal: a crash between
+    * the counts append and the id append replays the batch under the
+    * SAME batch id with the IDENTICAL partial rows (the id ledger
+    * never saw it), and the dedup collapses the double append — the
+    * cardFromDirsAsOf contract. */
+  def driftFromDirs(spark: org.apache.spark.sql.SparkSession,
+                    baseDir: String): DataFrame =
+    driftFromCounts(spark.read.parquet(s"$baseDir/bins")
+      .dropDuplicates("batch_id", "bin")
+      .groupBy(col("bin")).agg(
+        sum(col("a_n")).as("a_n"), sum(col("b_n")).as("b_n")))
+
+  /** [[driftDeltaBatch]] as a stream sink — drift follows the ingest
+    * micro-batches, effectively-once (the engine redelivers a crashed
+    * batch under the same id, which is exactly what the heal needs). */
+  def driftDeltaSink(deltaStream: DataFrame, idCol: String, binCol: String,
+                     inRef: Column, baseDir: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    deltaStream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        driftDeltaBatch(b, idCol, binCol, inRef, baseDir, id)
+      }
+
+  /** Shared tail: `(bin, a_n, b_n)` exact counts → smoothed PSI/JSD
+    * contributions. The totals side is a single row, broadcast. */
+  private def driftFromCounts(bins: DataFrame): DataFrame = {
+    val totals = bins.agg(
+      sum(col("a_n")).as("a_tot"),
+      sum(col("b_n")).as("b_tot"),
+      count(lit(1)).as("k"))
+    val j = bins.crossJoin(broadcast(totals)) // single-row side
+    val p = (col("a_n") + 1L).cast("double") / (col("a_tot") + col("k"))
+    val q = (col("b_n") + 1L).cast("double") / (col("b_tot") + col("k"))
+    val m = (p + q) / 2.0
+    val psi = (p - q) * log(p / q)
+    val jsd = (p * log(p / m) + q * log(q / m)) / 2.0
+    j.select(col("bin"), col("a_n"), col("b_n"),
+      micro(psi).as("psi_contrib_micro"),
+      micro(jsd).as("jsd_contrib_micro"))
+  }
+}

@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Classifier evaluation over labeled frames — the quality loop the
+  * reference runs by eye (it combines two sentiment engines,
+  * dags/sentiment_analysis_dag.py:75-81, but never measures how often
+  * they agree). Confusion matrix, per-class precision/recall/F1, and
+  * Cohen's kappa — the standard inter-rater statistic for exactly the
+  * two-engine setup the reference ships.
+  *
+  * Numeric discipline (the q141/SearchEval contract): every count is
+  * an exact BIGINT from one map-side-combined aggregation; ratios are
+  * double divisions of exactly-equal integer operands (identical IEEE
+  * results in Spark and the DuckDB oracle) and are emitted on the
+  * micro grid (`floor(x·1e6 + 0.5)`), so the report is hash-stable.
+  *
+  * Scale shape: ONE corpus-wide shuffle — the (truth, pred) groupBy,
+  * map-side combined to at most |classes|² partial rows per task.
+  * Everything downstream (class margins, joins, kappa) runs on that
+  * classes²-row table, which is constant-size at any corpus scale;
+  * the joins on it broadcast. No second pass over the data.
+  */
+object Eval {
+
+  private def micro(c: Column): Column =
+    floor(c * 1000000.0 + 0.5).cast("long")
+
+  /** Confusion matrix: `(truth, pred, n)`, exact counts. */
+  def confusionMatrix(df: DataFrame, truthCol: String, predCol: String): DataFrame =
+    df.groupBy(col(truthCol).as("truth"), col(predCol).as("pred"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Per-class report over the matrix: `(label, support, tp, fp, fn,
+    * precision_micro, recall_micro, f1_micro)`. The class set is the
+    * UNION of truth and pred labels, so a class the model never
+    * predicts (or invents) still gets a row; absent legs score 0, not
+    * null. F1 is computed from the raw double precision/recall and
+    * only then micro-rounded (rounding first would compound). */
+  def classReport(df: DataFrame, truthCol: String, predCol: String): DataFrame = {
+    val cm = confusionMatrix(df, truthCol, predCol)
+    val classes = cm.select(col("truth").as("label"))
+      .union(cm.select(col("pred").as("label"))).distinct()
+    val truthN = cm.groupBy(col("truth").as("label"))
+      .agg(sum(col("n")).as("truth_n"))
+    val predN = cm.groupBy(col("pred").as("label"))
+      .agg(sum(col("n")).as("pred_n"))
+    val tp = cm.filter(col("truth") === col("pred"))
+      .select(col("truth").as("label"), col("n").as("tp"))
+    val j = classes
+      .join(truthN, Seq("label"), "left")
+      .join(predN, Seq("label"), "left")
+      .join(tp, Seq("label"), "left")
+      .select(col("label"),
+        coalesce(col("truth_n"), lit(0L)).as("support"),
+        coalesce(col("tp"), lit(0L)).as("tp"),
+        (coalesce(col("pred_n"), lit(0L)) - coalesce(col("tp"), lit(0L))).as("fp"),
+        (coalesce(col("truth_n"), lit(0L)) - coalesce(col("tp"), lit(0L))).as("fn"))
+    val p = when(col("tp") + col("fp") === 0L, lit(0.0))
+      .otherwise(col("tp").cast("double") / (col("tp") + col("fp")))
+    val r = when(col("tp") + col("fn") === 0L, lit(0.0))
+      .otherwise(col("tp").cast("double") / (col("tp") + col("fn")))
+    val f1 = when(p + r === 0.0, lit(0.0)).otherwise(lit(2.0) * p * r / (p + r))
+    j.select(col("label"), col("support"), col("tp"), col("fp"), col("fn"),
+      micro(p).as("precision_micro"),
+      micro(r).as("recall_micro"),
+      micro(f1).as("f1_micro"))
+  }
+
+  /** Cohen's kappa (Cohen 1960): chance-corrected agreement between
+    * two labelings. One row: `(n, agree, po_micro, pe_micro,
+    * kappa_micro)` with pₒ = agree/n, pₑ = Σ_c truthN_c·predN_c / n²,
+    * κ = (pₒ−pₑ)/(1−pₑ).
+    *
+    * The pₑ numerator is summed EXACTLY as BIGINT (no float sum-order
+    * hazard); overflow headroom: each product ≤ n², so the sum over
+    * classes needs |classes|·n² < 2^63 — safe to n ≈ 1.7e9 rows at 3
+    * classes (the Graph.scala/StatsLedger headroom convention). pₑ is
+    * then two successive double divisions by n (never forming n² in
+    * integers), so the same expression replays in DuckDB bit-for-bit.
+    * Degenerate single-class frames have pₑ = 1; κ is reported as 0
+    * there (scikit-learn's convention) rather than 0/0. */
+  def cohenKappa(df: DataFrame, truthCol: String, predCol: String): DataFrame = {
+    val cm = confusionMatrix(df, truthCol, predCol)
+    val margins = cm.groupBy(col("truth").as("label"))
+      .agg(sum(col("n")).as("truth_n"))
+      .join(cm.groupBy(col("pred").as("label")).agg(sum(col("n")).as("pred_n")),
+        Seq("label"), "full")
+      .select(
+        (coalesce(col("truth_n"), lit(0L)) * coalesce(col("pred_n"), lit(0L)))
+          .as("prod"))
+      .agg(sum(col("prod")).as("pe_num"))
+    val totals = cm.agg(
+      sum(col("n")).as("n"),
+      sum(when(col("truth") === col("pred"), col("n")).otherwise(0L)).as("agree"))
+    val joined = totals.crossJoin(margins) // both single-row
+    val po = col("agree").cast("double") / col("n")
+    val pe = col("pe_num").cast("double") / col("n") / col("n")
+    val kappa = when(pe === 1.0, lit(0.0)).otherwise((po - pe) / (lit(1.0) - pe))
+    joined.select(col("n"), col("agree"),
+      micro(po).as("po_micro"), micro(pe).as("pe_micro"),
+      micro(kappa).as("kappa_micro"))
+  }
+}

@@ -102,4 +102,33 @@ object Monitoring {
           floor(col("flagged").cast("double") / col("cnt").cast("double")
             * 1e6 + 0.5).cast("long")))
   }
+
+  /** ES composite-aggregation pagination (the `after` cursor): one
+    * page of `size` buckets from a bucket frame, strictly AFTER the
+    * cursor key in the composite (lexicographic multi-key) order.
+    * This is how ES pages unbounded bucket spaces — and the only
+    * shape that survives scale: the keyset predicate prunes BEFORE
+    * the sort, so each page is a TakeOrderedAndProject over only the
+    * remaining keys, where an OFFSET pager re-sorts (and re-skips)
+    * everything before the cursor on every page. On a layout sorted/
+    * bucketed by the key columns the predicate becomes a range scan.
+    *
+    * `afterKey` values are literal strings compared against the key
+    * columns via a struct comparison (Spark) / row-value comparison
+    * (SQL) — callers render non-string keys (hours, dates) to
+    * canonical strings first, exactly like ES's `after` echo. Bucket
+    * keys are unique by construction (they come from a groupBy), so
+    * the page is deterministic with no tiebreak column. */
+  def compositePage(buckets: DataFrame, keyCols: Seq[String],
+                    afterKey: Option[Seq[String]], size: Int): DataFrame = {
+    require(afterKey.forall(_.length == keyCols.length),
+      "afterKey arity must match keyCols")
+    val paged = afterKey match {
+      case Some(vals) =>
+        buckets.filter(struct(keyCols.map(col): _*) >
+          struct(vals.map(lit): _*))
+      case None => buckets
+    }
+    paged.orderBy(keyCols.map(col): _*).limit(size)
+  }
 }

@@ -306,6 +306,48 @@ object TextAnalysis {
       .withColumn("bin", expr(s"(cum - n_tok) div $budgetTokens"))
   }
 
+  /** Overlapping token-window chunker — the embedding/RAG prep step
+    * (and the long-doc answer [[packIntoBins]] is not): each doc is
+    * split into windows of `window` tokens advancing by `stride`
+    * (overlap = window − stride carries context across cuts), with the
+    * last window shortened rather than padded. Tokens are the same
+    * whitespace split the packing path uses (TextStats.wordCount), so
+    * the two layouts agree on token counts.
+    *
+    * Chunk count: 1 if n ≤ window, else ⌈(n − window)/stride⌉ + 1 —
+    * every token lands in ≥ 1 chunk and starts are `i·stride + 1`.
+    * `stride ≤ window` is required (a gap would silently drop tokens).
+    *
+    * Output: `(doc_id, chunk_id, start_tok, n_tok, chunk_md5)` — the
+    * md5 makes the exact chunk text hash-checkable without shipping
+    * it (the q152 surface trick); callers wanting the text swap the
+    * md5 for `array_join`.
+    *
+    * Scale shape: pure scan-local projection + explode — zero
+    * shuffles at any corpus size; output rows ≈ n_tokens/stride per
+    * doc, and the token array lives only inside the per-row
+    * expression (never wider than one doc). */
+  def tokenChunks(df: DataFrame, idCol: String, textCol: String,
+                  window: Int, stride: Int): DataFrame = {
+    require(stride >= 1 && stride <= window,
+      s"stride must be in [1, window]; got stride=$stride window=$window")
+    val toks = split(trim(coalesce(col(textCol), lit(""))), "\\s+")
+    val base = df
+      .select(col(idCol), toks.as("__toks"), size(toks).cast("long").as("__n"))
+      .withColumn("__k", when(col("__n") <= window.toLong, 1L)
+        .otherwise(expr(s"(__n - $window + $stride - 1) div $stride") + 1L))
+    val start = (col("chunk_id") * stride + 1L).cast("int")
+    val len = least(lit(window.toLong), col("__n") - start + 1L).cast("int")
+    base
+      .select(col(idCol), col("__toks"), col("__n"),
+        explode(sequence(lit(0L), col("__k") - 1L)).as("chunk_id"))
+      .select(col(idCol), col("chunk_id"),
+        start.cast("long").as("start_tok"),
+        len.cast("long").as("n_tok"),
+        md5(array_join(slice(col("__toks"), start, len), " ")
+          .cast("binary")).as("chunk_md5"))
+  }
+
   // ---- line-level cleaning (C4 rules) ---------------------------------
 
   /** C4-style line cleaning (Raffel et al. 2020 §2.2): keep a line

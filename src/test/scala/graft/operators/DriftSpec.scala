@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** PSI/JSD drift: identical slices report zero, brute-force
+  * recomputation on randomized bins matches, and the JSD total
+  * respects its ln 2 bound (hit asymptotically by disjoint slices). */
+class DriftSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def micro(x: Double): Long = math.floor(x * 1e6 + 0.5).toLong
+
+  private def bruteDrift(a: Seq[Long], b: Seq[Long])
+      : Map[Long, (Long, Long, Long, Long)] = {
+    val bins = (a ++ b).distinct
+    val (aCnt, bCnt) = (a.groupBy(identity).view.mapValues(_.size.toLong).toMap,
+      b.groupBy(identity).view.mapValues(_.size.toLong).toMap)
+    val k = bins.size.toLong
+    val (aTot, bTot) = (a.size.toLong, b.size.toLong)
+    bins.map { bin =>
+      val (an, bn) = (aCnt.getOrElse(bin, 0L), bCnt.getOrElse(bin, 0L))
+      val p = (an + 1).toDouble / (aTot + k)
+      val q = (bn + 1).toDouble / (bTot + k)
+      val m = (p + q) / 2.0
+      val psi = (p - q) * math.log(p / q)
+      val jsd = (p * math.log(p / m) + q * math.log(q / m)) / 2.0
+      bin -> ((an, bn, micro(psi), micro(jsd)))
+    }.toMap
+  }
+
+  private def run(a: Seq[Long], b: Seq[Long]): Map[Long, (Long, Long, Long, Long)] =
+    Drift.binnedDrift(a.toDF("bin"), b.toDF("bin"), "bin")
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+
+  test("identical slices drift zero in every bin") {
+    val xs = Seq(0L, 0L, 1L, 1L, 1L, 2L, 3L, 3L)
+    val got = run(xs, xs)
+    assert(got.values.forall { case (_, _, psi, jsd) => psi == 0L && jsd == 0L })
+    assert(got.keySet == Set(0L, 1L, 2L, 3L))
+  }
+
+  test("randomized slices == brute force (3 seeds)") {
+    for (seed <- Seq(3L, 59L, 1013L)) {
+      val a = (0 until 800).map(i => math.abs((i * 2654435761L + seed) % 12))
+      val b = (0 until 650).map(i => math.abs((i * 40503L + seed * 13L) % 15))
+      assert(run(a, b) == bruteDrift(a, b), s"seed $seed")
+    }
+  }
+
+  test("empty-on-one-side bins are smoothed, not infinite") {
+    val got = run(Seq(0L, 0L, 0L), Seq(5L, 5L))
+    assert(got.keySet == Set(0L, 5L))
+    assert(got.values.forall { case (_, _, psi, jsd) =>
+      psi >= 0L && jsd >= 0L && psi < Long.MaxValue })
+  }
+
+  test("single-scan slicedDrift == two-frame binnedDrift (3 seeds)") {
+    for (seed <- Seq(2L, 64L, 555L)) {
+      val rows = (0 until 900).map { i =>
+        (math.abs((i * 2654435761L + seed) % 10), i % 3 == 0)
+      }
+      val df = rows.toDF("bin", "is_ref")
+      val one = Drift.slicedDrift(df, "bin", col("is_ref"))
+        .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+      val two = Drift.binnedDrift(df.filter(col("is_ref")),
+          df.filter(!col("is_ref")), "bin")
+        .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+      assert(one == two, s"seed $seed")
+    }
+  }
+
+  test("JSD total is bounded by ln 2; disjoint heavy slices approach it") {
+    val a = Seq.fill(5000)(1L)
+    val b = Seq.fill(5000)(2L)
+    val total = run(a, b).values.map(_._4).sum
+    assert(total <= micro(math.log(2.0)))
+    assert(total > micro(math.log(2.0) * 0.99)) // smoothing costs a hair
+  }
+}

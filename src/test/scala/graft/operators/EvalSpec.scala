@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Classifier-eval suite: confusion matrix / class report / Cohen's
+  * kappa vs independent plain-Scala recomputation on randomized label
+  * frames, plus the textbook hand-computed cases. */
+class EvalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def micro(x: Double): Long = math.floor(x * 1e6 + 0.5).toLong
+
+  // deterministic pseudo-random labelings (no Random: seeds are mixed
+  // by multiplication, the repo's codebook convention)
+  private def labels(seed: Long, n: Int, classes: Vector[String],
+                     skew: Int = 1): Seq[(String, String)] =
+    (0 until n).map { i =>
+      val a = math.abs((i * 2654435761L + seed) % (classes.size + skew - 1))
+      val b = math.abs((i * 40503L + seed * 7L) % classes.size)
+      (classes(math.min(a.toInt, classes.size - 1)), classes(b.toInt))
+    }
+
+  private def bruteReport(rows: Seq[(String, String)])
+      : Map[String, (Long, Long, Long, Long, Long, Long, Long)] = {
+    val cls = (rows.map(_._1) ++ rows.map(_._2)).distinct
+    cls.map { c =>
+      val tp = rows.count { case (t, p) => t == c && p == c }.toLong
+      val tn = rows.count(_._1 == c).toLong
+      val pn = rows.count(_._2 == c).toLong
+      val (fp, fn) = (pn - tp, tn - tp)
+      val p = if (tp + fp == 0) 0.0 else tp.toDouble / (tp + fp)
+      val r = if (tp + fn == 0) 0.0 else tp.toDouble / (tp + fn)
+      val f1 = if (p + r == 0.0) 0.0 else 2.0 * p * r / (p + r)
+      c -> ((tn, tp, fp, fn, micro(p), micro(r), micro(f1)))
+    }.toMap
+  }
+
+  private def bruteKappa(rows: Seq[(String, String)]): (Long, Long, Long) = {
+    val n = rows.size.toLong
+    val agree = rows.count(r => r._1 == r._2).toLong
+    val cls = (rows.map(_._1) ++ rows.map(_._2)).distinct
+    val peNum = cls.map(c =>
+      rows.count(_._1 == c).toLong * rows.count(_._2 == c).toLong).sum
+    val po = agree.toDouble / n
+    val pe = peNum.toDouble / n / n
+    val k = if (pe == 1.0) 0.0 else (po - pe) / (1.0 - pe)
+    (micro(po), micro(pe), micro(k))
+  }
+
+  test("confusion matrix == brute-force counts (randomized, 3 seeds)") {
+    for (seed <- Seq(1L, 42L, 9999L)) {
+      val rows = labels(seed, 500, Vector("pos", "neg", "neu"), skew = 2)
+      val got = Eval.confusionMatrix(rows.toDF("truth", "pred"), "truth", "pred")
+        .as[(String, String, Long)].collect()
+        .map { case (t, p, n) => (t, p) -> n }.toMap
+      val want = rows.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      assert(got == want, s"seed $seed")
+    }
+  }
+
+  test("class report == brute force (randomized, 3 seeds)") {
+    for (seed <- Seq(7L, 123L, 31337L)) {
+      val rows = labels(seed, 400, Vector("a", "b", "c", "d"), skew = 3)
+      val got = Eval.classReport(rows.toDF("truth", "pred"), "truth", "pred")
+        .as[(String, Long, Long, Long, Long, Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6, r._7, r._8))).toMap
+      assert(got == bruteReport(rows), s"seed $seed")
+    }
+  }
+
+  test("a class never predicted still gets a row: fp=0, precision=0") {
+    val rows = Seq(("pos", "neg"), ("pos", "neu"), ("neg", "neg"))
+    val got = Eval.classReport(rows.toDF("truth", "pred"), "truth", "pred")
+      .filter(col("label") === "pos")
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r._2 == 2L && r._3 == 0L && r._4 == 0L && r._5 == 2L)
+    assert(r._6 == 0L && r._7 == 0L && r._8 == 0L)
+  }
+
+  test("kappa == brute force (randomized, 3 seeds)") {
+    for (seed <- Seq(11L, 77L, 4242L)) {
+      val rows = labels(seed, 600, Vector("x", "y", "z"), skew = 2)
+      val got = Eval.cohenKappa(rows.toDF("truth", "pred"), "truth", "pred")
+        .as[(Long, Long, Long, Long, Long)].collect().head
+      val (po, pe, k) = bruteKappa(rows)
+      assert(got._1 == 600L && (got._3, got._4, got._5) == ((po, pe, k)),
+        s"seed $seed")
+    }
+  }
+
+  test("kappa textbook case (Cohen 1960 2x2): kappa = 0.4") {
+    // 20 a-a, 5 a-b, 10 b-a, 15 b-b: po=0.7, pe=0.5, kappa=0.4
+    val rows = Seq.fill(20)(("a", "a")) ++ Seq.fill(5)(("a", "b")) ++
+      Seq.fill(10)(("b", "a")) ++ Seq.fill(15)(("b", "b"))
+    val got = Eval.cohenKappa(rows.toDF("truth", "pred"), "truth", "pred")
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    assert(got == ((50L, 35L, 700000L, 500000L, 400000L)))
+  }
+
+  test("perfect agreement gives kappa = 1; single-class degenerates to 0") {
+    val perfect = Seq(("a", "a"), ("b", "b"), ("c", "c"))
+    val k1 = Eval.cohenKappa(perfect.toDF("truth", "pred"), "truth", "pred")
+      .select(col("kappa_micro")).as[Long].collect().head
+    assert(k1 == 1000000L)
+    val single = Seq(("a", "a"), ("a", "a"))
+    val k0 = Eval.cohenKappa(single.toDF("truth", "pred"), "truth", "pred")
+      .select(col("kappa_micro")).as[Long].collect().head
+    assert(k0 == 0L) // pe = 1 convention
+  }
+}
