@@ -123,8 +123,11 @@ object Drift {
       }
 
   /** Shared tail: `(bin, a_n, b_n)` exact counts → smoothed PSI/JSD
-    * contributions. The totals side is a single row, broadcast. */
-  private def driftFromCounts(bins: DataFrame): DataFrame = {
+    * contributions. The totals side is a single row, broadcast. The
+    * counts (≤ |bins| rows) feed both the output and the totals —
+    * materialized once so the corpus aggregation above runs once. */
+  private def driftFromCounts(binsLazy: DataFrame): DataFrame = {
+    val bins = binsLazy.localCheckpoint()
     val totals = bins.agg(
       sum(col("a_n")).as("a_tot"),
       sum(col("b_n")).as("b_tot"),

@@ -39,7 +39,10 @@ object Eval {
     * null. F1 is computed from the raw double precision/recall and
     * only then micro-rounded (rounding first would compound). */
   def classReport(df: DataFrame, truthCol: String, predCol: String): DataFrame = {
-    val cm = confusionMatrix(df, truthCol, predCol)
+    // classes² rows consumed by FIVE subtrees below — materialize once
+    // (the q135 localCheckpoint pattern) or Catalyst re-runs the
+    // corpus aggregation per consumer
+    val cm = confusionMatrix(df, truthCol, predCol).localCheckpoint()
     val classes = cm.select(col("truth").as("label"))
       .union(cm.select(col("pred").as("label"))).distinct()
     val truthN = cm.groupBy(col("truth").as("label"))
@@ -82,7 +85,8 @@ object Eval {
     * Degenerate single-class frames have pₑ = 1; κ is reported as 0
     * there (scikit-learn's convention) rather than 0/0. */
   def cohenKappa(df: DataFrame, truthCol: String, predCol: String): DataFrame = {
-    val cm = confusionMatrix(df, truthCol, predCol)
+    // three consumers (two margins + totals) — one corpus pass, not three
+    val cm = confusionMatrix(df, truthCol, predCol).localCheckpoint()
     val margins = cm.groupBy(col("truth").as("label"))
       .agg(sum(col("n")).as("truth_n"))
       .join(cm.groupBy(col("pred").as("label")).agg(sum(col("n")).as("pred_n")),
