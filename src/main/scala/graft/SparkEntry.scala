@@ -1948,6 +1948,23 @@ object SparkEntry {
           batchId = bid.toLong)
       }
       Drift.driftFromDirs(s, base)
+    }),
+
+    // System-level classifier summary (the q156 shape for the eval
+    // suite): accuracy + macro P/R/F1 over the per-class report, grid
+    // sums so the macro means are order-free.
+    "q166_eval_macro" -> q((s, d) =>
+      Eval.summary(evalLabeled(s, d), "truth", "pred")),
+
+    // Per-key drift: PSI/JSD per event_type between the day halves —
+    // the keyed monitoring shape (a stable heavy key cannot mask a
+    // drifting small one). One corpus shuffle to (key, bin) counts.
+    "q167_keyed_drift" -> q((s, d) => {
+      val binned = Tables.events(s, d).withColumn("bin",
+        least(greatest(floor(coalesce(col("value"), lit(0.0)) / 50.0),
+          lit(0.0)), lit(19.0)).cast("long"))
+      Drift.keyedDrift(binned, "event_type", "bin",
+        inRef = hour(col("ts")) < 12)
     })
   ) ++ NonSqlQueries.queries
 
@@ -5370,34 +5387,53 @@ object SparkEntry {
 
     // Same exact-count margins + the same double divisions and micro
     // grid as Eval.classReport.
-    "q160_classifier_f1" ->
-      s"""WITH $EvalLabelsSql,
-         cm AS (SELECT truth, pred, COUNT(*) AS n FROM l GROUP BY 1, 2),
-         cls AS (SELECT DISTINCT truth AS label FROM cm
-                 UNION SELECT DISTINCT pred FROM cm),
-         tn AS (SELECT truth AS label, SUM(n) AS truth_n FROM cm GROUP BY 1),
-         pn AS (SELECT pred AS label, SUM(n) AS pred_n FROM cm GROUP BY 1),
-         tp AS (SELECT truth AS label, n AS tp FROM cm WHERE truth = pred),
-         j AS (SELECT cls.label,
-                 CAST(coalesce(truth_n, 0) AS BIGINT) AS support,
-                 CAST(coalesce(tp, 0) AS BIGINT) AS tp,
-                 CAST(coalesce(pred_n, 0) - coalesce(tp, 0) AS BIGINT) AS fp,
-                 CAST(coalesce(truth_n, 0) - coalesce(tp, 0) AS BIGINT) AS fn
-               FROM cls LEFT JOIN tn USING(label)
-                 LEFT JOIN pn USING(label) LEFT JOIN tp USING(label)),
-         pr AS (SELECT *,
-                 CASE WHEN tp + fp = 0 THEN 0.0
-                      ELSE CAST(tp AS DOUBLE) / (tp + fp) END AS p,
-                 CASE WHEN tp + fn = 0 THEN 0.0
-                      ELSE CAST(tp AS DOUBLE) / (tp + fn) END AS r
-               FROM j)
-         SELECT label, support, tp, fp, fn,
-           CAST(floor(p * 1000000.0 + 0.5) AS BIGINT) AS precision_micro,
-           CAST(floor(r * 1000000.0 + 0.5) AS BIGINT) AS recall_micro,
-           CAST(floor((CASE WHEN p + r = 0.0 THEN 0.0
-                            ELSE 2.0 * p * r / (p + r) END)
-             * 1000000.0 + 0.5) AS BIGINT) AS f1_micro
-         FROM pr""",
+    "q160_classifier_f1" -> Q160Sql,
+
+    // The system summary aggregates the SAME per-class replay: grid
+    // sums (order-free) + one division by the class count.
+    "q166_eval_macro" ->
+      s"""WITH rep AS ($Q160Sql)
+         SELECT CAST(SUM(support) AS BIGINT) AS n,
+           CAST(COUNT(*) AS BIGINT) AS k_classes,
+           CAST(floor(CAST(SUM(tp) AS DOUBLE) / SUM(support)
+             * 1000000.0 + 0.5) AS BIGINT) AS accuracy_micro,
+           CAST(floor(CAST(SUM(precision_micro) AS DOUBLE) / COUNT(*)
+             + 0.5) AS BIGINT) AS macro_p_micro,
+           CAST(floor(CAST(SUM(recall_micro) AS DOUBLE) / COUNT(*)
+             + 0.5) AS BIGINT) AS macro_r_micro,
+           CAST(floor(CAST(SUM(f1_micro) AS DOUBLE) / COUNT(*)
+             + 0.5) AS BIGINT) AS macro_f1_micro
+         FROM rep""",
+
+    // Per-key drift: same smoothed chain per (key, bin), then exact
+    // grid sums per key (a_tot/b_tot constant per key → in GROUP BY).
+    "q167_keyed_drift" ->
+      """WITH e AS (
+           SELECT event_type AS key,
+             CAST(least(greatest(floor(coalesce(value, 0) / 50.0), 0.0),
+               19.0) AS BIGINT) AS bin,
+             CASE WHEN hour(ts) < 12 THEN 1 ELSE 0 END AS ref
+           FROM events),
+         counts AS (SELECT key, bin, SUM(ref) AS a_n, SUM(1 - ref) AS b_n
+                    FROM e GROUP BY 1, 2),
+         tot AS (SELECT key, SUM(a_n) AS a_tot, SUM(b_n) AS b_tot,
+                   COUNT(*) AS k FROM counts GROUP BY 1),
+         pq AS (SELECT counts.key, a_n, b_n, a_tot, b_tot,
+                  CAST(a_n + 1 AS DOUBLE) / (a_tot + k) AS p,
+                  CAST(b_n + 1 AS DOUBLE) / (b_tot + k) AS q
+                FROM counts JOIN tot USING(key)),
+         pqm AS (SELECT *, (p + q) / 2.0 AS m FROM pq),
+         c AS (SELECT key, a_tot, b_tot,
+             CAST(floor((p - q) * ln(p / q) * 1000000.0 + 0.5) AS BIGINT)
+               AS psi_c,
+             CAST(floor((p * ln(p / m) + q * ln(q / m)) / 2.0
+               * 1000000.0 + 0.5) AS BIGINT) AS jsd_c
+           FROM pqm)
+         SELECT key, CAST(COUNT(*) AS BIGINT) AS n_bins,
+           CAST(a_tot AS BIGINT) AS a_tot, CAST(b_tot AS BIGINT) AS b_tot,
+           CAST(SUM(psi_c) AS BIGINT) AS psi_micro,
+           CAST(SUM(jsd_c) AS BIGINT) AS jsd_micro
+         FROM c GROUP BY key, a_tot, b_tot""",
 
     // pe numerator as an exact integer sum, then the identical
     // po/pe/kappa double tree (two successive divisions by n — n² is
@@ -5625,6 +5661,38 @@ object SparkEntry {
 
   /** Boolean-percolate replay: q144's positive leg + NOT EXISTS over
     * the negative term table, both rendered from the same literal. */
+  /** q160's per-class replay — shared with q166's summary wrap: the
+    * same exact-count margins, double divisions and micro grid as
+    * Eval.classReport. */
+  private def Q160Sql: String =
+    s"""WITH $EvalLabelsSql,
+         cm AS (SELECT truth, pred, COUNT(*) AS n FROM l GROUP BY 1, 2),
+         cls AS (SELECT DISTINCT truth AS label FROM cm
+                 UNION SELECT DISTINCT pred FROM cm),
+         tn AS (SELECT truth AS label, SUM(n) AS truth_n FROM cm GROUP BY 1),
+         pn AS (SELECT pred AS label, SUM(n) AS pred_n FROM cm GROUP BY 1),
+         tp AS (SELECT truth AS label, n AS tp FROM cm WHERE truth = pred),
+         j AS (SELECT cls.label,
+                 CAST(coalesce(truth_n, 0) AS BIGINT) AS support,
+                 CAST(coalesce(tp, 0) AS BIGINT) AS tp,
+                 CAST(coalesce(pred_n, 0) - coalesce(tp, 0) AS BIGINT) AS fp,
+                 CAST(coalesce(truth_n, 0) - coalesce(tp, 0) AS BIGINT) AS fn
+               FROM cls LEFT JOIN tn USING(label)
+                 LEFT JOIN pn USING(label) LEFT JOIN tp USING(label)),
+         pr AS (SELECT *,
+                 CASE WHEN tp + fp = 0 THEN 0.0
+                      ELSE CAST(tp AS DOUBLE) / (tp + fp) END AS p,
+                 CASE WHEN tp + fn = 0 THEN 0.0
+                      ELSE CAST(tp AS DOUBLE) / (tp + fn) END AS r
+               FROM j)
+         SELECT label, support, tp, fp, fn,
+           CAST(floor(p * 1000000.0 + 0.5) AS BIGINT) AS precision_micro,
+           CAST(floor(r * 1000000.0 + 0.5) AS BIGINT) AS recall_micro,
+           CAST(floor((CASE WHEN p + r = 0.0 THEN 0.0
+                            ELSE 2.0 * p * r / (p + r) END)
+             * 1000000.0 + 0.5) AS BIGINT) AS f1_micro
+         FROM pr"""
+
   /** q162/q165's shared drift replay: Laplace-smoothed per-bin
     * PSI/JSD over the day-half slices — one literal because the
     * incremental fold must land the one-shot answer verbatim. */

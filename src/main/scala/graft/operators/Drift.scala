@@ -62,6 +62,41 @@ object Drift {
       sum(when(inRef, 1L).otherwise(0L)).as("a_n"),
       sum(when(inRef, 0L).otherwise(1L)).as("b_n")))
 
+  /** Per-KEY drift — the real monitoring shape at corpus scale (PSI
+    * per source/domain/event-type, not one global number that a big
+    * stable key can mask): one corpus shuffle to `(key, bin)`
+    * conditional counts, per-key totals from that tiny frame, then
+    * the same smoothed PSI/JSD math per (key, bin) and an order-free
+    * GRID SUM per key — contributions land on the micro grid first,
+    * so the per-key totals are exact BIGINT sums with no float
+    * sum-order hazard. Output: `(key, n_bins, a_tot, b_tot,
+    * psi_micro, jsd_micro)`, one row per key. */
+  def keyedDrift(df: DataFrame, keyCol: String, binCol: String,
+                 inRef: Column): DataFrame = {
+    val counts = df.groupBy(col(keyCol).as("key"), col(binCol).as("bin"))
+      .agg(
+        sum(when(inRef, 1L).otherwise(0L)).as("a_n"),
+        sum(when(inRef, 0L).otherwise(1L)).as("b_n"))
+      .localCheckpoint() // keys×bins rows, consumed twice below
+    val totals = counts.groupBy(col("key")).agg(
+      sum(col("a_n")).as("a_tot"),
+      sum(col("b_n")).as("b_tot"),
+      count(lit(1)).as("k"))
+    val j = counts.join(broadcast(totals), Seq("key"))
+    val p = (col("a_n") + 1L).cast("double") / (col("a_tot") + col("k"))
+    val q = (col("b_n") + 1L).cast("double") / (col("b_tot") + col("k"))
+    val m = (p + q) / 2.0
+    j.select(col("key"), col("a_tot"), col("b_tot"),
+        micro((p - q) * log(p / q)).as("psi_c"),
+        micro((p * log(p / m) + q * log(q / m)) / 2.0).as("jsd_c"))
+      .groupBy(col("key")).agg(
+        count(lit(1)).as("n_bins"),
+        first(col("a_tot")).as("a_tot"),
+        first(col("b_tot")).as("b_tot"),
+        sum(col("psi_c")).as("psi_micro"),
+        sum(col("jsd_c")).as("jsd_micro"))
+  }
+
   /** One micro-batch of the INCREMENTAL drift monitor: fold `batch`'s
     * per-bin slice counts into the standing ledger at `baseDir`,
     * effectively-once (the cardDeltaBatch contract): rows are

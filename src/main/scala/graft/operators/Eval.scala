@@ -71,6 +71,28 @@ object Eval {
       micro(f1).as("f1_micro"))
   }
 
+  /** System-level summary over [[classReport]]: one row of
+    * `(n, k_classes, accuracy_micro, macro_p_micro, macro_r_micro,
+    * macro_f1_micro)`. Accuracy = Σtp/Σsupport (micro-F1 equals it
+    * for single-label multiclass, so it is not repeated). Macro
+    * averages are means of the per-class metrics ON THE MICRO GRID:
+    * the grid longs sum order-free (a raw-double mean would depend on
+    * class arrival order), then one double division by the class
+    * count lands back on the grid — the q156 ledger discipline. */
+  def summary(df: DataFrame, truthCol: String, predCol: String): DataFrame = {
+    val rep = classReport(df, truthCol, predCol)
+    def mean(c: Column): Column =
+      floor(sum(c).cast("double") / count(lit(1)) + 0.5).cast("long")
+    rep.agg(
+      sum(col("support")).as("n"),
+      count(lit(1)).as("k_classes"),
+      micro(sum(col("tp")).cast("double") / sum(col("support")))
+        .as("accuracy_micro"),
+      mean(col("precision_micro")).as("macro_p_micro"),
+      mean(col("recall_micro")).as("macro_r_micro"),
+      mean(col("f1_micro")).as("macro_f1_micro"))
+  }
+
   /** Cohen's kappa (Cohen 1960): chance-corrected agreement between
     * two labelings. One row: `(n, agree, po_micro, pe_micro,
     * kappa_micro)` with pₒ = agree/n, pₑ = Σ_c truthN_c·predN_c / n²,

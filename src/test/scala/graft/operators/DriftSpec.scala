@@ -71,6 +71,28 @@ class DriftSpec extends SparkSpec {
     }
   }
 
+  test("keyedDrift == independent per-key drift (randomized, 3 seeds)") {
+    for (seed <- Seq(17L, 271L, 606L)) {
+      val rows = (0 until 1200).map { i =>
+        val key = s"k${math.abs((i * 48271L + seed) % 4)}"
+        val bin = math.abs((i * 2654435761L + seed) % 9)
+        (key, bin, i % 3 != 0)
+      }
+      val got = Drift.keyedDrift(rows.toDF("key", "bin", "is_ref"),
+          "key", "bin", col("is_ref"))
+        .as[(String, Long, Long, Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+      val want = rows.groupBy(_._1).map { case (k, rs) =>
+        val a = rs.filter(_._3).map(_._2)
+        val b = rs.filterNot(_._3).map(_._2)
+        val per = bruteDrift(a, b)
+        k -> ((per.size.toLong, a.size.toLong, b.size.toLong,
+          per.values.map(_._3).sum, per.values.map(_._4).sum))
+      }
+      assert(got == want, s"seed $seed")
+    }
+  }
+
   test("JSD total is bounded by ln 2; disjoint heavy slices approach it") {
     val a = Seq.fill(5000)(1L)
     val b = Seq.fill(5000)(2L)

@@ -80,6 +80,23 @@ class EvalSpec extends SparkSpec {
     assert(r._6 == 0L && r._7 == 0L && r._8 == 0L)
   }
 
+  test("summary == brute force over the report (randomized, 3 seeds)") {
+    for (seed <- Seq(21L, 303L, 8888L)) {
+      val rows = labels(seed, 350, Vector("a", "b", "c"), skew = 2)
+      val got = Eval.summary(rows.toDF("truth", "pred"), "truth", "pred")
+        .as[(Long, Long, Long, Long, Long, Long)].collect().head
+      val rep = bruteReport(rows)
+      val k = rep.size.toLong
+      val n = rep.values.map(_._1).sum
+      val tp = rep.values.map(_._2).sum
+      def mean(f: ((Long, Long, Long, Long, Long, Long, Long)) => Long): Long =
+        math.floor(rep.values.map(f).sum.toDouble / k + 0.5).toLong
+      val want = (n, k, micro(tp.toDouble / n),
+        mean(_._5), mean(_._6), mean(_._7))
+      assert(got == want, s"seed $seed")
+    }
+  }
+
   test("kappa == brute force (randomized, 3 seeds)") {
     for (seed <- Seq(11L, 77L, 4242L)) {
       val rows = labels(seed, 600, Vector("x", "y", "z"), skew = 2)
