@@ -1965,7 +1965,28 @@ object SparkEntry {
           lit(0.0)), lit(19.0)).cast("long"))
       Drift.keyedDrift(binned, "event_type", "bin",
         inRef = hour(col("ts")) < 12)
-    })
+    }),
+
+    // Chi-square independence (event mix vs day half) — the
+    // categorical association test behind "did the label mix move
+    // with the slice"; zero-observed grid cells contribute their
+    // expectation, Cramér's V normalizes the statistic.
+    "q168_chi_square" -> q((s, d) =>
+      Drift.chiSquare(Tables.events(s, d)
+        .withColumn("half", when(hour(col("ts")) < 12, "am").otherwise("pm")),
+        "event_type", "half")),
+
+    // Per-doc TF-IDF keyword extraction (document tagging): top-3
+    // terms per doc by tf·ln(N/df), df via a term-window over the tf
+    // frame (no second corpus pass).
+    "q169_keywords" -> q((s, d) =>
+      Search.keywords(Tables.documents(s, d), "doc_id", "text", k = 3)),
+
+    // Corpus collocations by PMI (Church & Hanks 1990): adjacent
+    // token pairs with multiplicity, rare pairs filtered, top-20.
+    "q170_collocations" -> q((s, d) =>
+      TextAnalysis.collocations(Tables.documents(s, d), "doc_id", "text",
+        minCount = 5, k = 20))
   ) ++ NonSqlQueries.queries
 
   /** q159-q161's shared two-rater frame: truth = the q03 pseudo-score
@@ -5434,6 +5455,89 @@ object SparkEntry {
            CAST(SUM(psi_c) AS BIGINT) AS psi_micro,
            CAST(SUM(jsd_c) AS BIGINT) AS jsd_micro
          FROM c GROUP BY key, a_tot, b_tot""",
+
+    // Exact BIGINT deviation, double quotient (denominator multiplied
+    // in double), micro-grid per-cell sum, IEEE-exact sqrt for V.
+    "q168_chi_square" ->
+      """WITH e AS (
+           SELECT event_type AS ca,
+             CASE WHEN hour(ts) < 12 THEN 'am' ELSE 'pm' END AS cb
+           FROM events),
+         cells AS (SELECT ca, cb, COUNT(*) AS o FROM e GROUP BY 1, 2),
+         rm AS (SELECT ca, SUM(o) AS rn FROM cells GROUP BY 1),
+         cm AS (SELECT cb, SUM(o) AS cn FROM cells GROUP BY 1),
+         tot AS (SELECT SUM(o) AS n FROM cells),
+         grid AS (SELECT rm.ca, cm.cb, rm.rn, cm.cn,
+             coalesce(o, 0) AS o, n
+           FROM rm CROSS JOIN cm
+             LEFT JOIN cells ON cells.ca = rm.ca AND cells.cb = cm.cb
+             CROSS JOIN tot),
+         cc AS (SELECT n, ca, cb,
+             CAST(floor(CAST(o * n - rn * cn AS DOUBLE)
+               * CAST(o * n - rn * cn AS DOUBLE)
+               / (CAST(n AS DOUBLE) * rn * cn)
+               * 1000000.0 + 0.5) AS BIGINT) AS contrib
+           FROM grid),
+         agg AS (SELECT CAST(MIN(n) AS BIGINT) AS n,
+             CAST(COUNT(DISTINCT ca) AS BIGINT) AS r,
+             CAST(COUNT(DISTINCT cb) AS BIGINT) AS c,
+             CAST(SUM(contrib) AS BIGINT) AS chi2_micro
+           FROM cc)
+         SELECT n, r, c, (r - 1) * (c - 1) AS dof, chi2_micro,
+           CAST(floor(CASE WHEN least(r - 1, c - 1) = 0 THEN 0.0
+             ELSE sqrt((CAST(chi2_micro AS DOUBLE) / 1000000.0)
+               / (CAST(n AS DOUBLE) * least(r - 1, c - 1))) END
+             * 1000000.0 + 0.5) AS BIGINT) AS cramers_v_micro
+         FROM agg""",
+
+    // Same tokenize → tf → term-window df → ln grid → QUALIFY top-3.
+    "q169_keywords" ->
+      """WITH t AS (
+           SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(coalesce(text, '')), '[^a-z0-9'']+'),
+               x -> length(x) > 0) AS toks
+           FROM documents),
+         tk AS (SELECT doc_id, unnest(toks) AS term FROM t),
+         tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tk GROUP BY 1, 2),
+         w AS (SELECT *, COUNT(*) OVER (PARTITION BY term) AS term_df FROM tf),
+         nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+         s AS (SELECT doc_id, term, tf, term_df,
+             CAST(floor(CAST(tf AS DOUBLE)
+               * ln(CAST(n_docs AS DOUBLE) / term_df)
+               * 1000000.0 + 0.5) AS BIGINT) AS score_micro
+           FROM w, nd)
+         SELECT doc_id, term, CAST(tf AS BIGINT) AS tf,
+           CAST(term_df AS BIGINT) AS term_df, score_micro,
+           CAST(row_number() OVER (PARTITION BY doc_id
+             ORDER BY score_micro DESC, term) AS BIGINT) AS rank
+         FROM s QUALIFY rank <= 3""",
+
+    // Adjacent pairs WITH multiplicity, the same fixed-order double
+    // quotient under ln, micro grid, deterministic (pmi, pair) top-20.
+    "q170_collocations" ->
+      """WITH t AS (
+           SELECT list_filter(regexp_split_to_array(lower(coalesce(text, '')), '[^a-z0-9'']+'),
+             x -> length(x) > 0) AS toks
+           FROM documents),
+         b AS (SELECT unnest(CASE WHEN len(toks) < 2 THEN []
+             ELSE [struct_pack(t1 := toks[i], t2 := toks[i+1])
+                   for i in generate_series(1, len(toks) - 1)] END) AS p
+           FROM t),
+         pc AS (SELECT p.t1 AS t1, p.t2 AS t2, COUNT(*) AS c_xy
+                FROM b GROUP BY 1, 2),
+         uni AS (SELECT unnest(toks) AS term FROM t),
+         uc AS (SELECT term, COUNT(*) AS c FROM uni GROUP BY 1),
+         tot AS (SELECT (SELECT SUM(c_xy) FROM pc) AS np,
+                        (SELECT SUM(c) FROM uc) AS nu)
+         SELECT t1, t2, CAST(c_xy AS BIGINT) AS c_xy,
+           CAST(x.c_x AS BIGINT) AS c_x, CAST(y.c_y AS BIGINT) AS c_y,
+           CAST(floor(ln((CAST(c_xy AS DOUBLE) * nu * nu)
+             / (CAST(np AS DOUBLE) * x.c_x * y.c_y))
+             * 1000000.0 + 0.5) AS BIGINT) AS pmi_micro
+         FROM pc JOIN (SELECT term, c AS c_x FROM uc) x ON pc.t1 = x.term
+           JOIN (SELECT term, c AS c_y FROM uc) y ON pc.t2 = y.term, tot
+         WHERE c_xy >= 5
+         ORDER BY pmi_micro DESC, t1, t2 LIMIT 20""",
 
     // pe numerator as an exact integer sum, then the identical
     // po/pe/kappa double tree (two successive divisions by n — n² is

@@ -62,6 +62,53 @@ object Drift {
       sum(when(inRef, 1L).otherwise(0L)).as("a_n"),
       sum(when(inRef, 0L).otherwise(1L)).as("b_n")))
 
+  /** Pearson chi-square independence test between two categorical
+    * columns (the "did the label mix move with the slice" question
+    * PSI's single-column view cannot ask): one corpus shuffle to the
+    * observed r×c cells, margins from that tiny frame, then
+    * χ² = Σ (O·n − R·C)² / (n·R·C) over the FULL margin grid —
+    * zero-observed cells contribute their expectation (left-join from
+    * the broadcast margin cross product), which a cells-only sum
+    * would silently drop. One row: `(n, r, c, dof, chi2_micro,
+    * cramers_v_micro)`.
+    *
+    * Numeric discipline: the deviation `O·n − R·C` is formed EXACTLY
+    * in BIGINT (headroom: n² < 2^63 → n < 3.0e9 rows; beyond that,
+    * pre-aggregate or sample — the test is asymptotic anyway), the
+    * quotient runs in double with the denominator multiplied IN
+    * DOUBLE (n·R·C would overflow first), per-cell contributions land
+    * on the micro grid and sum order-free; Cramér's V takes one
+    * IEEE-exact sqrt (correctly rounded by both engines, unlike ln). */
+  def chiSquare(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cells = df.groupBy(col(aCol).as("ca"), col(bCol).as("cb"))
+      .agg(count(lit(1)).as("o")).localCheckpoint()
+    val rowN = cells.groupBy(col("ca")).agg(sum(col("o")).as("rn"))
+    val colN = cells.groupBy(col("cb")).agg(sum(col("o")).as("cn"))
+    val tot = cells.agg(sum(col("o")).as("n"))
+    val grid = broadcast(rowN).crossJoin(broadcast(colN))
+      .join(cells, Seq("ca", "cb"), "left")
+      .select(col("ca"), col("cb"), col("rn"), col("cn"),
+        coalesce(col("o"), lit(0L)).as("o"))
+      .crossJoin(broadcast(tot))
+    val dev = (col("o") * col("n") - col("rn") * col("cn")).cast("double")
+    val contrib = dev * dev /
+      (col("n").cast("double") * col("rn") * col("cn"))
+    val agg = grid.select(col("ca"), col("cb"), col("n"),
+        micro(contrib).as("cm"))
+      .agg(first(col("n")).as("n"),
+        countDistinct(col("ca")).as("r"),
+        countDistinct(col("cb")).as("c"),
+        sum(col("cm")).as("chi2_micro"))
+    val minDim = least(col("r") - 1L, col("c") - 1L)
+    agg.select(col("n"), col("r"), col("c"),
+      ((col("r") - 1L) * (col("c") - 1L)).as("dof"),
+      col("chi2_micro"),
+      micro(when(minDim === 0L, lit(0.0)).otherwise(
+        sqrt((col("chi2_micro").cast("double") / 1000000.0) /
+          (col("n").cast("double") * minDim))))
+        .as("cramers_v_micro"))
+  }
+
   /** Per-KEY drift — the real monitoring shape at corpus scale (PSI
     * per source/domain/event-type, not one global number that a big
     * stable key can mask): one corpus shuffle to `(key, bin)`

@@ -401,4 +401,43 @@ object Search {
       .withColumn("rrf", leg(col("__ra")) + leg(col("__rb")))
       .drop("__ra", "__rb")
   }
+
+  /** Per-doc TF-IDF keyword extraction (the document-tagging twin of
+    * [[tfidfScored]]'s query-side ranking): each doc's top-`k` terms
+    * by tf·ln(N/df), deterministic tiebreak on the term. The score
+    * rides the micro grid (ln is never hash-stable raw) with the ln
+    * arg non-foldable.
+    *
+    * Scale shape: tokenize is scan-local; ONE shuffle keys the
+    * (doc, term) tf counts, the df table derives from it (term-keyed,
+    * map-side combined), N broadcasts as a single row, and the top-k
+    * window partitions by doc — no global sort, no corpus-wide
+    * collect. Vocabulary never concentrates on the driver. */
+  def keywords(df: DataFrame, idCol: String, textCol: String,
+               k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(idCol),
+      explode(graft.functions.Analyzer.tokenize(
+        coalesce(col(textCol), lit("")))).as("term"))
+    val tf = toks.groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    // df(term) as a window over the tf frame: the same term-keyed
+    // exchange a groupBy would take, but no second corpus pass and no
+    // join back (tf rows are one per (doc, term), so the partition
+    // count IS the document frequency)
+    val wTerm = Window.partitionBy(col("term"))
+    val nDocs = df.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.withColumn("term_df", count(lit(1)).over(wTerm))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score_micro",
+        floor(col("tf").cast("double") *
+          log(col("n_docs").cast("double") / col("term_df"))
+          * 1000000.0 + 0.5).cast("long"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("score_micro").desc, col("term"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("term"), col("tf"), col("term_df"),
+        col("score_micro"), col("rank").cast("long").as("rank"))
+  }
 }

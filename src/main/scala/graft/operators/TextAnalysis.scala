@@ -348,6 +348,52 @@ object TextAnalysis {
           .cast("binary")).as("chunk_md5"))
   }
 
+  /** Corpus collocations by pointwise mutual information (Church &
+    * Hanks 1990): adjacent token pairs WITH multiplicity (unlike
+    * [[DedupApprox.shingles]]' per-doc sets — PMI needs raw counts),
+    * PMI = ln(P(x,y) / (P(x)·P(y))) rewritten over exact counts as
+    * ln((c_xy·Nu·Nu) / (Np·c_x·c_y)), the quotient formed in double
+    * in a fixed multiplication order so both engines evaluate the
+    * identical IEEE tree; the ln output rides the micro grid. Pairs
+    * under `minCount` are dropped first (rare-pair PMI explodes — the
+    * standard filter), then top-`k` by (pmi, pair) deterministically.
+    *
+    * Scale shape: tokenize + pair explode are scan-local; one shuffle
+    * keys the pair counts, one the unigram counts; the two unigram
+    * joins key on a term column each (vocabulary-sized, never
+    * collected); totals broadcast as single rows; top-k is a
+    * TakeOrdered, no global sort. */
+  def collocations(df: DataFrame, idCol: String, textCol: String,
+                   minCount: Int = 5, k: Int = 20): DataFrame = {
+    val toks = graft.functions.Analyzer.tokenize(
+      coalesce(col(textCol), lit("")))
+    val base = df.select(toks.as("__toks")).filter(size(col("__toks")) >= 2)
+    val pairs = base.select(explode(expr(
+        """transform(sequence(1, size(__toks) - 1),
+           i -> struct(element_at(__toks, i) AS t1,
+                       element_at(__toks, i + 1) AS t2))""")).as("p"))
+      .select(col("p.t1").as("t1"), col("p.t2").as("t2"))
+    // both count tables feed multiple consumers (totals + joins) —
+    // materialize once or each consumer re-runs the corpus pass;
+    // they are pair-/vocabulary-sized, orders smaller than the corpus
+    val pairCnt = pairs.groupBy(col("t1"), col("t2"))
+      .agg(count(lit(1)).as("c_xy")).localCheckpoint()
+    val uni = df.select(explode(toks).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("c")).localCheckpoint()
+    val totals = pairCnt.agg(sum(col("c_xy")).as("np"))
+      .crossJoin(uni.agg(sum(col("c")).as("nu")))
+    val arg = (col("c_xy").cast("double") * col("nu") * col("nu")) /
+      (col("np").cast("double") * col("c_x") * col("c_y"))
+    pairCnt.filter(col("c_xy") >= minCount.toLong)
+      .join(uni.select(col("term").as("t1"), col("c").as("c_x")), Seq("t1"))
+      .join(uni.select(col("term").as("t2"), col("c").as("c_y")), Seq("t2"))
+      .crossJoin(broadcast(totals))
+      .select(col("t1"), col("t2"), col("c_xy"), col("c_x"), col("c_y"),
+        floor(log(arg) * 1000000.0 + 0.5).cast("long").as("pmi_micro"))
+      .orderBy(col("pmi_micro").desc, col("t1"), col("t2"))
+      .limit(k)
+  }
+
   // ---- line-level cleaning (C4 rules) ---------------------------------
 
   /** C4-style line cleaning (Raffel et al. 2020 §2.2): keep a line

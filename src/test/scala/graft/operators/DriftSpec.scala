@@ -93,6 +93,53 @@ class DriftSpec extends SparkSpec {
     }
   }
 
+  private def bruteChi(rows: Seq[(String, String)])
+      : (Long, Long, Long, Long, Long, Long) = {
+    val n = rows.size.toLong
+    val rs = rows.map(_._1).distinct.sorted
+    val cs = rows.map(_._2).distinct.sorted
+    val chi = (for (a <- rs; b <- cs) yield {
+      val o = rows.count(r => r._1 == a && r._2 == b).toLong
+      val rn = rows.count(_._1 == a).toLong
+      val cn = rows.count(_._2 == b).toLong
+      val dev = (o * n - rn * cn).toDouble
+      micro(dev * dev / (n.toDouble * rn * cn))
+    }).sum
+    val dof = (rs.size - 1L) * (cs.size - 1L)
+    val minDim = math.min(rs.size - 1L, cs.size - 1L)
+    val v = if (minDim == 0) 0L
+      else micro(math.sqrt((chi.toDouble / 1e6) / (n.toDouble * minDim)))
+    (n, rs.size.toLong, cs.size.toLong, dof, chi, v)
+  }
+
+  test("chi-square == brute force over the full grid (randomized, 3 seeds)") {
+    for (seed <- Seq(23L, 190L, 777L)) {
+      val rows = (0 until 700).map { i =>
+        (s"a${math.abs((i * 48271L + seed) % 4)}",
+         s"b${math.abs((i * 2654435761L + seed * 3L) % 3)}")
+      }
+      val got = Drift.chiSquare(rows.toDF("x", "y"), "x", "y")
+        .as[(Long, Long, Long, Long, Long, Long)].collect().head
+      assert(got == bruteChi(rows), s"seed $seed")
+    }
+  }
+
+  test("chi-square: independent table scores ~0; zero cells contribute E") {
+    // perfectly proportional 2x2 → every deviation is exactly 0
+    val indep = Seq.fill(40)(("x", "p")) ++ Seq.fill(60)(("x", "q")) ++
+      Seq.fill(20)(("y", "p")) ++ Seq.fill(30)(("y", "q"))
+    val got = Drift.chiSquare(indep.toDF("a", "b"), "a", "b")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().head
+    assert(got == ((150L, 2L, 2L, 1L, 0L, 0L)))
+    // a never-observed cell still contributes its expectation
+    val sparse = Seq.fill(10)(("x", "p")) ++ Seq.fill(10)(("y", "q"))
+    val got2 = Drift.chiSquare(sparse.toDF("a", "b"), "a", "b")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().head
+    assert(got2 == bruteChi(sparse))
+    assert(got2._5 == 20000000L) // fully dependent 2x2: chi2 = n
+    assert(got2._6 == 1000000L)  // Cramér's V = 1
+  }
+
   test("JSD total is bounded by ln 2; disjoint heavy slices approach it") {
     val a = Seq.fill(5000)(1L)
     val b = Seq.fill(5000)(2L)
