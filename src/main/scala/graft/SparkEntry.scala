@@ -1986,7 +1986,16 @@ object SparkEntry {
     // token pairs with multiplicity, rare pairs filtered, top-20.
     "q170_collocations" -> q((s, d) =>
       TextAnalysis.collocations(Tables.documents(s, d), "doc_id", "text",
-        minCount = 5, k = 20))
+        minCount = 5, k = 20)),
+
+    // Content-defined chunking (Rabin policy over tokens): boundaries
+    // where the 3-gram wrapping hash has low bits zero — the shift-
+    // resistant dedup unit (an edit re-keys only its own region,
+    // where q163's fixed grid re-keys the whole tail). `shared`
+    // surfaces corpus-wide repeated chunks, the CDC dedup signal.
+    "q171_cdc_chunks" -> q((s, d) =>
+      TextAnalysis.cdcChunks(Tables.documents(s, d), "doc_id", "text",
+        k = 3, mask = 15L))
   ) ++ NonSqlQueries.queries
 
   /** q159-q161's shared two-rater frame: truth = the q03 pseudo-score
@@ -5538,6 +5547,56 @@ object SparkEntry {
            JOIN (SELECT term, c AS c_y FROM uc) y ON pc.t2 = y.term, tot
          WHERE c_xy >= 5
          ORDER BY pmi_micro DESC, t1, t2 LIMIT 20""",
+
+    // CDC replay: the x08 HUGEINT wrapping fold hashes each 3-gram,
+    // the same `& mask` cut test, lead() rebuilds the chunk spans.
+    "q171_cdc_chunks" ->
+      """WITH t AS (
+           SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(coalesce(text, '')), '[^a-z0-9'']+'),
+               x -> length(x) > 0) AS toks
+           FROM documents),
+         g AS (SELECT doc_id, toks,
+             [array_to_string(toks[i:i+2], ' ')
+              FOR i IN generate_series(1, len(toks) - 2)] AS grams
+           FROM t WHERE len(toks) >= 3),
+         gr AS (SELECT doc_id, u.pos AS pos, u.gram AS gram FROM (
+             SELECT doc_id,
+               unnest([{'pos': i, 'gram': grams[i]}
+                       FOR i IN generate_series(1, len(grams))]) AS u
+             FROM g)),
+         hh AS (SELECT doc_id, pos,
+             CAST(hu - CASE WHEN hu >= CAST(9223372036854775808 AS HUGEINT)
+               THEN CAST(18446744073709551616 AS HUGEINT)
+               ELSE CAST(0 AS HUGEINT) END AS BIGINT) AS h
+           FROM (SELECT doc_id, pos,
+               list_reduce(list_prepend(CAST(0 AS HUGEINT),
+                 [CAST(ord(gram[i]) AS HUGEINT)
+                  for i in generate_series(1, length(gram))]),
+                 (h, c) -> (h * 31 + c)
+                   % CAST(18446744073709551616 AS HUGEINT)) AS hu
+             FROM gr)),
+         cuts AS (SELECT hh.doc_id, pos + 3 AS start
+           FROM hh JOIN (SELECT doc_id, len(toks) AS n FROM t) nn USING(doc_id)
+           WHERE (h & 15) = 0 AND pos + 3 <= nn.n),
+         starts AS (SELECT doc_id, 1 AS start FROM t
+                    UNION ALL SELECT doc_id, start FROM cuts),
+         ch AS (SELECT doc_id, start,
+             lead(start) OVER (PARTITION BY doc_id ORDER BY start) AS nxt,
+             row_number() OVER (PARTITION BY doc_id ORDER BY start) - 1
+               AS chunk_id
+           FROM starts),
+         o AS (SELECT ch.doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+             CAST(start AS BIGINT) AS start_tok,
+             CAST(coalesce(nxt, tt.n2 + 1) - start AS BIGINT) AS n_tok,
+             md5(array_to_string(
+               tt.toks[start : coalesce(nxt, tt.n2 + 1) - 1], ' '))
+               AS chunk_md5
+           FROM ch JOIN (SELECT doc_id, toks, len(toks) AS n2 FROM t) tt
+             USING(doc_id))
+         SELECT *, CAST(COUNT(*) OVER (PARTITION BY chunk_md5) AS BIGINT)
+           AS shared
+         FROM o""",
 
     // pe numerator as an exact integer sum, then the identical
     // po/pe/kappa double tree (two successive divisions by n — n² is

@@ -656,6 +656,64 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     rollingHashUdf(lower(regexp_replace(text, "\\s+", " ")))
 
+  /** Content-defined chunking (the Rabin/CDC policy behind storage
+    * dedup, here over TOKENS): cut after a k-token gram whose
+    * wrapping-64 hash has its low bits zero (`h & mask == 0`,
+    * expected chunk ≈ mask+1 tokens). Because boundaries depend only
+    * on local content, an insertion re-chunks ONLY the region it
+    * touches — every chunk after the next surviving boundary keeps
+    * its identity, which is what makes chunk-hash dedup shift-
+    * resistant where [[tokenChunks]]' fixed grid re-keys everything
+    * downstream of an edit (the CdcSpec shift-invariance property).
+    *
+    * Output: `(doc_id, chunk_id, start_tok, n_tok, chunk_md5,
+    * shared)` — `shared` counts corpus-wide occurrences of the chunk
+    * content (window over the md5), the repeated-chunk signal a CDC
+    * dedup keeps. Docs shorter than k tokens form one chunk.
+    *
+    * Scale shape: gram hashing and cut selection are scan-local (one
+    * pass per doc inside the documented UDF, the [[winnow]]
+    * exception); the only shuffle keys the md5 window. The oracle
+    * replays the whole policy exactly: the x08 HUGEINT wrapping fold
+    * for the hash, `&` on the same wrapped BIGINT for the cut test. */
+  def cdcChunks(df: DataFrame, idCol: String, textCol: String,
+                k: Int = 3, mask: Long = 15L): DataFrame = {
+    require(k >= 1, s"k must be >= 1 (got $k)")
+    require(mask >= 0 && (mask & (mask + 1)) == 0,
+      s"mask must be 2^b - 1 (got $mask)")
+    val cutsUdf = udf { (toks: Seq[String]) =>
+      val n = toks.length
+      val starts = scala.collection.mutable.ArrayBuffer(1)
+      if (n >= k) {
+        var i = 0
+        while (i + k <= n) { // gram at 1-based pos i+1 covers i+1..i+k
+          val h = rollingHashOf(toks.slice(i, i + k).mkString(" "))
+          val nextStart = i + k + 1 // cut after 1-based token i+k
+          if ((h & mask) == 0L && nextStart <= n) starts += nextStart
+          i += 1
+        }
+      }
+      starts.toSeq.zipWithIndex.map { case (s, idx) =>
+        val next = if (idx + 1 < starts.length) starts(idx + 1) else n + 1
+        (idx.toLong, s.toLong, (next - s).toLong)
+      }
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("chunk_md5"))
+    df.select(col(idCol),
+        graft.functions.Analyzer.tokenize(coalesce(col(textCol), lit("")))
+          .as("__toks"))
+      .select(col(idCol), col("__toks"),
+        explode(cutsUdf(col("__toks"))).as("__c"))
+      .select(col(idCol), col("__c._1").as("chunk_id"),
+        col("__c._2").as("start_tok"), col("__c._3").as("n_tok"),
+        md5(array_join(
+          slice(col("__toks"), col("__c._2").cast("int"),
+            col("__c._3").cast("int")), " ").cast("binary"))
+          .as("chunk_md5"))
+      .withColumn("shared", count(lit(1)).over(w))
+  }
+
   /** Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken
     * 2003, "Winnowing: Local Algorithms for Document Fingerprinting" —
     * the MOSS algorithm). Hash every k-token gram with the wrapping-64
