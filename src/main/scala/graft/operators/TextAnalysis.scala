@@ -599,7 +599,7 @@ object TextAnalysis {
       // text here, so stage 1-2 payloads are (key, id, s) only
       .withColumn("__gk",
         if (oracleReplayable) col("gram")
-        else if (rollingKey) rollingHashUdf(col("gram"))
+        else if (rollingKey) graft.functions.Hash64.hash64Col(col("gram"))
         else xxhash64(col("gram")))
       .select(col(idCol), col("s"), col("__gk"))
       .withColumn("__ord", col(idCol) * lit(1L << 20) + col("s"))
@@ -648,13 +648,16 @@ object TextAnalysis {
     if (text == null) 0L
     else rollingHashOf(text.replaceAll("\\s+", " ").toLowerCase)
 
-  private val rollingHashUdf = udf { (s: String) => rollingHashOf(s) }
-
   /** Rolling-hash fingerprint of whitespace-normalized lowercase text.
     * (The md5 variant is oracle-checked as q24; this long-valued hash
-    * is the cheap shuffle key for exact dedup at scale.) */
+    * is the cheap shuffle key for exact dedup at scale.) Runs as the
+    * native codegen'd [[graft.functions.Hash64]] expression — the
+    * whole projection stays in one whole-stage-codegen span; the
+    * coalesce preserves the old UDF's null → 0 contract (hash of ""
+    * is 0). */
   def fingerprint(text: Column): Column =
-    rollingHashUdf(lower(regexp_replace(text, "\\s+", " ")))
+    graft.functions.Hash64.hash64Col(
+      lower(regexp_replace(coalesce(text, lit("")), "\\s+", " ")))
 
   /** Content-defined chunking (the Rabin/CDC policy behind storage
     * dedup, here over TOKENS): cut after a k-token gram whose
