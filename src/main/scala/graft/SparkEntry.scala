@@ -1995,7 +1995,22 @@ object SparkEntry {
     // surfaces corpus-wide repeated chunks, the CDC dedup signal.
     "q171_cdc_chunks" -> q((s, d) =>
       TextAnalysis.cdcChunks(Tables.documents(s, d), "doc_id", "text",
-        k = 3, mask = 15L))
+        k = 3, mask = 15L)),
+
+    // Semi-supervised label propagation (Zhu & Ghahramani 2002) over
+    // the winnow near-dup graph: 1-in-7 docs seed their `source`
+    // label, 3 synchronous majority rounds weak-label the rest — the
+    // spread-a-few-human-labels step of corpus curation.
+    "q172_label_prop" -> q((s, d) => {
+      val docs = Tables.documents(s, d)
+      Graph.labelPropagation(
+        TextAnalysis.winnowPairs(docs, "doc_id", "text", minShared = 1L),
+        "id_a", "id_b",
+        docs.filter(col("doc_id") % 7 === 0)
+          .select(col("doc_id"), col("source")),
+        "doc_id", "source", rounds = 3)
+        .select(col("id").as("doc_id"), col("label"), col("is_seed"))
+    })
   ) ++ NonSqlQueries.queries
 
   /** q159-q161's shared two-rater frame: truth = the q03 pseudo-score
@@ -2168,6 +2183,34 @@ object SparkEntry {
          r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS r FROM nodes),
          $rounds
          SELECT id AS doc_id, r AS rank_q FROM r$iters"""
+  }
+
+  /** q172 replay: the winnow pair graph (minShared = 1), seeds =
+    * doc_id % 7, and the synchronous majority rounds UNROLLED — per
+    * round a (node, label) neighbor count over the previous round's
+    * labels, non-seed nodes only, (cnt DESC, label) argmax. */
+  private def q172Sql: String = {
+    val rounds = (1 to 3).map { k =>
+      s"""c$k AS (SELECT e.dst AS id, l.label, COUNT(*) AS cnt
+           FROM e JOIN lab${k - 1} l ON e.src = l.id
+           WHERE e.dst NOT IN (SELECT id FROM seeds)
+           GROUP BY e.dst, l.label),
+         p$k AS (SELECT id, label FROM c$k
+           QUALIFY row_number() OVER (PARTITION BY id
+             ORDER BY cnt DESC, label) = 1),
+         lab$k AS (SELECT id, label FROM seeds
+                   UNION ALL SELECT id, label FROM p$k)"""
+    }.mkString(",\n")
+    s"""WITH pairs AS (${winnowPairsSql(minShared = 1)}),
+         e AS (SELECT id_a AS src, id_b AS dst FROM pairs
+               UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs),
+         seeds AS (SELECT doc_id AS id, source AS label FROM documents
+                   WHERE doc_id % 7 = 0),
+         lab0 AS (SELECT id, label FROM seeds),
+         $rounds
+         SELECT lab3.id AS doc_id, lab3.label,
+           (lab3.id IN (SELECT id FROM seeds)) AS is_seed
+         FROM lab3"""
   }
 
   /** q103 replay — full-recompute GROUP BY (see the map entry);
@@ -5597,6 +5640,8 @@ object SparkEntry {
          SELECT *, CAST(COUNT(*) OVER (PARTITION BY chunk_md5) AS BIGINT)
            AS shared
          FROM o""",
+
+    "q172_label_prop" -> q172Sql,
 
     // pe numerator as an exact integer sum, then the identical
     // po/pe/kappa double tree (two successive divisions by n — n² is

@@ -128,6 +128,62 @@ object Graph {
     out
   }
 
+  /** Semi-supervised label propagation over an undirected pair list
+    * (Zhu & Ghahramani 2002's hard-label form): `seeds` carry pinned
+    * labels; each SYNCHRONOUS round every non-seed node takes the
+    * majority label among its labeled neighbors from the PREVIOUS
+    * round (ties → the lexicographically smallest label, so the whole
+    * fixture is deterministic and the oracle can unroll the rounds);
+    * nodes with no labeled neighbor stay unlabeled that round. The
+    * corpus use: spread a small set of human/source labels over a
+    * near-dup or similarity graph to weak-label the rest.
+    *
+    * Scale shape per round: one edge⋈labels shuffle + one (node,
+    * label)-keyed count + one per-node window — all proportional to
+    * the edge list, never all-pairs; the seed table is checkpointed
+    * once and reused. Output: `(id, label, is_seed)` for every node
+    * labeled after `rounds` rounds. */
+  def labelPropagation(pairs: DataFrame, aCol: String, bCol: String,
+                       seeds: DataFrame, idCol: String, labelCol: String,
+                       rounds: Int = 3): DataFrame = {
+    require(rounds >= 1, "rounds must be >= 1")
+    val e = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val seed = seeds.select(col(idCol).as("id"), col(labelCol).as("label"))
+      .localCheckpoint()
+    var lab = seed
+    var lastCheckpoint: Option[DataFrame] = None
+    var k = 0
+    while (k < rounds) {
+      val counts = e.join(lab, e("src") === lab("id"))
+        .select(col("dst").as("nid"), col("label"))
+        .join(seed.select(col("id").as("nid")), Seq("nid"), "left_anti")
+        .groupBy(col("nid"), col("label")).agg(count(lit(1)).as("cnt"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("nid"))
+        .orderBy(col("cnt").desc, col("label"))
+      val picks = counts.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("nid").as("id"), col("label"))
+      lab = seed.unionByName(picks)
+      k += 1
+      if (k % CheckpointEvery == 0 && k < rounds) {
+        val cp = lab.localCheckpoint()
+        lastCheckpoint.foreach(_.unpersist(blocking = true))
+        lastCheckpoint = Some(cp)
+        lab = cp
+      }
+    }
+    val out = lab
+      .join(seed.select(col("id"), lit(true).as("__s")), Seq("id"), "left")
+      .select(col("id"), col("label"),
+        coalesce(col("__s"), lit(false)).as("is_seed"))
+      .localCheckpoint()
+    lastCheckpoint.foreach(_.unpersist(blocking = true))
+    e.unpersist(blocking = false)
+    out
+  }
+
   /** [[pageRank]] over an UNDIRECTED pair list (`id_a`,`id_b`) — each
     * pair contributes both directions, the natural shape for the
     * winnow/minhash near-dup pair reports. */
