@@ -2010,7 +2010,25 @@ object SparkEntry {
           .select(col("doc_id"), col("source")),
         "doc_id", "source", rounds = 3)
         .select(col("id").as("doc_id"), col("label"), col("is_seed"))
-    })
+    }),
+
+    // Radius-2 truncated harmonic centrality (the Common Crawl host-
+    // ranking signal, Boldi & Vigna 2014) over the winnow graph —
+    // h2_x2 = 2·|N1| + |N2only| keeps the half-credit integral.
+    "q173_harmonic2" -> q((s, d) =>
+      Graph.harmonic2(
+        TextAnalysis.winnowPairs(Tables.documents(s, d), "doc_id", "text",
+          minShared = 1L),
+        "id_a", "id_b")
+        .select(col("id").as("doc_id"), col("n1"), col("n2only"),
+          col("h2_x2"))),
+
+    // Hampel/MAD robust outliers: docs whose length deviates from the
+    // SOURCE median by > 3 MADs — exact integer order statistics (the
+    // doubled-median trick), no float anywhere.
+    "q174_mad_outliers" -> q((s, d) =>
+      Profile.madOutliers(Tables.documents(s, d), "source", "doc_id",
+        "n_chars"))
   ) ++ NonSqlQueries.queries
 
   /** q159-q161's shared two-rater frame: truth = the q03 pseudo-score
@@ -5642,6 +5660,49 @@ object SparkEntry {
          FROM o""",
 
     "q172_label_prop" -> q172Sql,
+
+    // Harmonic-2 replay: symmetrized distinct edges, 1-hop counts,
+    // 2-hop-only frontier via anti-join of the self-join.
+    "q173_harmonic2" ->
+      s"""WITH pairs AS (${winnowPairsSql(minShared = 1)}),
+         e AS (SELECT DISTINCT src, dst FROM (
+             SELECT id_a AS src, id_b AS dst FROM pairs
+             UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs)),
+         n1 AS (SELECT src AS id, COUNT(*) AS n1 FROM e GROUP BY 1),
+         hop2 AS (SELECT DISTINCT a.src, b.dst AS far
+           FROM e a JOIN e b ON a.dst = b.src
+           WHERE a.src <> b.dst),
+         only2 AS (SELECT h.src AS id, COUNT(*) AS n2only
+           FROM hop2 h
+           WHERE NOT EXISTS (SELECT 1 FROM e
+             WHERE e.src = h.src AND e.dst = h.far)
+           GROUP BY h.src)
+         SELECT n1.id AS doc_id, CAST(n1 AS BIGINT) AS n1,
+           CAST(coalesce(n2only, 0) AS BIGINT) AS n2only,
+           CAST(2 * n1 + coalesce(n2only, 0) AS BIGINT) AS h2_x2
+         FROM n1 LEFT JOIN only2 ON n1.id = only2.id""",
+
+    // MAD replay: the same doubled-median order statistics, integer
+    // Hampel verdict 2·dev2 > 3·mad4.
+    "q174_mad_outliers" ->
+      """WITH b AS (SELECT source, doc_id, CAST(n_chars AS BIGINT) AS v
+                    FROM documents),
+         m1 AS (SELECT *, row_number() OVER (PARTITION BY source ORDER BY v)
+                  AS rn, COUNT(*) OVER (PARTITION BY source) AS n FROM b),
+         m2 AS (SELECT *, SUM(CASE WHEN rn = (n+1)//2 THEN v ELSE 0 END +
+                              CASE WHEN rn = (n+2)//2 THEN v ELSE 0 END)
+                  OVER (PARTITION BY source) AS med2 FROM m1),
+         d AS (SELECT source, doc_id, v, med2, abs(2*v - med2) AS dev2
+               FROM m2),
+         d1 AS (SELECT *, row_number() OVER (PARTITION BY source ORDER BY dev2)
+                  AS rn, COUNT(*) OVER (PARTITION BY source) AS n FROM d),
+         d2 AS (SELECT *, SUM(CASE WHEN rn = (n+1)//2 THEN dev2 ELSE 0 END +
+                              CASE WHEN rn = (n+2)//2 THEN dev2 ELSE 0 END)
+                  OVER (PARTITION BY source) AS mad4 FROM d1)
+         SELECT source, doc_id, CAST(v AS BIGINT) AS n_chars,
+           CAST(med2 AS BIGINT) AS med2, CAST(dev2 AS BIGINT) AS dev2,
+           CAST(mad4 AS BIGINT) AS mad4
+         FROM d2 WHERE 2*dev2 > 3*mad4""",
 
     // pe numerator as an exact integer sum, then the identical
     // po/pe/kappa double tree (two successive divisions by n — n² is

@@ -128,6 +128,43 @@ object Graph {
     out
   }
 
+  /** Radius-2 truncated harmonic centrality over an undirected pair
+    * list — the crawl-frontier ranking signal (Common Crawl publishes
+    * harmonic-centrality host ranks; Boldi & Vigna 2014 argue it over
+    * closeness). Full harmonic centrality needs all-pairs distances;
+    * the radius-2 truncation H₂(v) = |N₁(v)| + |N₂₋only(v)|/2 is the
+    * exact, oracle-replayable prefix (HyperBall's HLL rounds are the
+    * approximate continuation at larger radii). Emitted ×2 so the
+    * half stays integral: `h2_x2 = 2·|N₁| + |N₂ \ N₁|`.
+    *
+    * Scale shape: one self-join of the (deduped, symmetrized) edge
+    * list for the 2-hop frontier — bounded by Σ deg², which the
+    * caller's pair source must keep sane (the winnow/minhash pair
+    * reports are df-capped precisely so hub degrees are bounded;
+    * feeding an uncapped hub graph makes ANY radius-2 metric
+    * quadratic in the hub degree, not a property of this operator). */
+  def harmonic2(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val e = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n1 = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("n1"))
+    val two = e.select(col("src"), col("dst").as("mid"))
+      .join(e.select(col("src").as("mid"), col("dst").as("far")), Seq("mid"))
+      .filter(col("src") =!= col("far"))
+      .select(col("src"), col("far")).distinct()
+      .join(e.select(col("src"), col("dst").as("far")),
+        Seq("src", "far"), "left_anti") // 2-hop ONLY: drop direct edges
+      .groupBy(col("src").as("id")).agg(count(lit(1)).as("n2only"))
+    val out = n1.join(two, Seq("id"), "left")
+      .select(col("id"), col("n1"),
+        coalesce(col("n2only"), lit(0L)).as("n2only"))
+      .withColumn("h2_x2", lit(2L) * col("n1") + col("n2only"))
+      .localCheckpoint()
+    e.unpersist(blocking = false)
+    out
+  }
+
   /** Semi-supervised label propagation over an undirected pair list
     * (Zhu & Ghahramani 2002's hard-label form): `seeds` carry pinned
     * labels; each SYNCHRONOUS round every non-seed node takes the

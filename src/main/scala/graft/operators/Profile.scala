@@ -57,4 +57,51 @@ object Profile {
         col("n_distinct"), col("min_s"), col("max_s"))
       .orderBy(col("column"))
   }
+
+  /** Robust per-group outlier detection (the Hampel filter): flag
+    * rows whose integer `valCol` deviates from the GROUP median by
+    * more than 3 group-MADs. Mean/stddev outlier tests break on the
+    * outliers themselves (one giant doc inflates σ until nothing
+    * flags); median/MAD have a 50% breakdown point.
+    *
+    * EXACT integer arithmetic throughout — the doubled-median trick:
+    * `med2` = x₍ₖ₎+x₍ₖ₊₁₎ (even n) or 2·x₍ₖ₎ (odd), an integer;
+    * per-row deviation `dev2 = |2x − med2|` (2x-units); `mad4` =
+    * doubled median of dev2 (4x-units); the Hampel test
+    * |x−med| > 3·MAD becomes `2·dev2 > 3·mad4` with no division or
+    * float anywhere, so the verdict is order-free and replays
+    * bit-for-bit in the oracle.
+    *
+    * Scale shape: two windowed order-statistics passes, both
+    * partitioned BY GROUP (no global sort); output is the flagged
+    * rows. Groups are assumed executor-sized (sources/domains —
+    * the q52 cardinality class), the usual window contract. */
+  def madOutliers(df: DataFrame, groupCol: String, idCol: String,
+                  valCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def med2Of(frame: DataFrame, v: String, out: String): DataFrame = {
+      val w = Window.partitionBy(col(groupCol)).orderBy(col(v))
+      val g = Window.partitionBy(col(groupCol))
+      frame
+        .withColumn("__rn", row_number().over(w))
+        .withColumn("__n", count(lit(1)).over(g))
+        .withColumn("__lo", expr("(__n + 1) div 2"))
+        .withColumn("__hi", expr("(__n + 2) div 2"))
+        .withColumn(out,
+          sum(when(col("__rn") === col("__lo"), col(v)).otherwise(0L)
+            + when(col("__rn") === col("__hi"), col(v)).otherwise(0L))
+            .over(g))
+        .drop("__rn", "__n", "__lo", "__hi")
+    }
+    val v = col(valCol).cast("long")
+    val withMed = med2Of(df.select(col(groupCol), col(idCol),
+      v.as("__v")), "__v", "med2")
+    val withDev = withMed.withColumn("dev2",
+      abs(lit(2L) * col("__v") - col("med2")))
+    val withMad = med2Of(withDev, "dev2", "mad4")
+    withMad
+      .filter(lit(2L) * col("dev2") > lit(3L) * col("mad4"))
+      .select(col(groupCol), col(idCol), col("__v").as(valCol),
+        col("med2"), col("dev2"), col("mad4"))
+  }
 }
