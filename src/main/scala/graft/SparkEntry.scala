@@ -2028,7 +2028,24 @@ object SparkEntry {
     // doubled-median trick), no float anywhere.
     "q174_mad_outliers" -> q((s, d) =>
       Profile.madOutliers(Tables.documents(s, d), "source", "doc_id",
-        "n_chars"))
+        "n_chars")),
+
+    // Embedding-distribution drift: cosine between slice mean vectors
+    // + norm ratio — exact integer sums end-to-end (quantized grid,
+    // BIGINT dot/norm²), one scan, one dim-keyed shuffle.
+    "q175_embedding_drift" -> q((s, d) =>
+      Drift.embeddingDrift(Tables.embeddings(s, d), "embedding",
+        inRef = col("vec_id") % 2 === 0)),
+
+    // Weighted PageRank over the winnow graph — shared-fingerprint
+    // counts as edge weights, contributions split proportionally
+    // ((r·w) div W), same fixed-point/oracle discipline as q102.
+    "q176_pagerank_weighted" -> q((s, d) =>
+      Graph.pageRankWeightedUndirected(
+        TextAnalysis.winnowPairs(Tables.documents(s, d), "doc_id", "text",
+          minShared = 1L),
+        "id_a", "id_b", "n_shared")
+        .select(col("id").as("doc_id"), col("rank_q")))
   ) ++ NonSqlQueries.queries
 
   /** q159-q161's shared two-rater frame: truth = the q03 pseudo-score
@@ -2229,6 +2246,32 @@ object SparkEntry {
          SELECT lab3.id AS doc_id, lab3.label,
            (lab3.id IN (SELECT id FROM seeds)) AS is_seed
          FROM lab3"""
+  }
+
+  /** q176 replay — q102's unroll with proportional weighted
+    * contributions `(r·w) // wsum`. */
+  private def q176Sql: String = {
+    val iters = 8
+    val rounds = (1 to iters).map { i =>
+      s"""s$i AS (SELECT e.dst AS id,
+             CAST(sum((rr.r * e.w) // dg.wsum) AS BIGINT) AS s
+           FROM e JOIN r${i - 1} rr ON e.src = rr.id
+           JOIN wdeg dg ON e.src = dg.id
+           GROUP BY e.dst),
+         r$i AS (SELECT n.id,
+             CAST(150000 + (85 * COALESCE(s.s, 0)) // 100 AS BIGINT) AS r
+           FROM nodes n LEFT JOIN s$i s ON n.id = s.id)"""
+    }.mkString(",\n         ")
+    s"""WITH pairs AS (${winnowPairsSql(minShared = 1)}),
+         e AS (SELECT id_a AS src, id_b AS dst, n_shared AS w FROM pairs
+               UNION ALL
+               SELECT id_b AS src, id_a AS dst, n_shared AS w FROM pairs),
+         nodes AS (SELECT DISTINCT src AS id FROM e),
+         wdeg AS (SELECT src AS id, CAST(sum(w) AS BIGINT) AS wsum
+                  FROM e GROUP BY src),
+         r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS r FROM nodes),
+         $rounds
+         SELECT id AS doc_id, r AS rank_q FROM r$iters"""
   }
 
   /** q103 replay — full-recompute GROUP BY (see the map entry);
@@ -5703,6 +5746,40 @@ object SparkEntry {
            CAST(med2 AS BIGINT) AS med2, CAST(dev2 AS BIGINT) AS dev2,
            CAST(mad4 AS BIGINT) AS mad4
          FROM d2 WHERE 2*dev2 > 3*mad4""",
+
+    // Same milli grid, same exact BIGINT dot/norm² sums, same final
+    // division/sqrt tree.
+    "q175_embedding_drift" ->
+      """WITH x AS (SELECT vec_id % 2 = 0 AS r,
+             unnest([struct_pack(d := i, v := embedding[i])
+                     FOR i IN generate_series(1, len(embedding))]) AS u
+           FROM embeddings),
+         qd AS (SELECT r, u.d AS d,
+             CAST(floor(CAST(u.v AS DOUBLE) * 1000.0 + 0.5) AS BIGINT) AS q
+           FROM x),
+         dims AS (SELECT d, SUM(CASE WHEN r THEN q ELSE 0 END) AS sa,
+                    SUM(CASE WHEN r THEN 0 ELSE q END) AS sb
+                  FROM qd GROUP BY d),
+         f AS (SELECT CAST(COUNT(*) AS BIGINT) AS dims,
+             CAST(SUM(sa*sb) AS BIGINT) AS dot,
+             CAST(SUM(sa*sa) AS BIGINT) AS na2,
+             CAST(SUM(sb*sb) AS BIGINT) AS nb2 FROM dims),
+         c AS (SELECT
+             CAST(SUM(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_a,
+             CAST(SUM(CASE WHEN vec_id % 2 = 0 THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_b
+           FROM embeddings)
+         SELECT dims, n_a, n_b,
+           CAST(floor(CAST(dot AS DOUBLE)
+             / (sqrt(CAST(na2 AS DOUBLE)) * sqrt(CAST(nb2 AS DOUBLE)))
+             * 1000000.0 + 0.5) AS BIGINT) AS cos_micro,
+           CAST(floor((sqrt(CAST(na2 AS DOUBLE)) * n_b)
+             / (sqrt(CAST(nb2 AS DOUBLE)) * n_a)
+             * 1000000.0 + 0.5) AS BIGINT) AS norm_ratio_micro
+         FROM f, c""",
+
+    "q176_pagerank_weighted" -> q176Sql,
 
     // pe numerator as an exact integer sum, then the identical
     // po/pe/kappa double tree (two successive divisions by n — n² is

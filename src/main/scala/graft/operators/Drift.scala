@@ -62,6 +62,53 @@ object Drift {
       sum(when(inRef, 1L).otherwise(0L)).as("a_n"),
       sum(when(inRef, 0L).otherwise(1L)).as("b_n")))
 
+  /** EMBEDDING-distribution drift — the vector-space twin of
+    * [[slicedDrift]] for embedding pipelines (a re-trained or
+    * re-normalized encoder shifts the mean vector long before any
+    * scalar column moves): cosine between the two slices' mean
+    * vectors plus their norm ratio, from ONE scan.
+    *
+    * Exactness: components land on a caller-chosen integer grid
+    * (`quantScale`, default milli — the x22 quantization discipline),
+    * per-dimension sums are then exact BIGINTs from a single
+    * conditional-sum shuffle keyed by dimension, and dot/norm² are
+    * exact BIGINT sums of BIGINT products — completely order-free, no
+    * float accumulates anywhere. The only doubles are the final
+    * divisions and two IEEE-exact sqrts. Overflow headroom:
+    * dims·(n·qmax)² < 2^63 — at q = 1e3, unit-ish components and 64
+    * dims that holds to ~3e7 rows per slice; at larger slices LOWER
+    * `quantScale` (the Graph.scale convention: pre-aggregated counts,
+    * not precision, are what the drift verdict needs).
+    *
+    * Output one row: `(dims, n_a, n_b, cos_micro, norm_ratio_micro)`
+    * where norm_ratio = |mean_a|/|mean_b|. */
+  def embeddingDrift(df: DataFrame, vecCol: String, inRef: Column,
+                     quantScale: Double = 1000.0): DataFrame = {
+    val qv = floor(col("__v").cast("double") * quantScale + 0.5).cast("long")
+    val dims = df.select(inRef.as("__r"),
+        posexplode(col(vecCol)).as(Seq("__d", "__v")))
+      .select(col("__r"), col("__d"), qv.as("__q"))
+      .groupBy(col("__d")).agg(
+        sum(when(col("__r"), col("__q")).otherwise(0L)).as("sa"),
+        sum(when(col("__r"), 0L).otherwise(col("__q"))).as("sb"))
+    val folded = dims.agg(
+      count(lit(1)).as("dims"),
+      sum(col("sa") * col("sb")).as("dot"),
+      sum(col("sa") * col("sa")).as("na2"),
+      sum(col("sb") * col("sb")).as("nb2"))
+    val counts = df.agg(
+      sum(when(inRef, 1L).otherwise(0L)).as("n_a"),
+      sum(when(inRef, 0L).otherwise(1L)).as("n_b"))
+    val j = folded.crossJoin(broadcast(counts))
+    val (na, nb) = (sqrt(col("na2").cast("double")),
+      sqrt(col("nb2").cast("double")))
+    val cos = col("dot").cast("double") / (na * nb)
+    val ratio = (na * col("n_b")) / (nb * col("n_a"))
+    j.select(col("dims"), col("n_a"), col("n_b"),
+      micro(cos).as("cos_micro"),
+      micro(ratio).as("norm_ratio_micro"))
+  }
+
   /** Pearson chi-square independence test between two categorical
     * columns (the "did the label mix move with the slice" question
     * PSI's single-column view cannot ask): one corpus shuffle to the

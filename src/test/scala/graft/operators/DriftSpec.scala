@@ -140,6 +140,52 @@ class DriftSpec extends SparkSpec {
     assert(got2._6 == 1000000L)  // Cramér's V = 1
   }
 
+  private def bruteEmbDrift(rows: Seq[(Seq[Float], Boolean)])
+      : (Long, Long, Long, Long, Long) = {
+    val dims = rows.head._1.length
+    def q(x: Float): Long = math.floor(x.toDouble * 1000.0 + 0.5).toLong
+    val sa = (0 until dims).map(d =>
+      rows.filter(_._2).map(r => q(r._1(d))).sum)
+    val sb = (0 until dims).map(d =>
+      rows.filterNot(_._2).map(r => q(r._1(d))).sum)
+    val dot = sa.zip(sb).map { case (a, b) => a * b }.sum
+    val na2 = sa.map(a => a * a).sum
+    val nb2 = sb.map(b => b * b).sum
+    val (na, nb) = (math.sqrt(na2.toDouble), math.sqrt(nb2.toDouble))
+    val nA = rows.count(_._2).toLong
+    val nB = rows.size - nA
+    (dims.toLong, nA, nB, micro(dot.toDouble / (na * nb)),
+      micro(na * nB / (nb * nA)))
+  }
+
+  test("embedding drift == brute force; identical slices score cos 1") {
+    def vec(seed: Long): Seq[Float] = (0 until 8).map(d =>
+      (math.abs((seed * 31L + d * 2654435761L) % 2000) - 1000) / 1000.0f)
+    for (seed <- Seq(29L, 450L)) {
+      val rows = (0L until 200L).map(i => (vec(i * 7L + seed), i % 3 == 0))
+      val got = Drift.embeddingDrift(
+          rows.toDF("embedding", "r"), "embedding", col("r"))
+        .as[(Long, Long, Long, Long, Long)].collect().head
+      assert(got == bruteEmbDrift(rows), s"seed $seed")
+    }
+    // mirrored slices: identical means → cos = 1, ratio = 1
+    val base = (0L until 50L).map(i => vec(i))
+    val mirrored = base.map(v => (v, true)) ++ base.map(v => (v, false))
+    val got = Drift.embeddingDrift(
+        mirrored.toDF("embedding", "r"), "embedding", col("r"))
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    assert(got == ((8L, 50L, 50L, 1000000L, 1000000L)))
+  }
+
+  test("embedding drift: disjoint axes score cos 0; norm ratio exact") {
+    val a = Seq.fill(10)((Seq(1.0f, 0.0f), true))
+    val b = Seq.fill(10)((Seq(0.0f, 2.0f), false))
+    val got = Drift.embeddingDrift(
+        (a ++ b).toDF("embedding", "r"), "embedding", col("r"))
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    assert(got == ((2L, 10L, 10L, 0L, 500000L)))
+  }
+
   test("JSD total is bounded by ln 2; disjoint heavy slices approach it") {
     val a = Seq.fill(5000)(1L)
     val b = Seq.fill(5000)(2L)

@@ -86,6 +86,52 @@ class GraphSpec extends SparkSpec {
     Graph.triangles(pairs.toDF("id_a", "id_b"), "id_a", "id_b")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
 
+  /** Weighted reference: contributions split (r·w) div W(u). */
+  private def refPageRankW(edges: Seq[(Long, Long, Long)], iters: Int,
+                           scale: Long = 1000000L): Map[Long, Long] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    val wsum = edges.groupBy(_._1).map { case (k, v) => k -> v.map(_._3).sum }
+    val base = scale - (85L * scale) / 100L
+    var r = nodes.map(_ -> scale).toMap
+    for (_ <- 1 to iters) {
+      val s = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      edges.foreach { case (u, v, w) => s(v) += (r(u) * w) / wsum(u) }
+      r = nodes.map(n => n -> (base + (85L * s(n)) / 100L)).toMap
+    }
+    r
+  }
+
+  private def runW(pairs: Seq[(Long, Long, Long)], iters: Int = 8)
+      : Map[Long, Long] =
+    Graph.pageRankWeightedUndirected(pairs.toDF("id_a", "id_b", "w"),
+        "id_a", "id_b", "w", iters = iters)
+      .collect().map(row => row.getLong(0) -> row.getLong(1)).toMap
+
+  test("weighted == unweighted when every weight is equal") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L), (2L, 4L))
+    assert(runW(pairs.map(p => (p._1, p._2, 7L))) == run(pairs))
+  }
+
+  test("weighted ranks match the weighted reference; heavy edge pulls rank") {
+    val pairs = Seq((1L, 2L, 9L), (1L, 3L, 1L), (2L, 3L, 1L), (2L, 4L, 2L))
+    val sym = pairs ++ pairs.map(p => (p._2, p._1, p._3))
+    assert(runW(pairs) == refPageRankW(sym, 8))
+    // node 2 holds the heavy end of the 9-weight edge from the hub —
+    // it must outrank node 3, its equal-degree twin on light edges
+    val got = runW(pairs)
+    assert(got(2L) > got(3L))
+  }
+
+  test("weighted: 400-node seeded random graph matches the reference") {
+    val pairs = (0 until 400).map { i =>
+      val a = math.abs((i * 2654435761L + 17L) % 80)
+      val b = math.abs((i * 48271L + 5L) % 80)
+      (math.min(a, b), math.max(a, b) + 1, 1L + (i % 9))
+    }.distinct
+    val sym = pairs ++ pairs.map(p => (p._2, p._1, p._3))
+    assert(runW(pairs) == refPageRankW(sym, 8))
+  }
+
   test("triangles: K4 gives every node C(3,2)=3; a path gives zero") {
     val k4 = for { i <- 1L to 4L; j <- (i + 1) to 4L } yield (i, j)
     assert(triMap(k4) == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
