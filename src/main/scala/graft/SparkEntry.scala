@@ -2045,7 +2045,21 @@ object SparkEntry {
         TextAnalysis.winnowPairs(Tables.documents(s, d), "doc_id", "text",
           minShared = 1L),
         "id_a", "id_b", "n_shared")
-        .select(col("id").as("doc_id"), col("rank_q")))
+        .select(col("id").as("doc_id"), col("rank_q"))),
+
+    // q175's embedding-drift monitor fed INCREMENTALLY (3 slices + 1
+    // redelivered): mergeable per-dim BIGINT sums fold effectively-
+    // once and the final report hash-matches the ONE-SHOT oracle.
+    "q177_embedding_drift_inc" -> q((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val base = Scratch.dir("graft-embdrift-inc")
+      Seq(0, 1, 2, 1).zipWithIndex.foreach { case (slice, bid) =>
+        Drift.embDriftDeltaBatch(emb.filter(col("vec_id") % 3 === slice),
+          "vec_id", "embedding", inRef = col("vec_id") % 2 === 0,
+          base, batchId = bid.toLong)
+      }
+      Drift.embDriftFromDirs(s, base)
+    })
   ) ++ NonSqlQueries.queries
 
   /** q159-q161's shared two-rater frame: truth = the q03 pseudo-score
@@ -2247,6 +2261,40 @@ object SparkEntry {
            (lab3.id IN (SELECT id FROM seeds)) AS is_seed
          FROM lab3"""
   }
+
+  /** q175/q177's shared embedding-drift replay: milli grid, exact
+    * BIGINT per-dim sums, exact BIGINT dot/norm², IEEE sqrt tree —
+    * one literal because the incremental fold must land the one-shot
+    * report verbatim. */
+  private val Q175Sql: String =
+    """WITH x AS (SELECT vec_id % 2 = 0 AS r,
+             unnest([struct_pack(d := i, v := embedding[i])
+                     FOR i IN generate_series(1, len(embedding))]) AS u
+           FROM embeddings),
+         qd AS (SELECT r, u.d AS d,
+             CAST(floor(CAST(u.v AS DOUBLE) * 1000.0 + 0.5) AS BIGINT) AS q
+           FROM x),
+         dims AS (SELECT d, SUM(CASE WHEN r THEN q ELSE 0 END) AS sa,
+                    SUM(CASE WHEN r THEN 0 ELSE q END) AS sb
+                  FROM qd GROUP BY d),
+         f AS (SELECT CAST(COUNT(*) AS BIGINT) AS dims,
+             CAST(SUM(sa*sb) AS BIGINT) AS dot,
+             CAST(SUM(sa*sa) AS BIGINT) AS na2,
+             CAST(SUM(sb*sb) AS BIGINT) AS nb2 FROM dims),
+         c AS (SELECT
+             CAST(SUM(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_a,
+             CAST(SUM(CASE WHEN vec_id % 2 = 0 THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_b
+           FROM embeddings)
+         SELECT dims, n_a, n_b,
+           CAST(floor(CAST(dot AS DOUBLE)
+             / (sqrt(CAST(na2 AS DOUBLE)) * sqrt(CAST(nb2 AS DOUBLE)))
+             * 1000000.0 + 0.5) AS BIGINT) AS cos_micro,
+           CAST(floor((sqrt(CAST(na2 AS DOUBLE)) * n_b)
+             / (sqrt(CAST(nb2 AS DOUBLE)) * n_a)
+             * 1000000.0 + 0.5) AS BIGINT) AS norm_ratio_micro
+         FROM f, c"""
 
   /** q176 replay — q102's unroll with proportional weighted
     * contributions `(r·w) // wsum`. */
@@ -5749,36 +5797,10 @@ object SparkEntry {
 
     // Same milli grid, same exact BIGINT dot/norm² sums, same final
     // division/sqrt tree.
-    "q175_embedding_drift" ->
-      """WITH x AS (SELECT vec_id % 2 = 0 AS r,
-             unnest([struct_pack(d := i, v := embedding[i])
-                     FOR i IN generate_series(1, len(embedding))]) AS u
-           FROM embeddings),
-         qd AS (SELECT r, u.d AS d,
-             CAST(floor(CAST(u.v AS DOUBLE) * 1000.0 + 0.5) AS BIGINT) AS q
-           FROM x),
-         dims AS (SELECT d, SUM(CASE WHEN r THEN q ELSE 0 END) AS sa,
-                    SUM(CASE WHEN r THEN 0 ELSE q END) AS sb
-                  FROM qd GROUP BY d),
-         f AS (SELECT CAST(COUNT(*) AS BIGINT) AS dims,
-             CAST(SUM(sa*sb) AS BIGINT) AS dot,
-             CAST(SUM(sa*sa) AS BIGINT) AS na2,
-             CAST(SUM(sb*sb) AS BIGINT) AS nb2 FROM dims),
-         c AS (SELECT
-             CAST(SUM(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
-               AS n_a,
-             CAST(SUM(CASE WHEN vec_id % 2 = 0 THEN 0 ELSE 1 END) AS BIGINT)
-               AS n_b
-           FROM embeddings)
-         SELECT dims, n_a, n_b,
-           CAST(floor(CAST(dot AS DOUBLE)
-             / (sqrt(CAST(na2 AS DOUBLE)) * sqrt(CAST(nb2 AS DOUBLE)))
-             * 1000000.0 + 0.5) AS BIGINT) AS cos_micro,
-           CAST(floor((sqrt(CAST(na2 AS DOUBLE)) * n_b)
-             / (sqrt(CAST(nb2 AS DOUBLE)) * n_a)
-             * 1000000.0 + 0.5) AS BIGINT) AS norm_ratio_micro
-         FROM f, c""",
+    "q175_embedding_drift" -> Q175Sql,
 
+    // The incremental fold must land exactly the one-shot report.
+    "q177_embedding_drift_inc" -> Q175Sql,
     "q176_pagerank_weighted" -> q176Sql,
 
     // pe numerator as an exact integer sum, then the identical

@@ -84,21 +84,33 @@ object Drift {
     * where norm_ratio = |mean_a|/|mean_b|. */
   def embeddingDrift(df: DataFrame, vecCol: String, inRef: Column,
                      quantScale: Double = 1000.0): DataFrame = {
+    val counts = df.agg(
+      sum(when(inRef, 1L).otherwise(0L)).as("n_a"),
+      sum(when(inRef, 0L).otherwise(1L)).as("n_b"))
+    embDriftFinish(embDimSums(df, vecCol, inRef, quantScale), counts)
+  }
+
+  /** The per-dim exact integer slice sums — MERGEABLE (plain BIGINT
+    * adds), which is what the incremental path folds. */
+  private def embDimSums(df: DataFrame, vecCol: String, inRef: Column,
+                         quantScale: Double): DataFrame = {
     val qv = floor(col("__v").cast("double") * quantScale + 0.5).cast("long")
-    val dims = df.select(inRef.as("__r"),
+    df.select(inRef.as("__r"),
         posexplode(col(vecCol)).as(Seq("__d", "__v")))
       .select(col("__r"), col("__d"), qv.as("__q"))
       .groupBy(col("__d")).agg(
         sum(when(col("__r"), col("__q")).otherwise(0L)).as("sa"),
         sum(when(col("__r"), 0L).otherwise(col("__q"))).as("sb"))
+  }
+
+  /** Shared tail: `(d, sa, sb)` dim sums + a single-row `(n_a, n_b)`
+    * count frame → the one-row drift report. */
+  private def embDriftFinish(dims: DataFrame, counts: DataFrame): DataFrame = {
     val folded = dims.agg(
       count(lit(1)).as("dims"),
       sum(col("sa") * col("sb")).as("dot"),
       sum(col("sa") * col("sa")).as("na2"),
       sum(col("sb") * col("sb")).as("nb2"))
-    val counts = df.agg(
-      sum(when(inRef, 1L).otherwise(0L)).as("n_a"),
-      sum(when(inRef, 0L).otherwise(1L)).as("n_b"))
     val j = folded.crossJoin(broadcast(counts))
     val (na, nb) = (sqrt(col("na2").cast("double")),
       sqrt(col("nb2").cast("double")))
@@ -107,6 +119,51 @@ object Drift {
     j.select(col("dims"), col("n_a"), col("n_b"),
       micro(cos).as("cos_micro"),
       micro(ratio).as("norm_ratio_micro"))
+  }
+
+  /** One micro-batch of the INCREMENTAL embedding-drift monitor —
+    * the [[driftDeltaBatch]] contract applied to the vector ledger:
+    * dedup on `idCol`, anti-join the seen-ids ledger (a redelivered
+    * batch lands nothing), append the delta's per-dim sums and slice
+    * counts tagged with `batchId` (the torn-append heal), ids last.
+    * Per-dim sums are plain BIGINT adds, so any fold order equals the
+    * one-shot [[embeddingDrift]] bit-for-bit. */
+  def embDriftDeltaBatch(batch: DataFrame, idCol: String, vecCol: String,
+                         inRef: Column, baseDir: String, batchId: Long,
+                         quantScale: Double = 1000.0): Unit = {
+    val spark = batch.sparkSession
+    val b = batch.dropDuplicates(idCol)
+    val seen = Dedup.readStateOr(spark, s"$baseDir/seenIds",
+      b.select(col(idCol)).limit(0))
+    val fresh = b.join(seen, Seq(idCol), "left_anti").localCheckpoint()
+    embDimSums(fresh, vecCol, inRef, quantScale)
+      .select(lit(batchId).as("batch_id"), col("__d"),
+        col("sa"), col("sb"))
+      .write.mode("append").parquet(s"$baseDir/dims")
+    fresh.agg(
+        sum(when(inRef, 1L).otherwise(0L)).as("n_a"),
+        sum(when(inRef, 0L).otherwise(1L)).as("n_b"))
+      .select(lit(batchId).as("batch_id"), col("n_a"), col("n_b"))
+      .write.mode("append").parquet(s"$baseDir/counts")
+    fresh.select(col(idCol)).write.mode("append")
+      .parquet(s"$baseDir/seenIds")
+    fresh.unpersist()
+    ()
+  }
+
+  /** Final embedding drift from the standing ledger (the
+    * [[driftFromDirs]] contract: `(batch_id, …)` dedup heals a torn
+    * append, then exact BIGINT folds). */
+  def embDriftFromDirs(spark: org.apache.spark.sql.SparkSession,
+                       baseDir: String): DataFrame = {
+    val dims = spark.read.parquet(s"$baseDir/dims")
+      .dropDuplicates("batch_id", "__d")
+      .groupBy(col("__d")).agg(
+        sum(col("sa")).as("sa"), sum(col("sb")).as("sb"))
+    val counts = spark.read.parquet(s"$baseDir/counts")
+      .dropDuplicates("batch_id")
+      .agg(sum(col("n_a")).as("n_a"), sum(col("n_b")).as("n_b"))
+    embDriftFinish(dims, counts)
   }
 
   /** Pearson chi-square independence test between two categorical

@@ -57,6 +57,34 @@ class DriftStreamSpec extends SparkSpec {
     assert(folded == oneShot)
   }
 
+  test("incremental embedding drift == one-shot; redelivery and torn append heal") {
+    val (base, _) = dirs()
+    def vec(seed: Long): Seq[Float] = (0 until 6).map(d =>
+      (math.abs((seed * 31L + d * 2654435761L) % 2000) - 1000) / 1000.0f)
+    val rows = (0L until 90L).map(i => (i, vec(i), i % 2 == 0))
+    val df = rows.toDF("vec_id", "embedding", "is_ref")
+    Seq(0, 1, 2).foreach { s =>
+      Drift.embDriftDeltaBatch(df.filter(col("vec_id") % 3 === s),
+        "vec_id", "embedding", col("is_ref"), base, batchId = s.toLong)
+    }
+    def folded = Drift.embDriftFromDirs(spark, base)
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    val oneShot = Drift.embeddingDrift(df, "embedding", col("is_ref"))
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    assert(folded == oneShot)
+    // redelivery under a NEW batch id: ids committed → nothing lands
+    Drift.embDriftDeltaBatch(df.filter(col("vec_id") % 3 === 1),
+      "vec_id", "embedding", col("is_ref"), base, batchId = 9L)
+    assert(folded == oneShot)
+    // torn append: erase the id ledger, replay slice 2 under the SAME
+    // batch id — the (batch_id, dim) dedup collapses the double rows
+    val seenDir = new java.io.File(s"$base/seenIds")
+    seenDir.listFiles().foreach(_.delete()); seenDir.delete()
+    Drift.embDriftDeltaBatch(df.filter(col("vec_id") % 3 === 2),
+      "vec_id", "embedding", col("is_ref"), base, batchId = 2L)
+    assert(folded == oneShot)
+  }
+
   test("a crash between the counts append and the id append heals") {
     val (base, _) = dirs()
     val slice = all.take(40)
