@@ -2059,6 +2059,21 @@ object SparkEntry {
           base, batchId = bid.toLong)
       }
       Drift.embDriftFromDirs(s, base)
+    }),
+
+    // Release-over-release PROFILE diff (schema + stats drift): v2
+    // drops 1-in-13 rows, edits 1-in-7 lengths, removes `lang` and
+    // adds `n_tokens` — all four drift kinds in one report.
+    "q178_profile_diff" -> q((s, d) => {
+      val docs = Tables.documents(s, d)
+      val v1 = docs.select(col("doc_id"), col("lang"), col("n_chars"))
+      val v2 = docs.filter(col("doc_id") % 13 =!= 0)
+        .select(col("doc_id"),
+          (col("n_chars") +
+            when(col("doc_id") % 7 === 0, 100L).otherwise(0L)).as("n_chars"),
+          operators.TextStats.wordCount(coalesce(col("text"), lit("")))
+            .cast("long").as("n_tokens"))
+      Profile.profileDiff(v1, v2)
     })
   ) ++ NonSqlQueries.queries
 
@@ -5802,6 +5817,60 @@ object SparkEntry {
     // The incremental fold must land exactly the one-shot report.
     "q177_embedding_drift_inc" -> Q175Sql,
     "q176_pagerank_weighted" -> q176Sql,
+
+    // Profile-diff replay: per-column UNION profiles of the derived
+    // v1/v2, full-outer joined on the column name.
+    "q178_profile_diff" ->
+      """WITH v1 AS (SELECT doc_id, lang, n_chars FROM documents),
+         v2 AS (SELECT doc_id,
+             n_chars + CASE WHEN doc_id % 7 = 0 THEN 100 ELSE 0 END
+               AS n_chars,
+             CAST(len(regexp_split_to_array(trim(coalesce(text, '')), '\s+'))
+               AS BIGINT) AS n_tokens
+           FROM documents WHERE doc_id % 13 <> 0),
+         pa AS (
+           SELECT 'doc_id' AS "column", CAST(count(*) AS BIGINT) AS rows_a,
+             CAST(count(*) - count(doc_id) AS BIGINT) AS nulls_a,
+             CAST(count(DISTINCT doc_id) AS BIGINT) AS distinct_a,
+             CAST(min(doc_id) AS VARCHAR) AS min_a,
+             CAST(max(doc_id) AS VARCHAR) AS max_a FROM v1
+           UNION ALL
+           SELECT 'lang', CAST(count(*) AS BIGINT),
+             CAST(count(*) - count(lang) AS BIGINT),
+             CAST(count(DISTINCT lang) AS BIGINT),
+             CAST(min(lang) AS VARCHAR), CAST(max(lang) AS VARCHAR) FROM v1
+           UNION ALL
+           SELECT 'n_chars', CAST(count(*) AS BIGINT),
+             CAST(count(*) - count(n_chars) AS BIGINT),
+             CAST(count(DISTINCT n_chars) AS BIGINT),
+             CAST(min(n_chars) AS VARCHAR),
+             CAST(max(n_chars) AS VARCHAR) FROM v1),
+         pb AS (
+           SELECT 'doc_id' AS "column", CAST(count(*) AS BIGINT) AS rows_b,
+             CAST(count(*) - count(doc_id) AS BIGINT) AS nulls_b,
+             CAST(count(DISTINCT doc_id) AS BIGINT) AS distinct_b,
+             CAST(min(doc_id) AS VARCHAR) AS min_b,
+             CAST(max(doc_id) AS VARCHAR) AS max_b FROM v2
+           UNION ALL
+           SELECT 'n_chars', CAST(count(*) AS BIGINT),
+             CAST(count(*) - count(n_chars) AS BIGINT),
+             CAST(count(DISTINCT n_chars) AS BIGINT),
+             CAST(min(n_chars) AS VARCHAR),
+             CAST(max(n_chars) AS VARCHAR) FROM v2
+           UNION ALL
+           SELECT 'n_tokens', CAST(count(*) AS BIGINT),
+             CAST(count(*) - count(n_tokens) AS BIGINT),
+             CAST(count(DISTINCT n_tokens) AS BIGINT),
+             CAST(min(n_tokens) AS VARCHAR),
+             CAST(max(n_tokens) AS VARCHAR) FROM v2)
+         SELECT coalesce(pa."column", pb."column") AS "column",
+           CASE WHEN rows_a IS NULL THEN 'added'
+                WHEN rows_b IS NULL THEN 'removed'
+                ELSE 'common' END AS status,
+           rows_a, rows_b, nulls_a, nulls_b, distinct_a, distinct_b,
+           CASE WHEN rows_a IS NULL OR rows_b IS NULL THEN NULL
+                ELSE (min_a <> min_b OR max_a <> max_b) END AS minmax_changed
+         FROM pa FULL JOIN pb ON pa."column" = pb."column"""",
 
     // pe numerator as an exact integer sum, then the identical
     // po/pe/kappa double tree (two successive divisions by n — n² is

@@ -58,6 +58,39 @@ object Profile {
       .orderBy(col("column"))
   }
 
+  /** Release-over-release PROFILE diff — the schema/stats twin of
+    * [[Scd.snapshotDiff]]'s row-level compare: profile both versions
+    * ([[tableProfile]], one aggregation each) and full-outer join on
+    * the column name, so a column added or dropped between versions
+    * surfaces as schema drift and a surviving column carries its
+    * before/after stats side by side with a min/max-changed flag.
+    * This is the "did the new drop change shape" gate a pipeline runs
+    * before promoting a snapshot — cheap at any scale because each
+    * side is one profile pass and the join is columns-sized. */
+  def profileDiff(a: DataFrame, b: DataFrame,
+                  colsA: Seq[String] = Nil,
+                  colsB: Seq[String] = Nil): DataFrame = {
+    val pa = tableProfile(a, colsA).select(col("column"),
+      col("n_rows").as("rows_a"), col("n_nulls").as("nulls_a"),
+      col("n_distinct").as("distinct_a"),
+      col("min_s").as("min_a"), col("max_s").as("max_a"))
+    val pb = tableProfile(b, colsB).select(col("column"),
+      col("n_rows").as("rows_b"), col("n_nulls").as("nulls_b"),
+      col("n_distinct").as("distinct_b"),
+      col("min_s").as("min_b"), col("max_s").as("max_b"))
+    pa.join(pb, Seq("column"), "full")
+      .select(col("column"),
+        when(col("rows_a").isNull, "added")
+          .when(col("rows_b").isNull, "removed")
+          .otherwise("common").as("status"),
+        col("rows_a"), col("rows_b"),
+        col("nulls_a"), col("nulls_b"),
+        col("distinct_a"), col("distinct_b"),
+        when(col("rows_a").isNull || col("rows_b").isNull, lit(null))
+          .otherwise(col("min_a") =!= col("min_b") ||
+            col("max_a") =!= col("max_b")).as("minmax_changed"))
+  }
+
   /** Robust per-group outlier detection (the Hampel filter): flag
     * rows whose integer `valCol` deviates from the GROUP median by
     * more than 3 group-MADs. Mean/stddev outlier tests break on the

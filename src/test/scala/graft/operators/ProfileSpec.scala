@@ -34,4 +34,29 @@ class ProfileSpec extends SparkSpec {
       .map(_.getString(0)).toSeq
     assert(got == Seq("id", "v"))
   }
+
+  test("profileDiff: added/removed/common statuses and change flags") {
+    import spark.implicits._
+    val v1 = Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L))
+      .toDF("id", "tag", "len")
+    val v2 = Seq((1L, 10L, true), (2L, 99L, false))
+      .toDF("id", "len", "keep")
+    val got = Profile.profileDiff(v1, v2)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(got("tag").getString(1) == "removed")
+    assert(got("keep").getString(1) == "added")
+    assert(got("id").getString(1) == "common")
+    assert(got("id").getBoolean(8))        // max 3 → 2: minmax changed
+    assert(got("len").getBoolean(8))       // 30 → 99
+    assert(got("tag").isNullAt(8) && got("keep").isNullAt(8))
+    assert(got("id").getLong(2) == 3L && got("id").getLong(3) == 2L)
+  }
+
+  test("profileDiff of identical frames reports nothing changed") {
+    import spark.implicits._
+    val v = Seq((1L, "x"), (2L, "y")).toDF("id", "s")
+    val got = Profile.profileDiff(v, v).collect()
+    assert(got.forall(_.getString(1) == "common"))
+    assert(got.forall(!_.getBoolean(8)))
+  }
 }
