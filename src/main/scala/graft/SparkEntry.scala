@@ -2074,7 +2074,14 @@ object SparkEntry {
           operators.TextStats.wordCount(coalesce(col("text"), lit("")))
             .cast("long").as("n_tokens"))
       Profile.profileDiff(v1, v2)
-    })
+    }),
+
+    // ES percentile_ranks (the inverse of q39): what fraction of each
+    // type's values sit at or below 50/100/250 — exact conditional
+    // counts, one shuffle, no sketch needed in this direction.
+    "q179_percentile_ranks" -> q((s, d) =>
+      Monitoring.percentileRanks(Tables.events(s, d), "event_type",
+        "value", at = Seq(50.0, 100.0, 250.0)))
   ) ++ NonSqlQueries.queries
 
   /** q159-q161's shared two-rater frame: truth = the q03 pseudo-score
@@ -5871,6 +5878,27 @@ object SparkEntry {
            CASE WHEN rows_a IS NULL OR rows_b IS NULL THEN NULL
                 ELSE (min_a <> min_b OR max_a <> max_b) END AS minmax_changed
          FROM pa FULL JOIN pb ON pa."column" = pb."column"""",
+
+    // Inverse-percentile replay: the same conditional counts and
+    // single division per requested value.
+    "q179_percentile_ranks" ->
+      """WITH g AS (SELECT event_type AS key, COUNT(*) AS n,
+             SUM(CASE WHEN value <= 50.0 THEN 1 ELSE 0 END) AS le0,
+             SUM(CASE WHEN value <= 100.0 THEN 1 ELSE 0 END) AS le1,
+             SUM(CASE WHEN value <= 250.0 THEN 1 ELSE 0 END) AS le2
+           FROM events GROUP BY 1)
+         SELECT key, 50.0 AS value, CAST(n AS BIGINT) AS n,
+           CAST(le0 AS BIGINT) AS n_le,
+           CAST(floor(CAST(le0 AS DOUBLE) / n * 1000000.0 + 0.5) AS BIGINT)
+             AS rank_micro FROM g
+         UNION ALL
+         SELECT key, 100.0, CAST(n AS BIGINT), CAST(le1 AS BIGINT),
+           CAST(floor(CAST(le1 AS DOUBLE) / n * 1000000.0 + 0.5) AS BIGINT)
+           FROM g
+         UNION ALL
+         SELECT key, 250.0, CAST(n AS BIGINT), CAST(le2 AS BIGINT),
+           CAST(floor(CAST(le2 AS DOUBLE) / n * 1000000.0 + 0.5) AS BIGINT)
+           FROM g""",
 
     // pe numerator as an exact integer sum, then the identical
     // po/pe/kappa double tree (two successive divisions by n — n² is

@@ -131,4 +131,29 @@ object Monitoring {
     }
     paged.orderBy(keyCols.map(col): _*).limit(size)
   }
+
+  /** ES `percentile_ranks` (the inverse of q39's percentiles): for
+    * each requested value, the fraction of the key's observations at
+    * or below it. Exact — conditional counts in ONE map-side-combined
+    * groupBy (no sort, no sketch; the forward direction needs the
+    * sketch, the inverse is just counting), one double division per
+    * (key, value) on the micro grid. Output: `(key, value, n,
+    * n_le, rank_micro)`, one row per key × requested value. */
+  def percentileRanks(df: DataFrame, keyCol: String, valCol: String,
+                      at: Seq[Double]): DataFrame = {
+    require(at.nonEmpty, "need at least one value")
+    val aggs = at.zipWithIndex.flatMap { case (x, i) =>
+      Seq(sum(when(col(valCol) <= x, 1L).otherwise(0L)).as(s"__le$i"))
+    } :+ count(lit(1)).as("__n")
+    val g = df.groupBy(col(keyCol).as("key"))
+      .agg(aggs.head, aggs.tail: _*)
+      .localCheckpoint() // keys-sized; consumed once per requested value
+    val rows = at.zipWithIndex.map { case (x, i) =>
+      g.select(col("key"), lit(x).as("value"), col("__n").as("n"),
+        col(s"__le$i").as("n_le"),
+        floor(col(s"__le$i").cast("double") / col("__n")
+          * 1000000.0 + 0.5).cast("long").as("rank_micro"))
+    }
+    rows.reduce(_ unionByName _)
+  }
 }

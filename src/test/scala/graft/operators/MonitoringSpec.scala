@@ -133,4 +133,32 @@ class MonitoringSpec extends SparkSpec {
       assert(got.toSeq == want, s"seed $seed")
     }
   }
+
+  test("percentileRanks == brute force; edges at 0 and 1 (3 seeds)") {
+    import spark.implicits._
+    def micro(x: Double): Long = math.floor(x * 1e6 + 0.5).toLong
+    for (seed <- Seq(67L, 256L, 1234L)) {
+      val rows = (0 until 500).map { i =>
+        (s"k${i % 3}", math.abs((i * 2654435761L + seed) % 400).toDouble)
+      }
+      val at = Seq(0.0, 75.0, 200.0, 399.0)
+      val got = Monitoring.percentileRanks(rows.toDF("event_type", "value"),
+          "event_type", "value", at)
+        .as[(String, Double, Long, Long, Long)].collect().toSet
+      val want = (for {
+        (k, rs) <- rows.groupBy(_._1); x <- at
+      } yield {
+        val nle = rs.count(_._2 <= x).toLong
+        (k, x, rs.size.toLong, nle, micro(nle.toDouble / rs.size))
+      }).toSet
+      assert(got == want, s"seed $seed")
+    }
+    // a value above every observation ranks 1.0; below every, 0.0
+    val tiny = Seq(("a", 5.0), ("a", 6.0)).toDF("event_type", "value")
+    val r = Monitoring.percentileRanks(tiny, "event_type", "value",
+        Seq(1.0, 100.0))
+      .as[(String, Double, Long, Long, Long)].collect()
+      .map(t => t._2 -> t._5).toMap
+    assert(r(1.0) == 0L && r(100.0) == 1000000L)
+  }
 }
