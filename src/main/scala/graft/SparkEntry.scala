@@ -2081,7 +2081,24 @@ object SparkEntry {
     // counts, one shuffle, no sketch needed in this direction.
     "q179_percentile_ranks" -> q((s, d) =>
       Monitoring.percentileRanks(Tables.events(s, d), "event_type",
-        "value", at = Seq(50.0, 100.0, 250.0)))
+        "value", at = Seq(50.0, 100.0, 250.0))),
+
+    // Deequ-style constraint SUGGESTION (Schelter 2018): yesterday's
+    // drop defines the contract; the candidate (dup'd ids, nulled
+    // text, inflated lengths for 1-in-50) gets graded against it.
+    "q180_constraint_suggest" -> q((s, d) => {
+      val docs = Tables.documents(s, d)
+      val bad = docs.filter(col("doc_id") % 50 === 0)
+        .select(col("doc_id"), lit(null).cast("string").as("text"),
+          col("lang"), col("source"),
+          (col("n_chars") + 10000L).as("n_chars"))
+      val candidate = docs
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars"))
+        .unionByName(bad)
+      Constraints.suggestedSuite(docs, candidate,
+        numericCols = Seq("doc_id", "n_chars"))
+    })
   ) ++ NonSqlQueries.queries
 
   /** q159-q161's shared two-rater frame: truth = the q03 pseudo-score
@@ -2317,6 +2334,41 @@ object SparkEntry {
              / (sqrt(CAST(nb2 AS DOUBLE)) * n_a)
              * 1000000.0 + 0.5) AS BIGINT) AS norm_ratio_micro
          FROM f, c"""
+
+  /** q180 replay: per (column, rule) a conditionally-emitted check —
+    * WHERE scalar subqueries over the BASELINE decide whether the
+    * rule is suggested, the SELECT grades it on the candidate (not-
+    * null / unique for every column, range for declared numerics). */
+  private def q180Sql: String = {
+    val cols = Seq("doc_id", "lang", "n_chars", "source", "text")
+    val numeric = Set("doc_id", "n_chars")
+    val rules = cols.flatMap { c =>
+      val nn =
+        s"""SELECT 'suggested:not_null:$c' AS "constraint",
+             (SELECT COUNT(*) FROM v2 WHERE $c IS NULL) AS violations
+           WHERE (SELECT COUNT(*) - COUNT($c) FROM v1) = 0"""
+      val un =
+        s"""SELECT 'suggested:unique:$c',
+             (SELECT COUNT(*) - COUNT(DISTINCT $c) FROM v2)
+           WHERE (SELECT COUNT(DISTINCT $c) FROM v1)
+             = (SELECT COUNT(*) FROM v1)"""
+      val rg =
+        s"""SELECT 'suggested:range:$c',
+             (SELECT COUNT(*) FROM v2 WHERE $c IS NULL
+                OR $c < (SELECT MIN($c) FROM v1)
+                OR $c > (SELECT MAX($c) FROM v1))"""
+      if (numeric(c)) Seq(nn, un, rg) else Seq(nn, un)
+    }.mkString("\n           UNION ALL\n           ")
+    s"""WITH v1 AS (SELECT * FROM documents),
+         v2 AS (SELECT doc_id, text, lang, source, n_chars FROM documents
+                UNION ALL
+                SELECT doc_id, NULL AS text, lang, source,
+                  n_chars + 10000 AS n_chars
+                FROM documents WHERE doc_id % 50 = 0)
+         SELECT "constraint", CAST(violations AS BIGINT) AS violations,
+           violations = 0 AS ok
+         FROM ($rules)"""
+  }
 
   /** q176 replay — q102's unroll with proportional weighted
     * contributions `(r·w) // wsum`. */
@@ -5899,6 +5951,11 @@ object SparkEntry {
          SELECT key, 250.0, CAST(n AS BIGINT), CAST(le2 AS BIGINT),
            CAST(floor(CAST(le2 AS DOUBLE) / n * 1000000.0 + 0.5) AS BIGINT)
            FROM g""",
+
+    // Suggestion replay: the rules THEMSELVES are data-derived, so
+    // each candidate row is emitted conditionally on the baseline
+    // profile (scalar-subquery WHERE), then graded on the candidate.
+    "q180_constraint_suggest" -> q180Sql,
 
     // pe numerator as an exact integer sum, then the identical
     // po/pe/kappa double tree (two successive divisions by n — n² is

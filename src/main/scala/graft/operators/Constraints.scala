@@ -63,4 +63,39 @@ object Constraints {
     checks.reduce(_ unionByName _)
       .select(col("constraint"), col("violations").cast("long"),
         (col("violations") === 0L).as("ok"))
+
+  /** Deequ-style CONSTRAINT SUGGESTION (Schelter et al., VLDB 2018:
+    * "Automating large-scale data quality verification"): profile the
+    * BASELINE snapshot once, derive the constraints it satisfies —
+    * not-null where no nulls, unique where distinct == rows, and for
+    * declared numeric columns a [min, max] range — and evaluate them
+    * against the CANDIDATE snapshot. This is the promote-gate loop:
+    * yesterday's accepted drop defines the contract tomorrow's drop
+    * must pass.
+    *
+    * The baseline profile is collect()ed to drive rule construction —
+    * a columns-sized result (the model-sized-collect discipline), the
+    * same place deequ materializes its column profiles. Each derived
+    * rule is then one of the existing 1-row checks over the
+    * candidate, so the evaluation cost is [[suite]]'s: a handful of
+    * aggregations, each one scan-shuffle, unioned as scalars. */
+  def suggestedSuite(baseline: DataFrame, candidate: DataFrame,
+                     numericCols: Seq[String] = Nil): DataFrame = {
+    val prof = Profile.tableProfile(baseline).collect()
+    val checks = prof.toSeq.flatMap { r =>
+      val c = r.getString(0)
+      val (rows, nulls, distinct) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      val nn = if (nulls == 0L)
+        Some(notNull(candidate, s"suggested:not_null:$c", c)) else None
+      val un = if (distinct == rows)
+        Some(unique(candidate, s"suggested:unique:$c", c)) else None
+      val rg = if (numericCols.contains(c))
+        Some(inRange(candidate, s"suggested:range:$c", c,
+          lit(r.getString(4)).cast("long"), lit(r.getString(5)).cast("long")))
+      else None
+      Seq(nn, un, rg).flatten
+    }
+    require(checks.nonEmpty, "baseline profile suggested no constraints")
+    suite(checks)
+  }
 }

@@ -41,4 +41,31 @@ class ConstraintsSpec extends SparkSpec {
       .collect()
     assert(out.forall(r => r.getLong(1) == 0L && r.getBoolean(2)))
   }
+
+  test("suggestion derives exactly the rules the baseline satisfies") {
+    import spark.implicits._
+    // id: unique+not-null+range; tag: not-null only (dups); note: has
+    // a null → NO not-null rule, and its distinct<rows → no unique
+    val base = Seq((1L, "a", Some("x")), (2L, "a", None), (3L, "b", Some("x")))
+      .toDF("id", "tag", "note")
+    val out = Constraints.suggestedSuite(base, base, numericCols = Seq("id"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getBoolean(2)))
+      .toMap
+    assert(out.keySet == Set("suggested:not_null:id", "suggested:unique:id",
+      "suggested:range:id", "suggested:not_null:tag"))
+    assert(out.values.forall(v => v._1 == 0L && v._2)) // self passes
+  }
+
+  test("the suggested contract catches the candidate's regressions") {
+    import spark.implicits._
+    val base = Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("id", "len")
+    val cand = Seq((1L, 10L), (1L, 25L), (4L, 99L)).toDF("id", "len")
+    val out = Constraints.suggestedSuite(base, cand,
+        numericCols = Seq("id", "len"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out("suggested:unique:id") == 1L)  // duplicated 1
+    assert(out("suggested:range:id") == 1L)   // 4 > max 3
+    assert(out("suggested:range:len") == 1L)  // 99 > max 30
+    assert(out("suggested:not_null:id") == 0L)
+  }
 }
