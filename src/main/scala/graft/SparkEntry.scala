@@ -2098,6 +2098,23 @@ object SparkEntry {
         .unionByName(bad)
       Constraints.suggestedSuite(docs, candidate,
         numericCols = Seq("doc_id", "n_chars"))
+    }),
+
+    // q167's keyed drift fed INCREMENTALLY (3 slices + 1 redelivered):
+    // per-(key, bin) BIGINT partials fold effectively-once, and the
+    // per-key report hash-matches the ONE-SHOT oracle verbatim.
+    "q181_keyed_drift_inc" -> q((s, d) => {
+      val binned = Tables.events(s, d).withColumn("bin",
+        least(greatest(floor(coalesce(col("value"), lit(0.0)) / 50.0),
+          lit(0.0)), lit(19.0)).cast("long"))
+      val base = Scratch.dir("graft-kdrift-inc")
+      Seq(0, 1, 2, 1).zipWithIndex.foreach { case (slice, bid) =>
+        Drift.keyedDriftDeltaBatch(
+          binned.filter(col("event_id") % 3 === slice),
+          "event_id", "event_type", "bin",
+          inRef = hour(col("ts")) < 12, base, batchId = bid.toLong)
+      }
+      Drift.keyedDriftFromDirs(s, base)
     })
   ) ++ NonSqlQueries.queries
 
@@ -2369,6 +2386,36 @@ object SparkEntry {
            violations = 0 AS ok
          FROM ($rules)"""
   }
+
+  /** q167/q181's shared keyed-drift replay — one literal because
+    * the incremental fold must land the one-shot report verbatim. */
+  private val Q167Sql: String =
+    """WITH e AS (
+           SELECT event_type AS key,
+             CAST(least(greatest(floor(coalesce(value, 0) / 50.0), 0.0),
+               19.0) AS BIGINT) AS bin,
+             CASE WHEN hour(ts) < 12 THEN 1 ELSE 0 END AS ref
+           FROM events),
+         counts AS (SELECT key, bin, SUM(ref) AS a_n, SUM(1 - ref) AS b_n
+                    FROM e GROUP BY 1, 2),
+         tot AS (SELECT key, SUM(a_n) AS a_tot, SUM(b_n) AS b_tot,
+                   COUNT(*) AS k FROM counts GROUP BY 1),
+         pq AS (SELECT counts.key, a_n, b_n, a_tot, b_tot,
+                  CAST(a_n + 1 AS DOUBLE) / (a_tot + k) AS p,
+                  CAST(b_n + 1 AS DOUBLE) / (b_tot + k) AS q
+                FROM counts JOIN tot USING(key)),
+         pqm AS (SELECT *, (p + q) / 2.0 AS m FROM pq),
+         c AS (SELECT key, a_tot, b_tot,
+             CAST(floor((p - q) * ln(p / q) * 1000000.0 + 0.5) AS BIGINT)
+               AS psi_c,
+             CAST(floor((p * ln(p / m) + q * ln(q / m)) / 2.0
+               * 1000000.0 + 0.5) AS BIGINT) AS jsd_c
+           FROM pqm)
+         SELECT key, CAST(COUNT(*) AS BIGINT) AS n_bins,
+           CAST(a_tot AS BIGINT) AS a_tot, CAST(b_tot AS BIGINT) AS b_tot,
+           CAST(SUM(psi_c) AS BIGINT) AS psi_micro,
+           CAST(SUM(jsd_c) AS BIGINT) AS jsd_micro
+         FROM c GROUP BY key, a_tot, b_tot"""
 
   /** q176 replay — q102's unroll with proportional weighted
     * contributions `(r·w) // wsum`. */
@@ -5663,33 +5710,11 @@ object SparkEntry {
 
     // Per-key drift: same smoothed chain per (key, bin), then exact
     // grid sums per key (a_tot/b_tot constant per key → in GROUP BY).
-    "q167_keyed_drift" ->
-      """WITH e AS (
-           SELECT event_type AS key,
-             CAST(least(greatest(floor(coalesce(value, 0) / 50.0), 0.0),
-               19.0) AS BIGINT) AS bin,
-             CASE WHEN hour(ts) < 12 THEN 1 ELSE 0 END AS ref
-           FROM events),
-         counts AS (SELECT key, bin, SUM(ref) AS a_n, SUM(1 - ref) AS b_n
-                    FROM e GROUP BY 1, 2),
-         tot AS (SELECT key, SUM(a_n) AS a_tot, SUM(b_n) AS b_tot,
-                   COUNT(*) AS k FROM counts GROUP BY 1),
-         pq AS (SELECT counts.key, a_n, b_n, a_tot, b_tot,
-                  CAST(a_n + 1 AS DOUBLE) / (a_tot + k) AS p,
-                  CAST(b_n + 1 AS DOUBLE) / (b_tot + k) AS q
-                FROM counts JOIN tot USING(key)),
-         pqm AS (SELECT *, (p + q) / 2.0 AS m FROM pq),
-         c AS (SELECT key, a_tot, b_tot,
-             CAST(floor((p - q) * ln(p / q) * 1000000.0 + 0.5) AS BIGINT)
-               AS psi_c,
-             CAST(floor((p * ln(p / m) + q * ln(q / m)) / 2.0
-               * 1000000.0 + 0.5) AS BIGINT) AS jsd_c
-           FROM pqm)
-         SELECT key, CAST(COUNT(*) AS BIGINT) AS n_bins,
-           CAST(a_tot AS BIGINT) AS a_tot, CAST(b_tot AS BIGINT) AS b_tot,
-           CAST(SUM(psi_c) AS BIGINT) AS psi_micro,
-           CAST(SUM(jsd_c) AS BIGINT) AS jsd_micro
-         FROM c GROUP BY key, a_tot, b_tot""",
+    "q167_keyed_drift" -> Q167Sql,
+
+    // The incremental fold must land exactly the one-shot report.
+    "q181_keyed_drift_inc" -> Q167Sql,
+
 
     // Exact BIGINT deviation, double quotient (denominator multiplied
     // in double), micro-grid per-cell sum, IEEE-exact sqrt for V.

@@ -223,12 +223,16 @@ object Drift {
     * sum-order hazard. Output: `(key, n_bins, a_tot, b_tot,
     * psi_micro, jsd_micro)`, one row per key. */
   def keyedDrift(df: DataFrame, keyCol: String, binCol: String,
-                 inRef: Column): DataFrame = {
-    val counts = df.groupBy(col(keyCol).as("key"), col(binCol).as("bin"))
-      .agg(
-        sum(when(inRef, 1L).otherwise(0L)).as("a_n"),
-        sum(when(inRef, 0L).otherwise(1L)).as("b_n"))
-      .localCheckpoint() // keys×bins rows, consumed twice below
+                 inRef: Column): DataFrame =
+    keyedDriftFromCounts(
+      df.groupBy(col(keyCol).as("key"), col(binCol).as("bin"))
+        .agg(
+          sum(when(inRef, 1L).otherwise(0L)).as("a_n"),
+          sum(when(inRef, 0L).otherwise(1L)).as("b_n")))
+
+  /** Shared keyed tail over exact `(key, bin, a_n, b_n)` counts. */
+  private def keyedDriftFromCounts(countsLazy: DataFrame): DataFrame = {
+    val counts = countsLazy.localCheckpoint() // keys×bins, consumed twice
     val totals = counts.groupBy(col("key")).agg(
       sum(col("a_n")).as("a_tot"),
       sum(col("b_n")).as("b_tot"),
@@ -247,6 +251,42 @@ object Drift {
         sum(col("psi_c")).as("psi_micro"),
         sum(col("jsd_c")).as("jsd_micro"))
   }
+
+  /** One micro-batch of the INCREMENTAL keyed drift monitor — the
+    * [[driftDeltaBatch]] contract with (key, bin) partials: dedup on
+    * `idCol`, anti-join the seen-ids ledger, append the delta's
+    * per-(key, bin) counts tagged with `batchId`, ids last. Counts
+    * merge as plain BIGINT adds, so any fold order reproduces the
+    * one-shot [[keyedDrift]] bit-for-bit. */
+  def keyedDriftDeltaBatch(batch: DataFrame, idCol: String, keyCol: String,
+                           binCol: String, inRef: Column, baseDir: String,
+                           batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val b = batch.dropDuplicates(idCol)
+    val seen = Dedup.readStateOr(spark, s"$baseDir/seenIds",
+      b.select(col(idCol)).limit(0))
+    val fresh = b.join(seen, Seq(idCol), "left_anti").localCheckpoint()
+    fresh.groupBy(col(keyCol).as("key"), col(binCol).as("bin"))
+      .agg(
+        sum(when(inRef, 1L).otherwise(0L)).as("a_n"),
+        sum(when(inRef, 0L).otherwise(1L)).as("b_n"))
+      .select(lit(batchId).as("batch_id"), col("key"), col("bin"),
+        col("a_n"), col("b_n"))
+      .write.mode("append").parquet(s"$baseDir/bins")
+    fresh.select(col(idCol)).write.mode("append")
+      .parquet(s"$baseDir/seenIds")
+    fresh.unpersist()
+    ()
+  }
+
+  /** Final keyed drift from the standing ledger ([[driftFromDirs]]
+    * contract: `(batch_id, key, bin)` dedup heals torn appends). */
+  def keyedDriftFromDirs(spark: org.apache.spark.sql.SparkSession,
+                         baseDir: String): DataFrame =
+    keyedDriftFromCounts(spark.read.parquet(s"$baseDir/bins")
+      .dropDuplicates("batch_id", "key", "bin")
+      .groupBy(col("key"), col("bin")).agg(
+        sum(col("a_n")).as("a_n"), sum(col("b_n")).as("b_n")))
 
   /** One micro-batch of the INCREMENTAL drift monitor: fold `batch`'s
     * per-bin slice counts into the standing ledger at `baseDir`,

@@ -85,6 +85,31 @@ class DriftStreamSpec extends SparkSpec {
     assert(folded == oneShot)
   }
 
+  test("incremental KEYED drift == one-shot; redelivery and torn append heal") {
+    val (base, _) = dirs()
+    val rows = (0L until 150L).map { i =>
+      (i, s"k${i % 4}", math.abs((i * 2654435761L) % 6), i % 2 == 0)
+    }
+    val df = rows.toDF("event_id", "key", "bin", "is_ref")
+    Seq(0, 1, 2).foreach { s =>
+      Drift.keyedDriftDeltaBatch(df.filter(col("event_id") % 3 === s),
+        "event_id", "key", "bin", col("is_ref"), base, batchId = s.toLong)
+    }
+    def folded = Drift.keyedDriftFromDirs(spark, base)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSet
+    val oneShot = Drift.keyedDrift(df, "key", "bin", col("is_ref"))
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSet
+    assert(folded == oneShot)
+    Drift.keyedDriftDeltaBatch(df.filter(col("event_id") % 3 === 1),
+      "event_id", "key", "bin", col("is_ref"), base, batchId = 77L)
+    assert(folded == oneShot) // redelivery lands nothing
+    val seenDir = new java.io.File(s"$base/seenIds")
+    seenDir.listFiles().foreach(_.delete()); seenDir.delete()
+    Drift.keyedDriftDeltaBatch(df.filter(col("event_id") % 3 === 2),
+      "event_id", "key", "bin", col("is_ref"), base, batchId = 2L)
+    assert(folded == oneShot) // torn append heals under the same id
+  }
+
   test("a crash between the counts append and the id append heals") {
     val (base, _) = dirs()
     val slice = all.take(40)
