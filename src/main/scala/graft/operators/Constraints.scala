@@ -38,7 +38,14 @@ object Constraints {
     * an absent value cannot certify the range). */
   def inRange(df: DataFrame, name: String, c: String,
               lo: Column, hi: Column): DataFrame =
-    df.agg(sum(when(col(c).isNull || col(c) < lo || col(c) > hi, 1L)
+    inRange(df, name, col(c), lo, hi)
+
+  /** Column-expression form of [[inRange]] — lets the caller grade a
+    * derived value (e.g. the micro-grid rendering of a double) against
+    * bounds expressed in the same domain. */
+  def inRange(df: DataFrame, name: String, c: Column,
+              lo: Column, hi: Column): DataFrame =
+    df.agg(sum(when(c.isNull || c < lo || c > hi, 1L)
         .otherwise(0L)).as("violations"))
       .select(lit(name).as("constraint"),
         coalesce(col("violations"), lit(0L)).as("violations"))
@@ -89,10 +96,30 @@ object Constraints {
         Some(notNull(candidate, s"suggested:not_null:$c", c)) else None
       val un = if (distinct == rows)
         Some(unique(candidate, s"suggested:unique:$c", c)) else None
-      val rg = if (numericCols.contains(c))
-        Some(inRange(candidate, s"suggested:range:$c", c,
-          lit(r.getString(4)).cast("long"), lit(r.getString(5)).cast("long")))
-      else None
+      // The profile renders min/max per TYPE (integral as-is, double/
+      // float on the ×1e6 micro grid, timestamp as a formatted string)
+      // — the derived range rule must grade the candidate in the SAME
+      // domain, or micro-scaled bounds flag every raw double and
+      // unparsable renders cast to null and silently pass.
+      val rg = if (numericCols.contains(c)) {
+        val lo = lit(r.getString(4)); val hi = lit(r.getString(5))
+        import org.apache.spark.sql.types._
+        baseline.schema(c).dataType match {
+          case DoubleType | FloatType =>
+            Some(inRange(candidate, s"suggested:range:$c",
+              floor(col(c).cast("double") * 1e6 + 0.5).cast("long"),
+              lo.cast("long"), hi.cast("long")))
+          case ByteType | ShortType | IntegerType | LongType =>
+            Some(inRange(candidate, s"suggested:range:$c", c,
+              lo.cast("long"), hi.cast("long")))
+          case dt: DecimalType =>
+            Some(inRange(candidate, s"suggested:range:$c", c,
+              lo.cast(dt), hi.cast(dt)))
+          case other => throw new IllegalArgumentException(
+            s"suggested:range:$c: non-numeric type $other — a profile " +
+              "min/max rendered for this type has no range semantics")
+        }
+      } else None
       Seq(nn, un, rg).flatten
     }
     require(checks.nonEmpty, "baseline profile suggested no constraints")

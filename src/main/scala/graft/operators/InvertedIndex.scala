@@ -73,6 +73,39 @@ object InvertedIndex {
       .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"),
         sort_array(collect_list(col("pos"))).as("positions"))
 
+  /** Content-derived fingerprint for a stats partial: the XOR fold of
+    * the batch's id hashes (order-free AND overflow-free — a wrapping
+    * sum would trip ANSI long-overflow on full-range hashes). A
+    * redelivered batch whose ids ledger never landed re-derives the
+    * SAME fresh set → the same key, so the read-side
+    * `dropDuplicates(batch_key, n_docs, sum_dl)` folds the re-appended
+    * partial exactly once — without it N and avgdl would double-count
+    * and every served BM25 score would silently shift (the posting
+    * duplicates already heal; the stats needed the same contract).
+    * Ids are unique within a partial (dropDuplicates upstream), so XOR
+    * cancellation needs a hash collision to fire. */
+  private def statsBatchKey(id: Column): Column =
+    coalesce(call_function("bit_xor", xxhash64(id.cast("long"))), lit(0L))
+      .as("batch_key")
+
+  /** The stats ledger, folded: heal torn-append duplicates first, then
+    * the additive algebra (N and Σdl are sums; num_buckets is a fixed
+    * layout constant, max = the value). */
+  private def readStats(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/stats")
+      .dropDuplicates("batch_key", "n_docs", "sum_dl")
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"),
+        max(col("num_buckets")).as("num_buckets"))
+
+  /** The standing layout's bucket count, or `default` on an empty dir. */
+  private def storedNumBuckets(spark: SparkSession, dir: String,
+                               default: Int): Int = {
+    val r = Dedup.readStateOr(spark, s"$dir/stats",
+        spark.range(0).select(lit(0).as("num_buckets")))
+      .agg(max(col("num_buckets"))).collect()(0)
+    if (r.isNullAt(0)) default else r.getInt(0)
+  }
+
   /** Dictionary view: per-term df (docs containing) and cf (total
     * occurrences) — the index's statistics table, derivable from the
     * postings by one more map-side-combined groupBy. */
@@ -93,7 +126,8 @@ object InvertedIndex {
     // zero-token doc has no posting rows but still counts in N/Σdl
     // (exactly as the scan path's one-pass agg counts it)
     df.agg(count(lit(1)).as("n_docs"),
-        sum(size(toks(fields)).cast("long")).as("sum_dl"))
+        sum(size(toks(fields)).cast("long")).as("sum_dl"),
+        statsBatchKey(col(idCol)))
       .withColumn("num_buckets", lit(numBuckets))
       .write.mode("overwrite").parquet(s"$dir/stats")
     if (keywordCols.nonEmpty)
@@ -122,6 +156,13 @@ object InvertedIndex {
   def appendBatch(batch: DataFrame, idCol: String, fields: Seq[String],
                   dir: String, numBuckets: Int = 64): Unit = {
     val spark = batch.sparkSession
+    // the bucket layout is fixed at first write: appending under a
+    // different modulus would mis-bucket new postings while the serve
+    // path prunes with the standing value — silently losing matches
+    val stored = storedNumBuckets(spark, dir, numBuckets)
+    require(stored == numBuckets,
+      s"appendBatch numBuckets=$numBuckets does not match the standing " +
+        s"index layout at $dir (num_buckets=$stored)")
     val b = batch.dropDuplicates(idCol)
     val seen = Dedup.readStateOr(spark, s"$dir/seenIds",
       b.select(col(idCol).cast("long").as("doc_id")).limit(0))
@@ -135,7 +176,8 @@ object InvertedIndex {
         .write.partitionBy("bucket").mode("append")
         .parquet(s"$dir/postings")
       fresh.agg(count(lit(1)).as("n_docs"),
-          sum(size(toks(fields)).cast("long")).as("sum_dl"))
+          sum(size(toks(fields)).cast("long")).as("sum_dl"),
+          statsBatchKey(col(idCol)))
         .withColumn("num_buckets", lit(numBuckets))
         .write.mode("append").parquet(s"$dir/stats")
       fresh.select(col(idCol).cast("long").as("doc_id"))
@@ -183,10 +225,8 @@ object InvertedIndex {
   def scored(spark: SparkSession, dir: String, terms: Seq[String],
              k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty, "scored needs at least one term")
-    val meta = spark.read.parquet(s"$dir/stats")
-      .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"),
-        max(col("num_buckets")).as("nb"))
-    val numBuckets = meta.select(col("nb")).collect()(0).getInt(0)
+    val meta = readStats(spark, dir)
+    val numBuckets = meta.select(col("num_buckets")).collect()(0).getInt(0)
     val ts = terms.map(_.toLowerCase)
     val post = readPostings(spark, dir, ts, numBuckets)
     // df(t) from the pruned postings (complete per construction) +

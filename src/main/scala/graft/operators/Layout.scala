@@ -54,9 +54,18 @@ object Layout {
   /** Integer grid coordinate in `[0, 2^bits)` for `c` given the
     * column's min/max: `(c − mn) · 2^bits ÷ (mx − mn + 1)`, exact
     * integer arithmetic (callers own `range · 2^bits < 2^63`, true
-    * for any 32-bit-ish key domain). */
-  def gridCoord(c: Column, mn: Column, mx: Column, bits: Int): Column =
-    ((c.cast("long") - mn) * lit(1L << bits)) / (mx - mn + lit(1L))
+    * for any 32-bit-ish key domain). The divide is SQL `div`
+    * (IntegralDivide), not `/` — Spark's `/` on longs is double
+    * division, whose rounded quotient can land on the wrong integer
+    * once the numerator exceeds ~2^53. */
+  def gridCoord(c: Column, mn: Column, mx: Column, bits: Int): Column = {
+    val num = (c.cast("long") - mn) * lit(1L << bits)
+    val den = mx - mn + lit(1L)
+    org.apache.spark.sql.GraftBridge.column(
+      org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+        org.apache.spark.sql.GraftBridge.expression(num),
+        org.apache.spark.sql.GraftBridge.expression(den)))
+  }
 
   /** The layout decision + its manifest in one frame: rows of
     * `(shard, n_rows, min_a, max_a, min_b, max_b)` for `df`

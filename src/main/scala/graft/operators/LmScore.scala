@@ -146,7 +146,15 @@ object LmScore {
     * forms agree bit-for-bit (LmScoreSpec asserts it). */
   def bigramScoreBroadcast(df: DataFrame, textCol: String,
                            lmTable: DataFrame,
-                           floorLpQ: Long = DefaultFloorLpQ): DataFrame = {
+                           floorLpQ: Long = DefaultFloorLpQ,
+                           maxBroadcastRows: Long = MaxBroadcastModelRows)
+      : DataFrame = {
+    // the collect below is safe only while the model is vocab-sized;
+    // a corpus-derived table past the bound would OOM the driver, so
+    // fall back to the join form — same bits (integer micro-nat sums
+    // are order-free; the spec asserts parity), different cost shape
+    if (lmTable.count() > maxBroadcastRows)
+      return bigramScoreJoinProjection(df, textCol, lmTable, floorLpQ)
     val model: Map[(String, String), Long] = lmTable
       .select(col("w1"), col("w2"), col("lp_q"))
       .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
@@ -172,6 +180,30 @@ object LmScore {
         when(col("n_bigrams") === 0, 0.0)
           .otherwise(col("lp_sum_q").cast("double") / col("n_bigrams").cast("double")))
       .drop("__sc")
+  }
+
+  /** Driver-collect ceiling for [[bigramScoreBroadcast]]'s model map:
+    * ~2M entries ≈ a few hundred MB of boxed (w1, w2) → lp_q on the
+    * driver — comfortable headroom under a default driver heap, and
+    * far above any vocab-sized bigram artifact. Past it the broadcast
+    * form silently becomes the join form. */
+  val MaxBroadcastModelRows: Long = 2000000L
+
+  /** [[bigramScoreWith]]'s join-form scoring re-shaped to the
+    * broadcast form's PROJECTION contract (input columns kept): rows
+    * get a transient id, score through the join form keyed on it, and
+    * rejoin. The id frame is localCheckpoint'd first —
+    * `monotonically_increasing_id` is only stable within one
+    * evaluation, and the id appears on both sides of the rejoin. */
+  private def bigramScoreJoinProjection(df: DataFrame, textCol: String,
+                                        lmTable: DataFrame,
+                                        floorLpQ: Long): DataFrame = {
+    val rid = df.withColumn("__rid", monotonically_increasing_id())
+      .localCheckpoint()
+    val scored = bigramScoreWith(rid, "__rid", textCol, lmTable, floorLpQ)
+    rid.join(scored, Seq("__rid"))
+      .select(df.columns.map(col) ++ Seq(col("n_bigrams"), col("n_oov"),
+        col("lp_sum_q"), col("avg_lp_q")): _*)
   }
 
   /** Per-doc bigram LM score under a model trained ON the scored

@@ -68,4 +68,32 @@ class ConstraintsSpec extends SparkSpec {
     assert(out("suggested:range:len") == 1L)  // 99 > max 30
     assert(out("suggested:not_null:id") == 0L)
   }
+
+  test("a suggested range over a DOUBLE column grades on the micro grid") {
+    import spark.implicits._
+    // the profile renders double min/max ×1e6 — the derived rule must
+    // compare candidates in that same domain, not raw-vs-scaled
+    val base = Seq((1L, 0.25), (2L, 0.75), (3L, 0.50)).toDF("id", "score")
+    val cand = Seq((4L, 0.25), (5L, 0.75), (6L, 0.80), (7L, 0.10))
+      .toDF("id", "score")
+    val out = Constraints.suggestedSuite(base, cand,
+        numericCols = Seq("score"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // 0.80 > max 0.75 and 0.10 < min 0.25; the boundary values pass
+    assert(out("suggested:range:score") == 2L)
+    // and a baseline self-check is violation-free (the exactness
+    // property the micro grid buys: boundary equality survives)
+    val self = Constraints.suggestedSuite(base, base,
+        numericCols = Seq("score"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(self("suggested:range:score") == 0L)
+  }
+
+  test("a suggested range over a non-numeric column fails fast") {
+    import spark.implicits._
+    val base = Seq((1L, "a")).toDF("id", "tag")
+    intercept[IllegalArgumentException] {
+      Constraints.suggestedSuite(base, base, numericCols = Seq("tag"))
+    }
+  }
 }

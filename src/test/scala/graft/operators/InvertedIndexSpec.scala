@@ -94,6 +94,35 @@ class InvertedIndexSpec extends SparkSpec {
       "dropDuplicates(term, doc_id) must absorb re-appended postings")
   }
 
+  test("crash-window duplicate STATS partial heals read-side") {
+    val inc = java.nio.file.Files.createTempDirectory("graft-idx-torn").toString
+    val docs = Tables.documents(spark, dir)
+    Seq(0L, 1L, 2L).foreach { sl =>
+      InvertedIndex.appendBatch(docs.filter(col("doc_id") % 3 === sl),
+        "doc_id", Seq("text"), inc)
+    }
+    val before = indexScores(inc)
+    // the OTHER crash window: stats partial landed, ids did not; the
+    // retried batch re-derives the same fresh set → an identical
+    // partial re-appends. Without the batch_key dedup, N and Σdl
+    // double-count and every served score silently shifts.
+    val last = spark.read.parquet(s"$inc/stats")
+      .orderBy(col("batch_key")).limit(1)
+    last.write.mode("append").parquet(s"$inc/stats")
+    assert(indexScores(inc) == before,
+      "dropDuplicates(batch_key, …) must absorb a re-appended stats partial")
+  }
+
+  test("appendBatch under a different bucket layout fails fast") {
+    val d = freshIndex() // layout fixed at 64
+    val ex = intercept[IllegalArgumentException] {
+      InvertedIndex.appendBatch(
+        Tables.documents(spark, dir).limit(5), "doc_id", Seq("text"),
+        d, numBuckets = 32)
+    }
+    assert(ex.getMessage.contains("num_buckets"))
+  }
+
   test("indexDeltaSink maintains the index from a true stream") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.Trigger

@@ -122,6 +122,23 @@ class LmScoreSpec extends SparkSpec {
     assert(cols.startsWith(Seq("doc_id", "text")))
   }
 
+  test("oversized model auto-falls-back to the join form, bit for bit") {
+    val model = LmScore.train(docs.filter($"doc_id" <= 3L), "doc_id", "text")
+    val held = docs.unionByName(Seq((9L, "zz qq")).toDF("doc_id", "text"))
+    val viaBcast = LmScore.bigramScoreBroadcast(held, "text", model)
+      .orderBy("doc_id").collect().toSeq
+    // a 1-row ceiling guarantees the guard fires (the model has more)
+    assert(model.count() > 1L)
+    val viaFallback = LmScore.bigramScoreBroadcast(held, "text", model,
+        maxBroadcastRows = 1L)
+      .orderBy("doc_id").collect().toSeq
+    assert(viaFallback == viaBcast)
+    // the fallback keeps the projection contract too
+    assert(LmScore.bigramScoreBroadcast(held, "text", model,
+      maxBroadcastRows = 1L).columns.toSeq ==
+      LmScore.bigramScoreBroadcast(held, "text", model).columns.toSeq)
+  }
+
   test("self-train shape: bigramScore ≡ scoreWith(train(self)), n_oov = 0") {
     val viaSplit = LmScore.bigramScoreWith(docs, "doc_id", "text",
       LmScore.train(docs, "doc_id", "text"))

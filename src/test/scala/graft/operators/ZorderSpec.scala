@@ -26,6 +26,22 @@ class ZorderSpec extends SparkSpec {
     assert(r.getLong(2) == 21L)  // 010101₂
   }
 
+  test("gridCoord is exact integer division past double precision") {
+    // a 32-bit key domain at bits=31 puts the numerator near 2^63 —
+    // the old double `/` could round the quotient onto the wrong
+    // integer; the SQL `div` form must match BigInt exactly
+    val bits = 31
+    val mn = 0L; val mx = (1L << 32) - 2L
+    val vals = Seq(0L, 1L, (1L << 32) - 3L, (1L << 31) + 12345L,
+      (1L << 30) - 7L, 3037000499L)
+    val out = vals.toDF("v")
+      .select(Layout.gridCoord(col("v"), lit(mn), lit(mx), bits).as("g"))
+      .as[Long].collect().toSeq
+    val den = BigInt(mx - mn + 1L)
+    val exp = vals.map(v => ((BigInt(v - mn) * BigInt(1L << bits)) / den).toLong)
+    assert(out == exp)
+  }
+
   test("shards partition the corpus; manifest row per shard") {
     val m = Layout.zorderManifest(grid, "x", "y", bits = 8, numShards = 10)
       .collect()
