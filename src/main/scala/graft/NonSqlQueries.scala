@@ -239,12 +239,16 @@ object NonSqlQueries {
 
     // PQ ANN (Jégou et al. 2011): train per-subspace L2 codebooks,
     // encode the corpus to m-byte codes, ADC-shortlist on codes
-    // alone, exact re-rank of the shortlist. Trained codebooks are
-    // float-mean artifacts (not SQL-replayable) — rows-only here;
-    // PqSpec pins codebook shape, lossless-corpus ADC exactness, and
-    // refine recall.
+    // alone, exact re-rank of the shortlist. The grid-exact mode
+    // (integer Lloyd on the 1/1000 grid, the kmeansExactState
+    // discipline per subspace) makes the WHOLE chain SQL-replayable,
+    // so this entry is hash-gated end to end (oracle in SparkEntry —
+    // graduated from rows-only in round 11, the x29 precedent); the
+    // float pqTopK stays available and PqSpec pins both modes' grid/
+    // float trainers against sequential references and their refine
+    // recall on the real corpus.
     "x26_pq_topk" -> q((s, d) =>
-      Similarity.pqTopK(Tables.embeddings(s, d), "vec_id", "embedding",
+      Similarity.pqTopKExact(Tables.embeddings(s, d), "vec_id", "embedding",
         queryId = 0L, m = 8, kCode = 16, k = 20, refine = 4)),
 
     // ExactSubstr dedup, 100 TB key mode: stage 1-2 shuffle an 8-byte

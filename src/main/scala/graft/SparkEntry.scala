@@ -2115,6 +2115,21 @@ object SparkEntry {
           inRef = hour(col("ts")) < 12, base, batchId = bid.toLong)
       }
       Drift.keyedDriftFromDirs(s, base)
+    }),
+
+    // q159's confusion matrix fed INCREMENTALLY (3 slices + 1
+    // redelivered): per-(truth, pred) BIGINT partials fold
+    // effectively-once (the q181 ledger contract applied to the eval
+    // family) and hash-match the ONE-SHOT oracle verbatim.
+    "q182_confusion_inc" -> q((s, d) => {
+      val labeled = evalLabeled(s, d)
+      val base = Scratch.dir("graft-conf-inc")
+      Seq(0, 1, 2, 1).zipWithIndex.foreach { case (slice, bid) =>
+        Eval.confusionDeltaBatch(
+          labeled.filter(col("doc_id") % 3 === slice),
+          "doc_id", "truth", "pred", base, batchId = bid.toLong)
+      }
+      Eval.confusionFromDirs(s, base)
     })
   ) ++ NonSqlQueries.queries
 
@@ -2124,6 +2139,7 @@ object SparkEntry {
   private def evalLabeled(s: SparkSession, d: String): DataFrame = {
     val wc = operators.TextStats.wordCount(coalesce(col("text"), lit("")))
     Tables.documents(s, d).select(
+      col("doc_id"),
       Classify.overall(pseudoScore(col("n_chars"))).as("truth"),
       Classify.overall((wc % 199 - 99) / 99.0).as("pred"))
   }
@@ -4765,6 +4781,16 @@ object SparkEntry {
          FROM cand JOIN e ON cand.vec_id = e.vec_id, q
          ORDER BY cos DESC, cand.vec_id LIMIT 20""",
 
+    // Grid-exact PQ replay: per-subspace integer Lloyd unrolled as
+    // CTEs (the q78 template keyed by sub), integer encode + ADC
+    // shortlist, x12's exact-fold cosine re-rank.
+    "x26_pq_topk" -> OraclePq.x26Sql(dim = 64, m = 8, k = 16, iters = 3,
+      scale = 1000, queryId = 0L, topK = 20, refine = 4),
+
+    // The state round-trip is bit-exact (PcaSpec), so the reloaded
+    // projection replays as q97's SQL at the x32 iteration depth.
+    "x32_pca_state_roundtrip" -> OraclePca.q97Sql(iters = 30),
+
     // SemDeDup replay: same smallest-id centroids and argmax tie
     // order as x23's assignment, exact-fold cosine for the in-cell
     // pair threshold (bit-identical doubles), then the x18
@@ -5684,9 +5710,10 @@ object SparkEntry {
          QUALIFY row_number() OVER (ORDER BY dist, cf DESC, term) <= 5
          ORDER BY dist, cf DESC, term""",
 
-    "q159_confusion" ->
-      s"""WITH $EvalLabelsSql
-         SELECT truth, pred, COUNT(*) AS n FROM l GROUP BY 1, 2""",
+    "q159_confusion" -> Q159Sql,
+
+    // The incremental fold must land exactly the one-shot matrix.
+    "q182_confusion_inc" -> Q159Sql,
 
     // Same exact-count margins + the same double divisions and micro
     // grid as Eval.classReport.
@@ -6268,6 +6295,12 @@ object SparkEntry {
   /** q159-q161's shared labeled frame: the q03 pseudo-score classify
     * (truth) and the token-count pseudo engine (pred) — the exact SQL
     * twins of [[evalLabeled]]. */
+  /** q159/q182's shared confusion-matrix replay — one literal because
+    * the incremental fold must land the one-shot matrix verbatim. */
+  private lazy val Q159Sql: String =
+    s"""WITH $EvalLabelsSql
+       SELECT truth, pred, COUNT(*) AS n FROM l GROUP BY 1, 2"""
+
   private val EvalLabelsSql: String =
     """l AS (
          SELECT CASE WHEN (n_chars % 201 - 100) / 100.0 >= 0.1 THEN 'positive'

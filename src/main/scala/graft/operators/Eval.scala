@@ -128,4 +128,47 @@ object Eval {
       micro(po).as("po_micro"), micro(pe).as("pe_micro"),
       micro(kappa).as("kappa_micro"))
   }
+
+  /** One micro-batch of the INCREMENTAL confusion matrix — the
+    * monitoring loop's eval twin of [[Drift.driftDeltaBatch]], under
+    * the same effectively-once ledger contract: rows dedup on
+    * `idCol`, anti-join the seen-ids ledger (a REDELIVERED batch
+    * lands nothing), the delta's per-(truth, pred) counts append
+    * FIRST tagged with `batchId`, ids LAST (the crash between the two
+    * appends re-lands an identical partial that the read-side
+    * `dropDuplicates(batch_id, truth, pred)` heals). Counts are
+    * mergeable BIGINTs, so any fold order reproduces the one-shot
+    * [[confusionMatrix]] bit-for-bit.
+    *
+    * Scale shape per batch: one delta-sized map-side-combined shuffle
+    * (≤ |classes|² partial rows) + one anti-join probe of the id
+    * ledger. */
+  def confusionDeltaBatch(batch: DataFrame, idCol: String,
+                          truthCol: String, predCol: String,
+                          baseDir: String, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val b = batch.dropDuplicates(idCol)
+    val seen = Dedup.readStateOr(spark, s"$baseDir/seenIds",
+      b.select(col(idCol)).limit(0))
+    val fresh = b.join(seen, Seq(idCol), "left_anti").localCheckpoint()
+    fresh.groupBy(col(truthCol).as("truth"), col(predCol).as("pred"))
+      .agg(count(lit(1)).as("n"))
+      .select(lit(batchId).as("batch_id"), col("truth"), col("pred"),
+        col("n"))
+      .write.mode("append").parquet(s"$baseDir/cells")
+    fresh.select(col(idCol)).write.mode("append")
+      .parquet(s"$baseDir/seenIds")
+    fresh.unpersist()
+    ()
+  }
+
+  /** Final matrix from the standing ledger: `(batch_id, truth, pred)`
+    * dedup heals torn appends, then the additive fold — the same
+    * `(truth, pred, n)` frame [[confusionMatrix]] emits one-shot. */
+  def confusionFromDirs(spark: org.apache.spark.sql.SparkSession,
+                        baseDir: String): DataFrame =
+    spark.read.parquet(s"$baseDir/cells")
+      .dropDuplicates("batch_id", "truth", "pred")
+      .groupBy(col("truth"), col("pred"))
+      .agg(sum(col("n")).as("n"))
 }

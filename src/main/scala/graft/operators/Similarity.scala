@@ -120,6 +120,23 @@ object Similarity {
     Seq.fill(numPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
   }
 
+  /** Corpus-sized plane count for sign-bit LSH: enough planes that
+    * EXPECTED bucket occupancy stays ≤ `targetOcc`, never below the
+    * caller's `base` (so small corpora keep their tuned layout
+    * unchanged — this only ever ADDS planes as n grows). Bucket count
+    * is 2^planes: held fixed while the corpus grows, in-bucket
+    * candidate pairs grow quadratically and hot buckets march into
+    * the maxBucket drop-cap; log₂-scaling the planes restores ~linear
+    * pair growth (n · targetOcc). The default target of 64 leaves the
+    * observed ~12× skew factor (hottest bucket vs mean, X38Probe,
+    * SCALING.md round 11) a further ~5× headroom under the default
+    * 4096 cap. Capped at 30 (bucket ids stay in Int). */
+  def autoPlanes(n: Long, base: Int, targetOcc: Int = 64): Int = {
+    var p = base
+    while (p < 30 && (n >> p) > targetOcc) p += 1
+    p
+  }
+
   /** Sign-bit bucket id of a vector against the given planes — native:
     * bucket = Σ 2ᵖ·[v·planeₚ ≥ 0]. */
   def bucketOf(vec: Column, planes: Seq[Seq[Double]]): Column =
@@ -779,6 +796,147 @@ object Similarity {
     encoded.join(broadcast(shortlist.select(col(idCol))), Seq(idCol))
       .select(col(idCol), cosineFast(asDouble(col(vecCol)),
         typedLit[Seq[Double]](qv)).as("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** [[pqTrain]] on the integer grid — the [[kmeansExactState]]
+    * discipline applied per subspace, closing pqTrain's documented
+    * non-replayability (the x29 rollingKey precedent: same operator
+    * family, an oracle-replayable mode). Vectors quantize once onto
+    * the 1/`scale` grid; every distance and mean-update is an exact
+    * BIGINT (centroid update = floor((2s+n)/(2n)), one IEEE division
+    * both engines round identically); assignment ties break (dist,
+    * cid). Nothing depends on accumulation order, so the trained
+    * codebook is partitioning-independent and a full train run
+    * replays in SQL with iterations unrolled as CTEs (the x26
+    * oracle). Same one-scan shape as [[pqTrain]]: all m subspaces
+    * slice in one pass and the Lloyd loop runs keyed (sub, cid).
+    * Returns `(sub, cid, cq: array<long>)`. */
+  def pqTrainExact(df: DataFrame, idCol: String, vecCol: String,
+                   m: Int = 8, k: Int = 16, iters: Int = 3,
+                   scale: Int = 1000): DataFrame = {
+    val dim = df.select(size(asDouble(col(vecCol)))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
+    val subDim = dim / m
+    val sliced = df
+      .select(col(idCol).cast("long").as("id"),
+        quantizeVec(col(vecCol), scale).cast("array<long>").as("qv"))
+      .select(col("id"), posexplode(
+        transform(sequence(lit(0), lit(m - 1)),
+          sub => slice(col("qv"), sub * subDim + 1, lit(subDim)))))
+      .withColumnRenamed("pos", "sub").withColumnRenamed("col", "sv")
+      .localCheckpoint()
+    val init = sliced
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(col("sub")).orderBy(col("id"))))
+      .filter(col("__rk") <= k)
+      .select(col("sub"), (col("__rk") - 1).cast("long").as("cid"),
+        col("sv").as("cq"))
+      .localCheckpoint()
+    var cents = init
+    for (_ <- 1 to iters) {
+      val centList = cents
+        .groupBy(col("sub"))
+        .agg(collect_list(struct(col("cid"), col("cq"))).as("cents"))
+        .localCheckpoint()
+      val assigned = sliced.join(broadcast(centList), Seq("sub"))
+        .select(col("sub"),
+          assignExact(col("sv"), col("cents")).getField("cid").as("cell"),
+          col("sv"))
+      val means = assigned
+        .select(col("sub"), col("cell"), posexplode(col("sv")))
+        .groupBy(col("sub"), col("cell"), col("pos"))
+        .agg(sum(col("col")).as("s"), count(lit(1)).as("n"))
+        .select(col("sub"), col("cell"), col("pos"),
+          floor((lit(2.0) * col("s") + col("n")) / (lit(2.0) * col("n")))
+            .cast("long").as("mv"))
+        .groupBy(col("sub"), col("cell"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("mv")))),
+          s => s.getField("mv")).as("mvec"))
+        .withColumnRenamed("sub", "msub")
+      cents = cents.join(means,
+          cents("sub") === means("msub") && cents("cid") === means("cell"),
+          "left")
+        .select(cents("sub").as("sub"), col("cid"),
+          coalesce(col("mvec"), col("cq")).as("cq"))
+        .localCheckpoint()
+    }
+    cents
+  }
+
+  private def gridCodebookArrays(codebook: DataFrame)
+      : Array[Array[(Long, Array[Long])]] =
+    codebook.select(col("sub"), col("cid"), col("cq")).collect()
+      .groupBy(_.getInt(0))
+      .toSeq.sortBy(_._1)
+      .map(_._2.map(r => (r.getLong(1), r.getSeq[Long](2).toArray)).sortBy(_._1))
+      .toArray
+
+  /** Integer squared-L2 over JVM longs — the grid twin of
+    * [[l2sqOf]]; exact, so no fold-order caveats. */
+  private def l2sqLongOf(a: Array[Long], b: Seq[Long]): Long = {
+    var s = 0L; var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { val d = a(i) - b(i); s += d * d; i += 1 }
+    s
+  }
+
+  /** End-to-end PQ ANN on the integer grid — [[pqTopK]]'s pipeline
+    * (train → encode → ADC-shortlist refine×k → exact re-rank)
+    * under [[pqTrainExact]]'s codebook: every pre-re-rank quantity
+    * (codes, ADC table, shortlist order) is an exact BIGINT and the
+    * re-rank is the bit-replayable [[cosineFast]], so the WHOLE
+    * chain replays in SQL — this is x26's oracle-gated path. Same
+    * scale shape as [[pqTopK]]: codebook and ADC table broadcast
+    * (model-sized), encoding and scoring scan-local, exactness paid
+    * on refine×k rows only. Output `(idCol, cos)`. */
+  def pqTopKExact(df: DataFrame, idCol: String, vecCol: String,
+                  queryId: Long, m: Int = 8, kCode: Int = 16, k: Int = 20,
+                  refine: Int = 4, iters: Int = 3,
+                  scale: Int = 1000): DataFrame = {
+    val codebook = pqTrainExact(df, idCol, vecCol, m, kCode, iters, scale)
+      .localCheckpoint()
+    val cb = gridCodebookArrays(codebook)
+    val subDim = cb(0)(0)._2.length
+    val qvRaw = df.filter(col(idCol) === queryId)
+      .select(asDouble(col(vecCol))).head().getSeq[Double](0)
+    // quantize the query exactly as quantizeVec does (same IEEE ops)
+    val qq = qvRaw.map(x => math.floor(x * scale + 0.5).toLong).toArray
+    val table: Array[Array[Long]] = cb.zipWithIndex.map { case (cents, sub) =>
+      val qs = qq.slice(sub * subDim, (sub + 1) * subDim)
+      cents.map { case (_, c) => l2sqLongOf(qs, c.toSeq) }
+    }
+    val bcCb = df.sparkSession.sparkContext.broadcast(cb)
+    val bcTab = df.sparkSession.sparkContext.broadcast(table)
+    val mLocal = cb.length; val scaleLocal = scale
+    val adcUdf = udf { (v: Seq[Double]) =>
+      // encode (strict < over ascending cid = the (dist, cid) min)
+      // and ADC-sum in one pass; integer arithmetic throughout
+      var s = 0L; var sub = 0
+      while (sub < mLocal) {
+        val sv = Array.tabulate(bcCb.value(sub)(0)._2.length)(i =>
+          math.floor(v(sub * bcCb.value(sub)(0)._2.length + i)
+            * scaleLocal + 0.5).toLong)
+        var bestIdx = 0; var best = Long.MaxValue
+        var ci = 0
+        while (ci < bcCb.value(sub).length) {
+          val d = l2sqLongOf(sv, bcCb.value(sub)(ci)._2.toSeq)
+          if (d < best) { best = d; bestIdx = ci }
+          ci += 1
+        }
+        s += bcTab.value(sub)(bestIdx)
+        sub += 1
+      }
+      s
+    }
+    val shortlist = df.filter(col(idCol) =!= queryId)
+      .select(col(idCol), adcUdf(asDouble(col(vecCol))).as("adc"))
+      .orderBy(col("adc"), col(idCol))
+      .limit(refine * k)
+    df.join(broadcast(shortlist.select(col(idCol))), Seq(idCol))
+      .select(col(idCol), cosineFast(asDouble(col(vecCol)),
+        typedLit[Seq[Double]](qvRaw)).as("cos"))
       .orderBy(col("cos").desc, col(idCol))
       .limit(k)
   }

@@ -74,6 +74,28 @@ class AudioSpec extends SparkSpec {
     assert(silent.rms == 0.0 && silent.zeroCrossings == 0L)
   }
 
+  test("a chunk length near Int.MaxValue cannot wrap the walk negative") {
+    // crafted RIFF: a JUNK chunk DECLARING ~2^31 bytes it doesn't have
+    // — the old Int cursor overflowed negative, passed the bounds
+    // check, and threw ArrayIndexOutOfBounds; the walk must just stop
+    def hostile(declared: Long): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      def w32(v: Long): Unit =
+        (0 until 4).foreach(i => out.write(((v >> (8 * i)) & 0xff).toInt))
+      out.write("RIFF".getBytes); w32(100L)
+      out.write("WAVE".getBytes)
+      out.write("fmt ".getBytes); w32(16L)
+      out.write(Array.fill[Byte](16)(1))
+      out.write("JUNK".getBytes); w32(declared)
+      out.write(Array.fill[Byte](64)(0)) // far fewer than declared
+      out.toByteArray
+    }
+    for (len <- Seq(Int.MaxValue - 16L, Int.MaxValue - 1L, 0xfffffff0L)) {
+      assert(Multimodal.pcmStats(hostile(len)).isEmpty)
+      assert(Multimodal.audioHeader(hostile(len)).isEmpty)
+    }
+  }
+
   test("featurizeAudio: decoded rows carry micro-rounded stats; garbage rows are flagged") {
     val rows = Seq(
       (1L, Multimodal.synthWav(1L)),

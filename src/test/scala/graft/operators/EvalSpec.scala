@@ -127,4 +127,29 @@ class EvalSpec extends SparkSpec {
       .select(col("kappa_micro")).as[Long].collect().head
     assert(k0 == 0L) // pe = 1 convention
   }
+
+  test("incremental confusion fold == one-shot; redelivery and torn appends heal") {
+    val rows = (0L until 60L).map(i =>
+      (i, Seq("a", "b", "c")(((i * 7) % 3).toInt),
+          Seq("a", "b", "c")(((i * 5) % 3).toInt)))
+    val df = rows.toDF("id", "truth", "pred")
+    val oneShot = Eval.confusionMatrix(df, "truth", "pred")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val base = java.nio.file.Files.createTempDirectory("graft-conf-spec").toString
+    // 3 slices + batch 1 REDELIVERED: the ledger must land it once
+    Seq(0L, 1L, 2L, 1L).zipWithIndex.foreach { case (sl, bid) =>
+      Eval.confusionDeltaBatch(df.filter(col("id") % 3 === sl),
+        "id", "truth", "pred", base, batchId = bid.toLong)
+    }
+    def folded(): Map[(String, String), Long] =
+      Eval.confusionFromDirs(spark, base)
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(folded() == oneShot)
+    // torn append: a partial re-lands (cells written, ids never
+    // committed, batch retried) — (batch_id, truth, pred) dedup heals
+    val torn = spark.read.parquet(s"$base/cells")
+      .filter(col("batch_id") === 2L)
+    torn.write.mode("append").parquet(s"$base/cells")
+    assert(folded() == oneShot)
+  }
 }

@@ -112,6 +112,71 @@ class PqSpec extends SparkSpec {
     assert(cb == ref)
   }
 
+  /** Integer-grid sequential reference for [[Similarity.pqTrainExact]]:
+    * quantize to the 1/scale grid, then per-subspace Lloyd with
+    * (dist, cid) tiebreak and the exact half-up mean
+    * floor((2s+n)/(2n)) — all BigInt-free because the test values
+    * stay far below overflow. */
+  private def refTrainExact(vecs: Seq[(Long, Seq[Double])], m: Int, k: Int,
+                            iters: Int, scale: Int)
+      : Map[(Int, Long), Seq[Long]] = {
+    val subDim = vecs.head._2.length / m
+    val q = vecs.map { case (id, v) =>
+      (id, v.map(x => math.floor(x * scale + 0.5).toLong)) }
+    def l2(a: Seq[Long], b: Seq[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    (0 until m).flatMap { sub =>
+      val svs = q.map { case (id, v) =>
+        (id, v.slice(sub * subDim, (sub + 1) * subDim)) }
+      var cents: Seq[(Long, Seq[Long])] = svs.sortBy(_._1).take(k)
+        .zipWithIndex.map { case ((_, sv), i) => (i.toLong, sv) }
+      for (_ <- 1 to iters) {
+        val assigned = svs.map { case (_, sv) =>
+          (cents.minBy { case (cid, c) => (l2(sv, c), cid) }._1, sv) }
+        cents = cents.map { case (cid, old) =>
+          val members = assigned.filter(_._1 == cid).map(_._2)
+          if (members.isEmpty) (cid, old)
+          else (cid, (0 until subDim).map { j =>
+            val s = members.map(_(j)).sum; val n = members.size.toLong
+            Math.floorDiv(2L * s + n, 2L * n)
+          })
+        }
+      }
+      cents.map { case (cid, c) => ((sub, cid), c) }
+    }.toMap
+  }
+
+  test("grid trainer == per-subspace integer reference, exactly") {
+    val cb = Similarity.pqTrainExact(lossless, "vec_id", "embedding",
+        m = 4, k = 4, iters = 3, scale = 1000)
+      .collect().map(r => ((r.getInt(0), r.getLong(1)), r.getSeq[Long](2)))
+      .toMap
+    val ref = refTrainExact(
+      lossless.collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq,
+      m = 4, k = 4, iters = 3, scale = 1000)
+    assert(cb == ref)
+  }
+
+  test("real embeddings: grid-exact mode recovers the exact top-k head") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val k = 10
+    val got = Similarity.pqTopKExact(emb, "vec_id", "embedding",
+      queryId = 0L, m = 8, kCode = 16, k = k, refine = 8)
+    val rows = got.collect()
+    assert(rows.length == k)
+    // served in cos-desc order
+    assert(rows.map(_.getDouble(1)).toSeq ==
+      rows.map(_.getDouble(1)).sortBy(-_).toSeq)
+    val qv = emb.filter($"vec_id" === 0L)
+      .select($"embedding".cast("array<double>")).as[Seq[Double]].head()
+    val exact = Similarity.topKBruteForce(
+      emb.filter($"vec_id" =!= 0L), "vec_id", "embedding", qv, k = k)
+      .select($"vec_id".cast("long")).as[Long].collect().toSet
+    val recall = (rows.map(_.getLong(0)).toSet intersect exact).size.toDouble / k
+    info(s"grid-exact PQ refine recall@$k = $recall")
+    assert(recall >= 0.5, s"recall@$k was $recall")
+  }
+
   test("real embeddings: refine step recovers the exact top-k head") {
     val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val k = 10

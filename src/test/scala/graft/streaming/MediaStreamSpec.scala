@@ -73,4 +73,37 @@ class MediaStreamSpec extends SparkSpec {
     assert(verdicts(base) == before, "redelivery must fold nothing")
     assert(spark.read.parquet(s"$base/signatures").count() == 6L)
   }
+
+  test("torn append (crash between partials and ids) heals on retry") {
+    val base = java.nio.file.Files.createTempDirectory("media-torn").toString
+    val batchA = (0L until 5L)
+      .map(s => Media(s, Multimodal.encodePng(Multimodal.synthRaster(s))))
+    val batchB =
+      Seq(Media(100L, Multimodal.encodeJpeg(Multimodal.synthRaster(1L)))) ++ // re-encode
+      Seq(Media(101L, Multimodal.encodePng(Multimodal.synthRaster(60L))),     // new
+          Media(102L, Multimodal.encodeJpeg(Multimodal.synthRaster(60L))))    // delta dup
+    CorpusPipeline.mediaDeltaBatch(batchA.toDF(), "media_id", "payload", base)
+    // simulate the crash window: run batch B fully, then ERASE the id
+    // ledger files it appended — verdicts and signatures landed, the
+    // seen-ids commit did not; the retried batch re-derives the same
+    // fresh set and must heal read-side, not double-count
+    val idsDir = java.nio.file.Paths.get(s"$base/seenIds")
+    val beforeFiles = java.nio.file.Files.list(idsDir)
+      .toArray.map(_.toString).toSet
+    CorpusPipeline.mediaDeltaBatch(batchB.toDF(), "media_id", "payload", base)
+    val reference = verdicts(base) // the clean final state
+    java.nio.file.Files.list(idsDir).toArray.map(_.toString)
+      .filterNot(beforeFiles)
+      .foreach(f => java.nio.file.Files.delete(java.nio.file.Paths.get(f)))
+    // retry the batch against the torn state
+    CorpusPipeline.mediaDeltaBatch(batchB.toDF(), "media_id", "payload", base)
+    assert(verdicts(base) == reference,
+      "idempotentBatch must absorb the re-landed verdict partial")
+    // keeper signatures: id 101 keeps (102 is its delta dup, 100 is a
+    // standing re-encode) — the index holds A's 5 keepers + 101, with
+    // at most a benign duplicate row for 101 from the re-append
+    val sigIds = spark.read.parquet(s"$base/signatures")
+      .select(col("media_id")).distinct().as[Long].collect().toSet
+    assert(sigIds == (0L until 5L).toSet + 101L)
+  }
 }
