@@ -104,14 +104,17 @@ object Multimodal {
     * word-aligned (odd sizes carry one pad byte). */
   private def riffChunks(b: Array[Byte]): Iterator[(String, Int, Long)] =
     new scala.collection.AbstractIterator[(String, Int, Long)] {
-      private var i = 12
-      def hasNext: Boolean =
-        i + 8 <= b.length && u32le(b, i + 4) <= Int.MaxValue - 16
+      // Long cursor: a declared len near Int.MaxValue must not wrap the
+      // next-chunk offset negative (a negative Int cursor would pass the
+      // bounds check and index out of bounds on a crafted WAV)
+      private var i: Long = 12L
+      def hasNext: Boolean = i + 8 <= b.length
       def next(): (String, Int, Long) = {
-        val id = new String(b, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
-        val len = u32le(b, i + 4)
-        val off = i + 8
-        i = off + len.toInt + (len.toInt & 1)
+        val at = i.toInt
+        val id = new String(b, at, 4, java.nio.charset.StandardCharsets.US_ASCII)
+        val len = u32le(b, at + 4)
+        val off = at + 8
+        i = off.toLong + len + (len & 1L)
         (id, off, len)
       }
     }
@@ -492,13 +495,32 @@ object Multimodal {
     * signature → LSH-bucketed cosine. Returns `(id_a, id_b, cosine)`.
     * Margins measured on the synth harness (100 rasters, PNG+JPEG
     * each): planted re-encode cosines all above the default
-    * threshold, every distinct-image cosine below it. */
+    * threshold, every distinct-image cosine below it.
+    *
+    * Plane count SCALES with the corpus: `numPlanes` is a floor and
+    * the effective count is [[Similarity.autoPlanes]] of the decoded
+    * row count, keeping expected bucket occupancy bounded as the
+    * media corpus grows — without it, bucket count is fixed while
+    * members grow, so in-bucket candidate pairs grow QUADRATICALLY
+    * and max occupancy marches into the `maxBucket` drop-cap (the
+    * X38Probe measurement, SCALING.md round 11: at 10× media the
+    * hottest default-plane bucket reached 3790 of the 4096 cap).
+    * More planes cost recall only through per-table split
+    * probability, which the table union wins back; re-encode pairs
+    * sit at cosine ≈ 1 where split probability stays negligible.
+    * The decoded signature frame is localCheckpoint'd so the T table
+    * passes (and the sizing count) decode the corpus ONCE. */
   def imageNearDupPairs(media: DataFrame, threshold: Double = 0.995,
                         numPlanes: Int = 6, maxBucket: Int = 4096,
-                        numTables: Int = 3): DataFrame =
-    Similarity.nearDupPairsMultiTable(gridEmbedding(media, 4, 4),
-      "media_id", "embedding", threshold, numPlanes = numPlanes, dim = 48,
+                        numTables: Int = 3): DataFrame = {
+    // sizing count on the INPUT frame: column pruning drops the
+    // payload, so this never decodes (an emb-side count would)
+    val planes = Similarity.autoPlanes(media.count(), numPlanes)
+    val emb = gridEmbedding(media, 4, 4).localCheckpoint()
+    Similarity.nearDupPairsMultiTable(emb,
+      "media_id", "embedding", threshold, numPlanes = planes, dim = 48,
       maxBucket = maxBucket, numTables = numTables)
+  }
 
   /** Seed-varied raster for the near-dup harness: gradient direction,
     * base tint and a seed-placed rectangle all vary per seed, so

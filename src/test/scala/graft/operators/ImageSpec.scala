@@ -93,6 +93,18 @@ class ImageSpec extends SparkSpec {
     assert(byteDupes == 0L)
   }
 
+  test("autoPlanes: floor at small n, log2 growth past the target occupancy") {
+    // the X38Probe scales: sf0.1 (2k media) keeps the tuned floor,
+    // sf1 (20k) gets 9 planes — expected occupancy back under 64
+    assert(Similarity.autoPlanes(200L, 6) == 6)
+    assert(Similarity.autoPlanes(2000L, 6) == 6)
+    assert(Similarity.autoPlanes(20000L, 6) == 9)
+    assert(Similarity.autoPlanes(200000L, 6) == 12)
+    // never below the caller's floor, never past Int bucket ids
+    assert(Similarity.autoPlanes(0L, 6) == 6)
+    assert(Similarity.autoPlanes(Long.MaxValue / 4, 6) == 30)
+  }
+
   test("bit-determinism under repartitioning") {
     val media = (1L to 40L).map(i => (i, Multimodal.synthPng(i)))
       .toDF("media_id", "payload")
