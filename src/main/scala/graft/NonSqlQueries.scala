@@ -310,9 +310,11 @@ object NonSqlQueries {
 
     // Resumable Unigram-LM training: fit, persist, reload, resume 1
     // more EM round — the checkpoint/resume shape iterative trainers
-    // need at corpus scale. Rows-only — q73's one-shot schedule stays
-    // the oracle-checked contract; UnigramSpec proves chained ≡
-    // one-shot through the same parquet round-trip.
+    // need at corpus scale. Hash-gated (graduated from rows-only in
+    // round 11): the state roundtrip is exact and emRound composes
+    // over the fixed post-prune piece set, so the resumed schedule
+    // replays as OracleUnigram's trainCtes + one extra unrolled round;
+    // UnigramSpec additionally proves chained ≡ one-shot in-engine.
     "x33_unigram_resume" -> q((s, d) => {
       val docs = Tables.documents(s, d)
       val st = Unigram.trainState(docs, "text", vocabSize = 64)
@@ -327,8 +329,11 @@ object NonSqlQueries {
     // then two deltas of the remaining docs run through
     // contamDeltaBatch — verdicts land effectively-once, the second
     // delta also overlaps the first via the growing seen-index.
-    // Rows-only — the landed verdict dir is engine-side scratch; q90
-    // oracle-gates the underlying gram-hash overlap math and
+    // Hash-gated (graduated from rows-only in round 11): the landed
+    // verdict table IS the one-shot per-doc overlap report, so it
+    // replays with q90's HUGEINT wrapping gram-hash fold — bench =
+    // src0's distinct hashes, seen = the even-doc_id delta's hashes
+    // (the first delta probes an EMPTY index and scores 0 seen hits);
     // CorpusStreamSpec asserts redelivery lands nothing.
     "x34_stream_decontam" -> q((s, d) => {
       val docs = Tables.documents(s, d)

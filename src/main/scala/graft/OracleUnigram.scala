@@ -111,4 +111,56 @@ object OracleUnigram {
              row_number() OVER (PARTITION BY word ORDER BY score DESC, seg ASC) AS rn
            FROM paths3 WHERE pos = length(word)) WHERE rn = 1) s
        JOIN wt USING (word)"""
+
+  /** One extra post-prune EM round, unrolled: add-one logprobs over
+    * `prev`, enumerate-and-argmax segmentation (E), recount over the
+    * FIXED piece set (M). Mirrors [[graft.operators.Unigram.emRound]]:
+    * the piece set never changes after pruning, so rounds compose and
+    * a resumed round is indistinguishable from a deeper one-shot
+    * schedule — which is exactly what lets x33 hash-check. */
+  private def extraRoundCtes(r: Int, prev: String): String =
+    s"""lp$r AS MATERIALIZED (
+       SELECT piece, cnt,
+         CAST(floor(ln(CAST(cnt + 1 AS DOUBLE) / CAST(t.tot + t.nv AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS lp_q
+       FROM $prev, (SELECT CAST(sum(cnt) AS BIGINT) AS tot, CAST(count(*) AS BIGINT) AS nv FROM $prev) t),
+       paths$r(word, pos, score, seg) AS (
+         SELECT word, CAST(0 AS BIGINT), CAST(0 AS BIGINT), '' FROM wt
+         UNION ALL
+         SELECT p.word, p.pos + length(v.piece), p.score + v.lp_q,
+           CASE WHEN p.seg = '' THEN v.piece ELSE p.seg || '|' || v.piece END
+         FROM paths$r p JOIN lp$r v
+           ON v.piece = substr(p.word, CAST(p.pos AS INT) + 1, length(v.piece))
+         WHERE p.pos < length(p.word)),
+       seg$r AS MATERIALIZED (
+       SELECT word, seg FROM (
+         SELECT word, seg,
+           row_number() OVER (PARTITION BY word ORDER BY score DESC, seg ASC) AS rn
+         FROM paths$r WHERE pos = length(word)) WHERE rn = 1),
+       c$r AS MATERIALIZED (
+       SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+         SELECT unnest(string_split(seg, '|')) AS piece, freq
+         FROM seg$r JOIN wt USING (word)) GROUP BY piece),
+       vocab$r AS MATERIALIZED (
+       SELECT k.piece, COALESCE(c$r.cnt, 0) AS cnt
+       FROM (SELECT piece FROM $prev) k LEFT JOIN c$r USING (piece))"""
+
+  /** x33: the standard 2-round schedule (q83's trainCtes) plus
+    * `extraRounds` more EM rounds — the SQL twin of
+    * `resumeEm(loadState(saveState(trainState(...))), extraRounds)`,
+    * valid because the state roundtrip is exact (strings + BIGINTs)
+    * and emRound composes. Output = (piece, cnt, lp_q). */
+  def x33Sql(vocabSize: Int, maxPieceLen: Int, extraRounds: Int): String = {
+    require(extraRounds >= 1, s"extraRounds must be >= 1 (got $extraRounds)")
+    val rounds = (1 to extraRounds).map { i =>
+      val r = i + 2
+      extraRoundCtes(r, if (i == 1) "vocab" else s"vocab${r - 1}")
+    }.mkString(",\n       ")
+    val last = s"vocab${extraRounds + 2}"
+    s"""WITH RECURSIVE
+       ${trainCtes(vocabSize, maxPieceLen)},
+       $rounds
+       SELECT piece, cnt,
+         CAST(floor(ln(CAST(cnt + 1 AS DOUBLE) / CAST(t.tot + t.nv AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS lp_q
+       FROM $last, (SELECT CAST(sum(cnt) AS BIGINT) AS tot, CAST(count(*) AS BIGINT) AS nv FROM $last) t"""
+  }
 }

@@ -4791,6 +4791,56 @@ object SparkEntry {
     // projection replays as q97's SQL at the x32 iteration depth.
     "x32_pca_state_roundtrip" -> OraclePca.q97Sql(iters = 30),
 
+    // Unigram resume replay: the state roundtrip is exact (strings +
+    // BIGINTs) and emRound composes over a fixed piece set, so
+    // train + 1 resumed round ≡ the 3-round one-shot schedule —
+    // OracleUnigram's trainCtes with one extra unrolled round.
+    "x33_unigram_resume" -> OracleUnigram.x33Sql(vocabSize = 64,
+      maxPieceLen = 4, extraRounds = 1),
+
+    // Streaming decontamination replay: the landed verdict table is
+    // the one-shot per-doc overlap report — q90's HUGEINT wrapping
+    // gram-hash fold, bench = src0's distinct hashes, seen = what the
+    // slice-0 (even doc_id) delta folded in before slice 1 ran (the
+    // first delta probes an EMPTY seen index, so even docs score 0).
+    "x34_stream_decontam" ->
+      """WITH t AS (
+           SELECT doc_id, COALESCE(source, '') AS source,
+             list_filter(regexp_split_to_array(lower(COALESCE(text, '')), '[^a-z0-9'']+'), x -> length(x) > 0) AS toks
+           FROM documents),
+         g AS (
+           SELECT doc_id, source, unnest(CASE WHEN len(toks) < 8 THEN []
+             ELSE list_distinct([array_to_string(toks[i:i+7], ' ') FOR i IN generate_series(1, len(toks) - 7)]) END) AS gram
+           FROM t),
+         hh AS (
+           SELECT DISTINCT doc_id, source,
+             CAST(hu - CASE WHEN hu >= CAST(9223372036854775808 AS HUGEINT)
+               THEN CAST(18446744073709551616 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END AS BIGINT) AS h
+           FROM (
+             SELECT doc_id, source,
+               list_reduce(list_prepend(CAST(0 AS HUGEINT),
+                 [CAST(ord(gram[i]) AS HUGEINT) FOR i IN generate_series(1, length(gram))]),
+                 (a, c) -> (a * 31 + c) % CAST(18446744073709551616 AS HUGEINT)) AS hu
+             FROM g)),
+         bench AS (SELECT DISTINCT h FROM hh WHERE source = 'src0'),
+         rest AS (SELECT doc_id, h FROM hh WHERE source <> 'src0'),
+         seen AS (SELECT DISTINCT h FROM rest WHERE doc_id % 2 = 0),
+         per AS (
+           SELECT r.doc_id,
+             CAST(count(*) AS BIGINT) AS n_grams,
+             CAST(count(*) FILTER (WHERE b.h IS NOT NULL) AS BIGINT) AS n_bench_hits,
+             CAST(count(*) FILTER (WHERE s.h IS NOT NULL AND r.doc_id % 2 = 1) AS BIGINT) AS n_seen_hits
+           FROM rest r
+           LEFT JOIN bench b ON r.h = b.h
+           LEFT JOIN seen s ON r.h = s.h
+           GROUP BY r.doc_id)
+         SELECT d.doc_id,
+           COALESCE(per.n_grams, 0) AS n_grams,
+           COALESCE(per.n_bench_hits, 0) AS n_bench_hits,
+           COALESCE(per.n_seen_hits, 0) AS n_seen_hits
+         FROM (SELECT doc_id FROM documents WHERE source <> 'src0') d
+         LEFT JOIN per USING (doc_id)""",
+
     // SemDeDup replay: same smallest-id centroids and argmax tie
     // order as x23's assignment, exact-fold cosine for the in-cell
     // pair threshold (bit-identical doubles), then the x18
