@@ -524,6 +524,25 @@ object NonSqlQueries {
           compressMinRatioMicro = Some(300000L))))
     }),
 
+    // Resumable suffix-array doubling: one round, parquet the state,
+    // reload, run the remaining two — the checkpoint/restart shape a
+    // log2(L)-round doubling job needs at 100 TB (hours of sorts
+    // should not restart from zero). Hash-gated: rounds compose and
+    // the state round-trip is exact BIGINTs, so the resumed chain's
+    // per-doc verdict IS q87's one-shot report — the oracle is q87's
+    // SQL verbatim (the x33 resume discipline applied to the suffix
+    // family); SuffixResumeSpec pins chained ≡ one-shot rank tables.
+    "x43_suffix_resume" -> q((s, d) => {
+      val docs = Tables.documents(s, d)
+      val st1 = operators.SuffixArray.resumeDoubling(
+        operators.SuffixArray.initState(docs, "doc_id", "text"), 1)
+      val dir = Scratch.dir("graft-suffix-state")
+      operators.SuffixArray.saveState(st1, dir)
+      val st3 = operators.SuffixArray.resumeDoubling(
+        operators.SuffixArray.loadState(s, dir), 2)
+      operators.SuffixArray.statsFromRanks(docs, "doc_id", "text", st3.ranks)
+    }),
+
     // SQL-registration surface smoke: the library's functions usable
     // from spark.sql.
     "x17_sql_functions" -> q((s, d) => {

@@ -4798,6 +4798,11 @@ object SparkEntry {
     "x33_unigram_resume" -> OracleUnigram.x33Sql(vocabSize = 64,
       maxPieceLen = 4, extraRounds = 1),
 
+    // Suffix-array resume replay: rounds compose and the rank-table
+    // round-trip is exact BIGINTs, so 1 round + save/load + 2 rounds
+    // lands exactly the one-shot minRun=8 verdict — q87's SQL verbatim.
+    "x43_suffix_resume" -> OracleSuffix.q87Sql(minRun = 8),
+
     // Streaming decontamination replay: the landed verdict table is
     // the one-shot per-doc overlap report — q90's HUGEINT wrapping
     // gram-hash fold, bench = src0's distinct hashes, seen = what the

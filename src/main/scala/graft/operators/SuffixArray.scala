@@ -222,25 +222,11 @@ object SuffixArray {
     var done = allUnique(cur)
     var prevCk = checkpointRdd(cur)
     while (k <= rounds && !done) {
-      val step = (1L << (k - 1)).toInt
-      // posexplode positions are dense 1..n per doc, so the rank at
-      // pos + step is `lead(r, step)` over (doc_id, pos) — one window
-      // pass instead of the keyed self-join's two full-table shuffles.
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("doc_id")).orderBy(col("pos"))
-      val paired = cur
-        .withColumn("__r2", coalesce(lead(col("r"), step).over(w), lit(-1L)))
-        .select(col("doc_id"), col("pos"), col("r"), col("__r2"))
-      val (ranked, sortCache) =
-        denseRankInPlace(paired, "r", "__r2", "__nr")
-      cur = ranked
-        .select(col("doc_id"), col("pos"), col("__nr").as("r"))
-        .localCheckpoint()
-      // round k is materialized (eager checkpoint): free the sort
-      // cache and — unless the caller keeps every round — the now
+      cur = oneRound(cur, k)
+      // round k is materialized (eager checkpoint inside oneRound):
+      // free — unless the caller keeps every round — the now
       // superseded round k−1 table, blocking so the memory is
       // actually back before the next round's sort starts.
-      sortCache.unpersist(blocking = true)
       if (k == 1 || !keepAll) prevCk.foreach(_.unpersist(blocking = true))
       prevCk = checkpointRdd(cur)
       out += (k -> cur)
@@ -248,6 +234,32 @@ object SuffixArray {
       k += 1
     }
     if (out.isEmpty) Seq(0 -> cur) else out.toSeq
+  }
+
+  /** ONE doubling round over a position-rank table: round `k` pairs
+    * each position's rank with the rank `2^(k-1)` ahead — posexplode
+    * positions are dense 1..n per doc, so that is `lead(r, step)`
+    * over (doc_id, pos), one window pass instead of the keyed
+    * self-join's two full-table shuffles — then dense-ranks the pairs
+    * in place. Pure function of `cur` (given the absolute round
+    * number), which is what makes the chain RESUMABLE: rounds compose,
+    * so a reloaded table continues exactly where a one-shot run would
+    * be. Returns the eagerly-materialized round-k table; the round's
+    * sort cache is freed before returning. */
+  private def oneRound(cur: DataFrame, k: Int): DataFrame = {
+    val step = (1L << (k - 1)).toInt
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val paired = cur
+      .withColumn("__r2", coalesce(lead(col("r"), step).over(w), lit(-1L)))
+      .select(col("doc_id"), col("pos"), col("r"), col("__r2"))
+    val (ranked, sortCache) =
+      denseRankInPlace(paired, "r", "__r2", "__nr")
+    val out = ranked
+      .select(col("doc_id"), col("pos"), col("__nr").as("r"))
+      .localCheckpoint()
+    sortCache.unpersist(blocking = true)
+    out
   }
 
   /** Position table (doc_id, pos, rank-after-K-rounds). Exposed for
@@ -283,8 +295,17 @@ object SuffixArray {
     * groupBy shape remains the escape hatch (see SCALING.md
     * "suffix-family skew ceiling"). */
   def dupRunStats(df: DataFrame, idCol: String, textCol: String,
-                  minRun: Int = 8): DataFrame = {
-    val ranks = doublingRanks(df, idCol, textCol, minRun)
+                  minRun: Int = 8): DataFrame =
+    statsFromRanks(df, idCol, textCol,
+      doublingRanks(df, idCol, textCol, minRun))
+
+  /** The [[dupRunStats]] verdict over an ALREADY-BUILT position-rank
+    * table — the read side of the resumable chain ([[SuffixState]]):
+    * group membership is all that matters, so ranks from a resumed
+    * run and a one-shot run (which may only differ by singleton-group
+    * renumbering past early termination) produce identical stats. */
+  def statsFromRanks(df: DataFrame, idCol: String, textCol: String,
+                     ranks: DataFrame): DataFrame = {
     // doc token counts (sentinel excluded) — keeps empty docs in the
     // report with (0, 0).
     val nTok = graft.sources.Tables.scanWide(df)
@@ -304,6 +325,81 @@ object SuffixArray {
       .select(col("doc_id"), col("n_tokens"),
         coalesce(col("__dups"), lit(0L)).as("n_dup_starts"))
   }
+
+  // ---- resumable doubling ------------------------------------------------
+
+  /** The doubling chain's restart point: the position-rank table after
+    * `round` rounds (round 0 = vocabulary ranks). At 100 TB a
+    * log₂(L)-round doubling job is hours of sorts — this is the
+    * checkpoint/resume shape the BPE/unigram/drift families already
+    * have, applied to the engine's most expensive chain: every column
+    * is an exact BIGINT, so a parquet round-trip resumes bit-for-bit
+    * ([[saveState]]/[[loadState]]), and [[oneRound]] is a pure
+    * function of the table, so `resume(resume(s, a), b) ≡
+    * resume(s, a + b)` (SuffixResumeSpec pins chained ≡ one-shot
+    * through the round-trip; x43 hash-checks the resumed verdict
+    * against q87's one-shot oracle verbatim). */
+  final case class SuffixState(round: Int, ranks: DataFrame)
+
+  /** Round-0 state: per-doc sentinel appended, positions exploded,
+    * vocabulary dense ranks attached — the doubling chain's entry
+    * table, eagerly materialized. */
+  def initState(df: DataFrame, idCol: String, textCol: String): SuffixState = {
+    val toks = tokenized(df, idCol, textCol)
+      .select(col("doc_id"),
+        concat(col("__toks"),
+          array(concat(lit("#"), col("doc_id").cast("string")))).as("__toks"))
+    val pos = toks
+      .select(col("doc_id"), posexplode(col("__toks")))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
+        col("col").as("__tk"))
+    val r0 = denseRank(pos.select(col("__tk")).distinct(), Seq("__tk"), "r")
+    val bcastVocab = df.sparkSession.conf
+      .getOption("graft.suffix.broadcastVocab").forall(_.toBoolean)
+    SuffixState(0, pos.join(if (bcastVocab) broadcast(r0) else r0, "__tk")
+      .select(col("doc_id"), col("pos"), col("r"))
+      .localCheckpoint())
+  }
+
+  /** `n` more doubling rounds from `state` (absolute round numbers
+    * continue where the state left off — round k's lead step is
+    * 2^(k-1), so resuming MUST know k). Early-terminates once every
+    * rank is unique (the doublingRounds exit: later rounds can only
+    * renumber singleton groups, which no verdict observes). Each
+    * superseded round's checkpoint is freed as its successor lands. */
+  def resumeDoubling(state: SuffixState, n: Int): SuffixState = {
+    require(n >= 0, s"n must be >= 0 (got $n)")
+    val nPos = state.ranks.count()
+    def allUnique(t: DataFrame): Boolean =
+      nPos == 0L || t.agg(max(col("r"))).head().getLong(0) == nPos
+    var cur = state.ranks
+    var k = state.round + 1
+    var prevCk: Option[org.apache.spark.rdd.RDD[_]] = None
+    var done = allUnique(cur)
+    while (k <= state.round + n && !done) {
+      cur = oneRound(cur, k)
+      prevCk.foreach(_.unpersist(blocking = true))
+      prevCk = checkpointRdd(cur)
+      done = allUnique(cur)
+      k += 1
+    }
+    SuffixState(state.round + n, cur)
+  }
+
+  /** Parquet round-trip of the chain state: `dir/ranks` (doc_id, pos,
+    * r — all BIGINT, exact) + `dir/meta` (round). */
+  def saveState(state: SuffixState, dir: String): Unit = {
+    state.ranks.write.mode("overwrite").parquet(s"$dir/ranks")
+    val spark = state.ranks.sparkSession
+    spark.range(1).select(lit(state.round).as("round"))
+      .write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  def loadState(spark: org.apache.spark.sql.SparkSession,
+                dir: String): SuffixState =
+    SuffixState(
+      spark.read.parquet(s"$dir/meta").head().getAs[Int]("round"),
+      spark.read.parquet(s"$dir/ranks"))
 
   /** ExactSubstr REMOVAL driven by the suffix ranks (Lee et al. 2022
     * §4 — not just detect the duplicated runs, rewrite them away):

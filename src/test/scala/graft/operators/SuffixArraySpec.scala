@@ -189,4 +189,44 @@ class SuffixArraySpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toSet
     assert(a == b)
   }
+
+  test("resume: chained rounds through a parquet round-trip == one-shot") {
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-suffix-resume").toString
+    // 1 round, save, reload, 2 more == the one-shot 3-round table
+    val st1 = SuffixArray.resumeDoubling(
+      SuffixArray.initState(docs, "doc_id", "text"), 1)
+    SuffixArray.saveState(st1, dir)
+    val reloaded = SuffixArray.loadState(spark, dir)
+    assert(reloaded.round == 1)
+    val st3 = SuffixArray.resumeDoubling(reloaded, 2)
+    assert(st3.round == 3)
+    val resumed = st3.ranks
+      .as[(Long, Long, Long)].collect().toSet
+    val oneShot = SuffixArray
+      .doublingRanks(docs, "doc_id", "text", minRun = 8)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(resumed == oneShot)
+    // and the verdict off the resumed table == the one-shot verdict
+    val sa = SuffixArray
+      .statsFromRanks(docs, "doc_id", "text", st3.ranks)
+      .as[(Long, Long, Long)].collect().toSet
+    val sb = SuffixArray.dupRunStats(docs, "doc_id", "text", minRun = 8)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(sa == sb)
+  }
+
+  test("resume past early termination is a no-op on groups") {
+    // tiny distinct corpus: all ranks unique after round 1 — asking
+    // for more rounds must not change the table (or crash)
+    val docs = Seq((1L, "alpha beta gamma"), (2L, "delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val st = SuffixArray.resumeDoubling(
+      SuffixArray.initState(docs, "doc_id", "text"), 1)
+    val more = SuffixArray.resumeDoubling(st, 4)
+    assert(more.round == st.round + 4)
+    assert(more.ranks.as[(Long, Long, Long)].collect().toSet ==
+      st.ranks.as[(Long, Long, Long)].collect().toSet)
+  }
 }
