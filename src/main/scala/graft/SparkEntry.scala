@@ -2130,6 +2130,21 @@ object SparkEntry {
           "doc_id", "truth", "pred", base, batchId = bid.toLong)
       }
       Eval.confusionFromDirs(s, base)
+    }),
+
+    // q96's PCA trained INCREMENTALLY (3 slices + 1 redelivered):
+    // moment partials are exact additive BIGINTs under the q182
+    // ledger contract, so the folded solve hash-matches the ONE-SHOT
+    // q96 oracle verbatim — model training joins the monitoring
+    // families in never re-scanning the standing corpus.
+    "q183_pca_inc" -> q((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val base = Scratch.dir("graft-pca-inc")
+      Seq(0, 1, 2, 1).zipWithIndex.foreach { case (slice, bid) =>
+        Pca.momentsDeltaBatch(emb.filter(col("vec_id") % 3 === slice),
+          "vec_id", "embedding", dim = 64, base, batchId = bid.toLong)
+      }
+      Pca.componentsFromDirs(s, base, dim = 64, k = 2, iters = 8)
     })
   ) ++ NonSqlQueries.queries
 
@@ -5769,6 +5784,9 @@ object SparkEntry {
 
     // The incremental fold must land exactly the one-shot matrix.
     "q182_confusion_inc" -> Q159Sql,
+
+    // The folded moments solve must land exactly the one-shot model.
+    "q183_pca_inc" -> OraclePca.q96Sql(),
 
     // Same exact-count margins + the same double divisions and micro
     // grid as Eval.classReport.

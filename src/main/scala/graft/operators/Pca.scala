@@ -220,4 +220,80 @@ object Pca {
       .select(col(idCol), explode(array(cols: _*)).as("p"))
       .select(col(idCol), col("p.component"), col("p.proj"))
   }
+
+  // ---- incremental moments ledger ----------------------------------------
+
+  /** One micro-batch of the INCREMENTAL moments ledger — model
+    * training under the q149/q165/q182 effectively-once contract:
+    * rows dedup on `idCol`, anti-join the seen-ids ledger (a
+    * REDELIVERED batch contributes nothing — its fresh set is empty,
+    * so NO partial lands), the delta's packed moment buffer appends
+    * FIRST tagged `batchId`, ids LAST. A crash between the two
+    * appends re-lands a bit-identical partial under the same
+    * batch_id, which the read-side `dropDuplicates("batch_id", "m")`
+    * folds once. Moments are exact additive BIGINTs, so ANY slicing
+    * folds to the one-shot [[moments]] — and therefore the solved
+    * components hash-match q96's oracle verbatim.
+    *
+    * Scale shape per batch: one delta scan reduced map-side to a
+    * single packed dim²-sized buffer + one id-ledger anti-join —
+    * the corpus never re-scans as the model grows. */
+  def momentsDeltaBatch(batch: DataFrame, idCol: String, vecCol: String,
+                        dim: Int, baseDir: String, batchId: Long,
+                        scale: Int = 1000): Unit = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val b = batch.dropDuplicates(idCol)
+    val seen = Dedup.readStateOr(spark, s"$baseDir/seenIds",
+      b.select(col(idCol)).limit(0))
+    val fresh = b.join(seen, Seq(idCol), "left_anti").localCheckpoint()
+    val packed = fresh.select(qvec(col(vecCol), scale).as("qv"))
+      .filter(size(col("qv")) === dim)
+      .select(graft.functions.MomentsAgg.momentsAgg(col("qv"), dim).as("m"))
+      .head().getSeq[Long](0)
+    // n == 0 ⟺ redelivery (or an all-short batch): land nothing, the
+    // Eval.confusionDeltaBatch empty-groupBy shape
+    if (packed.head > 0L)
+      Seq((batchId, packed)).toDF("batch_id", "m")
+        .write.mode("append").parquet(s"$baseDir/moments")
+    fresh.select(col(idCol)).write.mode("append")
+      .parquet(s"$baseDir/seenIds")
+    fresh.unpersist()
+    ()
+  }
+
+  /** Fold the standing ledger to the one-shot moments: heal torn
+    * appends (batch_id + the bit-identical buffer), then element-wise
+    * BIGINT adds over the batch partials — batches-sized driver work,
+    * the same model-sized collect [[moments]] already is. */
+  def momentsFromDirs(spark: SparkSession, baseDir: String, dim: Int)
+      : (Long, Array[Long], Array[Array[Long]]) = {
+    val rows = spark.read.parquet(s"$baseDir/moments")
+      .dropDuplicates("batch_id", "m").select(col("m")).collect()
+    require(rows.nonEmpty, s"empty moments ledger at $baseDir")
+    val len = 1 + dim + dim * (dim + 1) / 2
+    val agg = new Array[Long](len)
+    rows.foreach { r =>
+      val m = r.getSeq[Long](0)
+      require(m.length == len,
+        s"ledger partial length ${m.length} does not match dim $dim")
+      var i = 0
+      while (i < len) { agg(i) += m(i); i += 1 }
+    }
+    graft.functions.MomentsAgg.unpack(agg.toSeq, dim)
+  }
+
+  /** The q96 component table solved from the folded ledger — the
+    * incremental path's read side; bit-identical to [[components]]
+    * over the union of the deltas. */
+  def componentsFromDirs(spark: SparkSession, baseDir: String, dim: Int,
+                         k: Int, iters: Int): DataFrame = {
+    import spark.implicits._
+    val (n, s, pp) = momentsFromDirs(spark, baseDir, dim)
+    solve(n, s, pp, k, iters).zipWithIndex.flatMap { case (c, ci) =>
+      c.v.zipWithIndex.map { case (x, di) =>
+        ((ci + 1).toLong, (di + 1).toLong, x, c.lam)
+      }
+    }.toDF("component", "dim", "v", "lam")
+  }
 }

@@ -114,4 +114,31 @@ class PcaSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toSet
     assert(a == b && a.nonEmpty)
   }
+
+  test("incremental moments ledger == one-shot; redelivery and torn appends heal") {
+    import org.apache.spark.sql.functions.col
+    val oneShot = Pca.components(df, "embedding", dim, k = 2, iters = 8)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val base = java.nio.file.Files
+      .createTempDirectory("pca-ledger").toString
+    // 3 slices + a full REDELIVERY of slice 1 (must land nothing)
+    Seq(0, 1, 2, 1).zipWithIndex.foreach { case (slice, bid) =>
+      Pca.momentsDeltaBatch(df.filter(col("vec_id") % 3 === slice),
+        "vec_id", "embedding", dim, base, batchId = bid.toLong)
+    }
+    val inc = Pca.componentsFromDirs(spark, base, dim, k = 2, iters = 8)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(inc == oneShot)
+    // torn append: the moments partial of a batch lands but its ids
+    // never do — re-running the batch appends a BIT-IDENTICAL partial
+    // under the same batch_id, and the read-side dedup folds it once
+    val torn = df.filter(col("vec_id") % 3 === 2)
+    val packed = spark.read.parquet(s"$base/moments")
+      .filter(col("batch_id") === 2L)
+    packed.write.mode("append").parquet(s"$base/moments")  // the tear
+    Pca.momentsDeltaBatch(torn, "vec_id", "embedding", dim, base, 2L)
+    val healed = Pca.componentsFromDirs(spark, base, dim, k = 2, iters = 8)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(healed == oneShot)
+  }
 }
