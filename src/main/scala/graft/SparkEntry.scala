@@ -2145,7 +2145,24 @@ object SparkEntry {
           "vec_id", "embedding", dim = 64, base, batchId = bid.toLong)
       }
       Pca.componentsFromDirs(s, base, dim = 64, k = 2, iters = 8)
-    })
+    }),
+
+    // Reproducible training order: rank the corpus by md5("seed:id")
+    // — another engine reproduces the exact permutation, and a new
+    // seed is a new epoch order. One range-sort + zipWithIndex,
+    // never a one-task window.
+    "q184_corpus_shuffle" -> q((s, d) =>
+      Sampling.deterministicShuffle(Tables.documents(s, d), "doc_id",
+        seed = 7L)),
+
+    // Fill a token budget by priority: keep the (n_chars DESC, id)
+    // prefix whose running whitespace-token total stays within
+    // budget — the "best docs until N tokens" curation cut, with the
+    // exact global cumsum built from per-partition offsets instead of
+    // a one-task window.
+    "q185_token_budget" -> q((s, d) =>
+      Sampling.tokenBudgetSelect(Tables.documents(s, d), "doc_id", "text",
+        col("n_chars"), budgetTokens = 15000L))
   ) ++ NonSqlQueries.queries
 
   /** q159-q161's shared two-rater frame: truth = the q03 pseudo-score
@@ -5787,6 +5804,31 @@ object SparkEntry {
 
     // The folded moments solve must land exactly the one-shot model.
     "q183_pca_inc" -> OraclePca.q96Sql(),
+
+    // md5 renders identically in both engines (the q46/q52 sampling
+    // precedent); row_number over (h, id) is the zipWithIndex rank.
+    "q184_corpus_shuffle" ->
+      """WITH hb AS (
+           SELECT doc_id, md5('7:' || CAST(doc_id AS VARCHAR)) AS h
+           FROM documents)
+         SELECT doc_id, h,
+           CAST(row_number() OVER (ORDER BY h, doc_id) AS BIGINT) AS shuffle_rank
+         FROM hb""",
+
+    // Same q48 token grid; the kept set is the (p DESC, id)-prefix
+    // whose running total fits the budget — cum is monotone, so the
+    // window + WHERE is exactly the engine's offset-composed cut.
+    "q185_token_budget" ->
+      """WITH b AS (
+           SELECT doc_id, n_chars AS p,
+             CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tok
+           FROM documents),
+         c AS (
+           SELECT doc_id, n_tok,
+             CAST(SUM(n_tok) OVER (ORDER BY p DESC, doc_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tok
+           FROM b)
+         SELECT doc_id, n_tok, cum_tok FROM c WHERE cum_tok <= 15000""",
 
     // Same exact-count margins + the same double divisions and micro
     // grid as Eval.classReport.

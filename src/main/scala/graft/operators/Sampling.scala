@@ -358,4 +358,86 @@ object Sampling {
       .filter(col("__rk") <= col("n_alloc"))
       .select(col(idCol), col(groupCol), col("__rk").as("pick_rank"))
   }
+
+  /** Deterministic corpus shuffle — reproducible TRAINING ORDER: rank
+    * every row by `md5("<seed>:<id>")` (this module's engine-portable
+    * mixer — the [[bucketOf]]/[[stratifiedExact]] discipline; NOT the
+    * wrapping base-31 fold, which is ORDER-PRESERVING on decimal id
+    * strings below its overflow point and would return the identity
+    * permutation), hash ties broken by id. A different seed is a
+    * different, equally uniform order — the epoch-reshuffle lever.
+    *
+    * Scale shape: ONE distributed range-sort + zipWithIndex — never a
+    * single-partition global window (the q48 lesson: a global
+    * `row_number() OVER (ORDER BY ...)` serializes the corpus onto
+    * one task; the sort + per-partition index is the same answer at
+    * full parallelism). Output `(idCol, h, shuffle_rank)` with ranks
+    * 1..n in hash order. */
+  def deterministicShuffle(df: DataFrame, idCol: String,
+                           seed: Long): DataFrame = {
+    val keyed = df.select(col(idCol),
+      md5(concat(lit(seed.toString), lit(":"), col(idCol).cast("string")))
+        .as("h"))
+    val sorted = keyed.orderBy(col("h"), col(idCol))
+    val schema = sorted.schema
+      .add("shuffle_rank", org.apache.spark.sql.types.LongType,
+        nullable = false)
+    df.sparkSession.createDataFrame(
+      sorted.rdd.zipWithIndex().map { case (r, i) =>
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1L))
+      }, schema)
+  }
+
+  /** Token-budget selection — fill an N-token training budget by
+    * priority: sort by `(priority DESC, id)`, take docs while the
+    * RUNNING token total stays ≤ `budgetTokens` (a doc that would
+    * cross the line is dropped, as is everything after it; tokens are
+    * [[TextStats.wordCount]]'s whitespace count, the q48 grid).
+    * Output `(idCol, n_tok, cum_tok)` for the kept prefix.
+    *
+    * Scale shape: the exact global cumsum WITHOUT a one-partition
+    * window — one range-sort by priority, per-partition token sums
+    * (one row per partition) compose prefix offsets on the driver,
+    * then a second pass over the cached sort emits running totals
+    * in-partition (the denseRankInPlace offset discipline). Early
+    * partitions past the budget are skipped entirely (their offset
+    * already exceeds it). */
+  def tokenBudgetSelect(df: DataFrame, idCol: String, textCol: String,
+                        priority: Column, budgetTokens: Long): DataFrame = {
+    require(budgetTokens >= 0, s"budget must be >= 0 (got $budgetTokens)")
+    val spark = df.sparkSession
+    val base = df.select(col(idCol), priority.as("__p"),
+      TextStats.wordCount(col(textCol)).cast("long").as("n_tok"))
+    val sorted = base.orderBy(col("__p").desc, col(idCol))
+    sorted.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nTokIdx = sorted.schema.fieldIndex("n_tok")
+      val perPart = sorted.rdd.mapPartitionsWithIndex { (p, it) =>
+        var s = 0L; it.foreach(r => s += r.getLong(nTokIdx))
+        Iterator((p, s))
+      }.collect().sortBy(_._1)
+      val offsets = perPart.scanLeft(0L)(_ + _._2).init
+      val offByPart = perPart.map(_._1).zip(offsets).toMap
+      val budget = budgetTokens
+      val schema = org.apache.spark.sql.types.StructType(
+        sorted.schema.fields :+
+          org.apache.spark.sql.types.StructField("cum_tok",
+            org.apache.spark.sql.types.LongType, nullable = false))
+      val kept = sorted.rdd.mapPartitionsWithIndex { (p, it) =>
+        var run = offByPart(p)
+        if (run > budget) Iterator.empty
+        else it.flatMap { r =>
+          // running total is monotone (n_tok >= 0), so the first
+          // crossing ends the kept prefix; later rows just skip
+          run += r.getLong(nTokIdx)
+          if (run <= budget)
+            Some(org.apache.spark.sql.Row.fromSeq(r.toSeq :+ run))
+          else None
+        }
+      }
+      spark.createDataFrame(kept, schema)
+        .select(col(idCol), col("n_tok"), col("cum_tok"))
+        .localCheckpoint()
+    } finally sorted.unpersist(blocking = false)
+  }
 }

@@ -190,4 +190,54 @@ class SamplingSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1))).toMap
     alloc.foreach { case (k, _, a) => assert(perKey.getOrElse(k, 0L) == a) }
   }
+
+  test("deterministicShuffle: a permutation, hash-ordered, seed-sensitive, partition-stable") {
+    val out = Sampling.deterministicShuffle(ids, "id", seed = 7L)
+      .as[(Long, String, Long)].collect()
+    // ranks are exactly 1..n and rank order IS (h, id) order
+    assert(out.map(_._3).sorted.toSeq == (1L to 5000L).toSeq)
+    val byRank = out.sortBy(_._3)
+    assert(byRank.map(r => (r._2, r._1)).toSeq ==
+      byRank.map(r => (r._2, r._1)).sortBy(identity).toSeq)
+    // reference hash: the engine-portable md5 contract
+    val h17 = out.find(_._1 == 17L).get._2
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest("7:17".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(h17 == md)
+    // genuinely shuffled (the base-31 fold was ORDER-PRESERVING on
+    // decimal ids — the identity permutation; md5 must not be) and a
+    // different seed is a different permutation
+    assert(byRank.map(_._1).toSeq != (1L to 5000L).toSeq)
+    val other = Sampling.deterministicShuffle(ids, "id", seed = 8L)
+      .as[(Long, String, Long)].collect().sortBy(_._3).map(_._1).toSeq
+    assert(other != byRank.map(_._1).toSeq)
+    // stable under repartitioning
+    val rep = Sampling.deterministicShuffle(ids.repartition(13), "id", 7L)
+      .as[(Long, String, Long)].collect().toSet
+    assert(rep == out.toSet)
+  }
+
+  test("tokenBudgetSelect: the exact priority-prefix within budget") {
+    val docs = (1L to 200L).map { i =>
+      // token count i, priority p = (i * 37) % 200 — order decoupled
+      (i, Seq.fill(i.toInt)("w").mkString(" "), (i * 37L) % 200L)
+    }.toDF("doc_id", "text", "p")
+    val budget = 3000L
+    val got = Sampling.tokenBudgetSelect(docs, "doc_id", "text",
+        col("p"), budget)
+      .as[(Long, Long, Long)].collect().sortBy(_._3)
+    // sequential reference: sort by (p desc, id), keep while <= budget
+    val ref = (1L to 200L).map(i => (i, i, (i * 37L) % 200L))
+      .sortBy { case (id, _, p) => (-p, id) }
+      .scanLeft((0L, 0L, 0L)) { case ((_, _, cum), (id, n, _)) =>
+        (id, n, cum + n) }
+      .drop(1).takeWhile(_._3 <= budget)
+    assert(got.toSeq == ref.toSeq)
+    assert(got.last._3 <= budget && got.nonEmpty)
+    // partition-stable
+    val rep = Sampling.tokenBudgetSelect(docs.repartition(7), "doc_id",
+        "text", col("p"), budget)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(rep == got.toSet)
+  }
 }
