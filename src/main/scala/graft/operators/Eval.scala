@@ -171,4 +171,18 @@ object Eval {
       .dropDuplicates("batch_id", "truth", "pred")
       .groupBy(col("truth"), col("pred"))
       .agg(sum(col("n")).as("n"))
+
+  /** [[confusionDeltaBatch]] as a stream sink — the live monitoring
+    * loop: each micro-batch of labeled predictions folds into the
+    * standing matrix effectively-once (Spark's replayed batch re-runs
+    * the same delta; the id ledger makes the replay land nothing). */
+  def confusionSink(labeledStream: DataFrame, idCol: String,
+                    truthCol: String, predCol: String, baseDir: String,
+                    checkpointDir: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    labeledStream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (b: DataFrame, bid: Long) =>
+        confusionDeltaBatch(b, idCol, truthCol, predCol, baseDir, bid)
+      }
 }

@@ -283,6 +283,22 @@ object Pca {
     graft.functions.MomentsAgg.unpack(agg.toSeq, dim)
   }
 
+  /** [[momentsDeltaBatch]] as a stream sink — live model-state
+    * maintenance: each micro-batch of new vectors folds its moment
+    * partial into the standing ledger effectively-once (a replayed
+    * batch derives an empty fresh set and lands nothing), and
+    * [[componentsFromDirs]] serves the current model at any point
+    * without touching the corpus. */
+  def momentsSink(vecStream: DataFrame, idCol: String, vecCol: String,
+                  dim: Int, baseDir: String, checkpointDir: String,
+                  scale: Int = 1000)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    vecStream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (b: DataFrame, bid: Long) =>
+        momentsDeltaBatch(b, idCol, vecCol, dim, baseDir, bid, scale)
+      }
+
   /** The q96 component table solved from the folded ledger — the
     * incremental path's read side; bit-identical to [[components]]
     * over the union of the deltas. */

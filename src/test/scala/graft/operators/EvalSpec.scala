@@ -152,4 +152,31 @@ class EvalSpec extends SparkSpec {
     torn.write.mode("append").parquet(s"$base/cells")
     assert(folded() == oneShot)
   }
+
+  test("confusionSink: the same ledger as a MemoryStream sink") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val rows = (0L until 30L).map(i =>
+      LabeledPredRow(i, Seq("a", "b")(((i * 7) % 2).toInt),
+        Seq("a", "b")(((i * 5) % 2).toInt)))
+    val base = java.nio.file.Files.createTempDirectory("graft-conf-sink").toString
+    val mem = MemoryStream[LabeledPredRow]
+    mem.addData(rows.filter(_.id % 2 == 0))
+    mem.addData(rows.filter(_.id % 2 == 1))
+    val q = Eval.confusionSink(mem.toDF(), "id", "truth", "pred",
+        s"$base/led", s"$base/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = Eval.confusionFromDirs(spark, s"$base/led")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val oneShot = Eval.confusionMatrix(
+        rows.map(r => (r.id, r.truth, r.pred)).toDF("id", "truth", "pred"),
+        "truth", "pred")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(streamed == oneShot)
+  }
 }
+
+/** Top-level for the MemoryStream encoder (the outer-scope trap). */
+case class LabeledPredRow(id: Long, truth: String, pred: String)

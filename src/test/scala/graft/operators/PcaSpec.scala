@@ -141,4 +141,27 @@ class PcaSpec extends SparkSpec {
       .as[(Long, Long, Long, Long)].collect().toSet
     assert(healed == oneShot)
   }
+
+  test("momentsSink: the same ledger as a MemoryStream sink") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val oneShot = Pca.components(df, "embedding", dim, k = 2, iters = 8)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val base = java.nio.file.Files.createTempDirectory("pca-sink").toString
+    val mem = MemoryStream[PcaVecRow]
+    mem.addData(rows.filter(_._1 % 2 == 0).map(r => PcaVecRow(r._1, r._2.toSeq)))
+    mem.addData(rows.filter(_._1 % 2 == 1).map(r => PcaVecRow(r._1, r._2.toSeq)))
+    val q = Pca.momentsSink(mem.toDF(), "vec_id", "embedding", dim,
+        s"$base/led", s"$base/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = Pca.componentsFromDirs(spark, s"$base/led", dim,
+        k = 2, iters = 8)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(streamed == oneShot)
+  }
 }
+
+/** Top-level for the MemoryStream encoder (the outer-scope trap). */
+case class PcaVecRow(vec_id: Long, embedding: Seq[Float])
