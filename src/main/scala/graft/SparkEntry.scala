@@ -2162,7 +2162,26 @@ object SparkEntry {
     // a one-task window.
     "q185_token_budget" -> q((s, d) =>
       Sampling.tokenBudgetSelect(Tables.documents(s, d), "doc_id", "text",
-        col("n_chars"), budgetTokens = 15000L))
+        col("n_chars"), budgetTokens = 15000L)),
+
+    // "At most N tokens per domain" — the per-group budget cut; a
+    // partitioned window, so groups cumsum in parallel.
+    "q186_token_budget_by_source" -> q((s, d) =>
+      Sampling.tokenBudgetPerGroup(Tables.documents(s, d), "doc_id",
+        "text", "source", col("n_chars"), budgetPerGroup = 800L)),
+
+    // Reliability bins + Brier over the q159 pseudo-labeling:
+    // confidence = |pseudo-score|, correct = truth == pred. The
+    // reliability curve (acc vs mean conf per bin) and the per-bin
+    // Brier term, all on the micro grid.
+    "q187_calibration" -> q((s, d) => {
+      val wc = operators.TextStats.wordCount(coalesce(col("text"), lit("")))
+      val labeled = Tables.documents(s, d).select(
+        abs(pseudoScore(col("n_chars"))).as("conf"),
+        (Classify.overall(pseudoScore(col("n_chars"))) ===
+          Classify.overall((wc % 199 - 99) / 99.0)).as("ok"))
+      Eval.calibration(labeled, col("conf"), col("ok"))
+    })
   ) ++ NonSqlQueries.queries
 
   /** q159-q161's shared two-rater frame: truth = the q03 pseudo-score
@@ -5829,6 +5848,48 @@ object SparkEntry {
                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tok
            FROM b)
          SELECT doc_id, n_tok, cum_tok FROM c WHERE cum_tok <= 15000""",
+
+    // Partitioned-window twin of q185's cut, per source.
+    "q186_token_budget_by_source" ->
+      """WITH b AS (
+           SELECT doc_id, source, n_chars AS p,
+             CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tok
+           FROM documents),
+         c AS (
+           SELECT doc_id, source, n_tok,
+             CAST(SUM(n_tok) OVER (PARTITION BY source ORDER BY p DESC, doc_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tok
+           FROM b)
+         SELECT doc_id, source, n_tok, cum_tok FROM c WHERE cum_tok <= 800""",
+
+    // Same micro grid, same fixed-order divisions as Eval.calibration;
+    // HUGEINT sums replay the DECIMAL(38,0) exactness.
+    "q187_calibration" ->
+      """WITH l AS (
+           SELECT abs((n_chars % 201 - 100) / 100.0) AS conf,
+             (CASE WHEN (n_chars % 201 - 100) / 100.0 >= 0.1 THEN 'positive'
+                   WHEN (n_chars % 201 - 100) / 100.0 <= -0.1 THEN 'negative'
+                   ELSE 'neutral' END =
+              CASE WHEN (len(regexp_split_to_array(trim(coalesce(text, '')), '\s+')) % 199 - 99) / 99.0 >= 0.1 THEN 'positive'
+                   WHEN (len(regexp_split_to_array(trim(coalesce(text, '')), '\s+')) % 199 - 99) / 99.0 <= -0.1 THEN 'negative'
+                   ELSE 'neutral' END) AS ok
+           FROM documents),
+         r AS (
+           SELECT least(CAST(floor(conf * 10) AS BIGINT), 9) AS bin,
+             CAST(floor(conf * 1000000.0 + 0.5) AS BIGINT) AS cq,
+             CASE WHEN ok THEN 1 ELSE 0 END AS c
+           FROM l),
+         g AS (
+           SELECT bin, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(c) AS BIGINT) AS n_correct,
+             CAST(sum(cq) AS HUGEINT) AS sumq,
+             CAST(sum((cq - c * 1000000) * (cq - c * 1000000)) AS HUGEINT) AS ssq
+           FROM r GROUP BY bin)
+         SELECT bin, n, n_correct,
+           CAST(floor(CAST(n_correct AS DOUBLE) / CAST(n AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS acc_micro,
+           CAST(floor(CAST(sumq AS DOUBLE) / CAST(n AS DOUBLE) + 0.5) AS BIGINT) AS mean_conf_micro,
+           CAST(floor(CAST(ssq AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0 + 0.5) AS BIGINT) AS brier_micro
+         FROM g""",
 
     // Same exact-count margins + the same double divisions and micro
     // grid as Eval.classReport.

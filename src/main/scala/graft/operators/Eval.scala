@@ -172,6 +172,41 @@ object Eval {
       .groupBy(col("truth"), col("pred"))
       .agg(sum(col("n")).as("n"))
 
+  /** Calibration report (reliability diagram + Brier, the
+    * Niculescu-Mizil/Caruana measurement): bin predictions by
+    * confidence (`bin = min(floor(conf·bins), bins−1)`, so conf = 1.0
+    * lands in the top bin) and report, per bin, count / correct
+    * count / accuracy / mean confidence / mean squared error (the
+    * per-bin Brier term) — acc vs mean-conf per bin IS the
+    * reliability curve, their gap the calibration error.
+    *
+    * Exactness: confidence quantizes to the micro grid, correctness
+    * to {0, 1e6}; per-row squared errors are exact integers summed in
+    * DECIMAL(38,0) (immune to ANSI long overflow at any corpus size),
+    * and each emitted mean is ONE fixed-order double division micro-
+    * floored — the established oracle-replay discipline. One
+    * map-side-combined shuffle of ≤ `bins` groups. */
+  def calibration(df: DataFrame, confCol: Column, correctCol: Column,
+                  bins: Int = 10): DataFrame = {
+    require(bins >= 1, s"bins must be >= 1 (got $bins)")
+    val confQ = floor(confCol * 1e6 + 0.5).cast("long")
+    val bin = least(floor(confCol * bins).cast("long"), lit(bins - 1L))
+    val corr = when(correctCol, 1L).otherwise(0L)
+    val err = confQ - corr * 1000000L
+    df.select(bin.as("bin"), confQ.as("__cq"), corr.as("__c"),
+        (err * err).cast("decimal(38,0)").as("__sq"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("__c")).as("n_correct"),
+        sum(col("__cq")).as("__sumq"), sum(col("__sq")).as("__ssq"))
+      .select(col("bin"), col("n"), col("n_correct"),
+        floor(col("n_correct").cast("double") / col("n").cast("double")
+          * 1e6 + 0.5).cast("long").as("acc_micro"),
+        floor(col("__sumq").cast("double") / col("n").cast("double")
+          + 0.5).cast("long").as("mean_conf_micro"),
+        floor(col("__ssq").cast("double") / col("n").cast("double")
+          / 1e6 + 0.5).cast("long").as("brier_micro"))
+  }
+
   /** [[confusionDeltaBatch]] as a stream sink — the live monitoring
     * loop: each micro-batch of labeled predictions folds into the
     * standing matrix effectively-once (Spark's replayed batch re-runs

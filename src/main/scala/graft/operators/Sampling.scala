@@ -388,6 +388,29 @@ object Sampling {
       }, schema)
   }
 
+  /** Per-group token budget — "at most N tokens per domain": within
+    * each group, keep the `(priority DESC, id)`-prefix whose running
+    * token total fits `budgetPerGroup` (the token-denominated sibling
+    * of [[capPerGroup]]'s row caps — caps in rows under-weigh long
+    * docs). A PARTITIONED window, so groups cumsum in parallel; the
+    * skew ceiling is the largest single group, the usual per-key
+    * window story. Output `(idCol, groupCol, n_tok, cum_tok)`. */
+  def tokenBudgetPerGroup(df: DataFrame, idCol: String, textCol: String,
+                          groupCol: String, priority: Column,
+                          budgetPerGroup: Long): DataFrame = {
+    require(budgetPerGroup >= 0,
+      s"budget must be >= 0 (got $budgetPerGroup)")
+    // the window orders by the INTERNAL alias — the caller's column
+    // expression is no longer resolvable after the projection
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col("__p").desc, col(idCol))
+    df.select(col(idCol), col(groupCol), priority.as("__p"),
+        TextStats.wordCount(col(textCol)).cast("long").as("n_tok"))
+      .withColumn("cum_tok", sum(col("n_tok")).over(w))
+      .filter(col("cum_tok") <= budgetPerGroup)
+      .select(col(idCol), col(groupCol), col("n_tok"), col("cum_tok"))
+  }
+
   /** Token-budget selection — fill an N-token training budget by
     * priority: sort by `(priority DESC, id)`, take docs while the
     * RUNNING token total stays ≤ `budgetTokens` (a doc that would

@@ -153,6 +153,44 @@ class EvalSpec extends SparkSpec {
     assert(folded() == oneShot)
   }
 
+  test("calibration: bins, accuracy, mean confidence and Brier vs brute force") {
+    // deterministic (conf, ok) pairs covering bin edges incl. conf=1.0
+    val rows = (0 until 500).map { i =>
+      val conf = (i % 101) / 100.0                     // 0.00 .. 1.00
+      val ok = (i * 2654435761L) % 3 != 0
+      (conf, ok)
+    }
+    val out = Eval.calibration(rows.toDF("conf", "ok"),
+        col("conf"), col("ok"), bins = 10)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5)))).toMap
+    def micro(x: Double): Long = math.floor(x * 1e6 + 0.5).toLong
+    val ref = rows.groupBy { case (c, _) =>
+      math.min(math.floor(c * 10).toLong, 9L) }
+    assert(out.keySet == ref.keySet)
+    ref.foreach { case (b, rs) =>
+      val n = rs.size.toLong
+      val nc = rs.count(_._2).toLong
+      val cqs = rs.map(r => micro(r._1))
+      val ssq = rs.zip(cqs).map { case ((_, ok), cq) =>
+        val e = cq - (if (ok) 1000000L else 0L); BigInt(e) * BigInt(e) }.sum
+      val (gn, gnc, gacc, gmean, gbrier) = out(b)
+      assert(gn == n && gnc == nc)
+      assert(gacc == micro(nc.toDouble / n))
+      assert(gmean == math.floor(cqs.sum.toDouble / n + 0.5).toLong)
+      assert(gbrier ==
+        math.floor(ssq.toDouble / n / 1e6 + 0.5).toLong)
+    }
+    // conf = 1.0 clamps into the top bin, not bin 10
+    assert(!out.contains(10L))
+    // a perfectly calibrated-at-the-extremes stream: conf 1 always ok
+    val perfect = Seq((1.0, true), (0.0, false)).toDF("conf", "ok")
+    val p2 = Eval.calibration(perfect, col("conf"), col("ok"), 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(5)).toMap
+    assert(p2.values.forall(_ == 0L)) // zero Brier at both ends
+  }
+
   test("confusionSink: the same ledger as a MemoryStream sink") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

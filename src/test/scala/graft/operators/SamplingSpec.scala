@@ -217,6 +217,28 @@ class SamplingSpec extends SparkSpec {
     assert(rep == out.toSet)
   }
 
+  test("tokenBudgetPerGroup: the exact per-group priority-prefix") {
+    val docs = (1L to 120L).map { i =>
+      (i, Seq.fill((i % 13 + 1).toInt)("w").mkString(" "),
+        s"src${i % 4}", (i * 29L) % 120L)
+    }.toDF("doc_id", "text", "source", "p")
+    val budget = 60L
+    val got = Sampling.tokenBudgetPerGroup(docs, "doc_id", "text",
+        "source", col("p"), budget)
+      .as[(Long, String, Long, Long)].collect().toSet
+    val ref = (1L to 120L).map(i =>
+        (i, s"src${i % 4}", i % 13 + 1, (i * 29L) % 120L))
+      .groupBy(_._2).flatMap { case (src, rs) =>
+        rs.sortBy { case (id, _, _, p) => (-p, id) }
+          .scanLeft((0L, src, 0L, 0L)) { case ((_, _, _, cum), (id, s2, n, _)) =>
+            (id, s2, n, cum + n) }
+          .drop(1).takeWhile(_._4 <= budget)
+      }.toSet
+    assert(got == ref && got.nonEmpty)
+    // every group respects its own budget
+    assert(got.groupBy(_._2).values.forall(_.map(_._4).max <= budget))
+  }
+
   test("tokenBudgetSelect: the exact priority-prefix within budget") {
     val docs = (1L to 200L).map { i =>
       // token count i, priority p = (i * 37) % 200 — order decoupled
