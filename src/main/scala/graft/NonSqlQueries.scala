@@ -264,34 +264,43 @@ object NonSqlQueries {
       TextAnalysis.substringDedup(Tables.documents(s, d), "doc_id", "text",
         k = 8, rollingKey = true)),
 
-    // Scale-path length curriculum: approx-quantile boundaries +
-    // scan-local bin assignment (no global window). Sketch boundaries
-    // are not SQL-replayable, so rows-only here; q62's exact ntile
-    // stays the oracle-checked contract and LengthCurriculumSpec
-    // proves the two agree doc-for-doc on tie-free distributions.
+    // Scale-path length curriculum: boundary extraction + scan-local
+    // bin assignment (no global window). Hash-gated (graduated from
+    // rows-only in round 11): boundaries are now deterministic
+    // sampled-exact order statistics (Boundaries.sampled) instead of
+    // a GK sketch, so the report replays in SQL; the sketch form
+    // stays available as lengthCurriculumApprox (spec'd), and q62's
+    // exact ntile remains the exact-contract sibling.
     "x25_length_curriculum_approx" -> q((s, d) =>
-      TextAnalysis.lengthCurriculumApprox(Tables.documents(s, d),
+      TextAnalysis.lengthCurriculumSampled(Tables.documents(s, d),
         "doc_id", "text")),
 
-    // Scale-path CCNet perplexity bucketing: per-language approx
-    // boundaries + scan-local bucket assignment (no window at all).
-    // Sketch boundaries are not SQL-replayable, so rows-only; q79's
-    // exact per-language ntile stays the oracle-checked contract and
-    // PerplexityBucketsSpec proves the approx path agrees on
-    // tie-free distributions.
+    // Scale-path CCNet perplexity bucketing: per-language boundaries
+    // + scan-local bucket assignment (no corpus-wide window).
+    // Hash-gated (graduated from rows-only in round 11): boundaries
+    // are now deterministic sampled-exact per-language order
+    // statistics instead of a GK sketch, so the whole report replays
+    // in SQL on top of q79's scoring CTEs; the sketch form stays
+    // available as perplexityBucketsApprox (spec'd), and q79's exact
+    // ntile remains the exact-contract sibling.
     "x30_perplexity_buckets_approx" -> q((s, d) => {
       val docs = Tables.documents(s, d)
-      LmScore.perplexityBucketsApprox(docs, "doc_id", "text",
+      LmScore.perplexityBucketsSampled(docs, "doc_id", "text",
         col("source") === "src0")
     }),
 
-    // Range-sharded export: TeraSort-shape shard assignment from
-    // sampled (Greenwald–Khanna) boundaries — no global sort, no
-    // RangePartitioning; rows-only because sketch boundaries are not
-    // SQL-replayable (RangeShardSpec proves range-disjointness and
-    // the global order of the sorted plan).
+    // Range-sharded export: TeraSort-shape shard assignment — no
+    // global sort, no RangePartitioning. Hash-gated (graduated from
+    // rows-only in round 11): boundaries are now DETERMINISTIC
+    // sampled-exact order statistics of an md5 sample
+    // (Boundaries.sampled — the TeraSort sampler made replayable)
+    // instead of a GK sketch, so the whole layout decision replays in
+    // SQL; the sketch form stays available as Export.rangeSharded
+    // (RangeShardSpec proves both forms' range-disjointness and the
+    // sorted plan's global order).
     "x31_range_sharded" -> q((s, d) =>
-      Export.rangeSharded(Tables.documents(s, d), "n_chars", numShards = 8)
+      Export.rangeShardedSampled(Tables.documents(s, d), "doc_id",
+          "n_chars", numShards = 8, permille = 500)
         .select(col("doc_id"), col("n_chars"), col("shard"))),
 
     // Persistable PCA model: train → parquet round-trip → project

@@ -3848,107 +3848,7 @@ object SparkEntry {
     // on the clean slice (train = src0, score = the rest), x05's
     // language argmax, and the per-language perplexity ntile.
     "q79_perplexity_buckets" ->
-      """WITH tt AS (
-           SELECT doc_id,
-             list_filter(regexp_split_to_array(lower(COALESCE(text, '')), '[^a-z0-9'']+'), x -> length(x) > 0) AS toks
-           FROM documents WHERE source = 'src0'),
-         uc AS (
-           SELECT w3, CAST(count(*) AS BIGINT) AS c3
-           FROM (SELECT unnest(toks) AS w3 FROM tt) GROUP BY w3),
-         tot AS (SELECT CAST(sum(c3) AS BIGINT) AS n_total FROM uc),
-         bg0 AS (
-           SELECT unnest(CASE WHEN len(toks) >= 2
-             THEN [{'w2': toks[i], 'w3': toks[i + 1]}
-                   for i in generate_series(1, len(toks) - 1)]
-             ELSE [] END) AS u
-           FROM tt),
-         bc AS (SELECT u.w2 AS w2, u.w3 AS w3,
-                  CAST(count(*) AS BIGINT) AS c12
-                FROM bg0 GROUP BY u.w2, u.w3),
-         c2 AS (SELECT w2, CAST(sum(c12) AS BIGINT) AS c2ctx
-                FROM bc GROUP BY w2),
-         tg0 AS (
-           SELECT unnest(CASE WHEN len(toks) >= 3
-             THEN [{'w1': toks[i], 'w2': toks[i + 1], 'w3': toks[i + 2]}
-                   for i in generate_series(1, len(toks) - 2)]
-             ELSE [] END) AS u
-           FROM tt),
-         tc AS (SELECT u.w1 AS w1, u.w2 AS w2, u.w3 AS w3,
-                  CAST(count(*) AS BIGINT) AS c123
-                FROM tg0 GROUP BY u.w1, u.w2, u.w3),
-         c12t AS (SELECT w1, w2, CAST(sum(c123) AS BIGINT) AS c12ctx
-                  FROM tc GROUP BY w1, w2),
-         unim AS (
-           SELECT w3,
-             CAST(floor(ln(0.1 * (CAST(c3 AS DOUBLE) / CAST(n_total AS DOUBLE)))
-               * 1000000.0 + 0.5) AS BIGINT) AS lp1
-           FROM uc, tot),
-         bigm AS (
-           SELECT bc.w2, bc.w3,
-             CAST(floor(ln(0.2 * (CAST(c12 AS DOUBLE) / CAST(c2ctx AS DOUBLE))
-               + 0.1 * (CAST(c3 AS DOUBLE) / CAST(n_total AS DOUBLE)))
-               * 1000000.0 + 0.5) AS BIGINT) AS lp2
-           FROM bc JOIN c2 USING (w2) JOIN uc USING (w3), tot),
-         trm AS (
-           SELECT tc.w1, tc.w2, tc.w3,
-             CAST(floor(ln(0.7 * (CAST(c123 AS DOUBLE) / CAST(c12ctx AS DOUBLE))
-               + 0.2 * (CAST(c12 AS DOUBLE) / CAST(c2ctx AS DOUBLE))
-               + 0.1 * (CAST(c3 AS DOUBLE) / CAST(n_total AS DOUBLE)))
-               * 1000000.0 + 0.5) AS BIGINT) AS lp3
-           FROM tc JOIN c12t USING (w1, w2) JOIN bc USING (w2, w3)
-             JOIN c2 USING (w2) JOIN uc USING (w3), tot),
-         st AS (
-           SELECT doc_id,
-             list_filter(regexp_split_to_array(lower(COALESCE(text, '')), '[^a-z0-9'']+'), x -> length(x) > 0) AS toks
-           FROM documents WHERE source <> 'src0'),
-         sg AS (
-           SELECT doc_id, u.w1 AS w1, u.w2 AS w2, u.w3 AS w3
-           FROM (SELECT doc_id, unnest(CASE WHEN len(toks) >= 3
-             THEN [{'w1': toks[i], 'w2': toks[i + 1], 'w3': toks[i + 2]}
-                   for i in generate_series(1, len(toks) - 2)]
-             ELSE [] END) AS u
-           FROM st)),
-         j AS (
-           SELECT sg.doc_id, t.lp3, b.lp2, un.lp1,
-             COALESCE(t.lp3, b.lp2, un.lp1, -20000000) AS lp
-           FROM sg
-           LEFT JOIN trm t ON sg.w1 = t.w1 AND sg.w2 = t.w2 AND sg.w3 = t.w3
-           LEFT JOIN bigm b ON sg.w2 = b.w2 AND sg.w3 = b.w3
-           LEFT JOIN unim un ON sg.w3 = un.w3),
-         agg AS (
-           SELECT doc_id,
-             CAST(count(*) AS BIGINT) AS n_trigrams,
-             CAST(sum(lp) AS BIGINT) AS lp_sum_q
-           FROM j GROUP BY doc_id),
-         base AS (
-           SELECT d.doc_id,
-             COALESCE(agg.n_trigrams, 0) AS n_trigrams,
-             COALESCE(agg.lp_sum_q, 0) AS lp_sum_q,
-             CASE WHEN COALESCE(agg.n_trigrams, 0) = 0 THEN 0.0
-                  ELSE CAST(agg.lp_sum_q AS DOUBLE) / CAST(agg.n_trigrams AS DOUBLE)
-             END AS avg_lp_q
-           FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
-           WHERE d.source <> 'src0'),
-         lt AS (
-           SELECT doc_id,
-             list_distinct(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9'']+'), x -> length(x) > 0)) AS dtoks
-           FROM documents WHERE source <> 'src0'),
-         ls AS (
-           SELECT doc_id,
-             len(list_intersect(dtoks, ['der','die','und','das','ist','von','mit','den','nicht','ein'])) AS s_de,
-             len(list_intersect(dtoks, ['the','and','of','to','in','is','that','it','for','with'])) AS s_en,
-             len(list_intersect(dtoks, ['el','la','de','que','y','en','los','del','las','por'])) AS s_es,
-             len(list_intersect(dtoks, ['le','la','les','de','des','et','est','une','dans','pour'])) AS s_fr,
-             len(list_intersect(dtoks, ['il','di','che','la','per','con','del','una','sono','non'])) AS s_it
-           FROM lt),
-         lb AS (SELECT *, greatest(s_de, s_en, s_es, s_fr, s_it) AS best FROM ls),
-         lang AS (
-           SELECT doc_id,
-             CASE WHEN best = 0 THEN 'und'
-                  WHEN s_it = best THEN 'it' WHEN s_fr = best THEN 'fr'
-                  WHEN s_es = best THEN 'es' WHEN s_en = best THEN 'en'
-                  ELSE 'de' END AS lang
-           FROM lb)
+      s"""$Q79ScoringCtes
          SELECT b.doc_id, l.lang, b.n_trigrams, b.lp_sum_q, b.avg_lp_q,
            CAST(ntile(3) OVER (PARTITION BY l.lang
                                ORDER BY b.avg_lp_q DESC, b.doc_id) AS BIGINT) AS bucket,
@@ -4853,6 +4753,73 @@ object SparkEntry {
     // round-trip is exact BIGINTs, so 1 round + save/load + 2 rounds
     // lands exactly the one-shot minRun=8 verdict — q87's SQL verbatim.
     "x43_suffix_resume" -> OracleSuffix.q87Sql(minRun = 8),
+
+    // Sampled-exact range shards: the q46 md5 sample, exact order
+    // statistics at ranks ceil(i*n/8), ascending 1 + count(v > b)
+    // assignment.
+    "x31_range_sharded" ->
+      """WITH smp AS (
+           SELECT CAST(n_chars AS BIGINT) AS v FROM documents
+           WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6) AS BIGINT) % 1000 < 500),
+         st AS (SELECT CAST(count(*) AS BIGINT) AS n FROM smp),
+         rk AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM smp),
+         rs AS (SELECT DISTINCT (i * n + 7) // 8 AS r
+                FROM (SELECT unnest(generate_series(1, 7)) AS i), st),
+         bl AS (SELECT list(v ORDER BY v) AS bs FROM rk JOIN rs ON rk.rn = rs.r)
+         SELECT doc_id, n_chars,
+           CAST(1 + len(list_filter(bs, b -> CAST(n_chars AS BIGINT) > b)) AS BIGINT) AS shard
+         FROM documents, bl""",
+
+    // Sampled-exact per-language perplexity buckets on top of q79's
+    // scoring CTEs: per lang, rank the md5 sample best-first, take
+    // values at ranks ceil(i*n/3), bucket = 1 + count(avg < b).
+    "x30_perplexity_buckets_approx" ->
+      s"""$Q79ScoringCtes,
+         smp AS (
+           SELECT l.lang, b.avg_lp_q AS v
+           FROM base b JOIN lang l ON b.doc_id = l.doc_id
+           WHERE CAST('0x' || substr(md5(CAST(b.doc_id AS VARCHAR)), 1, 6) AS BIGINT) % 1000 < 500),
+         strk AS (
+           SELECT lang, v,
+             CAST(row_number() OVER (PARTITION BY lang ORDER BY v DESC) AS BIGINT) AS rn,
+             CAST(count(*) OVER (PARTITION BY lang) AS BIGINT) AS n
+           FROM smp),
+         bsel AS (
+           SELECT DISTINCT lang, rn, v
+           FROM strk JOIN (SELECT unnest(generate_series(1, 2)) AS i) ii
+             ON strk.rn = (ii.i * strk.n + 2) // 3),
+         bnd AS (SELECT lang, list(v ORDER BY v) AS bs FROM bsel GROUP BY lang)
+         SELECT b.doc_id, l.lang, b.n_trigrams, b.lp_sum_q, b.avg_lp_q,
+           CAST(1 + len(list_filter(COALESCE(bnd.bs, []), x -> b.avg_lp_q < x)) AS BIGINT) AS bucket,
+           CASE CAST(1 + len(list_filter(COALESCE(bnd.bs, []), x -> b.avg_lp_q < x)) AS BIGINT)
+             WHEN 1 THEN 'head' WHEN 3 THEN 'tail' ELSE 'middle'
+           END AS bucket_label
+         FROM base b JOIN lang l ON b.doc_id = l.doc_id
+         LEFT JOIN bnd ON l.lang = bnd.lang""",
+
+    // Sampled-exact curriculum bins: analyzer token counts, the q46
+    // md5 sample, order statistics at ranks ceil(i*n/10).
+    "x25_length_curriculum_approx" ->
+      """WITH t AS (
+           SELECT doc_id,
+             CAST(len(list_filter(regexp_split_to_array(lower(COALESCE(text, '')), '[^a-z0-9'']+'), x -> length(x) > 0)) AS BIGINT) AS v
+           FROM documents),
+         smp AS (
+           SELECT v FROM t
+           WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6) AS BIGINT) % 1000 < 500),
+         st AS (SELECT CAST(count(*) AS BIGINT) AS n FROM smp),
+         rk AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM smp),
+         rs AS (SELECT DISTINCT (i * n + 9) // 10 AS r
+                FROM (SELECT unnest(generate_series(1, 9)) AS i), st),
+         bl AS (SELECT list(v ORDER BY v) AS bs FROM rk JOIN rs ON rk.rn = rs.r),
+         a AS (SELECT doc_id, v,
+             CAST(1 + len(list_filter(bs, b -> v > b)) AS BIGINT) AS bin
+           FROM t, bl)
+         SELECT bin, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(v) AS BIGINT) AS min_tokens,
+           CAST(max(v) AS BIGINT) AS max_tokens,
+           CAST(sum(v) AS BIGINT) AS sum_tokens
+         FROM a GROUP BY bin""",
 
     // Streaming decontamination replay: the landed verdict table is
     // the one-shot per-doc overlap report — q90's HUGEINT wrapping
@@ -6473,6 +6440,109 @@ object SparkEntry {
     * twins of [[evalLabeled]]. */
   /** q159/q182's shared confusion-matrix replay — one literal because
     * the incremental fold must land the one-shot matrix verbatim. */
+  private lazy val Q79ScoringCtes: String =
+    """WITH tt AS (
+           SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(COALESCE(text, '')), '[^a-z0-9'']+'), x -> length(x) > 0) AS toks
+           FROM documents WHERE source = 'src0'),
+         uc AS (
+           SELECT w3, CAST(count(*) AS BIGINT) AS c3
+           FROM (SELECT unnest(toks) AS w3 FROM tt) GROUP BY w3),
+         tot AS (SELECT CAST(sum(c3) AS BIGINT) AS n_total FROM uc),
+         bg0 AS (
+           SELECT unnest(CASE WHEN len(toks) >= 2
+             THEN [{'w2': toks[i], 'w3': toks[i + 1]}
+                   for i in generate_series(1, len(toks) - 1)]
+             ELSE [] END) AS u
+           FROM tt),
+         bc AS (SELECT u.w2 AS w2, u.w3 AS w3,
+                  CAST(count(*) AS BIGINT) AS c12
+                FROM bg0 GROUP BY u.w2, u.w3),
+         c2 AS (SELECT w2, CAST(sum(c12) AS BIGINT) AS c2ctx
+                FROM bc GROUP BY w2),
+         tg0 AS (
+           SELECT unnest(CASE WHEN len(toks) >= 3
+             THEN [{'w1': toks[i], 'w2': toks[i + 1], 'w3': toks[i + 2]}
+                   for i in generate_series(1, len(toks) - 2)]
+             ELSE [] END) AS u
+           FROM tt),
+         tc AS (SELECT u.w1 AS w1, u.w2 AS w2, u.w3 AS w3,
+                  CAST(count(*) AS BIGINT) AS c123
+                FROM tg0 GROUP BY u.w1, u.w2, u.w3),
+         c12t AS (SELECT w1, w2, CAST(sum(c123) AS BIGINT) AS c12ctx
+                  FROM tc GROUP BY w1, w2),
+         unim AS (
+           SELECT w3,
+             CAST(floor(ln(0.1 * (CAST(c3 AS DOUBLE) / CAST(n_total AS DOUBLE)))
+               * 1000000.0 + 0.5) AS BIGINT) AS lp1
+           FROM uc, tot),
+         bigm AS (
+           SELECT bc.w2, bc.w3,
+             CAST(floor(ln(0.2 * (CAST(c12 AS DOUBLE) / CAST(c2ctx AS DOUBLE))
+               + 0.1 * (CAST(c3 AS DOUBLE) / CAST(n_total AS DOUBLE)))
+               * 1000000.0 + 0.5) AS BIGINT) AS lp2
+           FROM bc JOIN c2 USING (w2) JOIN uc USING (w3), tot),
+         trm AS (
+           SELECT tc.w1, tc.w2, tc.w3,
+             CAST(floor(ln(0.7 * (CAST(c123 AS DOUBLE) / CAST(c12ctx AS DOUBLE))
+               + 0.2 * (CAST(c12 AS DOUBLE) / CAST(c2ctx AS DOUBLE))
+               + 0.1 * (CAST(c3 AS DOUBLE) / CAST(n_total AS DOUBLE)))
+               * 1000000.0 + 0.5) AS BIGINT) AS lp3
+           FROM tc JOIN c12t USING (w1, w2) JOIN bc USING (w2, w3)
+             JOIN c2 USING (w2) JOIN uc USING (w3), tot),
+         st AS (
+           SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(COALESCE(text, '')), '[^a-z0-9'']+'), x -> length(x) > 0) AS toks
+           FROM documents WHERE source <> 'src0'),
+         sg AS (
+           SELECT doc_id, u.w1 AS w1, u.w2 AS w2, u.w3 AS w3
+           FROM (SELECT doc_id, unnest(CASE WHEN len(toks) >= 3
+             THEN [{'w1': toks[i], 'w2': toks[i + 1], 'w3': toks[i + 2]}
+                   for i in generate_series(1, len(toks) - 2)]
+             ELSE [] END) AS u
+           FROM st)),
+         j AS (
+           SELECT sg.doc_id, t.lp3, b.lp2, un.lp1,
+             COALESCE(t.lp3, b.lp2, un.lp1, -20000000) AS lp
+           FROM sg
+           LEFT JOIN trm t ON sg.w1 = t.w1 AND sg.w2 = t.w2 AND sg.w3 = t.w3
+           LEFT JOIN bigm b ON sg.w2 = b.w2 AND sg.w3 = b.w3
+           LEFT JOIN unim un ON sg.w3 = un.w3),
+         agg AS (
+           SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_trigrams,
+             CAST(sum(lp) AS BIGINT) AS lp_sum_q
+           FROM j GROUP BY doc_id),
+         base AS (
+           SELECT d.doc_id,
+             COALESCE(agg.n_trigrams, 0) AS n_trigrams,
+             COALESCE(agg.lp_sum_q, 0) AS lp_sum_q,
+             CASE WHEN COALESCE(agg.n_trigrams, 0) = 0 THEN 0.0
+                  ELSE CAST(agg.lp_sum_q AS DOUBLE) / CAST(agg.n_trigrams AS DOUBLE)
+             END AS avg_lp_q
+           FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+           WHERE d.source <> 'src0'),
+         lt AS (
+           SELECT doc_id,
+             list_distinct(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9'']+'), x -> length(x) > 0)) AS dtoks
+           FROM documents WHERE source <> 'src0'),
+         ls AS (
+           SELECT doc_id,
+             len(list_intersect(dtoks, ['der','die','und','das','ist','von','mit','den','nicht','ein'])) AS s_de,
+             len(list_intersect(dtoks, ['the','and','of','to','in','is','that','it','for','with'])) AS s_en,
+             len(list_intersect(dtoks, ['el','la','de','que','y','en','los','del','las','por'])) AS s_es,
+             len(list_intersect(dtoks, ['le','la','les','de','des','et','est','une','dans','pour'])) AS s_fr,
+             len(list_intersect(dtoks, ['il','di','che','la','per','con','del','una','sono','non'])) AS s_it
+           FROM lt),
+         lb AS (SELECT *, greatest(s_de, s_en, s_es, s_fr, s_it) AS best FROM ls),
+         lang AS (
+           SELECT doc_id,
+             CASE WHEN best = 0 THEN 'und'
+                  WHEN s_it = best THEN 'it' WHEN s_fr = best THEN 'fr'
+                  WHEN s_es = best THEN 'es' WHEN s_en = best THEN 'en'
+                  ELSE 'de' END AS lang
+           FROM lb)"""
+
   private lazy val Q159Sql: String =
     s"""WITH $EvalLabelsSql
        SELECT truth, pred, COUNT(*) AS n FROM l GROUP BY 1, 2"""

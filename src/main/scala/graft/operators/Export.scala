@@ -129,4 +129,18 @@ object Export {
     rangeSharded(df, sortCol, numShards, accuracy)
       .repartition(numShards, col("shard"))
       .sortWithinPartitions(col("shard"), col(sortCol))
+
+  /** [[rangeSharded]] under DETERMINISTIC sampled-exact boundaries
+    * ([[Boundaries.sampled]] — the TeraSort sampler, engine-portable)
+    * instead of a GK sketch: same TeraSort shape and the same
+    * sampling-accuracy trade, but the boundaries are exact order
+    * statistics of a deterministic md5 sample, so the whole layout
+    * decision replays in SQL (the x31 oracle) and is stable under
+    * repartitioning — properties the sketch form cannot offer. */
+  def rangeShardedSampled(df: DataFrame, idCol: String, sortCol: String,
+                          numShards: Int, permille: Int = 500): DataFrame = {
+    require(numShards >= 2, s"numShards must be >= 2 (got $numShards)")
+    val b = Boundaries.sampled(df, idCol, col(sortCol), numShards, permille)
+    df.withColumn("shard", Boundaries.partOf(col(sortCol).cast("long"), b))
+  }
 }

@@ -420,6 +420,57 @@ object LmScore {
     * exact ntile which splits ties to even out populations — the
     * accepted approx-curriculum trade (x25 precedent, rows-only by
     * design: sketches are not engine-replayable). */
+  /** [[perplexityBucketsApprox]] under DETERMINISTIC sampled-exact
+    * per-language boundaries (the [[Boundaries]] discipline applied
+    * per group): per language, rank an md5 sample of the scored docs
+    * best-first by `avg_lp_q` and take the values at ranks
+    * `⌈i·n/buckets⌉` as boundaries; `bucket = 1 + Σ [avg < b_i]`
+    * (a doc equal to a boundary keeps the better bucket). All windows
+    * are PARTITIONED by language, so groups rank in parallel, and
+    * every step — the md5 sample, the rank arithmetic, the double
+    * `avg_lp_q` both engines compute identically (the q79 replay) —
+    * is SQL-exact: this is the x30 oracle path. The GK form stays
+    * available above for corpora where a sketch is preferred. */
+  def perplexityBucketsSampled(docs: DataFrame, idCol: String,
+                               textCol: String, isClean: Column,
+                               buckets: Int = 3,
+                               permille: Int = 500): DataFrame = {
+    require(buckets >= 2, s"need at least 2 buckets (got $buckets)")
+    val flagged = docs.withColumn("__clean", isClean)
+    val model = trainTrigram(flagged.filter(col("__clean")), idCol, textCol)
+    val rest = flagged.filter(!col("__clean"))
+    val scored = trigramScoreWith(rest, idCol, textCol, model)
+      .select(col(idCol), col("n_trigrams"), col("lp_sum_q"), col("avg_lp_q"))
+    val lang = TextAnalysis.withLangId(rest, textCol)
+      .select(col(idCol), col("lang_pred").as("lang"))
+    val base = scored.join(lang, Seq(idCol)).localCheckpoint()
+    val samp = base.filter(Sampling.bucketOf(col(idCol)) < permille)
+      .select(col("lang"), col("avg_lp_q"))
+    val wr = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("avg_lp_q").desc)
+    val wn = org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+    val ranked = samp.withColumn("rn", row_number().over(wr).cast("long"))
+      .withColumn("n", count(lit(1)).over(wn))
+    val isBoundary = (1 until buckets)
+      .map(i => col("rn") === expr(s"(($i * n) + ${buckets - 1}) div $buckets"))
+      .reduce(_ || _)
+    val bnds = ranked.filter(isBoundary)
+      .groupBy(col("lang"))
+      .agg(sort_array(collect_list(col("avg_lp_q"))).as("__bs"))
+    base.join(broadcast(bnds), Seq("lang"), "left")
+      .withColumn("__bs2",
+        coalesce(col("__bs"), typedLit(Seq.empty[Double])))
+      .withColumn("bucket",
+        (lit(1L) + size(filter(col("__bs2"), x => col("avg_lp_q") < x)))
+          .cast("long"))
+      .withColumn("bucket_label",
+        when(col("bucket") === 1, "head")
+          .when(col("bucket") === buckets, "tail")
+          .otherwise("middle"))
+      .select(col(idCol), col("lang"), col("n_trigrams"), col("lp_sum_q"),
+        col("avg_lp_q"), col("bucket"), col("bucket_label"))
+  }
+
   def perplexityBucketsApprox(docs: DataFrame, idCol: String, textCol: String,
                               isClean: Column, buckets: Int = 3,
                               accuracy: Int = 10000): DataFrame = {

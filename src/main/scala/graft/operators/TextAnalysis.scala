@@ -928,6 +928,30 @@ object TextAnalysis {
         max(col("n_tokens")).as("max_tokens"),
         sum(col("n_tokens")).as("sum_tokens"))
 
+  /** The scale-path curriculum under DETERMINISTIC sampled-exact
+    * boundaries ([[Boundaries.sampled]]) instead of the GK sketch:
+    * same no-global-sort shape — sample-sized boundary extraction +
+    * scan-local bin assignment + a bins-row aggregation — but the
+    * boundaries are exact order statistics of an md5 sample, so the
+    * whole report replays in SQL (the x25 oracle) and is
+    * partitioning-stable. Tokenize runs once (the lens frame is
+    * checkpointed; the boundary pass samples FROM it). */
+  def lengthCurriculumSampled(df: DataFrame, idCol: String, textCol: String,
+                              bins: Int = 10, permille: Int = 500): DataFrame = {
+    require(bins >= 2, s"need at least 2 bins (got $bins)")
+    val nToks = size(Analyzer.tokenize(coalesce(col(textCol), lit(""))))
+      .cast("long")
+    val lens = df.select(col(idCol), nToks.as("n_tokens")).localCheckpoint()
+    val b = Boundaries.sampled(lens, idCol, col("n_tokens"), bins, permille)
+    lens.withColumn("bin", Boundaries.partOf(col("n_tokens"), b))
+      .groupBy(col("bin"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        min(col("n_tokens")).as("min_tokens"),
+        max(col("n_tokens")).as("max_tokens"),
+        sum(col("n_tokens")).as("sum_tokens"))
+  }
+
   // ---- cross-slice contamination ---------------------------------------
 
   private def sliceGramHashUdf(n: Int) = udf { (toks: Seq[String]) =>

@@ -102,4 +102,21 @@ class LengthCurriculumApproxSpec extends SparkSpec {
     val pops = out.select($"n_docs").as[Long].collect()
     assert(pops.sum > 0 && pops.length >= 2)
   }
+
+  test("sampled variant: monotone bins, partition-stable, covers all docs") {
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val out = TextAnalysis.lengthCurriculumSampled(docs, "doc_id", "text")
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(out.map(_._2).sum == docs.count())
+    // bins range-disjoint in token counts
+    out.sliding(2).foreach {
+      case Array(a, b) => assert(a._4 <= b._3,
+        s"bin ${a._1} max ${a._4} > bin ${b._1} min ${b._3}")
+      case _ =>
+    }
+    val rep = TextAnalysis.lengthCurriculumSampled(docs.repartition(13),
+        "doc_id", "text")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(rep == out.toSet)
+  }
 }

@@ -74,4 +74,31 @@ class PerplexityBucketsSpec extends SparkSpec {
     assert(out.length ==
       LmScore.perplexityBuckets(docs, "doc_id", "text", isClean).count())
   }
+
+  test("sampled variant: head >= tail within a language, partition-stable") {
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val out = LmScore.perplexityBucketsSampled(docs, "doc_id", "text",
+        col("source") === "src0")
+      .select($"lang", $"avg_lp_q", $"bucket", $"bucket_label").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2), r.getString(3)))
+    assert(out.nonEmpty)
+    // within each language, every head doc scores >= every tail doc
+    out.groupBy(_._1).foreach { case (_, rs) =>
+      val heads = rs.filter(_._4 == "head").map(_._2)
+      val tails = rs.filter(_._4 == "tail").map(_._2)
+      if (heads.nonEmpty && tails.nonEmpty)
+        assert(heads.min >= tails.max)
+      // labels consistent with bucket ids
+      rs.foreach { case (_, _, b, l) =>
+        assert(l == (if (b == 1) "head" else if (b == 3) "tail" else "middle"))
+      }
+    }
+    val rep = LmScore.perplexityBucketsSampled(docs.repartition(11),
+        "doc_id", "text", col("source") === "src0")
+      .select($"doc_id", $"bucket").as[(Long, Long)].collect().toSet
+    val base = LmScore.perplexityBucketsSampled(docs, "doc_id", "text",
+        col("source") === "src0")
+      .select($"doc_id", $"bucket").as[(Long, Long)].collect().toSet
+    assert(rep == base)
+  }
 }

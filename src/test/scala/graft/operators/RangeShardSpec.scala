@@ -78,4 +78,34 @@ class RangeShardSpec extends SparkSpec {
     assert(pops.length == 4 && mn > 0)
     assert(mx.toDouble / mn < 4.0, s"pops ${pops.mkString(",")}")
   }
+
+  test("sampled variant: range-disjoint, partition-stable, full-sample == exact ranks") {
+    val out = Export.rangeShardedSampled(docs, "doc_id", "n_chars",
+        numShards = 8, permille = 500)
+      .select($"shard", $"n_chars").as[(Long, Long)].collect()
+    val byShard = out.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    byShard.keys.toSeq.sorted.sliding(2).foreach {
+      case Seq(a, b) => assert(byShard(a).max <= byShard(b).min)
+      case _ =>
+    }
+    // deterministic under repartitioning (the property GK cannot offer)
+    val rep = Export.rangeShardedSampled(docs.repartition(13), "doc_id",
+        "n_chars", numShards = 8, permille = 500)
+      .select($"doc_id", $"shard").as[(Long, Long)].collect().toSet
+    val base = Export.rangeShardedSampled(docs, "doc_id", "n_chars",
+        numShards = 8, permille = 500)
+      .select($"doc_id", $"shard").as[(Long, Long)].collect().toSet
+    assert(rep == base)
+    // permille=1000 (full sample): boundaries are the EXACT corpus
+    // order statistics — check against a sequential reference
+    val full = Export.rangeShardedSampled(docs, "doc_id", "n_chars",
+        numShards = 4, permille = 1000)
+      .select($"n_chars", $"shard").as[(Long, Long)].collect()
+    val vals = docs.select($"n_chars").as[Long].collect().sorted
+    val n = vals.length.toLong
+    val bs = (1 until 4).map(i => vals(((i * n + 3) / 4).toInt - 1))
+    full.foreach { case (v, s) =>
+      assert(s == 1L + bs.count(v > _), s"v=$v shard=$s bs=$bs")
+    }
+  }
 }
