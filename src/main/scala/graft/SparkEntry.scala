@@ -2174,13 +2174,22 @@ object SparkEntry {
     // confidence = |pseudo-score|, correct = truth == pred. The
     // reliability curve (acc vs mean conf per bin) and the per-bin
     // Brier term, all on the micro grid.
-    "q187_calibration" -> q((s, d) => {
-      val wc = operators.TextStats.wordCount(coalesce(col("text"), lit("")))
-      val labeled = Tables.documents(s, d).select(
-        abs(pseudoScore(col("n_chars"))).as("conf"),
-        (Classify.overall(pseudoScore(col("n_chars"))) ===
-          Classify.overall((wc % 199 - 99) / 99.0)).as("ok"))
-      Eval.calibration(labeled, col("conf"), col("ok"))
+    "q187_calibration" -> q((s, d) =>
+      Eval.calibration(calibLabeled(s, d), col("conf"), col("ok"))),
+
+    // q187's calibration fed INCREMENTALLY (3 slices + 1 redelivered):
+    // per-bin counts + BIGINT/DECIMAL sums fold effectively-once and
+    // the report hash-matches the ONE-SHOT oracle verbatim — live
+    // calibration monitoring without re-scoring history.
+    "q188_calibration_inc" -> q((s, d) => {
+      val labeled = calibLabeled(s, d)
+      val base = Scratch.dir("graft-calib-inc")
+      Seq(0, 1, 2, 1).zipWithIndex.foreach { case (slice, bid) =>
+        Eval.calibrationDeltaBatch(
+          labeled.filter(col("doc_id") % 3 === slice), "doc_id",
+          col("conf"), col("ok"), base, batchId = bid.toLong)
+      }
+      Eval.calibrationFromDirs(s, base)
     })
   ) ++ NonSqlQueries.queries
 
@@ -2193,6 +2202,17 @@ object SparkEntry {
       col("doc_id"),
       Classify.overall(pseudoScore(col("n_chars"))).as("truth"),
       Classify.overall((wc % 199 - 99) / 99.0).as("pred"))
+  }
+
+  /** q187/q188's shared labeled frame: confidence = |pseudo-score|,
+    * correct = the two pseudo raters agree. */
+  private def calibLabeled(s: SparkSession, d: String): DataFrame = {
+    val wc = operators.TextStats.wordCount(coalesce(col("text"), lit("")))
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      abs(pseudoScore(col("n_chars"))).as("conf"),
+      (Classify.overall(pseudoScore(col("n_chars"))) ===
+        Classify.overall((wc % 199 - 99) / 99.0)).as("ok"))
   }
 
   /** q157's stored boolean percolation queries (literal for the
@@ -5831,32 +5851,10 @@ object SparkEntry {
 
     // Same micro grid, same fixed-order divisions as Eval.calibration;
     // HUGEINT sums replay the DECIMAL(38,0) exactness.
-    "q187_calibration" ->
-      """WITH l AS (
-           SELECT abs((n_chars % 201 - 100) / 100.0) AS conf,
-             (CASE WHEN (n_chars % 201 - 100) / 100.0 >= 0.1 THEN 'positive'
-                   WHEN (n_chars % 201 - 100) / 100.0 <= -0.1 THEN 'negative'
-                   ELSE 'neutral' END =
-              CASE WHEN (len(regexp_split_to_array(trim(coalesce(text, '')), '\s+')) % 199 - 99) / 99.0 >= 0.1 THEN 'positive'
-                   WHEN (len(regexp_split_to_array(trim(coalesce(text, '')), '\s+')) % 199 - 99) / 99.0 <= -0.1 THEN 'negative'
-                   ELSE 'neutral' END) AS ok
-           FROM documents),
-         r AS (
-           SELECT least(CAST(floor(conf * 10) AS BIGINT), 9) AS bin,
-             CAST(floor(conf * 1000000.0 + 0.5) AS BIGINT) AS cq,
-             CASE WHEN ok THEN 1 ELSE 0 END AS c
-           FROM l),
-         g AS (
-           SELECT bin, CAST(count(*) AS BIGINT) AS n,
-             CAST(sum(c) AS BIGINT) AS n_correct,
-             CAST(sum(cq) AS HUGEINT) AS sumq,
-             CAST(sum((cq - c * 1000000) * (cq - c * 1000000)) AS HUGEINT) AS ssq
-           FROM r GROUP BY bin)
-         SELECT bin, n, n_correct,
-           CAST(floor(CAST(n_correct AS DOUBLE) / CAST(n AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS acc_micro,
-           CAST(floor(CAST(sumq AS DOUBLE) / CAST(n AS DOUBLE) + 0.5) AS BIGINT) AS mean_conf_micro,
-           CAST(floor(CAST(ssq AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0 + 0.5) AS BIGINT) AS brier_micro
-         FROM g""",
+    "q187_calibration" -> Q187Sql,
+
+    // The incremental calibration fold must land the one-shot report.
+    "q188_calibration_inc" -> Q187Sql,
 
     // Same exact-count margins + the same double divisions and micro
     // grid as Eval.classReport.
@@ -6542,6 +6540,35 @@ object SparkEntry {
                   WHEN s_es = best THEN 'es' WHEN s_en = best THEN 'en'
                   ELSE 'de' END AS lang
            FROM lb)"""
+
+  /** q187/q188's shared calibration replay — one literal because the
+    * incremental fold must land the one-shot report verbatim. */
+  private lazy val Q187Sql: String =
+    """WITH l AS (
+           SELECT abs((n_chars % 201 - 100) / 100.0) AS conf,
+             (CASE WHEN (n_chars % 201 - 100) / 100.0 >= 0.1 THEN 'positive'
+                   WHEN (n_chars % 201 - 100) / 100.0 <= -0.1 THEN 'negative'
+                   ELSE 'neutral' END =
+              CASE WHEN (len(regexp_split_to_array(trim(coalesce(text, '')), '\s+')) % 199 - 99) / 99.0 >= 0.1 THEN 'positive'
+                   WHEN (len(regexp_split_to_array(trim(coalesce(text, '')), '\s+')) % 199 - 99) / 99.0 <= -0.1 THEN 'negative'
+                   ELSE 'neutral' END) AS ok
+           FROM documents),
+         r AS (
+           SELECT least(CAST(floor(conf * 10) AS BIGINT), 9) AS bin,
+             CAST(floor(conf * 1000000.0 + 0.5) AS BIGINT) AS cq,
+             CASE WHEN ok THEN 1 ELSE 0 END AS c
+           FROM l),
+         g AS (
+           SELECT bin, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(c) AS BIGINT) AS n_correct,
+             CAST(sum(cq) AS HUGEINT) AS sumq,
+             CAST(sum((cq - c * 1000000) * (cq - c * 1000000)) AS HUGEINT) AS ssq
+           FROM r GROUP BY bin)
+         SELECT bin, n, n_correct,
+           CAST(floor(CAST(n_correct AS DOUBLE) / CAST(n AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS acc_micro,
+           CAST(floor(CAST(sumq AS DOUBLE) / CAST(n AS DOUBLE) + 0.5) AS BIGINT) AS mean_conf_micro,
+           CAST(floor(CAST(ssq AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0 + 0.5) AS BIGINT) AS brier_micro
+         FROM g"""
 
   private lazy val Q159Sql: String =
     s"""WITH $EvalLabelsSql

@@ -187,25 +187,79 @@ object Eval {
     * floored — the established oracle-replay discipline. One
     * map-side-combined shuffle of ≤ `bins` groups. */
   def calibration(df: DataFrame, confCol: Column, correctCol: Column,
-                  bins: Int = 10): DataFrame = {
+                  bins: Int = 10): DataFrame =
+    calibrationReport(
+      calibrationCells(df, confCol, correctCol, bins)
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"), sum(col("__c")).as("n_correct"),
+          sum(col("__cq")).as("__sumq"), sum(col("__sq")).as("__ssq")))
+
+  /** Per-row calibration cells: `(bin, __cq, __c, __sq)` — the micro
+    * confidence, the {0,1} correctness, the exact squared error. */
+  private def calibrationCells(df: DataFrame, confCol: Column,
+                               correctCol: Column, bins: Int): DataFrame = {
     require(bins >= 1, s"bins must be >= 1 (got $bins)")
     val confQ = floor(confCol * 1e6 + 0.5).cast("long")
     val bin = least(floor(confCol * bins).cast("long"), lit(bins - 1L))
     val corr = when(correctCol, 1L).otherwise(0L)
     val err = confQ - corr * 1000000L
     df.select(bin.as("bin"), confQ.as("__cq"), corr.as("__c"),
-        (err * err).cast("decimal(38,0)").as("__sq"))
+      (err * err).cast("decimal(38,0)").as("__sq"))
+  }
+
+  /** The report tail over folded per-bin sums `(bin, n, n_correct,
+    * __sumq, __ssq)` — SHARED by the one-shot and incremental paths
+    * so both land identical fixed-order divisions. */
+  private def calibrationReport(g: DataFrame): DataFrame =
+    g.select(col("bin"), col("n"), col("n_correct"),
+      floor(col("n_correct").cast("double") / col("n").cast("double")
+        * 1e6 + 0.5).cast("long").as("acc_micro"),
+      floor(col("__sumq").cast("double") / col("n").cast("double")
+        + 0.5).cast("long").as("mean_conf_micro"),
+      floor(col("__ssq").cast("double") / col("n").cast("double")
+        / 1e6 + 0.5).cast("long").as("brier_micro"))
+
+  /** One micro-batch of the INCREMENTAL calibration ledger — every
+    * per-bin quantity is additive (counts, a BIGINT confidence sum, a
+    * DECIMAL(38,0) squared-error sum), so the monitoring loop's
+    * calibration folds under the standard effectively-once contract:
+    * id-dedup, seen-ledger anti-join (a redelivered batch's groupBy
+    * emits ZERO rows — nothing lands), bin partials tagged `batchId`
+    * append FIRST, ids LAST; torn appends re-land bit-identical
+    * partials that the read-side dedup folds once. */
+  def calibrationDeltaBatch(batch: DataFrame, idCol: String,
+                            confCol: Column, correctCol: Column,
+                            baseDir: String, batchId: Long,
+                            bins: Int = 10): Unit = {
+    val spark = batch.sparkSession
+    val b = batch.dropDuplicates(idCol)
+    val seen = Dedup.readStateOr(spark, s"$baseDir/seenIds",
+      b.select(col(idCol)).limit(0))
+    val fresh = b.join(seen, Seq(idCol), "left_anti").localCheckpoint()
+    calibrationCells(fresh, confCol, correctCol, bins)
       .groupBy(col("bin"))
       .agg(count(lit(1)).as("n"), sum(col("__c")).as("n_correct"),
-        sum(col("__cq")).as("__sumq"), sum(col("__sq")).as("__ssq"))
-      .select(col("bin"), col("n"), col("n_correct"),
-        floor(col("n_correct").cast("double") / col("n").cast("double")
-          * 1e6 + 0.5).cast("long").as("acc_micro"),
-        floor(col("__sumq").cast("double") / col("n").cast("double")
-          + 0.5).cast("long").as("mean_conf_micro"),
-        floor(col("__ssq").cast("double") / col("n").cast("double")
-          / 1e6 + 0.5).cast("long").as("brier_micro"))
+        sum(col("__cq")).as("sumq"), sum(col("__sq")).as("ssq"))
+      .select(lit(batchId).as("batch_id"), col("bin"), col("n"),
+        col("n_correct"), col("sumq"), col("ssq"))
+      .write.mode("append").parquet(s"$baseDir/cells")
+    fresh.select(col(idCol)).write.mode("append")
+      .parquet(s"$baseDir/seenIds")
+    fresh.unpersist()
+    ()
   }
+
+  /** The calibration report from the standing ledger — heal torn
+    * appends, fold the additive sums, land the one-shot
+    * [[calibration]] report bit-for-bit. */
+  def calibrationFromDirs(spark: org.apache.spark.sql.SparkSession,
+                          baseDir: String): DataFrame =
+    calibrationReport(
+      spark.read.parquet(s"$baseDir/cells")
+        .dropDuplicates("batch_id", "bin", "n", "n_correct", "sumq", "ssq")
+        .groupBy(col("bin"))
+        .agg(sum(col("n")).as("n"), sum(col("n_correct")).as("n_correct"),
+          sum(col("sumq")).as("__sumq"), sum(col("ssq")).as("__ssq")))
 
   /** [[confusionDeltaBatch]] as a stream sink — the live monitoring
     * loop: each micro-batch of labeled predictions folds into the

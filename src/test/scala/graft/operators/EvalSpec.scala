@@ -191,6 +191,32 @@ class EvalSpec extends SparkSpec {
     assert(p2.values.forall(_ == 0L)) // zero Brier at both ends
   }
 
+  test("incremental calibration fold == one-shot; redelivery and torn appends heal") {
+    val rows = (0 until 200).map { i =>
+      (i.toLong, (i % 101) / 100.0, (i * 2654435761L) % 3 != 0)
+    }
+    val df = rows.toDF("id", "conf", "ok")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5))
+    val oneShot = Eval.calibration(df, col("conf"), col("ok"))
+      .collect().map(key).toSet
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-calib-spec").toString
+    Seq(0L, 1L, 2L, 1L).zipWithIndex.foreach { case (sl, bid) =>
+      Eval.calibrationDeltaBatch(df.filter(col("id") % 3 === sl), "id",
+        col("conf"), col("ok"), base, batchId = bid.toLong)
+    }
+    def folded(): Set[(Long, Long, Long, Long, Long, Long)] =
+      Eval.calibrationFromDirs(spark, base).collect().map(key).toSet
+    assert(folded() == oneShot)
+    // torn append: cells written, ids never committed, batch retried
+    val torn = spark.read.parquet(s"$base/cells")
+      .filter(col("batch_id") === 2L)
+    torn.write.mode("append").parquet(s"$base/cells")
+    assert(folded() == oneShot)
+  }
+
   test("confusionSink: the same ledger as a MemoryStream sink") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
