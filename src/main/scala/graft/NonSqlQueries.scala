@@ -300,7 +300,7 @@ object NonSqlQueries {
     // sorted plan's global order).
     "x31_range_sharded" -> q((s, d) =>
       Export.rangeShardedSampled(Tables.documents(s, d), "doc_id",
-          "n_chars", numShards = 8, permille = 500)
+          "n_chars", numShards = 8)
         .select(col("doc_id"), col("n_chars"), col("shard"))),
 
     // Persistable PCA model: train → parquet round-trip → project

@@ -4774,13 +4774,17 @@ object SparkEntry {
     // lands exactly the one-shot minRun=8 verdict — q87's SQL verbatim.
     "x43_suffix_resume" -> OracleSuffix.q87Sql(minRun = 8),
 
-    // Sampled-exact range shards: the q46 md5 sample, exact order
-    // statistics at ranks ceil(i*n/8), ascending 1 + count(v > b)
-    // assignment.
+    // Sampled-exact range shards: the q46 md5 sample at the
+    // corpus-scaled rate (Boundaries.autoPermille's integer formula,
+    // replayed from the same count), exact order statistics at ranks
+    // ceil(i*n/8), ascending 1 + count(v > b) assignment.
     "x31_range_sharded" ->
-      """WITH smp AS (
+      """WITH pm AS (
+           SELECT LEAST(500, GREATEST(1, (1000 * 65536 + count(*) - 1) // count(*))) AS p
+           FROM documents),
+         smp AS (
            SELECT CAST(n_chars AS BIGINT) AS v FROM documents
-           WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6) AS BIGINT) % 1000 < 500),
+           WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6) AS BIGINT) % 1000 < (SELECT p FROM pm)),
          st AS (SELECT CAST(count(*) AS BIGINT) AS n FROM smp),
          rk AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM smp),
          rs AS (SELECT DISTINCT (i * n + 7) // 8 AS r
@@ -4795,10 +4799,13 @@ object SparkEntry {
     // values at ranks ceil(i*n/3), bucket = 1 + count(avg < b).
     "x30_perplexity_buckets_approx" ->
       s"""$Q79ScoringCtes,
+         pm AS (
+           SELECT LEAST(500, GREATEST(1, (1000 * 65536 + count(*) - 1) // count(*))) AS p
+           FROM base b JOIN lang l ON b.doc_id = l.doc_id),
          smp AS (
            SELECT l.lang, b.avg_lp_q AS v
            FROM base b JOIN lang l ON b.doc_id = l.doc_id
-           WHERE CAST('0x' || substr(md5(CAST(b.doc_id AS VARCHAR)), 1, 6) AS BIGINT) % 1000 < 500),
+           WHERE CAST('0x' || substr(md5(CAST(b.doc_id AS VARCHAR)), 1, 6) AS BIGINT) % 1000 < (SELECT p FROM pm)),
          strk AS (
            SELECT lang, v,
              CAST(row_number() OVER (PARTITION BY lang ORDER BY v DESC) AS BIGINT) AS rn,
@@ -4824,9 +4831,12 @@ object SparkEntry {
            SELECT doc_id,
              CAST(len(list_filter(regexp_split_to_array(lower(COALESCE(text, '')), '[^a-z0-9'']+'), x -> length(x) > 0)) AS BIGINT) AS v
            FROM documents),
+         pm AS (
+           SELECT LEAST(500, GREATEST(1, (1000 * 65536 + count(*) - 1) // count(*))) AS p
+           FROM t),
          smp AS (
            SELECT v FROM t
-           WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6) AS BIGINT) % 1000 < 500),
+           WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6) AS BIGINT) % 1000 < (SELECT p FROM pm)),
          st AS (SELECT CAST(count(*) AS BIGINT) AS n FROM smp),
          rk AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM smp),
          rs AS (SELECT DISTINCT (i * n + 9) // 10 AS r

@@ -174,8 +174,11 @@ object Eval {
 
   /** Calibration report (reliability diagram + Brier, the
     * Niculescu-Mizil/Caruana measurement): bin predictions by
-    * confidence (`bin = min(floor(conf·bins), bins−1)`, so conf = 1.0
-    * lands in the top bin) and report, per bin, count / correct
+    * confidence (`bin = max(0, min(floor(conf·bins), bins−1))`, so
+    * conf = 1.0 lands in the top bin and an out-of-domain score —
+    * confidence is a [0,1] quantity — clamps to the nearer edge bin
+    * rather than minting a negative bin id) and report, per bin,
+    * count / correct
     * count / accuracy / mean confidence / mean squared error (the
     * per-bin Brier term) — acc vs mean-conf per bin IS the
     * reliability curve, their gap the calibration error.
@@ -200,7 +203,10 @@ object Eval {
                                correctCol: Column, bins: Int): DataFrame = {
     require(bins >= 1, s"bins must be >= 1 (got $bins)")
     val confQ = floor(confCol * 1e6 + 0.5).cast("long")
-    val bin = least(floor(confCol * bins).cast("long"), lit(bins - 1L))
+    // confidence domain is [0,1]; clamp BOTH ends so an out-of-domain
+    // score degrades to the edge bin instead of a negative bin id
+    val bin = greatest(lit(0L),
+      least(floor(confCol * bins).cast("long"), lit(bins - 1L)))
     val corr = when(correctCol, 1L).otherwise(0L)
     val err = confQ - corr * 1000000L
     df.select(bin.as("bin"), confQ.as("__cq"), corr.as("__c"),
@@ -273,5 +279,25 @@ object Eval {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (b: DataFrame, bid: Long) =>
         confusionDeltaBatch(b, idCol, truthCol, predCol, baseDir, bid)
+      }
+
+  /** [[calibrationDeltaBatch]] as a stream sink — live calibration
+    * monitoring: each micro-batch of (confidence, correctness) pairs
+    * folds into the standing per-bin ledger effectively-once (a
+    * replayed batch's anti-join lands nothing), and
+    * [[calibrationFromDirs]] serves the reliability-diagram report at
+    * any instant, bit-identical to re-scoring history in one shot.
+    * Same contract as [[confusionSink]]/[[graft.operators.Pca]]'s
+    * momentsSink: per-bin partials append FIRST, ids LAST; torn
+    * appends heal on the read side. */
+  def calibrationSink(labeledStream: DataFrame, idCol: String,
+                      confCol: Column, correctCol: Column, baseDir: String,
+                      checkpointDir: String, bins: Int = 10)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    labeledStream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (b: DataFrame, bid: Long) =>
+        calibrationDeltaBatch(b, idCol, confCol, correctCol, baseDir, bid,
+          bins)
       }
 }

@@ -138,7 +138,8 @@ object Export {
     * decision replays in SQL (the x31 oracle) and is stable under
     * repartitioning — properties the sketch form cannot offer. */
   def rangeShardedSampled(df: DataFrame, idCol: String, sortCol: String,
-                          numShards: Int, permille: Int = 500): DataFrame = {
+                          numShards: Int,
+                          permille: Int = Boundaries.Auto): DataFrame = {
     require(numShards >= 2, s"numShards must be >= 2 (got $numShards)")
     val b = Boundaries.sampled(df, idCol, col(sortCol), numShards, permille)
     df.withColumn("shard", Boundaries.partOf(col(sortCol).cast("long"), b))

@@ -83,9 +83,12 @@ object InvertedIndex {
     * and every served BM25 score would silently shift (the posting
     * duplicates already heal; the stats needed the same contract).
     * Ids are unique within a partial (dropDuplicates upstream), so XOR
-    * cancellation needs a hash collision to fire. */
+    * cancellation needs a hash collision to fire. Hashes the STRING
+    * rendering of the id — a long cast would hash the null constant
+    * for any non-numeric id column, cancelling pairwise under XOR and
+    * degenerating the key to a constant. */
   private def statsBatchKey(id: Column): Column =
-    coalesce(call_function("bit_xor", xxhash64(id.cast("long"))), lit(0L))
+    coalesce(call_function("bit_xor", xxhash64(id.cast("string"))), lit(0L))
       .as("batch_key")
 
   /** The stats ledger, folded: heal torn-append duplicates first, then

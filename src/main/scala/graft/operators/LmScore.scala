@@ -152,12 +152,19 @@ object LmScore {
     // the collect below is safe only while the model is vocab-sized;
     // a corpus-derived table past the bound would OOM the driver, so
     // fall back to the join form — same bits (integer micro-nat sums
-    // are order-free; the spec asserts parity), different cost shape
-    if (lmTable.count() > maxBroadcastRows)
-      return bigramScoreJoinProjection(df, textCol, lmTable, floorLpQ)
-    val model: Map[(String, String), Long] = lmTable
+    // are order-free; the spec asserts parity), different cost shape.
+    // ONE materialization guards AND feeds the broadcast: collect
+    // limit(max+1) and check the length — a count() first would run a
+    // lazily-derived model plan twice (per micro-batch in streaming).
+    val probeLimit = math.min(maxBroadcastRows + 1L, Int.MaxValue.toLong).toInt
+    val probe = lmTable
       .select(col("w1"), col("w2"), col("lp_q"))
-      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+      .limit(probeLimit)
+      .collect()
+    if (probe.length > maxBroadcastRows)
+      return bigramScoreJoinProjection(df, textCol, lmTable, floorLpQ)
+    val model: Map[(String, String), Long] =
+      probe.map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
     val bc = df.sparkSession.sparkContext.broadcast(model)
     val scoreUdf = udf { (toks: Seq[String]) =>
       var n = 0L; var oov = 0L; var s = 0L
@@ -434,7 +441,7 @@ object LmScore {
   def perplexityBucketsSampled(docs: DataFrame, idCol: String,
                                textCol: String, isClean: Column,
                                buckets: Int = 3,
-                               permille: Int = 500): DataFrame = {
+                               permille: Int = Boundaries.Auto): DataFrame = {
     require(buckets >= 2, s"need at least 2 buckets (got $buckets)")
     val flagged = docs.withColumn("__clean", isClean)
     val model = trainTrigram(flagged.filter(col("__clean")), idCol, textCol)
@@ -444,7 +451,8 @@ object LmScore {
     val lang = TextAnalysis.withLangId(rest, textCol)
       .select(col(idCol), col("lang_pred").as("lang"))
     val base = scored.join(lang, Seq(idCol)).localCheckpoint()
-    val samp = base.filter(Sampling.bucketOf(col(idCol)) < permille)
+    val pm = Boundaries.effectivePermille(base, permille)
+    val samp = base.filter(Sampling.bucketOf(col(idCol)) < pm)
       .select(col("lang"), col("avg_lp_q"))
     val wr = org.apache.spark.sql.expressions.Window
       .partitionBy(col("lang")).orderBy(col("avg_lp_q").desc)

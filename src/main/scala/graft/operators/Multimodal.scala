@@ -498,8 +498,10 @@ object Multimodal {
     * threshold, every distinct-image cosine below it.
     *
     * Plane count SCALES with the corpus: `numPlanes` is a floor and
-    * the effective count is [[Similarity.autoPlanes]] of the decoded
-    * row count, keeping expected bucket occupancy bounded as the
+    * the effective count is [[Similarity.autoPlanes]] of the INPUT
+    * row count (taken on the raw media frame, before decode failures
+    * drop rows — column pruning makes that count payload-free, so
+    * the corpus never decodes twice), keeping expected bucket occupancy bounded as the
     * media corpus grows — without it, bucket count is fixed while
     * members grow, so in-bucket candidate pairs grow QUADRATICALLY
     * and max occupancy marches into the `maxBucket` drop-cap (the

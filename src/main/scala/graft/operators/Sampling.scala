@@ -404,8 +404,11 @@ object Sampling {
     // expression is no longer resolvable after the projection
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(groupCol)).orderBy(col("__p").desc, col(idCol))
+    // null text = zero tokens, explicitly — matches SUM-ignores-NULL
+    // cumsum semantics without flowing a null n_tok downstream
     df.select(col(idCol), col(groupCol), priority.as("__p"),
-        TextStats.wordCount(col(textCol)).cast("long").as("n_tok"))
+        coalesce(TextStats.wordCount(col(textCol)).cast("long"), lit(0L))
+          .as("n_tok"))
       .withColumn("cum_tok", sum(col("n_tok")).over(w))
       .filter(col("cum_tok") <= budgetPerGroup)
       .select(col(idCol), col(groupCol), col("n_tok"), col("cum_tok"))
@@ -429,8 +432,11 @@ object Sampling {
                         priority: Column, budgetTokens: Long): DataFrame = {
     require(budgetTokens >= 0, s"budget must be >= 0 (got $budgetTokens)")
     val spark = df.sparkSession
+    // null text = zero tokens, explicitly — the RDD pass below reads
+    // n_tok with getLong, which must never see a null cell
     val base = df.select(col(idCol), priority.as("__p"),
-      TextStats.wordCount(col(textCol)).cast("long").as("n_tok"))
+      coalesce(TextStats.wordCount(col(textCol)).cast("long"), lit(0L))
+        .as("n_tok"))
     val sorted = base.orderBy(col("__p").desc, col(idCol))
     sorted.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {

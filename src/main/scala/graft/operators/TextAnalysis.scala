@@ -937,7 +937,8 @@ object TextAnalysis {
     * partitioning-stable. Tokenize runs once (the lens frame is
     * checkpointed; the boundary pass samples FROM it). */
   def lengthCurriculumSampled(df: DataFrame, idCol: String, textCol: String,
-                              bins: Int = 10, permille: Int = 500): DataFrame = {
+                              bins: Int = 10,
+                              permille: Int = Boundaries.Auto): DataFrame = {
     require(bins >= 2, s"need at least 2 bins (got $bins)")
     val nToks = size(Analyzer.tokenize(coalesce(col(textCol), lit(""))))
       .cast("long")

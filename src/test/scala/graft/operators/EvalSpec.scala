@@ -240,7 +240,49 @@ class EvalSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
     assert(streamed == oneShot)
   }
+
+  test("calibrationSink: the streamed ledger report == one-shot calibration") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val rows = (0L until 120L).map { i =>
+      CalibScoreRow(i, (i % 101) / 100.0, (i * 2654435761L) % 3 != 0)
+    }
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-calib-sink").toString
+    val mem = MemoryStream[CalibScoreRow]
+    mem.addData(rows.filter(_.id % 2 == 0))
+    mem.addData(rows.filter(_.id % 2 == 1))
+    val q = Eval.calibrationSink(mem.toDF(), "id", col("conf"), col("ok"),
+        s"$base/led", s"$base/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5))
+    val streamed = Eval.calibrationFromDirs(spark, s"$base/led")
+      .collect().map(key).toSet
+    val oneShot = Eval.calibration(
+        rows.map(r => (r.id, r.conf, r.ok)).toDF("id", "conf", "ok"),
+        col("conf"), col("ok"))
+      .collect().map(key).toSet
+    assert(streamed == oneShot)
+  }
+
+  test("calibration bin clamps BOTH domain edges") {
+    // out-of-domain confidences degrade to the edge bins — never a
+    // negative or >= bins bin id
+    val out = Eval.calibration(
+        Seq((-0.25, false), (1.75, true), (0.5, true))
+          .toDF("conf", "ok"),
+        col("conf"), col("ok"), bins = 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(out == Set(0L, 5L, 9L))
+  }
 }
 
 /** Top-level for the MemoryStream encoder (the outer-scope trap). */
 case class LabeledPredRow(id: Long, truth: String, pred: String)
+
+/** Top-level for the MemoryStream encoder (the outer-scope trap). */
+case class CalibScoreRow(id: Long, conf: Double, ok: Boolean)
