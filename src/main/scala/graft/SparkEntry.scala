@@ -5700,8 +5700,17 @@ object SparkEntry {
          FROM m ORDER BY qid"""
 
   /** The oracle entries after q141 (split only to keep the q141 text
-    * reusable by q156's subquery wrapper). */
+    * reusable by q156's subquery wrapper). Appends the round-12
+    * rendered-artifact conversions: the static VADER/TextBlob replay
+    * (x01/x02 — graft.functions.OracleSentiment) and the
+    * corpus-vocabulary Porter replay (x03/x04 — graft.OracleAnalyzer,
+    * present only when Verify provides a session + sf dir to render
+    * the stem map from). */
   private def moreOracleSql: Map[String, String] = Map(
+
+    "x01_vader_scores" -> functions.OracleSentiment.x01Sql,
+
+    "x02_sentiment_histogram" -> functions.OracleSentiment.x02Sql,
 
     "q142_ann_recall" -> q142Sql(),
 
@@ -6341,7 +6350,7 @@ object SparkEntry {
          FROM p ASOF LEFT JOIN c
            ON p.user_id = c.c_user AND p.t >= c.c_t
          ORDER BY p.event_id"""
-  )
+  ) ++ OracleAnalyzer.entries
 
   private def sqQuote(s: String) = s.replace("'", "''")
 

@@ -6,6 +6,8 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0); val outDir = args(1)
+    // the x03/x04 oracles render their stem map from the corpus
+    OracleAnalyzer.sfDir = Some(sfDir)
     // optional trailing names: dump only that subset (local iteration);
     // the driver passes exactly two args and gets every query.
     val only = args.drop(2).toSet

@@ -23,10 +23,11 @@ package graft.functions
   */
 object LexiconPolarity {
 
-  private val Negators = Set("not", "no", "never", "cannot", "n't", "neither", "nor")
+  private[functions] val Negators =
+    Set("not", "no", "never", "cannot", "n't", "neither", "nor")
 
   /** intensifier -> multiplier (pattern's ~1.3 "very"-class default). */
-  private val Intensifiers: Map[String, Double] = Map(
+  private[functions] val Intensifiers: Map[String, Double] = Map(
     "very" -> 1.3, "really" -> 1.3, "extremely" -> 1.5, "incredibly" -> 1.5,
     "absolutely" -> 1.4, "completely" -> 1.4, "totally" -> 1.4,
     "highly" -> 1.3, "especially" -> 1.3, "particularly" -> 1.3,

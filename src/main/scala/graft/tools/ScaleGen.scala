@@ -31,11 +31,20 @@ import org.apache.spark.sql.functions._
   */
 object ScaleGen {
   val Copies = 10
-  val IdShift = 10000000L
+  val DefaultIdShift = 10000000L
 
+  /** args: [out [src [idShift [dayShift]]]]. Composes: deriving from an
+    * already-derived dir (sf1 → sf10) re-suffixes every token (the
+    * regex matches the suffixed words whole, so vocab stays unique per
+    * copy-pair) — pass a LARGER idShift (≥ 10× the level-1 shift) and
+    * dayShift (≥ 10× 31) so level-2 ids and event windows never
+    * collide with level-1's. */
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("/tmp/sf1_derived")
-    val src = "/root/testdata/sf0.1"
+    val src = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val IdShift = if (args.length > 2) args(2).toLong else DefaultIdShift
+    val dayShift = if (args.length > 3) args(3).toInt else 31
+    val rotStep = if (args.length > 4) args(4).toInt else 6
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -60,7 +69,11 @@ object ScaleGen {
     val emb = spark.read.parquet(s"$src/embeddings.parquet")
     tenfold(emb) { (d, c) =>
       val dim = 64
-      val rot = (6 * c) % dim
+      // level-2 derivations pass rotStep=13: 6·c1 + 13·c2 mod 64 is
+      // collision-free over c1,c2 ∈ [0,9], so no two copy-pairs ever
+      // produce identical vectors (which would adversarially inflate
+      // near-dup pair counts instead of scaling them linearly)
+      val rot = (rotStep * c) % dim
       val vec =
         if (rot == 0) col("embedding")
         else concat(slice(col("embedding"), rot + 1, dim - rot),
@@ -99,7 +112,7 @@ object ScaleGen {
     tenfold(ev) { (d, c) =>
       d.withColumn("event_id", col("event_id") + lit(c * IdShift))
         .withColumn("user_id", col("user_id") + lit(c * IdShift))
-        .withColumn("ts", col("ts") + expr(s"INTERVAL ${c * 31} DAYS"))
+        .withColumn("ts", col("ts") + expr(s"INTERVAL ${c * dayShift} DAYS"))
     }.repartition(cpus.toInt).write.mode("overwrite")
       .parquet(s"$out/events.parquet")
 

@@ -14,6 +14,7 @@ import graft.SparkEntry
 object VerifySubset {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0); val outDir = args(1); val names = args.drop(2).toSet
+    graft.OracleAnalyzer.sfDir = Some(sfDir)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
