@@ -5457,15 +5457,23 @@ object SparkEntry {
            FROM t),
          s AS (SELECT doc_id, sh, CAST(len(sh) AS BIGINT) AS n
                FROM shg WHERE len(sh) > 0),
+         -- postings form, NOT the all-pairs list_intersect join: pairs
+         -- materialize only through a shared shingle, so the replay
+         -- stays shingle-bucket-bounded and fits the sf1 oracle budget
+         -- (the all-pairs form exceeded 40 min single-node at 10x).
+         -- A zero-intersection pair can never pass inter*10 >= uni*8
+         -- (n > 0 on both sides), so the restriction is lossless.
+         ex AS (SELECT doc_id, n, unnest(sh) AS g FROM s),
          p AS (
            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-             CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS inter,
-             a.n + b.n - CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS uni
-           FROM s a JOIN s b ON a.doc_id < b.doc_id)
-         SELECT id_a, id_b, inter, uni,
-           CAST(floor(CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE)
+             any_value(a.n) AS na, any_value(b.n) AS nb,
+             CAST(count(*) AS BIGINT) AS inter
+           FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+           GROUP BY a.doc_id, b.doc_id)
+         SELECT id_a, id_b, inter, na + nb - inter AS uni,
+           CAST(floor(CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE)
              * 1000000 + 0.5) AS BIGINT) AS jac_micro
-         FROM p WHERE inter * 10 >= uni * 8
+         FROM p WHERE inter * 10 >= (na + nb - inter) * 8
          ORDER BY id_a, id_b""",
 
     // T-closeness replay: identical integer cumulative walk over the
