@@ -45,6 +45,12 @@ object ScaleGen {
     val IdShift = if (args.length > 2) args(2).toLong else DefaultIdShift
     val dayShift = if (args.length > 3) args(3).toInt else 31
     val rotStep = if (args.length > 4) args(4).toInt else 6
+    // Each derivation LEVEL must use a distinct suffix token: with a
+    // shared "zz", level-2 copy c of level-1 copy 0 ("wordzzc") would
+    // equal level-1 copy c inside level-2 copy 0 — 9 identical twins
+    // for every base doc, turning linear dup growth quadratic-ish
+    // (measured: q135 pairs 29x instead of 10x before this fix).
+    val sfx = if (args.length > 5) args(5) else "zz"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -59,7 +65,7 @@ object ScaleGen {
     tenfold(docs) { (d, c) =>
       val txt =
         if (c == 0) col("text")
-        else regexp_replace(col("text"), "([A-Za-z0-9']+)", s"$$1zz$c")
+        else regexp_replace(col("text"), "([A-Za-z0-9']+)", s"$$1$sfx$c")
       d.select((col("doc_id") + lit(c * IdShift)).as("doc_id"),
         txt.as("text"), col("lang"), col("source"),
         length(txt).cast("long").as("n_chars"))
