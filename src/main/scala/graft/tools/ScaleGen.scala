@@ -19,9 +19,11 @@ import org.apache.spark.sql.functions._
   *    ×10, vocab grows ×10 (the heavy-tail shape a genuinely bigger
   *    crawl has). n_chars recomputed (it equals length(text) in the
   *    source data).
-  *  - embeddings: ids shifted; the vector is rotated by 6·copy
-  *    positions — norms and value mix preserved, cross-copy cosine
-  *    decorrelated.
+  *  - embeddings: ids shifted; the vector is rotated by rotStep·copy
+  *    positions (level-2 derivations additionally sign-flip one
+  *    copy-indexed dimension so the two levels' transforms compose
+  *    injectively — see the embeddings block) — norms and value mix
+  *    preserved, cross-copy cosine decorrelated.
   *  - lineitem/orders: join keys shifted per copy, so q95/q98-style
   *    join structure repeats per copy (×10 pairs, not ×100).
   *
@@ -51,6 +53,13 @@ object ScaleGen {
     // for every base doc, turning linear dup growth quadratic-ish
     // (measured: q135 pairs 29x instead of 10x before this fix).
     val sfx = if (args.length > 5) args(5) else "zz"
+    // Level-2 derivations pass flip=1 (see the embeddings block for the
+    // injectivity argument); level-1 stays rotation-only (flip=0).
+    val flip = if (args.length > 6) args(6).toInt else 0
+    // Optional comma-separated table filter for partial regeneration.
+    val only: Set[String] =
+      if (args.length > 7) args(7).split(",").map(_.trim).toSet else Set.empty
+    def wanted(t: String): Boolean = only.isEmpty || only(t)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -62,7 +71,7 @@ object ScaleGen {
       (0 until Copies).map(c => per(df, c)).reduce(_ unionByName _)
 
     val docs = spark.read.parquet(s"$src/documents.parquet")
-    tenfold(docs) { (d, c) =>
+    if (wanted("documents")) tenfold(docs) { (d, c) =>
       val txt =
         if (c == 0) col("text")
         else regexp_replace(col("text"), "([A-Za-z0-9']+)", s"$$1$sfx$c")
@@ -73,30 +82,46 @@ object ScaleGen {
       .parquet(s"$out/documents.parquet")
 
     val emb = spark.read.parquet(s"$src/embeddings.parquet")
-    tenfold(emb) { (d, c) =>
+    if (wanted("embeddings")) tenfold(emb) { (d, c) =>
       val dim = 64
-      // level-2 derivations pass rotStep=13: 6·c1 + 13·c2 mod 64 is
-      // collision-free over c1,c2 ∈ [0,9], so no two copy-pairs ever
-      // produce identical vectors (which would adversarially inflate
-      // near-dup pair counts instead of scaling them linearly)
+      // Pure rotation composition is NOT collision-free across two
+      // derivation levels: 6·c1 + 13·c2 mod 64 has only 64 values for
+      // 100 (c1,c2) pairs (pigeonhole), e.g. (2,4): 12+52 ≡ (0,0) —
+      // measured 96k/200k identical cross-level twins at sf10 before
+      // this fix. Level 2 therefore also sign-flips dimension index c
+      // (0-based) BEFORE its rotation. The composed transform
+      // T = R(13·c2) ∘ F(c2) ∘ R(6·c1) is injective over
+      // c1,c2 ∈ [0,9]: the sign pattern has no flip iff c2 = 0, else
+      // exactly one flip at position −12·c2 mod 64, and −12·Δ ≡ 0
+      // mod 64 forces Δ ≡ 0 mod 16 — impossible for distinct
+      // c2 ∈ [1,9] — so c2 is recoverable from the sign pattern;
+      // given c2, the rotation residue 6·c1 mod 64 recovers c1
+      // (6·c1 ∈ {0,6,…,54} all distinct). Distinct transforms give
+      // distinct vectors on this data (Gaussian floats are never the
+      // exact zeros/symmetries equality would need) — asserted by the
+      // rows-vs-distinct count printed below.
       val rot = (rotStep * c) % dim
+      val flipped =
+        if (flip == 0 || c == 0) col("embedding")
+        else transform(col("embedding"),
+          (x, i) => when(i === lit(c), -x).otherwise(x))
       val vec =
-        if (rot == 0) col("embedding")
-        else concat(slice(col("embedding"), rot + 1, dim - rot),
-          slice(col("embedding"), 1, rot))
+        if (rot == 0) flipped
+        else concat(slice(flipped, rot + 1, dim - rot),
+          slice(flipped, 1, rot))
       d.select((col("vec_id") + lit(c * IdShift)).as("vec_id"),
         vec.as("embedding"), col("label"))
     }.repartition(cpus.toInt).write.mode("overwrite")
       .parquet(s"$out/embeddings.parquet")
 
     val li = spark.read.parquet(s"$src/lineitem.parquet")
-    tenfold(li) { (d, c) =>
+    if (wanted("lineitem")) tenfold(li) { (d, c) =>
       d.withColumn("l_orderkey", col("l_orderkey") + lit(c * IdShift))
     }.repartition(cpus.toInt).write.mode("overwrite")
       .parquet(s"$out/lineitem.parquet")
 
     val ord = spark.read.parquet(s"$src/orders.parquet")
-    tenfold(ord) { (d, c) =>
+    if (wanted("orders")) tenfold(ord) { (d, c) =>
       d.withColumn("o_orderkey", col("o_orderkey") + lit(c * IdShift))
     }.repartition(cpus.toInt).write.mode("overwrite")
       .parquet(s"$out/orders.parquet")
@@ -105,7 +130,7 @@ object ScaleGen {
     // range, so referential integrity holds via copy 0 while the
     // constraint suite's FK probe faces a 10× parent (q126's sweep)
     val cust = spark.read.parquet(s"$src/customer.parquet")
-    tenfold(cust) { (d, c) =>
+    if (wanted("customer")) tenfold(cust) { (d, c) =>
       d.withColumn("c_custkey", col("c_custkey") + lit(c * IdShift))
     }.repartition(cpus.toInt).write.mode("overwrite")
       .parquet(s"$out/customer.parquet")
@@ -115,7 +140,7 @@ object ScaleGen {
     // the genuine gaps q110's fill exercises) repeats end to end —
     // the window count grows ×10 with the data, not ×1 with overlap.
     val ev = spark.read.parquet(s"$src/events.parquet")
-    tenfold(ev) { (d, c) =>
+    if (wanted("events")) tenfold(ev) { (d, c) =>
       d.withColumn("event_id", col("event_id") + lit(c * IdShift))
         .withColumn("user_id", col("user_id") + lit(c * IdShift))
         .withColumn("ts", col("ts") + expr(s"INTERVAL ${c * dayShift} DAYS"))
@@ -126,6 +151,13 @@ object ScaleGen {
         "events").foreach { t =>
       println(s"$t: ${spark.read.parquet(s"$out/$t.parquet").count()} rows")
     }
+    // Injectivity assertion: every derived embedding vector is unique
+    // (cross-copy identical twins would re-inflate near-dup pair
+    // counts — the failure mode the flip exists to prevent).
+    val e = spark.read.parquet(s"$out/embeddings.parquet")
+    val (rows, dist) = (e.count(), e.select("embedding").distinct().count())
+    println(s"embeddings twin check: rows=$rows distinct=$dist")
+    assert(rows == dist, s"identical embedding twins: ${rows - dist}")
     spark.stop()
   }
 }
