@@ -90,9 +90,14 @@ object Bench {
     // driver records have shown machine-load artifacts (the round-11
     // adjudication: q79/q100/q102/q176 read 1.5-2.5x under load and
     // re-measured at par standalone) — a median-of-3 absorbs one
-    // loaded run where min-of-2 cannot
+    // loaded run where min-of-2 cannot. The index/funnel mid-weights
+    // joined in round 13: their 7-round history shows a ±45% band on
+    // byte-identical code (q117 4.49–6.71 s, q74 4.17–5.87 s), which
+    // cost the round-12 judge a standalone re-bench to adjudicate.
     val noisy = Set("q79_perplexity_buckets", "q100_suffix_rewrite",
-      "q102_pagerank", "q176_pagerank_weighted")
+      "q102_pagerank", "q176_pagerank_weighted",
+      "q117_index_incremental", "q74_corpus_funnel",
+      "q116_index_topk", "q69_dedup_quality_keeper")
     val expensive = firstPass.filter(_._4)
       .sortBy { case (_, _, ts, _) => -ts.min }
       .take(10).map(_._1).toSet ++ noisy.filter(n => firstPass.exists(_._1 == n))
