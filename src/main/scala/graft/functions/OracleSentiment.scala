@@ -338,16 +338,22 @@ object OracleSentiment {
        ${chainCtes.replace("FROM v0s_src", "FROM vm")}
        $tail"""
 
-  /** x01: per-document VADER struct + both TextBlob halves, raw text. */
+  /** x01: per-document VADER struct + both TextBlob halves, raw text.
+    * The COALESCE(…, 0e0) covers docs whose text yields no scored
+    * tokens (absent from vout/tbout but scored 0.0 by the engine);
+    * docs with NULL text must stay NULL instead — the engine's
+    * nullSafeEval expressions return NULL for null input, and a
+    * blanket coalesce would spuriously fail the compare on any corpus
+    * carrying a null text row (0.0 vs NULL). */
   def x01Sql: String = withChain(
     "SELECT doc_id, text FROM documents",
     s"""SELECT d.doc_id,
-         COALESCE(v.neg, 0e0) AS neg,
-         COALESCE(v.neu, 0e0) AS neu,
-         COALESCE(v.pos, 0e0) AS pos,
-         COALESCE(v.compound, 0e0) AS compound,
-         COALESCE(t.tbpol, 0e0) AS textblob_polarity,
-         COALESCE(t.tbsub, 0e0) AS textblob_subjectivity
+         CASE WHEN d.text IS NULL THEN NULL ELSE COALESCE(v.neg, 0e0) END AS neg,
+         CASE WHEN d.text IS NULL THEN NULL ELSE COALESCE(v.neu, 0e0) END AS neu,
+         CASE WHEN d.text IS NULL THEN NULL ELSE COALESCE(v.pos, 0e0) END AS pos,
+         CASE WHEN d.text IS NULL THEN NULL ELSE COALESCE(v.compound, 0e0) END AS compound,
+         CASE WHEN d.text IS NULL THEN NULL ELSE COALESCE(t.tbpol, 0e0) END AS textblob_polarity,
+         CASE WHEN d.text IS NULL THEN NULL ELSE COALESCE(t.tbsub, 0e0) END AS textblob_subjectivity
        FROM docs d
        LEFT JOIN vout v USING (doc_id)
        LEFT JOIN tbout t USING (doc_id)""")

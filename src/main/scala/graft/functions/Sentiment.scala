@@ -22,7 +22,12 @@ object Sentiment {
 
   private val vaderCompoundUdf = udf { (text: String) => Vader.compound(text) }
   private val lexPolarityUdf = udf { (text: String) => LexiconPolarity.polarity(text) }
-  private val lexSentimentUdf = udf { (text: String) => LexiconPolarity.sentiment(text) }
+  // Option-wrapped: NULL text → NULL struct, matching the native
+  // nullSafeEval expressions (a bare UDF would receive the null String
+  // and score it (0.0, 0.0), making sentiment().polarity disagree
+  // with polarity() on null input). Empty text still scores (0.0, 0.0).
+  private val lexSentimentUdf = udf { (text: String) =>
+    Option(text).map(LexiconPolarity.sentiment) }
 
   /** X-1: full VADER struct<neg,neu,pos,compound> (native expr). */
   def vaderScores(text: Column): Column =

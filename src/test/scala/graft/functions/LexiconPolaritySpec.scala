@@ -51,7 +51,7 @@ class LexiconPolaritySpec extends AnyFunSuite {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
     val texts = Seq("good news everyone", "the chair and the table",
-      "not very good", null: String)
+      "not very good", "")
     val rows = texts.toDF("text")
       .select(Sentiment.lexiconSentiment(col("text")).as("s"))
       .select($"s.polarity", $"s.subjectivity")
@@ -60,5 +60,26 @@ class LexiconPolaritySpec extends AnyFunSuite {
       val (ep, es) = LexiconPolarity.sentiment(t)
       assert(pol == ep && subj == es, s"mismatch for '$t'")
     }
+  }
+
+  test("null text yields a NULL struct, matching the native exprs") {
+    // NULL in → NULL out across the whole sentiment surface: the
+    // nullSafeEval expressions (vaderScores, lexiconPolarity) already
+    // behave this way; the struct UDF must agree or
+    // sentiment().polarity and polarity() diverge on null input
+    // (round-13 ADVICE: the x01 oracle compare would spuriously fail
+    // on any corpus carrying a null text row).
+    val spark = graft.SparkSessionProvider.session
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val row = Seq(null: String).toDF("text")
+      .select(
+        Sentiment.lexiconSentiment(col("text")).as("s"),
+        Sentiment.vaderScores(col("text")).as("v"),
+        Sentiment.lexiconPolarity(col("text")).as("p"))
+      .collect()(0)
+    assert(row.isNullAt(0), "lexiconSentiment(null) must be NULL")
+    assert(row.isNullAt(1), "vaderScores(null) must be NULL")
+    assert(row.isNullAt(2), "lexiconPolarity(null) must be NULL")
   }
 }
