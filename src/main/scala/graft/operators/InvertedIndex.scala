@@ -86,7 +86,17 @@ object InvertedIndex {
     * cancellation needs a hash collision to fire. Hashes the STRING
     * rendering of the id — a long cast would hash the null constant
     * for any non-numeric id column, cancelling pairwise under XOR and
-    * degenerating the key to a constant. */
+    * degenerating the key to a constant.
+    *
+    * UPGRADE NOTE (key-derivation v2, round 12): the string cast
+    * changed every key relative to the pre-round-12 long-cast
+    * derivation, so a STANDING stats ledger written before the change
+    * no longer dedups a batch redelivered ACROSS the upgrade — the
+    * old and new renderings of the same partial carry different keys
+    * and would double-count N/Σdl. Operationally: rebuild standing
+    * index stats ledgers when adopting this version (re-run the
+    * batches into a fresh dir), or drain in-flight redeliveries
+    * first. New ledgers are self-consistent. */
   private def statsBatchKey(id: Column): Column =
     coalesce(call_function("bit_xor", xxhash64(id.cast("string"))), lit(0L))
       .as("batch_key")
