@@ -89,31 +89,45 @@ object Porter {
 
   private val Step4Suffixes = List(
     "al", "ance", "ence", "er", "ic", "able", "ible", "ant", "ement",
-    "ment", "ent", "ou", "ism", "ate", "iti", "ous", "ive", "ize")
+    "ment", "ent", "ion", "ou", "ism", "ate", "iti", "ous", "ive", "ize")
 
+  /** Rule selection per the 1980 paper: within a step, ONLY the rule
+    * with the longest matching S1 is considered — if its m-condition
+    * fails, the step ends with the word unchanged, with NO
+    * fall-through to a shorter suffix. (Porter's own FAQ example:
+    * "agreement" keeps its EMENT because m(agre)=1, and the step does
+    * not then try MENT/ENT — a first-match-wins scan over the ordered
+    * list got that wrong here until round 13, stemming basement →
+    * basem via the ENT rule; caught by tools/porter_probe.py's
+    * independent from-the-paper implementation.) */
   private def replaceSuffix(w: String, pairs: List[(String, String)],
                             minM: Int): String = {
-    pairs.collectFirst {
-      case (suf, rep) if w.endsWith(suf) && m(w.dropRight(suf.length)) > minM - 1 =>
-        w.dropRight(suf.length) + rep
-    }.getOrElse(w)
+    var best: (String, String) = null
+    for (p <- pairs)
+      if (w.endsWith(p._1) && (best == null || p._1.length > best._1.length))
+        best = p
+    if (best == null) w
+    else {
+      val stem = w.dropRight(best._1.length)
+      if (m(stem) > minM - 1) stem + best._2 else w
+    }
   }
 
   private def step2(w: String): String = replaceSuffix(w, Step2Suffixes, 1)
   private def step3(w: String): String = replaceSuffix(w, Step3Suffixes, 1)
 
   private def step4(w: String): String = {
-    Step4Suffixes.collectFirst {
-      case suf if w.endsWith(suf) && {
-        val stem = w.dropRight(suf.length)
-        m(stem) > 1 && (suf != "ion" || (stem.nonEmpty && "st".contains(stem.last)))
-      } => w.dropRight(suf.length)
-    }.getOrElse {
-      // "ion" needs preceding s or t
-      if (w.endsWith("ion")) {
-        val stem = w.dropRight(3)
-        if (m(stem) > 1 && stem.nonEmpty && "st".contains(stem.last)) stem else w
-      } else w
+    var best: String = null
+    for (suf <- Step4Suffixes)
+      if (w.endsWith(suf) && (best == null || suf.length > best.length))
+        best = suf
+    if (best == null) w
+    else {
+      val stem = w.dropRight(best.length)
+      if (m(stem) > 1 &&
+          (best != "ion" || (stem.nonEmpty && "st".contains(stem.last))))
+        stem
+      else w
     }
   }
 
