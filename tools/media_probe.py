@@ -1,0 +1,375 @@
+#!/usr/bin/env python3
+"""Independent cross-executor probe for the no-oracle media/DEFLATE/HLL
+queries (round-12 VERDICT directive 2). Reads the parquet written by
+`graft.tools.MediaDump` and re-derives every engine output column from
+the raw payload bytes using ONLY Python stdlib decoders — struct for
+RIFF/PNG/ISO-BMFF container walks, zlib for PNG IDAT inflate and the
+DEFLATE ratio — sharing no code with the JVM engine. The spec suites
+pin these queries against closed forms; this probe pins them against a
+second, independent EXECUTOR:
+
+  x36  WAV 16-bit PCM decode -> rms/peak/dc/zero-crossings/envelope
+  x37  PNG full pixel decode -> channel means, Rec.709 luma mean/std,
+       8-bin histogram, horizontal gradient energy
+  x39  ISO-BMFF box walk     -> brand/duration/dims/track count
+  x41  DEFLATE level 6       -> deflate_bytes + ratio_micro
+  x42  DEFLATE on the junk-tail-decorated frame (tail rebuilt here)
+  x16  HLL++ estimates checked against EXACT distinct counts within
+       the documented rsd bound (the one non-exact row: an estimate
+       has no bit-parity target, only an error contract)
+
+All integer columns and micro-rounded (floor(x*1e6+0.5)) doubles must
+match EXACTLY; envelope floats must match as float32 bit patterns.
+
+usage: media_probe.py <dumpDir> <sfDir>
+exit 0 on zero mismatches, 1 otherwise.
+"""
+import glob
+import json
+import math
+import struct
+import sys
+import zlib
+
+import duckdb
+
+
+def read(dirname):
+    files = sorted(glob.glob(f"{dirname}/*.parquet"))
+    con = duckdb.connect()
+    return con.execute(
+        f"SELECT * FROM read_parquet({files!r})").fetch_arrow_table().to_pylist()
+
+
+def micro(x):
+    return math.floor(x * 1e6 + 0.5)
+
+
+def f32(x):
+    return struct.unpack("<f", struct.pack("<f", x))[0]
+
+
+FAILS = []
+
+
+def check(qid, rid, field, engine, probe):
+    if engine != probe:
+        FAILS.append((qid, rid, field, engine, probe))
+        if len(FAILS) <= 25:
+            print(f"MISMATCH {qid} id={rid} {field}: engine={engine!r} probe={probe!r}")
+
+
+# ---- x36: RIFF/WAV PCM -------------------------------------------------
+
+def riff_chunks(b):
+    i = 12
+    while i + 8 <= len(b):
+        cid = b[i:i + 4].decode("ascii", "replace")
+        ln = struct.unpack_from("<I", b, i + 4)[0]
+        yield cid, i + 8, ln
+        i = i + 8 + ln + (ln & 1)
+
+
+def probe_audio(row):
+    b = bytes(row["payload"])
+    rid = row["media_id"]
+    assert b[:4] == b"RIFF" and b[8:12] == b"WAVE"
+    channels = rate = bits = 0
+    off = -1
+    dlen = 0
+    for cid, o, ln in riff_chunks(b):
+        if cid == "fmt ":
+            channels, rate = struct.unpack_from("<HI", b, o + 2)
+            bits = struct.unpack_from("<H", b, o + 14)[0]
+        elif cid == "data":
+            off, dlen = o, min(ln, len(b) - o)
+    bytes_per_sample = bits // 8
+    frame_bytes = bytes_per_sample * channels
+    n = dlen // frame_bytes
+    bytes_per_sec = rate * channels * bytes_per_sample
+    check("x36", rid, "channels", row["channels"], channels)
+    check("x36", rid, "sample_rate_hz", row["sample_rate_hz"], rate)
+    check("x36", rid, "bits", row["bits"], bits)
+    check("x36", rid, "duration_ms", row["duration_ms"],
+          dlen * 1000 // bytes_per_sec)
+    check("x36", rid, "n_frames", row["n_frames"], n)
+    env_w = len(row["envelope"])
+    env = [0.0] * env_w
+    env_n = [0] * env_w
+    sum_sq = 0.0
+    tot = 0.0
+    peak = 0.0
+    zc = 0
+    prev_sign = 0
+    for f in range(n):
+        acc = 0.0
+        for c in range(channels):
+            p = off + f * frame_bytes + c * bytes_per_sample
+            if bytes_per_sample == 1:
+                s = (b[p] - 128) / 128.0
+            else:
+                s = struct.unpack_from("<h", b, p)[0] / 32768.0
+            acc += s
+        x = acc / channels
+        sum_sq += x * x
+        tot += x
+        ax = abs(x)
+        if ax > peak:
+            peak = ax
+        sign = 1 if x > 0 else (-1 if x < 0 else 0)
+        if sign != 0 and prev_sign != 0 and sign != prev_sign:
+            zc += 1
+        if sign != 0:
+            prev_sign = sign
+        w = (f * env_w) // n
+        env[w] += x * x
+        env_n[w] += 1
+    check("x36", rid, "rms_micro", row["rms_micro"], micro(math.sqrt(sum_sq / n)))
+    check("x36", rid, "peak_micro", row["peak_micro"], micro(peak))
+    check("x36", rid, "dc_micro", row["dc_micro"], micro(tot / n))
+    check("x36", rid, "zero_crossings", row["zero_crossings"], zc)
+    probe_env = [f32(math.sqrt(env[w] / env_n[w])) if env_n[w] else 0.0
+                 for w in range(env_w)]
+    check("x36", rid, "envelope", [f32(v) for v in row["envelope"]], probe_env)
+
+
+# ---- x37: PNG pixel decode ---------------------------------------------
+
+def png_pixels(b):
+    assert b[:8] == b"\x89PNG\r\n\x1a\n", "not a PNG"
+    i = 8
+    idat = b""
+    w = h = depth = ctype = interlace = None
+    while i + 8 <= len(b):
+        ln = struct.unpack_from(">I", b, i)[0]
+        typ = b[i + 4:i + 8]
+        data = b[i + 8:i + 8 + ln]
+        if typ == b"IHDR":
+            w, h, depth, ctype, _, _, interlace = struct.unpack(">IIBBBBB", data)
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            break
+        i += 12 + ln
+    assert depth == 8 and interlace == 0, f"unsupported PNG {depth}/{ctype}"
+    bpp = {0: 1, 2: 3, 4: 2, 6: 4}[ctype]
+    raw = zlib.decompress(idat)
+    stride = w * bpp
+    out = bytearray(stride * h)
+    prev = bytearray(stride)
+    pos = 0
+    for y in range(h):
+        filt = raw[pos]
+        line = bytearray(raw[pos + 1:pos + 1 + stride])
+        pos += 1 + stride
+        if filt == 1:  # Sub
+            for x in range(bpp, stride):
+                line[x] = (line[x] + line[x - bpp]) & 0xFF
+        elif filt == 2:  # Up
+            for x in range(stride):
+                line[x] = (line[x] + prev[x]) & 0xFF
+        elif filt == 3:  # Average
+            for x in range(stride):
+                a = line[x - bpp] if x >= bpp else 0
+                line[x] = (line[x] + (a + prev[x]) // 2) & 0xFF
+        elif filt == 4:  # Paeth
+            for x in range(stride):
+                a = line[x - bpp] if x >= bpp else 0
+                c = prev[x - bpp] if x >= bpp else 0
+                p = a + prev[x] - c
+                pa, pb, pc = abs(p - a), abs(p - prev[x]), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (prev[x] if pb <= pc else c)
+                line[x] = (line[x] + pred) & 0xFF
+        out[y * stride:(y + 1) * stride] = line
+        prev = line
+
+    def rgb(x, y):
+        o = y * stride + x * bpp
+        if ctype == 2 or ctype == 6:
+            return out[o], out[o + 1], out[o + 2]
+        g = out[o]
+        return g, g, g
+
+    return w, h, rgb
+
+
+def probe_image(row):
+    rid = row["media_id"]
+    w, h, rgb = png_pixels(bytes(row["payload"]))
+    check("x37", rid, "decoded", row["decoded"], True)
+    check("x37", rid, "width", row["width"], w)
+    check("x37", rid, "height", row["height"], h)
+    sr = sg = sb = sl = sll = edge = 0
+    hist = [0] * 8
+    for y in range(h):
+        prev_l = -1
+        for x in range(w):
+            r, g, bl = rgb(x, y)
+            sr += r
+            sg += g
+            sb += bl
+            l = 2126 * r + 7152 * g + 722 * bl
+            sl += l
+            sll += l * l
+            hist[(l * 8) // 2550001] += 1
+            if prev_l >= 0:
+                edge += abs(l - prev_l)
+            prev_l = l
+    n = w * h
+    lm = sl / n
+    lvar = sll / n - lm * lm
+    check("x37", rid, "mean_r_micro", row["mean_r_micro"], micro(sr / n))
+    check("x37", rid, "mean_g_micro", row["mean_g_micro"], micro(sg / n))
+    check("x37", rid, "mean_b_micro", row["mean_b_micro"], micro(sb / n))
+    check("x37", rid, "luma_mean_micro", row["luma_mean_micro"], micro(lm / 10000.0))
+    check("x37", rid, "luma_std_micro", row["luma_std_micro"],
+          micro(math.sqrt(max(0.0, lvar)) / 10000.0))
+    check("x37", rid, "edge_micro", row["edge_micro"],
+          0 if w < 2 else micro(edge / ((w - 1) * h) / 10000.0))
+    check("x37", rid, "luma_hist", list(row["luma_hist"]), hist)
+
+
+# ---- x39: ISO-BMFF box walk ---------------------------------------------
+
+def probe_video(row):
+    rid = row["doc_id"]
+    b = bytes(row["payload"])
+    assert b[4:8] == b"ftyp"
+    brand = b[8:12].decode("ascii").strip()
+    dur_ms = 0
+    w = h = tracks = 0
+
+    def walk(start, end, depth):
+        nonlocal dur_ms, w, h, tracks
+        i = start
+        while i + 8 <= end:
+            size = struct.unpack_from(">I", b, i)[0]
+            typ = b[i + 4:i + 8]
+            hdr = 8
+            if size == 1 and i + 16 <= end:
+                size = struct.unpack_from(">Q", b, i + 8)[0]
+                hdr = 16
+            if size < hdr or i + size > end:
+                return
+            body = i + hdr
+            if typ == b"moov" and depth == 0:
+                walk(body, i + size, 1)
+            elif typ == b"trak" and depth == 1:
+                tracks += 1
+                walk(body, i + size, 2)
+            elif typ == b"mvhd" and depth == 1 and body + 20 <= end:
+                ver = b[body]
+                if ver == 1:
+                    ts = struct.unpack_from(">I", b, body + 20)[0]
+                    dur = struct.unpack_from(">Q", b, body + 24)[0]
+                else:
+                    ts = struct.unpack_from(">I", b, body + 12)[0]
+                    dur = struct.unpack_from(">I", b, body + 16)[0]
+                if ts > 0:
+                    dur_ms = dur * 1000 // ts
+            elif typ == b"tkhd" and depth == 2:
+                ver = b[body]
+                o = body + (88 if ver == 1 else 76)
+                if o + 8 <= end:
+                    tw = struct.unpack_from(">I", b, o)[0] >> 16
+                    th = struct.unpack_from(">I", b, o + 4)[0] >> 16
+                    if tw > 0 and th > 0 and w == 0:
+                        w, h = tw, th
+
+            i += size
+
+    walk(0, len(b), 0)
+    check("x39", rid, "format", row["format"], f"mp4/{brand}")
+    check("x39", rid, "duration_ms", row["duration_ms"], dur_ms)
+    check("x39", rid, "width", row["width"], w)
+    check("x39", rid, "height", row["height"], h)
+    check("x39", rid, "n_tracks", row["n_tracks"], tracks)
+
+
+# ---- x41/x42: DEFLATE ----------------------------------------------------
+
+def deflate_len(raw, level=6):
+    c = zlib.compressobj(level, zlib.DEFLATED, 15)  # zlib wrapper = Java default
+    return len(c.compress(raw) + c.flush())
+
+
+def probe_compress(row, qid, text):
+    rid = row["doc_id"]
+    raw = ("" if text is None else text).encode("utf-8")
+    check(qid, rid, "raw_bytes", row["raw_bytes"], len(raw))
+    out = deflate_len(raw) if raw else 0
+    check(qid, rid, "deflate_bytes", row["deflate_bytes"], out)
+    check(qid, rid, "ratio_micro", row["ratio_micro"],
+          0 if not raw else micro(out / len(raw)))
+
+
+def x42_tail(doc_id):
+    return (f" the item{doc_id * 7 + 1} of the list{doc_id * 3 + 2} and") * 100
+
+
+# ---- x16: HLL++ vs exact -------------------------------------------------
+
+def probe_approx(rows, sf_dir):
+    con = duckdb.connect()
+    try:  # single-file layout (the harness testdata)
+        exact = dict(con.execute(
+            "SELECT l_returnflag, count(DISTINCT l_orderkey) FROM "
+            f"read_parquet('{sf_dir}/lineitem.parquet') GROUP BY 1").fetchall())
+    except duckdb.IOException:  # directory layout (derived corpora)
+        exact = dict(con.execute(
+            "SELECT l_returnflag, count(DISTINCT l_orderkey) FROM "
+            f"read_parquet('{sf_dir}/lineitem.parquet/*.parquet') "
+            "GROUP BY 1").fetchall())
+    for r in rows:
+        flag = r["l_returnflag"]
+        approx = r["approx_orders"]
+        true = exact[flag]
+        rel = abs(approx - true) / true
+        # rsd=0.01 is a standard-deviation contract; 5 sigma is a
+        # conservative never-fires-on-healthy-HLL bound
+        ok = rel <= 0.05
+        print(f"x16 {flag}: approx={approx} exact={true} rel_err={rel:.4f} "
+              f"{'OK' if ok else 'FAIL'}")
+        if not ok:
+            FAILS.append(("x16", flag, "approx_orders", approx, true))
+
+
+def main():
+    if len(sys.argv) < 3:
+        print(__doc__)
+        return 2
+    dump, sf_dir = sys.argv[1], sys.argv[2]
+
+    audio = read(f"{dump}/audio")
+    for row in audio:
+        probe_audio(row)
+    print(f"x36 audio: {len(audio)} rows probed")
+
+    image = read(f"{dump}/image")
+    for row in image:
+        probe_image(row)
+    print(f"x37 image: {len(image)} rows probed")
+
+    video = read(f"{dump}/video")
+    for row in video:
+        probe_video(row)
+    print(f"x39 video: {len(video)} rows probed")
+
+    comp = read(f"{dump}/compress")
+    for row in comp:
+        probe_compress(row, "x41", row["text"])
+    print(f"x41 deflate: {len(comp)} rows probed")
+
+    comp42 = read(f"{dump}/compress42")
+    for row in comp42:
+        probe_compress(row, "x42", (row["base_text"] or "") + x42_tail(row["doc_id"]))
+    print(f"x42 deflate(decorated): {len(comp42)} rows probed")
+
+    probe_approx(read(f"{dump}/approx"), sf_dir)
+
+    print(f"media probe: {len(FAILS)} mismatches")
+    return 1 if FAILS else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
