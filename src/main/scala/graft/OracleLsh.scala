@@ -191,6 +191,18 @@ object OracleLsh {
       s"CASE WHEN list_sum(list_transform(th, h -> CASE WHEN (h // $bit) % 2 = 1 THEN 1 ELSE -1 END)) > 0 THEN $bit ELSE CAST(0 AS HUGEINT) END"
     }.mkString(" + ")
 
+  /** Per-document simhash as CTEs `<pfx>0..<pfx>3`, ending with
+    * `(doc_id, sh64)` in signed-BIGINT form — the x10 chain's per-doc
+    * head, exposed for composition (the x17 registry oracle joins it
+    * beside the sentiment/langid/fingerprint chains). */
+  private[graft] def simhashDocCtes(pfx: String): String =
+    s"""${pfx}0 AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       ${pfx}1 AS (SELECT doc_id, $tok64Sql AS th FROM ${pfx}0),
+       ${pfx}2 AS (SELECT doc_id, CASE WHEN len(th) = 0 THEN CAST(0 AS HUGEINT) ELSE $sigBitsSql END AS sigu FROM ${pfx}1),
+       ${pfx}3 AS (SELECT doc_id,
+         CAST(sigu - CASE WHEN sigu >= CAST(9223372036854775808 AS HUGEINT) THEN CAST($M64 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END AS BIGINT) AS sh64
+         FROM ${pfx}2)"""
+
   def x10Sql(maxHamming: Int = 6, chunks: Int = 8, maxBucket: Int = 2000): String = {
     val bits = 64 / chunks
     val keys = (for { i <- 0 until chunks; j <- (i + 1) until chunks }

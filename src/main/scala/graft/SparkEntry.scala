@@ -5720,6 +5720,11 @@ object SparkEntry {
 
     "x02_sentiment_histogram" -> functions.OracleSentiment.x02Sql,
 
+    // round 13: the SQL-registration smoke replayed by composing the
+    // hash-gated chains (VADER compound + x05 langid + x08 rolling
+    // fingerprint + x10 per-doc simhash + x21 tokenize/stop count)
+    "x17_sql_functions" -> functions.OracleSentiment.x17Sql,
+
     "q142_ann_recall" -> q142Sql(),
 
     "q143_rank_agreement" -> q143Sql(),

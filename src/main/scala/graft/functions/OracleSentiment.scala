@@ -358,6 +358,79 @@ object OracleSentiment {
        LEFT JOIN vout v USING (doc_id)
        LEFT JOIN tbout t USING (doc_id)""")
 
+  /** x17: the SQL-registration surface — every registered function's
+    * output replayed by composing the already-hash-gated chains:
+    * `vader_compound` via this object's VADER chain (vout.compound,
+    * 0.0-coalesced — the registered UDF calls Vader.compound directly,
+    * which scores null/empty/token-less text 0.0), `lang_id` via the
+    * x05 top-list replay, `rolling_fp64` via the x08 HUGEINT fold,
+    * `simhash64` via the x10 per-doc chain
+    * ([[graft.OracleLsh.simhashDocCtes]]), `size(analyze_en(..))` via
+    * the x21 tokenize/stop form (stemming preserves count, so no stem
+    * map is needed), `size(minhash_sig(.., 16))` = 16 by construction
+    * (the signature array is permutation-count-sized, sentinel-filled
+    * for shingle-less docs), and `porter_stem('running')` as a
+    * rendered one-token constant (independently certified by
+    * tools/porter_probe.py). This was the last rows-only query with a
+    * replayable surface. */
+  def x17Sql: String = {
+    val stops = graft.functions.Analyzer.StopWords.toSeq.sorted
+      .map(s => s"'${esc(s)}'").mkString("[", ", ", "]")
+    val stemLit = esc(Porter.stem("running"))
+    val toks = "list_filter(regexp_split_to_array(lower(d.text), '[^a-z0-9'']+'), x -> length(x) > 0)"
+    s"""WITH docs AS (SELECT doc_id, text FROM documents),
+       ${chainCtes.replace("FROM v0s_src", "FROM vm")},
+       lg1 AS (
+         SELECT doc_id,
+           list_distinct(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9'']+'), x -> length(x) > 0)) AS dtoks
+         FROM documents),
+       lg2 AS (
+         SELECT doc_id,
+           len(list_intersect(dtoks, ['der','die','und','das','ist','von','mit','den','nicht','ein'])) AS s_de,
+           len(list_intersect(dtoks, ['the','and','of','to','in','is','that','it','for','with'])) AS s_en,
+           len(list_intersect(dtoks, ['el','la','de','que','y','en','los','del','las','por'])) AS s_es,
+           len(list_intersect(dtoks, ['le','la','les','de','des','et','est','une','dans','pour'])) AS s_fr,
+           len(list_intersect(dtoks, ['il','di','che','la','per','con','del','una','sono','non'])) AS s_it
+         FROM lg1),
+       lg3 AS (SELECT *, greatest(s_de, s_en, s_es, s_fr, s_it) AS best FROM lg2),
+       lg AS (
+         SELECT doc_id,
+           CASE WHEN best = 0 THEN 'und'
+                WHEN s_it = best THEN 'it' WHEN s_fr = best THEN 'fr'
+                WHEN s_es = best THEN 'es' WHEN s_en = best THEN 'en'
+                ELSE 'de' END AS lang_pred
+         FROM lg3),
+       fp1 AS (
+         SELECT doc_id, lower(regexp_replace(text, '\\s+', ' ', 'g')) AS s FROM documents),
+       fp2 AS (
+         SELECT doc_id,
+           list_reduce(
+             list_prepend(CAST(0 AS HUGEINT),
+               [CAST(ord(s[i]) AS HUGEINT) for i in generate_series(1, length(s))]),
+             (h, c) -> (h * 31 + c) % CAST(18446744073709551616 AS HUGEINT)) AS hu
+         FROM fp1),
+       fp AS (
+         SELECT doc_id,
+           CAST(hu - CASE WHEN hu >= CAST(9223372036854775808 AS HUGEINT)
+             THEN CAST(18446744073709551616 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END AS BIGINT) AS fp64
+         FROM fp2),
+       ${graft.OracleLsh.simhashDocCtes("sh")}
+       SELECT d.doc_id,
+         COALESCE(v.compound, 0e0) AS compound,
+         '$stemLit' AS stem,
+         lg.lang_pred,
+         fp.fp64,
+         sh3.sh64,
+         CASE WHEN d.text IS NULL THEN 0
+           ELSE CAST(len(list_filter($toks, x -> NOT list_contains($stops, x))) AS INT) END AS n_terms,
+         CAST(16 AS INT) AS sig_len
+       FROM docs d
+       LEFT JOIN vout v USING (doc_id)
+       JOIN lg USING (doc_id)
+       JOIN fp USING (doc_id)
+       JOIN sh3 USING (doc_id)"""
+  }
+
   /** x02: the flagship histogram — sanitize (NUL-strip + trim),
     * truncate to 500 chars, score, average the two engines, ±0.1
     * trichotomy, count. `textblob_polarity` here is
