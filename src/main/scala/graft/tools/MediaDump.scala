@@ -90,6 +90,43 @@ object MediaDump {
       .agg(approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders")),
       "approx")
 
+    // x38/x40: the gate queries' own outputs — the probe re-derives
+    // the PLANTED ground truth from id arithmetic + the documents
+    // table (every (2k, 2k+1) PNG/JPEG re-encode pair for x38; the
+    // id-range verdict classes and exactly-once fold for x40) and
+    // diffs, independent of the engine's LSH/ledger internals
+    save(graft.SparkEntry.queries("x38_image_neardup")(spark, sfDir),
+      "neardup")
+    // the per-seed PNG rasters behind x38: the probe decodes these,
+    // recomputes the 4x4 RGB grid embeddings, and derives the expected
+    // pair set from its OWN pairwise cosines (so cross-seed rasters
+    // that genuinely land inside the threshold are expected, not
+    // false-positive noise)
+    val rasterPng = udf((seed: Long) =>
+      Multimodal.encodePng(Multimodal.synthRaster(seed)))
+    save(docs.filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id").cast("long").as("seed"),
+        rasterPng(col("doc_id")).as("payload")), "neardup_png")
+    save(graft.SparkEntry.queries("x40_media_stream_dedup")(spark, sfDir),
+      "verdicts")
+    // the underlying raster (as lossless PNG) behind every x40
+    // participant, keyed by its media_id: batch0 = raster(seed);
+    // +1e6 re-encodes share batch0's raster; +2e6 "new" entries are
+    // raster(seed + 7777). The probe recomputes grid cosines from
+    // these and judges each verdict with a JPEG-noise band, so
+    // genuine feature-space collisions between "new" and standing
+    // rasters count as correct dup verdicts rather than noise.
+    val seeds = docs.filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id").cast("long").as("seed"))
+    val vp = seeds.select(col("seed").as("media_id"), col("seed").as("rseed"))
+      .unionByName(seeds.filter(col("seed") % 2 === 0)
+        .select((col("seed") + 1000000L).as("media_id"), col("seed").as("rseed")))
+      .unionByName(seeds.filter(col("seed") % 2 === 1)
+        .select((col("seed") + 2000000L).as("media_id"),
+          (col("seed") + 7777L).as("rseed")))
+    save(vp.select(col("media_id"), rasterPng(col("rseed")).as("payload")),
+      "verdict_png")
+
     println(s"media dump -> $outDir")
     spark.stop()
   }

@@ -17,6 +17,16 @@ second, independent EXECUTOR:
   x16  HLL++ estimates checked against EXACT distinct counts within
        the documented rsd bound (the one non-exact row: an estimate
        has no bit-parity target, only an error contract)
+  x38  perceptual near-dup pairs: re-encode recall must be 100%,
+       every reported cross-seed pair must be supported by the
+       probe's own grid-embedding cosines, every clearly-in-threshold
+       seed pair must be reported (band-tolerant around the JPEG
+       noise floor)
+  x40  media stream-dedup verdicts judged against probe-computed
+       grid cosines (re-encodes must flag dup_standing; other dup
+       flags need cosine support; fresh verdicts need the max cosine
+       clear of the threshold band) plus the exactly-once fold (one
+       row per media_id after a full batch redelivery)
 
 All integer columns and micro-rounded (floor(x*1e6+0.5)) doubles must
 match EXACTLY; envelope floats must match as float32 bit patterns.
@@ -334,6 +344,170 @@ def probe_approx(rows, sf_dir):
             FAILS.append(("x16", flag, "approx_orders", approx, true))
 
 
+def doc_ids(con, sf_dir):
+    try:
+        rows = con.execute(
+            f"SELECT doc_id FROM read_parquet('{sf_dir}/documents.parquet')"
+        ).fetchall()
+    except duckdb.IOException:
+        rows = con.execute(
+            "SELECT doc_id FROM "
+            f"read_parquet('{sf_dir}/documents.parquet/*.parquet')").fetchall()
+    return [r[0] for r in rows]
+
+
+def grid_embedding(b, gw=4, gh=4):
+    """The engine's 4x4 per-channel block-mean embedding, recomputed
+    from an independent PNG decode (PNG is lossless, so pixel values
+    equal the engine's getRGB exactly)."""
+    w, h, rgb = png_pixels(b)
+    sums = [0] * (gw * gh * 3)
+    cnt = [0] * (gw * gh)
+    for y in range(h):
+        gy = min(gh - 1, (y * gh) // h)
+        for x in range(w):
+            gx = min(gw - 1, (x * gw) // w)
+            cell = gy * gw + gx
+            r, g, bl = rgb(x, y)
+            sums[cell * 3] += r
+            sums[cell * 3 + 1] += g
+            sums[cell * 3 + 2] += bl
+            cnt[cell] += 1
+    means = [sums[i] / cnt[i // 3] / 255.0 for i in range(gw * gh * 3)]
+    m = sum(means) / len(means)
+    return [f32(v - m) for v in means]
+
+
+def cosine(a, b):
+    dot = sum(x * y for x, y in zip(a, b))
+    na = math.sqrt(sum(x * x for x in a))
+    nb = math.sqrt(sum(x * x for x in b))
+    return dot / (na * nb) if na and nb else 0.0
+
+
+def probe_neardup(rows, png_rows, threshold=0.995, band=0.002):
+    """x38's contract derived INDEPENDENTLY: the probe decodes every
+    seed's PNG raster, recomputes the grid embeddings, and computes all
+    pairwise seed cosines itself. Same-seed PNG/JPEG pairs must always
+    be reported (re-encode recall); every reported pair's seeds must
+    sit at probe-cosine >= threshold - band (JPEG noise moves the
+    engine's JPEG-side embedding slightly off the probe's PNG-side
+    one); every seed pair the probe finds at >= threshold + band must
+    be reported in at least one encoding combination (LSH missed a
+    clear in-threshold pair otherwise)."""
+    emb = {r["seed"]: grid_embedding(bytes(r["payload"])) for r in png_rows}
+    seeds = sorted(emb)
+    got = {(r["id_a"], r["id_b"]) for r in rows}
+    got_seeds = {(min(a // 2, b // 2), max(a // 2, b // 2)) for a, b in got}
+    # 1. re-encode recall: every same-seed PNG/JPEG pair reported
+    missed = [(2 * s, 2 * s + 1) for s in seeds if (2 * s, 2 * s + 1) not in got]
+    for p in missed[:10]:
+        FAILS.append(("x38", p[0], "missed re-encode pair", None, p))
+        print(f"MISMATCH x38: planted re-encode pair {p} not recovered")
+    # 2. every reported cross-seed pair is supported by the probe's cosine
+    unsupported = []
+    for sa, sb in sorted(got_seeds):
+        if sa == sb:
+            continue
+        c = cosine(emb[sa], emb[sb])
+        if c < threshold - band:
+            unsupported.append((sa, sb, c))
+            FAILS.append(("x38", sa, "reported pair unsupported", c, threshold))
+            print(f"MISMATCH x38: seeds ({sa},{sb}) reported but probe "
+                  f"cosine {c:.4f} < {threshold - band}")
+    # 3. every clear in-threshold seed pair is reported somehow
+    missed_clear = []
+    for i, sa in enumerate(seeds):
+        for sb in seeds[i + 1:]:
+            if cosine(emb[sa], emb[sb]) >= threshold + band \
+                    and (sa, sb) not in got_seeds:
+                missed_clear.append((sa, sb))
+                FAILS.append(("x38", sa, "clear pair missed", None, (sa, sb)))
+                print(f"MISMATCH x38: seeds ({sa},{sb}) at probe cosine >= "
+                      f"{threshold + band} but never reported")
+    low = [r for r in rows if r["cos"] < threshold]
+    for r in low[:5]:
+        FAILS.append(("x38", r["id_a"], "cos below threshold",
+                      r["cos"], threshold))
+    extras = [(sa, sb) for sa, sb in got_seeds if sa != sb]
+    print(f"x38 neardup: {len(seeds)} seeds, {len(missed)} re-encode pairs "
+          f"missed, {len(extras)} cross-seed pairs (all probe-supported: "
+          f"{not unsupported}), {len(missed_clear)} clear pairs missed")
+
+
+def probe_verdicts(rows, png_rows, threshold=0.995, band=0.002):
+    """x40's ledger verdicts judged against probe-computed grid
+    cosines: +1e6 ids are exact re-encodes of standing rasters and
+    MUST flag dup_standing; for everything else a dup flag needs
+    probe-cosine support >= threshold - band against the relevant set
+    (standing rasters for dup_standing, same-batch members for
+    dup_delta), a fresh verdict needs the max such cosine < threshold
+    + band, and inside the band either verdict is legitimate (JPEG
+    noise decides). keep must equal !dup_standing && !dup_delta, and
+    the redelivered batch must have folded nothing (one row per id)."""
+    emb = {r["media_id"]: grid_embedding(bytes(r["payload"]))
+           for r in png_rows}
+    ids = [r["media_id"] for r in rows]
+    if len(ids) != len(set(ids)):
+        FAILS.append(("x40", None, "exactly-once fold",
+                      len(ids), len(set(ids))))
+        print(f"MISMATCH x40: {len(ids)} rows but {len(set(ids))} distinct "
+              "media_ids — the redelivered batch landed rows")
+    if set(ids) != set(emb):
+        FAILS.append(("x40", None, "id set",
+                      sorted(set(ids) ^ set(emb))[:5], None))
+        print("MISMATCH x40: verdict id set differs from planted ids")
+    batch0 = sorted(m for m in emb if m < 1000000)
+    batch1 = sorted(m for m in emb if m >= 1000000)
+
+    def max_cos(mid, others):
+        return max((cosine(emb[mid], emb[o]) for o in others if o != mid),
+                   default=0.0)
+
+    checked = 0
+    for r in rows:
+        m = r["media_id"]
+        ds, dd, keep = r["dup_standing"], r["dup_delta"], r["keep"]
+        if keep != ((not ds) and (not dd)):
+            FAILS.append(("x40", m, "keep consistency", keep, (ds, dd)))
+            print(f"MISMATCH x40 id={m}: keep={keep} but flags=({ds},{dd})")
+        if m < 1000000:  # batch 0: standing index is empty
+            if ds:
+                FAILS.append(("x40", m, "dup_standing with empty index",
+                              ds, False))
+                print(f"MISMATCH x40 id={m}: dup_standing before any index")
+            c = max_cos(m, batch0)
+        elif 1000000 <= m < 2000000:  # exact re-encode of standing
+            if not ds:
+                FAILS.append(("x40", m, "re-encode not flagged", ds, True))
+                print(f"MISMATCH x40 id={m}: standing re-encode not flagged")
+            checked += 1
+            continue
+        else:  # new raster: standing = all batch0
+            c = max_cos(m, batch0)
+            if ds and c < threshold - band:
+                FAILS.append(("x40", m, "dup_standing unsupported",
+                              c, threshold))
+                print(f"MISMATCH x40 id={m}: dup_standing but max standing "
+                      f"cosine {c:.4f}")
+            if not ds and c >= threshold + band:
+                FAILS.append(("x40", m, "clear standing dup missed",
+                              c, threshold))
+                print(f"MISMATCH x40 id={m}: fresh but max standing cosine "
+                      f"{c:.4f}")
+        if m < 1000000 or m >= 2000000:
+            dset = batch0 if m < 1000000 else [x for x in batch1]
+            cd = max_cos(m, dset)
+            if dd and cd < threshold - band:
+                FAILS.append(("x40", m, "dup_delta unsupported",
+                              cd, threshold))
+                print(f"MISMATCH x40 id={m}: dup_delta but max same-batch "
+                      f"cosine {cd:.4f}")
+        checked += 1
+    print(f"x40 verdicts: {len(emb)} planted rows, {checked} judged, "
+          "cosine-banded contract")
+
+
 def main():
     if len(sys.argv) < 3:
         print(__doc__)
@@ -366,6 +540,9 @@ def main():
     print(f"x42 deflate(decorated): {len(comp42)} rows probed")
 
     probe_approx(read(f"{dump}/approx"), sf_dir)
+
+    probe_neardup(read(f"{dump}/neardup"), read(f"{dump}/neardup_png"))
+    probe_verdicts(read(f"{dump}/verdicts"), read(f"{dump}/verdict_png"))
 
     print(f"media probe: {len(FAILS)} mismatches")
     return 1 if FAILS else 0
