@@ -148,16 +148,18 @@ object ScaleGen {
       .parquet(s"$out/events.parquet")
 
     Seq("documents", "embeddings", "lineitem", "orders", "customer",
-        "events").foreach { t =>
+        "events").filter(wanted).foreach { t =>
       println(s"$t: ${spark.read.parquet(s"$out/$t.parquet").count()} rows")
     }
     // Injectivity assertion: every derived embedding vector is unique
     // (cross-copy identical twins would re-inflate near-dup pair
     // counts — the failure mode the flip exists to prevent).
-    val e = spark.read.parquet(s"$out/embeddings.parquet")
-    val (rows, dist) = (e.count(), e.select("embedding").distinct().count())
-    println(s"embeddings twin check: rows=$rows distinct=$dist")
-    assert(rows == dist, s"identical embedding twins: ${rows - dist}")
+    if (wanted("embeddings")) {
+      val e = spark.read.parquet(s"$out/embeddings.parquet")
+      val (rows, dist) = (e.count(), e.select("embedding").distinct().count())
+      println(s"embeddings twin check: rows=$rows distinct=$dist")
+      assert(rows == dist, s"identical embedding twins: ${rows - dist}")
+    }
     spark.stop()
   }
 }
