@@ -1,6 +1,24 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** Calibration kernel (round-13 VERDICT directive 2): a fixed,
+    * deterministic CPU+shuffle micro-query — 20M-row hash projection,
+    * 32-way shuffle into a 997-group aggregate — interleaved through
+    * the suite every ~20 queries. The single-thread `spin` sentinel
+    * catches CPU contention but was blind to the round-13 failure
+    * mode (a uniformly ~1.2x-hot driver run: cache/thermal/cgroup
+    * effects that tax multi-threaded shuffle work without loading a
+    * lone spin core — 13 phantom regressions). This kernel exercises
+    * the same executor-pool + shuffle path the real queries use, so
+    * its wall time moves with whatever taxes THEM. */
+  def calibKernel(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.functions._
+    spark.range(0L, 20000000L, 1, 32)
+      .select(((col("id") * 2654435761L) % 997).as("k"), col("id").as("v"))
+      .groupBy("k").agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+      .write.format("noop").mode("overwrite").save()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")

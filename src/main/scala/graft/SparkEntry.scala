@@ -4533,11 +4533,11 @@ object SparkEntry {
            FROM t),
          b AS (SELECT *, greatest(s_de, s_en, s_es, s_fr, s_it) AS best FROM s)
          SELECT doc_id,
-           CASE WHEN best = 0 THEN 'und'
+           CASE WHEN best IS NULL OR best = 0 THEN 'und'
                 WHEN s_it = best THEN 'it' WHEN s_fr = best THEN 'fr'
                 WHEN s_es = best THEN 'es' WHEN s_en = best THEN 'en'
                 ELSE 'de' END AS lang_pred,
-           CAST(best AS INT) AS lang_score
+           CAST(COALESCE(best, 0) AS INT) AS lang_score
          FROM b""",
 
     "x06_quality_score" ->

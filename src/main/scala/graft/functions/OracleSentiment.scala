@@ -395,7 +395,11 @@ object OracleSentiment {
        lg3 AS (SELECT *, greatest(s_de, s_en, s_es, s_fr, s_it) AS best FROM lg2),
        lg AS (
          SELECT doc_id,
-           CASE WHEN best = 0 THEN 'und'
+           -- NULL text: every list op above yields NULL, so best IS
+           -- NULL — map to 'und' like the engine's langIdOf(null)
+           -- (otherwise every comparison is NULL and the CASE falls
+           -- to ELSE 'de').
+           CASE WHEN best IS NULL OR best = 0 THEN 'und'
                 WHEN s_it = best THEN 'it' WHEN s_fr = best THEN 'fr'
                 WHEN s_es = best THEN 'es' WHEN s_en = best THEN 'en'
                 ELSE 'de' END AS lang_pred
@@ -410,9 +414,11 @@ object OracleSentiment {
              (h, c) -> (h * 31 + c) % CAST(18446744073709551616 AS HUGEINT)) AS hu
          FROM fp1),
        fp AS (
+         -- NULL text: hu is NULL — map to 0 like the engine's
+         -- fingerprintOf(null) = 0L.
          SELECT doc_id,
-           CAST(hu - CASE WHEN hu >= CAST(9223372036854775808 AS HUGEINT)
-             THEN CAST(18446744073709551616 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END AS BIGINT) AS fp64
+           COALESCE(CAST(hu - CASE WHEN hu >= CAST(9223372036854775808 AS HUGEINT)
+             THEN CAST(18446744073709551616 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END AS BIGINT), 0) AS fp64
          FROM fp2),
        ${graft.OracleLsh.simhashDocCtes("sh")}
        SELECT d.doc_id,

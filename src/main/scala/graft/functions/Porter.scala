@@ -4,6 +4,19 @@ package graft.functions
   * stripping", Program 14(3), 1980) — the `english_stemmer` half of the
   * reference's ES english analyzer (configs/elasticsearch_config.py:
   * 93-110; SURVEY.md §2 X-10). Standard five-step implementation.
+  *
+  * UPGRADE NOTE (rule-selection fix, round 13): steps 2-4 switched
+  * from first-match-wins fall-through to the paper's strict
+  * longest-match, changing the stem of any word whose longest
+  * matching suffix has a failing m-condition (basement → basement,
+  * was basem; document → document, was docum; 26 of the 40,977-term
+  * probe battery). Any STANDING stem-keyed artifact built before the
+  * fix — inverted-index posting lists, incremental index ledgers
+  * (InvertedIndex.statsBatchKey ledgers), analyzed-search caches —
+  * carries old stems and will silently mismatch queries analyzed
+  * post-upgrade. Operationally: rebuild standing indexes and
+  * stem-keyed ledgers when adopting this version (re-run the
+  * index-build batch from the source corpus).
   */
 object Porter {
 

@@ -8,9 +8,12 @@ import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
   * load-bearing plan properties that earlier rounds verified by hand
   * with `.explain` — a refactor must not silently lose them. The
   * pattern follows IvfAtRestSpec's PartitionFilters proof: assert on
-  * the PLANNED tree, no execution needed (except where a query's
-  * surface is itself side-effecting; those are skipped in the
-  * whole-registry walk and covered by their own suites).
+  * the PLANNED tree — the plan scan itself executes nothing, but the
+  * whole-registry walk CONSTRUCTS every entry, and the ledger/
+  * streaming surfaces run their scratch-dir batches eagerly at
+  * construction time (intentional: they are designed for repeated
+  * runs, Verify re-runs them every gate), so nothing is skipped and
+  * the walk pays those construction-time batches.
   *
   * Pinned:
   *  - q04's anti-join build side broadcasts (BroadcastHashJoin

@@ -17,9 +17,11 @@ object SoakTag extends Tag("graft.Soak")
   * are spec'd on a handful of batches; here each one takes 150
   * micro-batches with seeded-random fault injection EVERY batch —
   * same-batch-id replays (Spark task retry), fresh-batch-id full
-  * redeliveries (source replay after checkpoint loss), torn appends
-  * (partial lands, id ledger never commits), and overlapping batch
-  * contents (at-least-once sources re-shipping the boundary rows) —
+  * redeliveries (source replay after checkpoint loss), duplicate
+  * partials for committed batches (filesystem-level append retry),
+  * TRUE torn writes (partials land, ids commit lost, same-bid
+  * redelivery — see [[soak]]), and overlapping batch contents
+  * (at-least-once sources re-shipping the boundary rows) —
   * then asserts the folded ledger equals the one-shot computation over
   * the distinct rows, bit-for-bit. The invariant under test is the
   * ledger algebra's convergence under ANY interleaving of the fault
@@ -36,16 +38,47 @@ class LedgerSoakSpec extends SparkSpec {
     assume(sys.env.contains("GRAFT_SOAK"),
       "soak suite is opt-in: set GRAFT_SOAK=1")
 
+  /** Non-hidden files currently in the ids ledger dir (empty set if
+    * the dir does not exist yet — batch 0's torn window). */
+  private def idFiles(idsDir: String): Set[String] = {
+    val d = new java.io.File(idsDir)
+    if (!d.exists) Set.empty
+    else d.listFiles.map(_.getName).toSet
+  }
+
   /** Drives `deltaBatch` over sliced ids with fault injection; returns
-    * the injection counts (replays, redeliveries, torn) for the log. */
+    * the injection counts (replays, redeliveries, dup-partials, torn)
+    * for the log. Four fault classes per batch, seeded-random:
+    *  - same-batch-id replay (Spark task retry);
+    *  - fresh-batch-id full redelivery (source replay after
+    *    checkpoint loss);
+    *  - duplicate partials for an already-COMMITTED batch (an append
+    *    retried at the filesystem layer after both ledger writes
+    *    landed);
+    *  - a TRUE torn write — the partials-first/ids-never-commit crash
+    *    window: run the batch through the real write path, then roll
+    *    the ids ledger back to its pre-batch file set (partials
+    *    landed, ids commit lost in the crash), then redeliver the
+    *    SAME batch id as a restarted stream would — the re-run sees
+    *    the rows as fresh and re-appends a bit-identical partial that
+    *    the read-side batch_id dedup must heal. */
   private def soak(base: String, partialsDir: String, nRows: Long,
-                   deltaBatch: (Seq[Long], Long) => Unit): (Int, Int, Int) = {
+                   deltaBatch: (Seq[Long], Long) => Unit): (Int, Int, Int, Int) = {
     val rnd = new scala.util.Random(0x5047c3L)
-    var replays = 0; var redeliveries = 0; var torn = 0
+    var replays = 0; var redeliveries = 0; var dupPartials = 0; var torn = 0
+    val idsDir = s"$base/seenIds"
     var bid = 0L
     for (k <- 0 until Batches) {
       val lo = k.toLong * PerBatch
       val ids = (lo until math.min(nRows, lo + PerBatch + Overlap))
+      if (rnd.nextDouble() < 0.12) { // true torn write + same-bid restart
+        val before = idFiles(idsDir)
+        deltaBatch(ids, bid)
+        // crash between the two appends: ids commit never happened
+        new java.io.File(idsDir).listFiles
+          .filter(f => !before.contains(f.getName)).foreach(_.delete())
+        torn += 1
+      }
       deltaBatch(ids, bid)
       if (rnd.nextDouble() < 0.15) { // task retry: same batch id
         deltaBatch(ids, bid); replays += 1
@@ -53,15 +86,15 @@ class LedgerSoakSpec extends SparkSpec {
       if (rnd.nextDouble() < 0.15) { // source replay: new batch id
         bid += 1; deltaBatch(ids, bid); redeliveries += 1
       }
-      if (rnd.nextDouble() < 0.15) { // torn append: partial re-lands
+      if (rnd.nextDouble() < 0.15) { // dup partials for a committed batch
         val part = spark.read.parquet(s"$base/$partialsDir")
           .filter(col("batch_id") === bid)
         part.write.mode("append").parquet(s"$base/$partialsDir")
-        torn += 1
+        dupPartials += 1
       }
       bid += 1
     }
-    (replays, redeliveries, torn)
+    (replays, redeliveries, dupPartials, torn)
   }
 
   test("confusion ledger converges through 150 fault-injected batches",
@@ -75,10 +108,10 @@ class LedgerSoakSpec extends SparkSpec {
     val oneShot = Eval.confusionMatrix(df, "truth", "pred")
       .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
     val base = java.nio.file.Files.createTempDirectory("graft-soak-conf").toString
-    val (rp, rd, tn) = soak(base, "cells", n, (ids, bid) =>
+    val (rp, rd, dp, tn) = soak(base, "cells", n, (ids, bid) =>
       Eval.confusionDeltaBatch(df.filter(col("id").isin(ids: _*)),
         "id", "truth", "pred", base, bid))
-    info(s"injected: $rp replays, $rd redeliveries, $tn torn appends")
+    info(s"injected: $rp replays, $rd redeliveries, $dp dup-partials, $tn torn writes")
     val folded = Eval.confusionFromDirs(spark, base)
       .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
     assert(folded == oneShot)
@@ -97,10 +130,10 @@ class LedgerSoakSpec extends SparkSpec {
     val oneShot = Eval.calibration(df, col("conf"), col("ok"))
       .collect().map(key).toSet
     val base = java.nio.file.Files.createTempDirectory("graft-soak-cal").toString
-    val (rp, rd, tn) = soak(base, "cells", n, (ids, bid) =>
+    val (rp, rd, dp, tn) = soak(base, "cells", n, (ids, bid) =>
       Eval.calibrationDeltaBatch(df.filter(col("id").isin(ids: _*)),
         "id", col("conf"), col("ok"), base, bid))
-    info(s"injected: $rp replays, $rd redeliveries, $tn torn appends")
+    info(s"injected: $rp replays, $rd redeliveries, $dp dup-partials, $tn torn writes")
     val folded = Eval.calibrationFromDirs(spark, base).collect().map(key).toSet
     assert(folded == oneShot)
   }
@@ -115,10 +148,10 @@ class LedgerSoakSpec extends SparkSpec {
       }.toDF("id", "vec").localCheckpoint()
     val (n1, s1, p1) = Pca.moments(df, "vec", dim)
     val base = java.nio.file.Files.createTempDirectory("graft-soak-mom").toString
-    val (rp, rd, tn) = soak(base, "moments", n, (ids, bid) =>
+    val (rp, rd, dp, tn) = soak(base, "moments", n, (ids, bid) =>
       Pca.momentsDeltaBatch(df.filter(col("id").isin(ids: _*)),
         "id", "vec", dim, base, bid))
-    info(s"injected: $rp replays, $rd redeliveries, $tn torn appends")
+    info(s"injected: $rp replays, $rd redeliveries, $dp dup-partials, $tn torn writes")
     val (n2, s2, p2) = Pca.momentsFromDirs(spark, base, dim)
     assert(n2 == n1)
     assert(s2.toSeq == s1.toSeq)
