@@ -13,8 +13,15 @@ object Bench {
     * its wall time moves with whatever taxes THEM. */
   def calibKernel(spark: SparkSession): Unit = {
     import org.apache.spark.sql.functions._
-    spark.range(0L, 20000000L, 1, 32)
-      .select(((col("id") * 2654435761L) % 997).as("k"), col("id").as("v"))
+    // chained xxhash64 keeps each row genuinely CPU-bound (codegen'd,
+    // no allocation), so the kernel's wall time is dominated by the
+    // executor pool's effective throughput rather than by per-job
+    // scheduling overhead — 80M rows x 6 hashes lands ~1.5 s unloaded,
+    // where the per-job fixed-cost noise (~±0.1 s) sits under 10%.
+    val h = (1 to 6).foldLeft(org.apache.spark.sql.functions.col("id"))(
+      (c, _) => xxhash64(c))
+    spark.range(0L, 80000000L, 1, 32)
+      .select((h % 997).as("k"), col("id").as("v"))
       .groupBy("k").agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
       .write.format("noop").mode("overwrite").save()
   }
@@ -46,6 +53,48 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     val spinPre = spin()
+    // Calibration series (round-13 VERDICT directive 2): time the
+    // fixed kernel every CalibEvery queries. CalibRef is the committed
+    // unloaded reference (records/calib_ref_r14.json: measured
+    // median-of-20 standalone on this box class); the whole-run flag
+    // trips when the SERIES MEDIAN drifts >10% above it — the
+    // round-13 failure mode was a uniformly ~1.2x-hot run, which a
+    // median over ~12 samples catches where single samples (±40%
+    // scheduling/GC noise measured at this kernel size) cannot.
+    // Individual samples >30% hot additionally mark the ~20-query
+    // span they close as suspect, so a judge can scope "which
+    // queries' times ran under load" without re-running.
+    // Reference = the kernel's min-of-2 settled value on a QUIET box
+    // (records/calib_ref_r14.json: quiet-envelope samples 0.445-0.53
+    // across round-14 sessions; standalone settled min 0.53 under
+    // residual load). Deliberately NOT set from an in-suite median of
+    // a long session: the round-14 instrumentation run read calib
+    // median 0.72 while the whole suite ran 1.84x over the r13 record
+    // with spin at 0.83-0.91 — the box's documented sustained-load
+    // throttle state (build.sbt note), i.e. the exact multi-thread
+    // degradation this kernel exists to expose. A ref taken from that
+    // state would bake the degradation in.
+    val CalibRef = 0.50
+    val CalibEvery = 20
+    // samples 0 and 1 are excluded from the flag statistic: the first
+    // ~40 queries' JIT/codegen churn inflates them on EVERY run
+    // (wiring run: 1.78/1.17 vs a 0.65-0.90 settled tail) — they stay
+    // in the emitted series for the judge but carry no alarm.
+    val CalibSkip = 2
+    val calibT = scala.collection.mutable.ArrayBuffer[Double]()
+    val calibAfter = scala.collection.mutable.ArrayBuffer[Int]()
+    def calibSample(after: Int): Unit = {
+      // min of 2 back-to-back runs: single kernel runs carry ±40%
+      // scheduling/GC spikes; load only ever slows BOTH.
+      val ts = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        calibKernel(spark)
+        (System.nanoTime() - t0) / 1e9
+      }
+      calibT += ts.min
+      calibAfter += after
+    }
+    calibKernel(spark) // untimed codegen/JIT warm-up of the kernel path
     def once(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
         : (Double, Boolean) = {
       val t0 = System.nanoTime()
@@ -94,11 +143,15 @@ object Bench {
         .foreach(_.unpersist(blocking = false))
       System.gc()
     }
-    val firstPass = selected.map { case (name, fn) =>
+    calibSample(0)
+    val firstPass = selected.zipWithIndex.map { case ((name, fn), i) =>
       hygiene()
       val (t1, ok1) = once(name, fn)
       hygiene()
       val (t2, ok2) = once(name, fn)
+      if ((i + 1) % CalibEvery == 0 && i + 1 < selected.size) {
+        hygiene(); calibSample(i + 1)
+      }
       (name, fn, Seq(t1, t2), ok1 && ok2)
     }
     // the ~10 most expensive entries get a THIRD run and report the
@@ -129,6 +182,27 @@ object Bench {
         else name -> (ts :+ t3).sorted.apply(1) // median of 3
       }
     }
+    hygiene()
+    calibSample(selected.size) // closes the last span + third-run phase
+    val settled = if (calibT.size > CalibSkip) calibT.drop(CalibSkip)
+                  else calibT
+    val calibMedian = settled.sorted.apply(settled.size / 2)
+    val calibFlag = calibMedian > CalibRef * 1.10
+    // a hot SETTLED sample marks the ~CalibEvery queries it CLOSES as
+    // suspect (warm-up samples excluded — hot on every run)
+    val selNames = selected.map(_._1)
+    val calibSuspect = calibT.zip(calibAfter).drop(CalibSkip).collect {
+      case (t, after) if t > CalibRef * 1.30 =>
+        selNames.slice(math.max(0, after - CalibEvery),
+          math.min(after, selNames.size))
+    }.flatten.distinct
+    // ROOT locale like fmt below: comma-decimal defaults emit bad JSON
+    def fmt3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val calibJson = calibT.map(fmt3).mkString("[", ",", "]")
+    val calibAfterJson = calibAfter.mkString("[", ",", "]")
+    val calibSuspectJson = calibSuspect.map("\"" + _ + "\"")
+      .mkString("[", ",", "]")
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val runsJson = results.collect {
@@ -139,7 +213,7 @@ object Bench {
     val qsFull = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val spinPost = spin()
-    val jsonFull = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"failed":$failed,"runs":$runsJson,"spin_pre":$spinPre,"spin_post":$spinPost,"sf":"$sfDir"}"""
+    val jsonFull = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"failed":$failed,"runs":$runsJson,"spin_pre":$spinPre,"spin_post":$spinPost,"calib":$calibJson,"calib_after":$calibAfterJson,"calib_ref":$CalibRef,"calib_median":${fmt3(calibMedian)},"calib_flag":$calibFlag,"calib_suspect":$calibSuspectJson,"sf":"$sfDir"}"""
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(out),
       (jsonFull + "\n").getBytes("UTF-8"))
@@ -158,7 +232,10 @@ object Bench {
     }
     val qsCompact = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    println(s"""{"queries":$qsCompact,"failed":$failed,"runs":$runsJson,"spin_pre":${fmt(spinPre)},"spin_post":${fmt(spinPost)},"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir"}""")
+    // suspect names stay out of the stdout line (they can be long and
+    // would push the summary out of the 2000-char tail window); the
+    // count + flag land here, the names in the full-precision file.
+    println(s"""{"queries":$qsCompact,"failed":$failed,"runs":$runsJson,"spin_pre":${fmt(spinPre)},"spin_post":${fmt(spinPost)},"calib":${calibT.map(fmt).mkString("[", ",", "]")},"calib_ref":$CalibRef,"calib_median":${fmt(calibMedian)},"calib_flag":$calibFlag,"calib_suspect_n":${calibSuspect.size},"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1078,8 +1078,15 @@ object Similarity {
   def nearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                    threshold: Double = 0.95, numPlanes: Int = 8,
                    dim: Int = 64, maxBucket: Int = 4096,
-                   planeSeed: Long = 42L): DataFrame = {
-    val planes = hyperplanes(dim, numPlanes, planeSeed)
+                   planeSeed: Long = 42L): DataFrame =
+    nearDupPairsWith(df, idCol, vecCol, threshold,
+      hyperplanes(dim, numPlanes, planeSeed), maxBucket)
+
+  /** [[nearDupPairs]] with caller-supplied planes (NearDupDump's
+    * mutation demos hand in deliberately broken ones). */
+  def nearDupPairsWith(df: DataFrame, idCol: String, vecCol: String,
+                       threshold: Double, planes: Seq[Seq[Double]],
+                       maxBucket: Int = 4096): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     withBucket(df, vecCol, planes)

@@ -19,6 +19,7 @@ object CalibProbe {
     spark.sparkContext.setLogLevel("WARN")
     graft.Bench.calibKernel(spark) // untimed codegen/JIT warm-up
     val ts = (1 to n).map { _ =>
+      System.gc() // match Bench's inter-run hygiene
       val t0 = System.nanoTime()
       graft.Bench.calibKernel(spark)
       (System.nanoTime() - t0) / 1e9
