@@ -371,23 +371,29 @@ object DedupApprox {
     * verdict table — the same cost class as the landing sink. */
   def minhashVerdictSink(verdicts: DataFrame, targetDir: String,
                          checkpointDir: String)
-      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
-    def keyed(df: DataFrame): DataFrame = df.withColumn("__vk",
-      concat_ws(":", col("new_id"), col("idx_id")))
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     verdicts.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val spark = batch.sparkSession
-        val kb = keyed(batch)
-        // missing-path → first batch; any other read failure must fail
-        // the micro-batch (retry) rather than land vs an empty target
-        val existing = keyed(Dedup.readStateOr(spark, targetDir,
-          batch.limit(0))).select(col("__vk"))
-        Dedup.idempotentBatch(kb, existing, "__vk")
-          .drop("__vk")
-          .write.mode("append").parquet(targetDir)
-        ()
+        minhashVerdictBatch(batch, targetDir)
       }
+
+  /** One [[minhashVerdictSink]] micro-batch, callable directly (the
+    * soak suite drives the exact sink body through fault
+    * interleavings the MemoryStream harness cannot inject). */
+  def minhashVerdictBatch(batch: DataFrame, targetDir: String): Unit = {
+    val spark = batch.sparkSession
+    def keyed(df: DataFrame): DataFrame = df.withColumn("__vk",
+      concat_ws(":", col("new_id"), col("idx_id")))
+    val kb = keyed(batch)
+    // missing-path → first batch; any other read failure must fail
+    // the micro-batch (retry) rather than land vs an empty target
+    val existing = keyed(Dedup.readStateOr(spark, targetDir,
+      batch.limit(0))).select(col("__vk"))
+    Dedup.idempotentBatch(kb, existing, "__vk")
+      .drop("__vk")
+      .write.mode("append").parquet(targetDir)
+    ()
   }
 
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
