@@ -26,8 +26,10 @@ object VerifySubset {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.filter(kv => names(kv._1)).foreach { case (name, fn) =>
-      fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      // No coalesce(1): it would collapse the final shuffle stage to a
+      // single task (a 150M×600M semi-join ran one-threaded at sf100).
+      // check_oracle.py reads the multi-file dir with a glob anyway.
+      fn(spark, sfDir).write.mode("overwrite").parquet(s"$outDir/$name")
     }
     def q(s: String): String = "\"" + s.flatMap {
       case '"'  => "\\\""

@@ -7,10 +7,23 @@ For each query dir under verifyOutDir: read the Spark parquet result,
 run the matching oracle_sql.json SQL in DuckDB over views of the sfDir
 parquet tables, normalize (columns sorted by name, rows sorted by all
 columns), and diff exactly. Exit non-zero on any mismatch.
+
+Results larger than GRAFT_DIGEST_ROWS rows (default 20M — only the
+sf100 semi-join output crosses it today) are compared by an in-DuckDB
+multiset digest instead of a pandas materialized diff: count(*) +
+sum/min/max of hash(<all columns, name-sorted, cast to VARCHAR>) over
+both the Spark parquet and the oracle SQL. Equal digests ⇒ equal row
+multisets up to a 64-bit hash-sum collision; nothing is materialized
+on the Python side. The VARCHAR cast canonicalizes integer width
+differences (Spark int64 vs DuckDB int32/hugeint) the same way the
+pandas path's check_dtype=False does; queries compared this way print
+"OK (digest)" so the record shows which rows were digest-checked.
 """
 import json, os, sys
 import duckdb
 import pandas as pd
+
+DIGEST_ROWS = int(os.environ.get("GRAFT_DIGEST_ROWS", "20000000"))
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -41,13 +54,42 @@ def main():
         qdir = os.path.join(out_dir, name)
         if not os.path.isdir(qdir):
             continue
-        spark_df = con.execute(
-            f"SELECT * FROM read_parquet('{qdir}/*.parquet')").df()
+        spark_src = f"SELECT * FROM read_parquet('{qdir}/*.parquet')"
+        n_spark = con.execute(
+            f"SELECT count(*) FROM ({spark_src})").fetchone()[0]
         if name not in oracles:
             rows_only += 1
-            print(f"  [rows-only] {name}: {len(spark_df)} rows")
+            print(f"  [rows-only] {name}: {n_spark} rows")
             continue
         checked += 1
+        if n_spark > DIGEST_ROWS:
+            cols = sorted(r[0] for r in con.execute(
+                f"DESCRIBE {spark_src}").fetchall())
+            collist = ", ".join(
+                f'CAST("{c}" AS VARCHAR)' for c in cols)
+            dig = (f"SELECT count(*) AS n, sum(hash({collist})) AS h, "
+                   f"min(hash({collist})) AS lo, "
+                   f"max(hash({collist})) AS hi FROM (%s)")
+            try:
+                ocols = sorted(r[0] for r in con.execute(
+                    f"DESCRIBE ({oracles[name]})").fetchall())
+                if ocols != cols:
+                    print(f"FAIL {name}: columns spark={cols} duck={ocols}")
+                    failures += 1
+                    continue
+                sd = con.execute(dig % spark_src).fetchone()
+                dd = con.execute(dig % oracles[name]).fetchone()
+            except Exception as e:
+                print(f"FAIL {name}: digest error: {e}")
+                failures += 1
+                continue
+            if sd == dd:
+                print(f"  OK (digest) {name}: {sd[0]} rows")
+            else:
+                print(f"FAIL {name}: digest spark={sd} duck={dd}")
+                failures += 1
+            continue
+        spark_df = con.execute(spark_src).df()
         try:
             duck_df = con.execute(oracles[name]).df()
         except Exception as e:
