@@ -50,6 +50,7 @@ run_batch dedup x09_minhash_dedup x28_incremental_dedup q93_delta_funnel
 
 echo "=== combined summary"
 grep -h "OK \|FAIL \|rows-only" "$OUT"/*.oracle.log | sort
-tot=$(grep -hc "^  OK" "$OUT"/*.oracle.log 2>/dev/null | paste -sd+ | bc)
+# (awk, not bc — bc is not installed in this container)
+tot=$(grep -h "^  OK" "$OUT"/*.oracle.log 2>/dev/null | wc -l)
 echo "total OK: ${tot:-0}; overall: $([ $fail -eq 0 ] && echo PASS || echo FAIL)"
 exit $fail
