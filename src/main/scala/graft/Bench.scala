@@ -54,33 +54,74 @@ object Bench {
     }
     val spinPre = spin()
     // Calibration series (round-13 VERDICT directive 2): time the
-    // fixed kernel every CalibEvery queries. CalibRef is the committed
-    // unloaded reference (records/calib_ref_r14.json: measured
-    // median-of-20 standalone on this box class); the whole-run flag
-    // trips when the SERIES MEDIAN drifts >10% above it — the
-    // round-13 failure mode was a uniformly ~1.2x-hot run, which a
-    // median over ~12 samples catches where single samples (±40%
-    // scheduling/GC noise measured at this kernel size) cannot.
+    // fixed kernel every CalibEvery queries. The whole-run flag trips
+    // when the SERIES MEDIAN drifts >10% above the committed quiet
+    // band — the round-13 failure mode was a uniformly ~1.2x-hot run,
+    // which a median over ~12 samples catches where single samples
+    // (±40% scheduling/GC noise measured at this kernel size) cannot.
     // Individual samples >30% hot additionally mark the ~20-query
     // span they close as suspect, so a judge can scope "which
     // queries' times ran under load" without re-running.
-    // Reference = the kernel's min-of-2 settled value on a QUIET box
-    // (records/calib_ref_r14.json: quiet-envelope samples 0.445-0.53
-    // across round-14 sessions; standalone settled min 0.53 under
-    // residual load). Deliberately NOT set from an in-suite median of
-    // a long session: the round-14 instrumentation run read calib
-    // median 0.72 while the whole suite ran 1.84x over the r13 record
-    // with spin at 0.83-0.91 — the box's documented sustained-load
-    // throttle state (build.sbt note), i.e. the exact multi-thread
-    // degradation this kernel exists to expose. A ref taken from that
-    // state would bake the degradation in.
-    val CalibRef = 0.50
+    //
+    // Round-15 changes (round-14 VERDICT items 1 + 7):
+    //  - NO head-sample skip. The old rule dropped samples 0-1 from
+    //    both the flag median and the suspect list as "JIT warm-up on
+    //    every run" — a premise falsified by the r14 driver record
+    //    (sample 0 = 0.411 s, its series MINIMUM, after the same
+    //    untimed kernel warm-up) — and the r14 builder gate artifact
+    //    fell exactly into that blind spot: samples 0-1 read 1.71 s
+    //    (3.4x quiet) while the first 40 queries ran a median 1.35x
+    //    hot, unflagged. All samples now carry the same alarm.
+    //  - The reference is a per-scale-factor quiet BAND (min/median/
+    //    p90 from >=3 quiet sessions), not a point: the quiet envelope
+    //    spans 0.37-0.60 at sf0.1 and the sf0.001 settled tail runs
+    //    0.65-0.90 (heap pressure from the surrounding suite differs
+    //    by sf). Bands live in records/calib_ref_r15.json
+    //    (SPARK_GRAFT_CALIB_REF overrides the path) and are read at
+    //    startup; re-baselining = editing the committed record, not
+    //    this file. Flag base = band median; a missing file or sf key
+    //    falls back to the built-in default band below.
+    //  - spin_pre/spin_post out of THEIR committed quiet band
+    //    (spin_quiet in the same record) mark the opening/closing
+    //    span suspect even when no calib sample catches it (the r14
+    //    builder artifact's spin_pre read 2.52 = 3x quiet — signal
+    //    that was recorded and ignored).
+    // Deliberately NOT set from an in-suite median of a long session:
+    // the round-14 instrumentation run read calib median 0.72 while
+    // the whole suite ran 1.84x over the r13 record with spin at
+    // 0.83-0.91 — the box's documented sustained-load throttle state
+    // (build.sbt note), i.e. the exact multi-thread degradation this
+    // kernel exists to expose. A ref taken from that state would bake
+    // the degradation in.
+    case class Band(min: Double, median: Double, p90: Double)
+    val DefaultBand = Band(0.37, 0.45, 0.60) // sf0.1-class quiet envelope
+    val DefaultSpin = Band(0.70, 0.82, 0.95) // quiet records r13a-r14
+    val refPath = sys.env.getOrElse("SPARK_GRAFT_CALIB_REF",
+      "records/calib_ref_r15.json")
+    val sfKey = new java.io.File(sfDir).getName.replace("_derived", "")
+    val (band, spinBand) = {
+      import org.json4s._
+      def num(j: JValue): Option[Double] = j match {
+        case JDouble(v) => Some(v)
+        case JInt(v) => Some(v.toDouble)
+        case JDecimal(v) => Some(v.toDouble)
+        case _ => None
+      }
+      def toBand(j: JValue): Option[Band] = for {
+        mn <- num(j \ "min"); md <- num(j \ "median"); p9 <- num(j \ "p90")
+      } yield Band(mn, md, p9)
+      try {
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(refPath)), "UTF-8")
+        val j = org.json4s.jackson.JsonMethods.parse(txt)
+        val b = toBand(j \ "bands" \ sfKey)
+          .orElse(toBand(j \ "bands" \ "default")).getOrElse(DefaultBand)
+        val s = toBand(j \ "spin_quiet").getOrElse(DefaultSpin)
+        (b, s)
+      } catch { case _: Throwable => (DefaultBand, DefaultSpin) }
+    }
+    val CalibRef = band.median
     val CalibEvery = 20
-    // samples 0 and 1 are excluded from the flag statistic: the first
-    // ~40 queries' JIT/codegen churn inflates them on EVERY run
-    // (wiring run: 1.78/1.17 vs a 0.65-0.90 settled tail) — they stay
-    // in the emitted series for the judge but carry no alarm.
-    val CalibSkip = 2
     val calibT = scala.collection.mutable.ArrayBuffer[Double]()
     val calibAfter = scala.collection.mutable.ArrayBuffer[Int]()
     def calibSample(after: Int): Unit = {
@@ -184,18 +225,28 @@ object Bench {
     }
     hygiene()
     calibSample(selected.size) // closes the last span + third-run phase
-    val settled = if (calibT.size > CalibSkip) calibT.drop(CalibSkip)
-                  else calibT
-    val calibMedian = settled.sorted.apply(settled.size / 2)
-    val calibFlag = calibMedian > CalibRef * 1.10
-    // a hot SETTLED sample marks the ~CalibEvery queries it CLOSES as
-    // suspect (warm-up samples excluded — hot on every run)
+    // flag statistic over ALL samples (no head skip — see the r15
+    // note above): the run is flagged when the series median exceeds
+    // the quiet band's p90 (the band already encodes quiet dispersion;
+    // median-above-p90 means more than half the run sat outside it)
+    val calibMedian = calibT.sorted.apply(calibT.size / 2)
+    val calibFlag = calibMedian > band.p90 * 1.10
+    val spinPost = spin()
+    val spinHot = (s: Double) => s > spinBand.p90 * 1.30
+    // a hot sample marks the ~CalibEvery queries it CLOSES as suspect;
+    // the pre-suite sample (after=0) and a hot spin_pre mark the
+    // OPENING span; a hot spin_post marks the CLOSING span
     val selNames = selected.map(_._1)
-    val calibSuspect = calibT.zip(calibAfter).drop(CalibSkip).collect {
-      case (t, after) if t > CalibRef * 1.30 =>
-        selNames.slice(math.max(0, after - CalibEvery),
-          math.min(after, selNames.size))
-    }.flatten.distinct
+    def span(lo: Int, hi: Int): Seq[String] =
+      selNames.slice(math.max(0, lo), math.min(hi, selNames.size))
+    val calibSuspect = (calibT.zip(calibAfter).collect {
+      case (t, after) if t > band.median * 1.30 =>
+        if (after == 0) span(0, CalibEvery)
+        else span(after - CalibEvery, after)
+    }.flatten
+      ++ (if (spinHot(spinPre)) span(0, CalibEvery) else Nil)
+      ++ (if (spinHot(spinPost)) span(selNames.size - CalibEvery,
+            selNames.size) else Nil)).distinct
     // ROOT locale like fmt below: comma-decimal defaults emit bad JSON
     def fmt3(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
@@ -212,8 +263,9 @@ object Bench {
     // Full-precision line → file (the harness commits it whole).
     val qsFull = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val spinPost = spin()
-    val jsonFull = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"failed":$failed,"runs":$runsJson,"spin_pre":$spinPre,"spin_post":$spinPost,"calib":$calibJson,"calib_after":$calibAfterJson,"calib_ref":$CalibRef,"calib_median":${fmt3(calibMedian)},"calib_flag":$calibFlag,"calib_suspect":$calibSuspectJson,"sf":"$sfDir"}"""
+    val bandJson = s"""{"min":${fmt3(band.min)},"median":${fmt3(band.median)},"p90":${fmt3(band.p90)}}"""
+    val spinBandJson = s"""{"min":${fmt3(spinBand.min)},"median":${fmt3(spinBand.median)},"p90":${fmt3(spinBand.p90)}}"""
+    val jsonFull = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"failed":$failed,"runs":$runsJson,"spin_pre":$spinPre,"spin_post":$spinPost,"spin_band":$spinBandJson,"spin_flag":${spinHot(spinPre) || spinHot(spinPost)},"calib":$calibJson,"calib_after":$calibAfterJson,"calib_ref":$CalibRef,"calib_band":$bandJson,"calib_sf_key":"$sfKey","calib_median":${fmt3(calibMedian)},"calib_flag":$calibFlag,"calib_suspect":$calibSuspectJson,"sf":"$sfDir"}"""
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(out),
       (jsonFull + "\n").getBytes("UTF-8"))
@@ -235,7 +287,7 @@ object Bench {
     // suspect names stay out of the stdout line (they can be long and
     // would push the summary out of the 2000-char tail window); the
     // count + flag land here, the names in the full-precision file.
-    println(s"""{"queries":$qsCompact,"failed":$failed,"runs":$runsJson,"spin_pre":${fmt(spinPre)},"spin_post":${fmt(spinPost)},"calib":${calibT.map(fmt).mkString("[", ",", "]")},"calib_ref":$CalibRef,"calib_median":${fmt(calibMedian)},"calib_flag":$calibFlag,"calib_suspect_n":${calibSuspect.size},"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir"}""")
+    println(s"""{"queries":$qsCompact,"failed":$failed,"runs":$runsJson,"spin_pre":${fmt(spinPre)},"spin_post":${fmt(spinPost)},"spin_flag":${spinHot(spinPre) || spinHot(spinPost)},"calib":${calibT.map(fmt).mkString("[", ",", "]")},"calib_ref":${fmt(CalibRef)},"calib_median":${fmt(calibMedian)},"calib_flag":$calibFlag,"calib_suspect_n":${calibSuspect.size},"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -135,6 +135,32 @@ object ScaleGen {
     }.repartition(cpus.toInt).write.mode("overwrite")
       .parquet(s"$out/customer.parquet")
 
+    // part/supplier: TPC-H scales both linearly with SF — keys shifted
+    // per copy like customer, so l_partkey/l_suppkey (left in the base
+    // range by the lineitem derivation) keep referential integrity via
+    // copy 0 while part-side scans and aggregates face a 10x table.
+    // Round-15 addition: the r14 sf10 bench attempt failed 8 queries
+    // on PATH_NOT_FOUND for these tables — ScaleGen simply never
+    // emitted them, so a "full-suite derived-corpus bench" was
+    // structurally impossible.
+    val prt = spark.read.parquet(s"$src/part.parquet")
+    if (wanted("part")) tenfold(prt) { (d, c) =>
+      d.withColumn("p_partkey", col("p_partkey") + lit(c * IdShift))
+    }.repartition(cpus.toInt).write.mode("overwrite")
+      .parquet(s"$out/part.parquet")
+
+    val sup = spark.read.parquet(s"$src/supplier.parquet")
+    if (wanted("supplier")) tenfold(sup) { (d, c) =>
+      d.withColumn("s_suppkey", col("s_suppkey") + lit(c * IdShift))
+    }.repartition(cpus.toInt).write.mode("overwrite")
+      .parquet(s"$out/supplier.parquet")
+
+    // nation/region are FIXED-size in TPC-H (25/5 rows) at every SF:
+    // copied verbatim, not tenfolded
+    for (t <- Seq("nation", "region") if wanted(t))
+      spark.read.parquet(s"$src/$t.parquet")
+        .coalesce(1).write.mode("overwrite").parquet(s"$out/$t.parquet")
+
     // events: ids/users shifted; each copy's timestamps move forward
     // by copy × 31 days, so the per-copy HOURLY structure (including
     // the genuine gaps q110's fill exercises) repeats end to end —
@@ -148,6 +174,7 @@ object ScaleGen {
       .parquet(s"$out/events.parquet")
 
     Seq("documents", "embeddings", "lineitem", "orders", "customer",
+        "part", "supplier", "nation", "region",
         "events").filter(wanted).foreach { t =>
       println(s"$t: ${spark.read.parquet(s"$out/$t.parquet").count()} rows")
     }

@@ -9,15 +9,28 @@ parquet tables, normalize (columns sorted by name, rows sorted by all
 columns), and diff exactly. Exit non-zero on any mismatch.
 
 Results larger than GRAFT_DIGEST_ROWS rows (default 20M — only the
-sf100 semi-join output crosses it today) are compared by an in-DuckDB
-multiset digest instead of a pandas materialized diff: count(*) +
-sum/min/max of hash(<all columns, name-sorted, cast to VARCHAR>) over
-both the Spark parquet and the oracle SQL. Equal digests ⇒ equal row
-multisets up to a 64-bit hash-sum collision; nothing is materialized
-on the Python side. The VARCHAR cast canonicalizes integer width
-differences (Spark int64 vs DuckDB int32/hugeint) the same way the
-pandas path's check_dtype=False does; queries compared this way print
-"OK (digest)" so the record shows which rows were digest-checked.
+sf100 semi-join output crosses it today) on EITHER side (Spark or
+oracle — an under-producing engine must not drag a 100M-row oracle
+through pandas) are compared by an in-DuckDB multiset digest instead
+of a pandas materialized diff: count(*) + sum/min/max of
+hash(<all columns, name-sorted, cast to VARCHAR>) over both the Spark
+parquet and the oracle SQL. Equal digests ⇒ equal row multisets up to
+a 64-bit hash-sum collision; nothing is materialized on the Python
+side. The VARCHAR cast canonicalizes integer width differences (Spark
+int64 vs DuckDB int32/hugeint); it is STRICTER than the pandas path's
+check_dtype=False for fractional types — DECIMAL '1.50' vs DOUBLE
+'1.5' and -0.0 vs 0.0 differ as strings — so numeric columns are cast
+through DOUBLE first to align the two paths. Queries compared this
+way print "OK (digest)" so the record shows which rows were
+digest-checked.
+
+Oracles too heavy for DuckDB to replay in one query (sf100 q93: the
+whole delta-vs-standing minhash funnel exhausts the allocator even
+with spill) can be STAGED: an optional oracle_stages.json next to
+oracle_sql.json maps query name -> [stage SQL, ...]; each stage is
+materialized as a TEMP TABLE stage_<name>_<i> before the main oracle
+SQL (which references those temp tables) runs. Same math, bounded
+working set per statement.
 """
 import json, os, sys
 import duckdb
@@ -49,6 +62,8 @@ def main():
         elif os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracles = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    stages_path = os.path.join(out_dir, "oracle_stages.json")
+    stages = json.load(open(stages_path)) if os.path.exists(stages_path) else {}
     failures, checked, rows_only = 0, 0, 0
     for name in sorted(os.listdir(out_dir)):
         qdir = os.path.join(out_dir, name)
@@ -62,23 +77,55 @@ def main():
             print(f"  [rows-only] {name}: {n_spark} rows")
             continue
         checked += 1
-        if n_spark > DIGEST_ROWS:
-            cols = sorted(r[0] for r in con.execute(
-                f"DESCRIBE {spark_src}").fetchall())
-            collist = ", ".join(
-                f'CAST("{c}" AS VARCHAR)' for c in cols)
-            dig = (f"SELECT count(*) AS n, sum(hash({collist})) AS h, "
-                   f"min(hash({collist})) AS lo, "
-                   f"max(hash({collist})) AS hi FROM (%s)")
+        # staged oracles: materialize each stage as a temp table the
+        # main oracle SQL references, so DuckDB never holds the whole
+        # funnel's working set in one query (sf100 q93 allocator OOM)
+        try:
+            for i, ssql in enumerate(stages.get(name, [])):
+                con.execute(f"CREATE OR REPLACE TEMP TABLE "
+                            f"stage_{name}_{i} AS {ssql}")
+        except Exception as e:
+            print(f"FAIL {name}: stage error: {e}")
+            failures += 1
+            continue
+        # digest-path decision counts BOTH sides: an under-producing
+        # engine must not drag a >20M-row oracle through pandas
+        try:
+            n_duck = con.execute(
+                f"SELECT count(*) FROM ({oracles[name]})").fetchone()[0]
+        except Exception as e:
+            print(f"FAIL {name}: oracle SQL error: {e}")
+            failures += 1
+            continue
+        if n_spark > DIGEST_ROWS or n_duck > DIGEST_ROWS:
+            coltypes = {r[0]: r[1] for r in con.execute(
+                f"DESCRIBE {spark_src}").fetchall()}
+            cols = sorted(coltypes)
+            # fractional types render differently as VARCHAR
+            # (DECIMAL '1.50' vs DOUBLE '1.5', -0.0 vs 0.0): align
+            # through DOUBLE first, like the pandas path's numeric
+            # coercion. Integer widths are already canonical as text.
+            def canon(c, t):
+                t = t.upper()
+                if "DECIMAL" in t or "DOUBLE" in t or "FLOAT" in t or "REAL" in t:
+                    return f'CAST(CAST("{c}" AS DOUBLE) AS VARCHAR)'
+                return f'CAST("{c}" AS VARCHAR)'
             try:
-                ocols = sorted(r[0] for r in con.execute(
-                    f"DESCRIBE ({oracles[name]})").fetchall())
+                ocoltypes = {r[0]: r[1] for r in con.execute(
+                    f"DESCRIBE ({oracles[name]})").fetchall()}
+                ocols = sorted(ocoltypes)
                 if ocols != cols:
                     print(f"FAIL {name}: columns spark={cols} duck={ocols}")
                     failures += 1
                     continue
-                sd = con.execute(dig % spark_src).fetchone()
-                dd = con.execute(dig % oracles[name]).fetchone()
+                def dig(src, types):
+                    collist = ", ".join(canon(c, types[c]) for c in cols)
+                    return con.execute(
+                        f"SELECT count(*) AS n, sum(hash({collist})) AS h, "
+                        f"min(hash({collist})) AS lo, "
+                        f"max(hash({collist})) AS hi FROM ({src})").fetchone()
+                sd = dig(spark_src, coltypes)
+                dd = dig(oracles[name], ocoltypes)
             except Exception as e:
                 print(f"FAIL {name}: digest error: {e}")
                 failures += 1

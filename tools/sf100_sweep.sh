@@ -10,6 +10,9 @@ cd "$(dirname "$0")/.."
 SF=${1:-/tmp/sf100_derived}
 OUT=${2:-/tmp/v100}
 mkdir -p "$OUT"
+# stale logs from prior runs (e.g. a batch whose engine step failed this
+# run) would pollute the combined summary and inflate the OK count
+rm -f "$OUT"/*.oracle.log "$OUT"/*.engine.log
 export SPARK_DRIVER_MEM=${SPARK_DRIVER_MEM:-64g}
 
 fail=0
@@ -49,7 +52,9 @@ run_batch ann x13_cosine_topk_lsh
 run_batch dedup x09_minhash_dedup x28_incremental_dedup q93_delta_funnel
 
 echo "=== combined summary"
-grep -h "OK \|FAIL \|rows-only" "$OUT"/*.oracle.log | sort
+# anchored per-query patterns: unanchored 'rows-only' also matched each
+# log's trailing 'N oracle-checked, M rows-only, K failures' line
+grep -h "^  OK \|^FAIL \|^  \[rows-only\]" "$OUT"/*.oracle.log | sort
 # (awk, not bc — bc is not installed in this container)
 tot=$(grep -h "^  OK" "$OUT"/*.oracle.log 2>/dev/null | wc -l)
 echo "total OK: ${tot:-0}; overall: $([ $fail -eq 0 ] && echo PASS || echo FAIL)"
