@@ -59,7 +59,14 @@ object OracleLsh {
        banded AS (
          SELECT doc_id, gs.i AS band, (${bandsSql(bands, numHashes / bands)})[gs.i] AS bh
          FROM t3, generate_series(1, $bands) AS gs(i)),
-       ok AS (SELECT band, bh FROM banded GROUP BY band, bh HAVING count(*) BETWEEN 2 AND $maxBucket),
+       ${pairsTailCtes(threshold, maxBucket)}"""
+
+  /** banded + t2 → verified pairs (the x09 chain's tail): factored out
+    * so the staged q93 replay can run it over MATERIALIZED banded/t2
+    * temp tables (define CTE aliases with those names first). */
+  private[graft] def pairsTailCtes(threshold: Double = 0.5,
+                                   maxBucket: Int = 500): String =
+    s"""ok AS (SELECT band, bh FROM banded GROUP BY band, bh HAVING count(*) BETWEEN 2 AND $maxBucket),
        cand AS (
          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
          FROM banded a
@@ -128,6 +135,27 @@ object OracleLsh {
        ${pfx}1 AS (SELECT doc_id, $th31Sql AS th FROM ${pfx}0),
        ${pfx}2 AS (SELECT doc_id, ${shinglesSql(shingleN)} AS shs FROM ${pfx}1),
        ${pfx}3 AS (SELECT doc_id, shs, ${sigSql(numHashes)} AS sig FROM ${pfx}2),
+       ${pfx}banded AS (
+         SELECT doc_id, gs.i AS band, (${bandsSql(bands, numHashes / bands)})[gs.i] AS bh
+         FROM ${pfx}3, generate_series(1, $bands) AS gs(i))"""
+
+  /** Staged-replay half-chains (round-14 VERDICT directive 2): the
+    * same x09 chain split where a staged oracle materializes a temp
+    * table between halves, so DuckDB never holds shingle sets, sigs,
+    * and band joins in one query's working set (the sf100 q93
+    * monolithic replay exhausted the allocator).
+    * [[shsChain]]: doc source → distinct shingle-hash sets (t0..t2);
+    * [[bandChain]]: a materialized (doc_id, shs) table → banded rows
+    * (t3 + banded). Byte-identical SQL fragments to the fused chain. */
+  private[graft] def shsChain(pfx: String, src: String,
+                              shingleN: Int = 3): String =
+    s"""${pfx}0 AS (SELECT doc_id, $toksSql AS toks FROM $src),
+       ${pfx}1 AS (SELECT doc_id, $th31Sql AS th FROM ${pfx}0),
+       ${pfx}2 AS (SELECT doc_id, ${shinglesSql(shingleN)} AS shs FROM ${pfx}1)"""
+
+  private[graft] def bandChain(pfx: String, shsSrc: String,
+                               numHashes: Int = 64, bands: Int = 16): String =
+    s"""${pfx}3 AS (SELECT doc_id, shs, ${sigSql(numHashes)} AS sig FROM $shsSrc),
        ${pfx}banded AS (
          SELECT doc_id, gs.i AS band, (${bandsSql(bands, numHashes / bands)})[gs.i] AS bh
          FROM ${pfx}3, generate_series(1, $bands) AS gs(i))"""

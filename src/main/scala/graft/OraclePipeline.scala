@@ -43,6 +43,12 @@ object OraclePipeline {
     * x06 quality → q47 repetition. Emits raw, ln, cleaned, tk, lg,
     * ql, rpb, rp. */
   private def scanCtes(rawWhere: String): String =
+    s"""${lnCtes(rawWhere)},
+       $scanTailCtes"""
+
+  /** raw → C4-cleaned text (the `ln` CTE) — the split point for the
+    * staged q93 replay, which materializes `ln` as a temp table. */
+  private def lnCtes(rawWhere: String): String =
     s"""raw AS (SELECT doc_id, COALESCE(text, '') AS text FROM documents WHERE $rawWhere),
        -- C4 line rules, terminal-punct off: keep lines with >= 3
        -- space-words and no blocklist hit; join survivors with \\n
@@ -55,8 +61,12 @@ object OraclePipeline {
                         OR contains(lower(trim(l)), 'lorem ipsum')
                         OR contains(lower(trim(l)), '{'))),
              chr(10)) AS clean
-         FROM raw),
-       cleaned AS (SELECT doc_id, clean AS text FROM ln),
+         FROM raw)"""
+
+  /** Everything downstream of `ln`: cleaned/tk plus the x05/x06/q47
+    * verdict CTEs. */
+  private def scanTailCtes: String =
+    s"""cleaned AS (SELECT doc_id, clean AS text FROM ln),
        tk AS (SELECT doc_id, clean, ${toks("clean")} AS toks FROM ln),
        -- x05 langid over the cleaned text
        lg AS (
@@ -115,7 +125,13 @@ object OraclePipeline {
     * t2, pairs, dd(doc_id, v_dedup). */
   private def keeperCtes: String =
     s"""${OracleLsh.minhashPairsCtes(src = "cleaned")},
-       edges AS (
+       $keeperTailCtes"""
+
+  /** pairs + ql → per-doc keeper verdict (edges/reach/comp/wc/kp/dd):
+    * factored out so the staged q93 replay can run it over
+    * MATERIALIZED pairs inputs. */
+  private def keeperTailCtes: String =
+    s"""edges AS (
          SELECT id_a AS s, id_b AS d FROM pairs
          UNION SELECT id_b, id_a FROM pairs),
        reach(id, r) AS (
@@ -305,5 +321,120 @@ object OraclePipeline {
          CAST(count(*) AS BIGINT) AS input,
          ${cascadeSql(stages)}
        FROM v"""
+  }
+
+  /** q93 staged replay (round-14 VERDICT directive 2). Same math as
+    * [[q93Sql]], decomposed into materialized temp-table stages so
+    * DuckDB never holds the whole delta-vs-standing funnel's working
+    * set in one query — the monolithic replay exhausts the allocator
+    * at sf100 (5M docs) even with memory_limit=80GB + spill, because
+    * the failing band-join/intersection operators don't spill.
+    *
+    * tools/check_oracle.py reads these from oracle_stages.json:
+    * stage i is materialized as TEMP TABLE stage_q93_delta_funnel_<i>
+    * (in order; later stages reference earlier ones), then the `main`
+    * SQL — which only joins the narrow per-doc verdict stages — runs
+    * in place of the monolithic oracle. Every SQL fragment is the
+    * SAME builder output the monolithic form uses (lnCtes /
+    * scanTailCtes / OracleLsh.shsChain / bandChain / pairsTailCtes /
+    * keeperTailCtes / decontamCtes), so the two forms cannot drift:
+    * hash-green at sf0.01 in the staged form certifies the
+    * decomposition, hash-green at sf100 certifies the scale.
+    *
+    * Stage map (T = stage_q93_delta_funnel_):
+    *  0 delta C4-cleaned text        (doc_id, clean)
+    *  1 delta scan-local verdicts    (doc_id, v_clean, lang_pred,
+    *                                  q_n_tokens, q_score,
+    *                                  dup_unigram_frac, top_bigram_frac)
+    *  2 delta shingle sets           (doc_id, shs)
+    *  3 delta band keys              (doc_id, band, bh)
+    *  4 within-delta keeper verdict  (doc_id, v_dedup)
+    *  5 standing C4-cleaned text     (doc_id, clean)
+    *  6 standing shingle sets        (doc_id, shs)
+    *  7 standing band keys           (doc_id, band, bh)
+    *  8 delta docs with a standing match (new_id)
+    *  9 decontamination verdict      (doc_id, contaminated)
+    */
+  def q93Staged: (Seq[String], String) = {
+    val T = "stage_q93_delta_funnel_"
+    val deltaWhere = "doc_id % 3 = 0 AND doc_id % 97 <> 0"
+    val standingWhere = "doc_id % 3 <> 0 AND doc_id % 97 <> 0"
+    val stages = Seq(
+      // 0: delta cleaned
+      s"""WITH ${lnCtes(deltaWhere)}
+         SELECT doc_id, clean FROM ln""",
+      // 1: delta scan-local verdicts
+      s"""WITH ln AS (SELECT doc_id, clean FROM ${T}0),
+         $scanTailCtes
+         SELECT ln.doc_id,
+           length(trim(ln.clean)) > 0 AS v_clean,
+           lg.lang_pred, ql.q_n_tokens, ql.q_score,
+           rp.dup_unigram_frac, rp.top_bigram_frac
+         FROM ln
+         JOIN lg USING (doc_id) JOIN ql USING (doc_id) JOIN rp USING (doc_id)""",
+      // 2: delta shingle sets
+      s"""WITH cleaned AS (SELECT doc_id, clean AS text FROM ${T}0),
+         ${OracleLsh.shsChain("t", "cleaned")}
+         SELECT doc_id, shs FROM t2""",
+      // 3: delta band keys
+      s"""WITH ${OracleLsh.bandChain("t", s"${T}2")}
+         SELECT doc_id, band, bh FROM tbanded""",
+      // 4: within-delta keeper verdict (pairs tail + keeper tail over
+      // the materialized band/shingle tables; ql from stage 1)
+      s"""WITH RECURSIVE
+         banded AS (SELECT * FROM ${T}3),
+         t2 AS (SELECT * FROM ${T}2),
+         ql AS (SELECT doc_id, q_n_tokens FROM ${T}1),
+         ${OracleLsh.pairsTailCtes()},
+         $keeperTailCtes
+         SELECT doc_id, v_dedup FROM dd""",
+      // 5: standing cleaned
+      s"""WITH ${lnCtes(standingWhere)}
+         SELECT doc_id, clean FROM ln""",
+      // 6: standing shingle sets
+      s"""WITH scleaned AS (SELECT doc_id, clean AS text FROM ${T}5),
+         ${OracleLsh.shsChain("s", "scleaned")}
+         SELECT doc_id, shs FROM s2""",
+      // 7: standing band keys
+      s"""WITH ${OracleLsh.bandChain("s", s"${T}6")}
+         SELECT doc_id, band, bh FROM sbanded""",
+      // 8: delta docs with a standing match (x28 band probe)
+      s"""WITH sok AS (SELECT band, bh FROM ${T}7
+                       GROUP BY band, bh HAVING count(*) <= 500),
+         xcand AS (
+           SELECT DISTINCT n.doc_id AS new_id, i.doc_id AS idx_id
+           FROM ${T}3 n
+           JOIN ${T}7 i ON n.band = i.band AND n.bh = i.bh
+           JOIN sok ON i.band = sok.band AND i.bh = sok.bh),
+         xverif AS (
+           SELECT new_id, idx_id,
+             CAST(len(list_intersect(sn.shs, si.shs)) AS DOUBLE)
+               / (len(sn.shs) + len(si.shs) - len(list_intersect(sn.shs, si.shs))) AS jaccard
+           FROM xcand
+           JOIN ${T}2 sn ON sn.doc_id = new_id
+           JOIN ${T}6 si ON si.doc_id = idx_id)
+         SELECT DISTINCT new_id FROM xverif WHERE jaccard >= 0.5""",
+      // 9: decontamination verdict
+      s"""WITH ${decontamCtes(s"doc_id % 97 = 0 OR ($deltaWhere)")}
+         SELECT doc_id, contaminated FROM cm""")
+    val funnelStages = Seq("v_clean", "v_lang", "v_quality",
+      "v_repetition", "v_dedup", "v_decontam")
+    val main =
+      s"""SELECT
+           CAST(count(*) AS BIGINT) AS input,
+           ${cascadeSql(funnelStages)}
+         FROM (
+           SELECT sv.doc_id,
+             sv.v_clean,
+             sv.lang_pred = 'en' AS v_lang,
+             sv.q_score = 1.0 AS v_quality,
+             sv.dup_unigram_frac <= 0.3 AND sv.top_bigram_frac <= 0.18 AS v_repetition,
+             (xh.new_id IS NULL) AND dd.v_dedup AS v_dedup,
+             NOT cm.contaminated AS v_decontam
+           FROM ${T}1 sv
+           JOIN ${T}4 dd USING (doc_id)
+           JOIN ${T}9 cm USING (doc_id)
+           LEFT JOIN ${T}8 xh ON xh.new_id = sv.doc_id) v"""
+    (stages, main)
   }
 }

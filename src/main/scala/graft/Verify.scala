@@ -45,6 +45,12 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // staged replacements for sf100-heavy oracles (check_oracle.py)
+    val stagesJson = SparkEntry.oracleStages
+      .map { case (k, (stages, main)) =>
+        s"${q(k)}: {${q("stages")}: [${stages.map(q).mkString(",")}], ${q("main")}: ${q(main)}}"
+      }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/oracle_stages.json"), stagesJson)
     spark.stop()
   }
 }

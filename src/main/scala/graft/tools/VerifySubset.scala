@@ -43,6 +43,11 @@ object VerifySubset {
     val json = SparkEntry.oracleSql.filter(kv => names(kv._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val stagesJson = SparkEntry.oracleStages.filter(kv => names(kv._1))
+      .map { case (k, (stages, main)) =>
+        s"${q(k)}: {${q("stages")}: [${stages.map(q).mkString(",")}], ${q("main")}: ${q(main)}}"
+      }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/oracle_stages.json"), stagesJson)
     spark.stop()
   }
 }

@@ -64,7 +64,7 @@ class LedgerSoakSpec extends SparkSpec {
     *    the read-side batch_id dedup must heal. */
   private def soak(base: String, partialsDir: String, nRows: Long,
                    deltaBatch: (Seq[Long], Long) => Unit): (Int, Int, Int, Int) = {
-    val rnd = new scala.util.Random(0x5047c3L)
+    val rnd = new scala.util.Random(graft.SoakSeed(0x5047c3L))
     var replays = 0; var redeliveries = 0; var dupPartials = 0; var torn = 0
     val idsDir = s"$base/seenIds"
     var bid = 0L

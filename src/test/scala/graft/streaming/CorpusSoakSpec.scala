@@ -72,7 +72,7 @@ class CorpusSoakSpec extends SparkSpec {
   test("minhash verdict sink converges through 150 fault-injected batches") {
     soakEnabled()
     val target = tmp("soak-mh") + "/t"
-    val rnd = new scala.util.Random(0x14c0ffeeL)
+    val rnd = new scala.util.Random(graft.SoakSeed(0x14c0ffeeL))
     // deterministic verdict rows: overlap re-ships the boundary pairs
     def rows(k: Int): DataFrame = {
       val lo = k * 5
@@ -122,7 +122,7 @@ class CorpusSoakSpec extends SparkSpec {
       bench.select(explode(
           graft.operators.TextAnalysis.docGramHashes(col("text"), 4)).as("h"))
         .write.mode("overwrite").parquet(bIdx)
-      val rnd = new scala.util.Random(0x5047c14L)
+      val rnd = new scala.util.Random(graft.SoakSeed(0x5047c14L))
       var replays = 0; var tornBoth = 0; var tornIds = 0
       def step(k: Int): Unit =
         CorpusPipeline.contamDeltaBatch(docs(k), "doc_id", "text",
@@ -180,7 +180,7 @@ class CorpusSoakSpec extends SparkSpec {
       ).toDF()
     }
     def run(base: String, inject: Boolean): String = {
-      val rnd = new scala.util.Random(0x4d3d1aL)
+      val rnd = new scala.util.Random(graft.SoakSeed(0x4d3d1aL))
       var replays = 0; var tornAll = 0; var tornIds = 0
       def step(k: Int): Unit =
         CorpusPipeline.mediaDeltaBatch(batch(k), "media_id", "payload", base)
@@ -239,7 +239,7 @@ class CorpusSoakSpec extends SparkSpec {
         .toDF("vec_id", "embedding")
     }
     val dir = tmp("soak-ivf") + "/layout"
-    val rnd = new scala.util.Random(0x1fe57L)
+    val rnd = new scala.util.Random(graft.SoakSeed(0x1fe57L))
     var replays = 0; var partials = 0
     for (k <- 0 until Batches) {
       val before = snapshot(dir)

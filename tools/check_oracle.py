@@ -27,10 +27,12 @@ digest-checked.
 Oracles too heavy for DuckDB to replay in one query (sf100 q93: the
 whole delta-vs-standing minhash funnel exhausts the allocator even
 with spill) can be STAGED: an optional oracle_stages.json next to
-oracle_sql.json maps query name -> [stage SQL, ...]; each stage is
-materialized as a TEMP TABLE stage_<name>_<i> before the main oracle
-SQL (which references those temp tables) runs. Same math, bounded
-working set per statement.
+oracle_sql.json maps query name -> {"stages": [SQL, ...], "main": SQL};
+each stage is materialized as TEMP TABLE stage_<name>_<i> in order
+(later stages reference earlier ones), then `main` — which references
+the staged tables — replaces the monolithic oracle_sql entry for the
+compare. Same math (both forms come from the same SQL builders in
+graft.OraclePipeline), bounded working set per statement.
 """
 import json, os, sys
 import duckdb
@@ -77,22 +79,26 @@ def main():
             print(f"  [rows-only] {name}: {n_spark} rows")
             continue
         checked += 1
-        # staged oracles: materialize each stage as a temp table the
-        # main oracle SQL references, so DuckDB never holds the whole
-        # funnel's working set in one query (sf100 q93 allocator OOM)
-        try:
-            for i, ssql in enumerate(stages.get(name, [])):
-                con.execute(f"CREATE OR REPLACE TEMP TABLE "
-                            f"stage_{name}_{i} AS {ssql}")
-        except Exception as e:
-            print(f"FAIL {name}: stage error: {e}")
-            failures += 1
-            continue
+        # staged oracles: materialize each stage as a temp table, then
+        # compare against the staged `main` instead of the monolithic
+        # SQL, so DuckDB never holds the whole funnel's working set in
+        # one query (sf100 q93 allocator OOM)
+        oracle_sql = oracles[name]
+        if name in stages:
+            try:
+                for i, ssql in enumerate(stages[name]["stages"]):
+                    con.execute(f"CREATE OR REPLACE TEMP TABLE "
+                                f"stage_{name}_{i} AS {ssql}")
+            except Exception as e:
+                print(f"FAIL {name}: stage error: {e}")
+                failures += 1
+                continue
+            oracle_sql = stages[name]["main"]
         # digest-path decision counts BOTH sides: an under-producing
         # engine must not drag a >20M-row oracle through pandas
         try:
             n_duck = con.execute(
-                f"SELECT count(*) FROM ({oracles[name]})").fetchone()[0]
+                f"SELECT count(*) FROM ({oracle_sql})").fetchone()[0]
         except Exception as e:
             print(f"FAIL {name}: oracle SQL error: {e}")
             failures += 1
@@ -112,7 +118,7 @@ def main():
                 return f'CAST("{c}" AS VARCHAR)'
             try:
                 ocoltypes = {r[0]: r[1] for r in con.execute(
-                    f"DESCRIBE ({oracles[name]})").fetchall()}
+                    f"DESCRIBE ({oracle_sql})").fetchall()}
                 ocols = sorted(ocoltypes)
                 if ocols != cols:
                     print(f"FAIL {name}: columns spark={cols} duck={ocols}")
@@ -125,7 +131,7 @@ def main():
                         f"min(hash({collist})) AS lo, "
                         f"max(hash({collist})) AS hi FROM ({src})").fetchone()
                 sd = dig(spark_src, coltypes)
-                dd = dig(oracles[name], ocoltypes)
+                dd = dig(oracle_sql, ocoltypes)
             except Exception as e:
                 print(f"FAIL {name}: digest error: {e}")
                 failures += 1
@@ -138,7 +144,7 @@ def main():
             continue
         spark_df = con.execute(spark_src).df()
         try:
-            duck_df = con.execute(oracles[name]).df()
+            duck_df = con.execute(oracle_sql).df()
         except Exception as e:
             print(f"FAIL {name}: oracle SQL error: {e}")
             failures += 1
