@@ -4,11 +4,15 @@
 # affine batches against the derived sf100 corpus, then the DuckDB
 # oracle compare per batch; one combined summary on stdout.
 #
-# usage: tools/sf100_sweep.sh [sfDir] [outRoot]
+# usage: tools/sf100_sweep.sh [sfDir] [outRoot] [batch1,batch2,...]
+# The optional batch filter runs only the named batches (incremental
+# rounds re-run what changed; the combined summary then covers only
+# this run's logs — record concatenation is the caller's job).
 set -u
 cd "$(dirname "$0")/.."
 SF=${1:-/tmp/sf100_derived}
 OUT=${2:-/tmp/v100}
+ONLY=${3:-}
 mkdir -p "$OUT"
 # stale logs from prior runs (e.g. a batch whose engine step failed this
 # run) would pollute the combined summary and inflate the OK count
@@ -18,6 +22,9 @@ export SPARK_DRIVER_MEM=${SPARK_DRIVER_MEM:-64g}
 fail=0
 run_batch() { # name queries...
   local name=$1; shift
+  if [ -n "$ONLY" ] && ! echo ",$ONLY," | grep -q ",$name,"; then
+    echo "=== skipping [$name] (batch filter)"; return
+  fi
   echo "=== engine [$name]: $*"
   local t0=$SECONDS
   if ! sbt -batch "runMain graft.tools.VerifySubset $SF $OUT/$name $*" \
@@ -50,6 +57,13 @@ run_batch docs_light q25_exact_dedup q184_corpus_shuffle x05_langid \
 run_batch ann x13_cosine_topk_lsh
 # documents: banded dedup + incremental ledgers (heaviest oracles last)
 run_batch dedup x09_minhash_dedup x28_incremental_dedup q93_delta_funnel
+# round-15 breadth (round-14 VERDICT directive 6): the index family,
+# bloom skipping, prefix-jaccard postings form, 3-gram decontamination,
+# and the simhash pair replay (the heaviest DuckDB leg at sf10)
+run_batch index q115_postings_build q116_index_topk q117_index_incremental \
+  q131_bloom_skipping
+run_batch decontam q54_decontaminate q135_prefix_jaccard
+run_batch simhash x10_simhash_dedup
 
 echo "=== combined summary"
 # anchored per-query patterns: unanchored 'rows-only' also matched each
