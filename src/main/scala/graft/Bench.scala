@@ -227,10 +227,15 @@ object Bench {
     calibSample(selected.size) // closes the last span + third-run phase
     // flag statistic over ALL samples (no head skip — see the r15
     // note above): the run is flagged when the series median exceeds
-    // the quiet band's p90 (the band already encodes quiet dispersion;
-    // median-above-p90 means more than half the run sat outside it)
+    // 1.15x the quiet band's MEDIAN. Calibrated against the known-
+    // state r14/r15 runs (records/calib_ref_r15.json): quiet in-suite
+    // medians sit at 0.52-0.53 (pass), the r15 uniformly-1.25x-warm
+    // run read 0.595 (flags — an earlier p90*1.10 rule missed it by
+    // 3%), the 1.84x throttle state read 0.686 (flags). A median of
+    // ~13 samples has ±5% noise, so the 15% margin over the quiet
+    // median keeps ~10% separation both ways.
     val calibMedian = calibT.sorted.apply(calibT.size / 2)
-    val calibFlag = calibMedian > band.p90 * 1.10
+    val calibFlag = calibMedian > band.median * 1.15
     val spinPost = spin()
     val spinHot = (s: Double) => s > spinBand.p90 * 1.30
     // a hot sample marks the ~CalibEvery queries it CLOSES as suspect;
