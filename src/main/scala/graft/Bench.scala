@@ -26,6 +26,29 @@ object Bench {
       .write.format("noop").mode("overwrite").save()
   }
 
+  /** Iterative-plan sentinel (round-15 VERDICT directive 2). The
+    * scalar [[calibKernel]] is ONE job — it provably decorrelates
+    * from the multi-job iterative family (r15 driver: kernel 1.06x
+    * quiet, CC/pagerank/doubling queries 1.2-1.7x): whatever taxes a
+    * chain of short shuffle jobs (scheduler latency, checkpoint I/O,
+    * inter-job GC) is invisible to a single long job. This kernel is
+    * shaped exactly like the blind spot: a 6-iteration fixed-point
+    * loop over a synthetic 1M-edge / 100k-node graph driven by the
+    * REAL [[graft.operators.Graph.pageRank]] (persist + join + agg
+    * per round, localCheckpoint every 2 rounds, blocking unpersist of
+    * the previous checkpoint) — i.e. it times q102/q176/x18's inner
+    * discipline at a fixed synthetic size. Deterministic input
+    * (xxhash64 scatter of a range), so wall time moves only with the
+    * environment. */
+  def iterKernel(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.functions._
+    val edges = spark.range(0L, 250000L, 1, 32)
+      .select(pmod(xxhash64(col("id")), lit(25000L)).as("src"),
+              pmod(xxhash64(col("id") + 7777777L), lit(25000L)).as("dst"))
+    graft.operators.Graph.pageRank(edges, "src", "dst", iters = 6)
+      .write.format("noop").mode("overwrite").save()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -96,10 +119,11 @@ object Bench {
     case class Band(min: Double, median: Double, p90: Double)
     val DefaultBand = Band(0.37, 0.45, 0.60) // sf0.1-class quiet envelope
     val DefaultSpin = Band(0.70, 0.82, 0.95) // quiet records r13a-r14
+    val DefaultIter = Band(4.20, 4.60, 5.00) // iterKernel quiet envelope
     val refPath = sys.env.getOrElse("SPARK_GRAFT_CALIB_REF",
-      "records/calib_ref_r15.json")
+      "records/calib_ref_r16.json")
     val sfKey = new java.io.File(sfDir).getName.replace("_derived", "")
-    val (band, spinBand) = {
+    val (band, spinBand, iterBand) = {
       import org.json4s._
       def num(j: JValue): Option[Double] = j match {
         case JDouble(v) => Some(v)
@@ -117,11 +141,14 @@ object Bench {
         val b = toBand(j \ "bands" \ sfKey)
           .orElse(toBand(j \ "bands" \ "default")).getOrElse(DefaultBand)
         val s = toBand(j \ "spin_quiet").getOrElse(DefaultSpin)
-        (b, s)
-      } catch { case _: Throwable => (DefaultBand, DefaultSpin) }
+        val it = toBand(j \ "iter_bands" \ sfKey)
+          .orElse(toBand(j \ "iter_bands" \ "default")).getOrElse(DefaultIter)
+        (b, s, it)
+      } catch { case _: Throwable => (DefaultBand, DefaultSpin, DefaultIter) }
     }
     val CalibRef = band.median
     val CalibEvery = 20
+    val IterEvery = 40
     val calibT = scala.collection.mutable.ArrayBuffer[Double]()
     val calibAfter = scala.collection.mutable.ArrayBuffer[Int]()
     def calibSample(after: Int): Unit = {
@@ -135,7 +162,32 @@ object Bench {
       calibT += ts.min
       calibAfter += after
     }
+    // Iterative-plan sentinel series (round-15 VERDICT directive 2):
+    // the multi-job iterKernel sampled every IterEvery = 40 queries
+    // (half the calib cadence — the kernel is ~4.5 s, dominated by
+    // per-job fixed costs BY DESIGN, so a 20-query cadence would cost
+    // ~18% of the suite's wall time; 40 keeps it under 10% and a
+    // ~7-sample median still flags a sustained state). SINGLE run per
+    // sample (the kernel internally averages over ~5 jobs x dozens of
+    // tasks, so per-run noise is lower than the scalar kernel's) —
+    // the flag statistic is the series MEDIAN, robust to single hot
+    // samples, and each hot sample still marks its (40-query) span
+    // suspect like calib samples do.
+    val iterT = scala.collection.mutable.ArrayBuffer[Double]()
+    val iterAfter = scala.collection.mutable.ArrayBuffer[Int]()
+    def iterSample(after: Int): Unit = {
+      val t0 = System.nanoTime()
+      iterKernel(spark)
+      iterT += (System.nanoTime() - t0) / 1e9
+      iterAfter += after
+      // the kernel's own checkpoint/persist residue must not tax the
+      // next query's timed window
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      System.gc()
+    }
     calibKernel(spark) // untimed codegen/JIT warm-up of the kernel path
+    iterKernel(spark)  // untimed warm-up of the iterative kernel path
     def once(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
         : (Double, Boolean) = {
       val t0 = System.nanoTime()
@@ -185,6 +237,7 @@ object Bench {
       System.gc()
     }
     calibSample(0)
+    iterSample(0)
     val firstPass = selected.zipWithIndex.map { case ((name, fn), i) =>
       hygiene()
       val (t1, ok1) = once(name, fn)
@@ -192,6 +245,7 @@ object Bench {
       val (t2, ok2) = once(name, fn)
       if ((i + 1) % CalibEvery == 0 && i + 1 < selected.size) {
         hygiene(); calibSample(i + 1)
+        if ((i + 1) % IterEvery == 0) iterSample(i + 1)
       }
       (name, fn, Seq(t1, t2), ok1 && ok2)
     }
@@ -225,6 +279,7 @@ object Bench {
     }
     hygiene()
     calibSample(selected.size) // closes the last span + third-run phase
+    iterSample(selected.size)
     // flag statistic over ALL samples (no head skip — see the r15
     // note above): the run is flagged when the series median exceeds
     // 1.15x the quiet band's MEDIAN. Calibrated against the known-
@@ -236,6 +291,12 @@ object Bench {
     // median keeps ~10% separation both ways.
     val calibMedian = calibT.sorted.apply(calibT.size / 2)
     val calibFlag = calibMedian > band.median * 1.15
+    // iter sentinel: same flag rule over ITS quiet band. Either
+    // sentinel flagging marks the run — the scalar kernel catches
+    // pool-throughput degradation, the iterative kernel catches the
+    // multi-job/short-shuffle taxes the scalar one provably misses.
+    val iterMedian = iterT.sorted.apply(iterT.size / 2)
+    val iterFlag = iterMedian > iterBand.median * 1.15
     val spinPost = spin()
     val spinHot = (s: Double) => s > spinBand.p90 * 1.30
     // a hot sample marks the ~CalibEvery queries it CLOSES as suspect;
@@ -244,11 +305,15 @@ object Bench {
     val selNames = selected.map(_._1)
     def span(lo: Int, hi: Int): Seq[String] =
       selNames.slice(math.max(0, lo), math.min(hi, selNames.size))
-    val calibSuspect = (calibT.zip(calibAfter).collect {
-      case (t, after) if t > band.median * 1.30 =>
-        if (after == 0) span(0, CalibEvery)
-        else span(after - CalibEvery, after)
-    }.flatten
+    def hotSpans(ts: Seq[Double], after: Seq[Int], base: Double,
+                 width: Int) =
+      ts.zip(after).collect {
+        case (t, a) if t > base * 1.30 =>
+          if (a == 0) span(0, width) else span(a - width, a)
+      }.flatten
+    val calibSuspect = (hotSpans(calibT.toSeq, calibAfter.toSeq,
+        band.median, CalibEvery)
+      ++ hotSpans(iterT.toSeq, iterAfter.toSeq, iterBand.median, IterEvery)
       ++ (if (spinHot(spinPre)) span(0, CalibEvery) else Nil)
       ++ (if (spinHot(spinPost)) span(selNames.size - CalibEvery,
             selNames.size) else Nil)).distinct
@@ -270,7 +335,10 @@ object Bench {
       .mkString("{", ",", "}")
     val bandJson = s"""{"min":${fmt3(band.min)},"median":${fmt3(band.median)},"p90":${fmt3(band.p90)}}"""
     val spinBandJson = s"""{"min":${fmt3(spinBand.min)},"median":${fmt3(spinBand.median)},"p90":${fmt3(spinBand.p90)}}"""
-    val jsonFull = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"failed":$failed,"runs":$runsJson,"spin_pre":$spinPre,"spin_post":$spinPost,"spin_band":$spinBandJson,"spin_flag":${spinHot(spinPre) || spinHot(spinPost)},"calib":$calibJson,"calib_after":$calibAfterJson,"calib_ref":$CalibRef,"calib_band":$bandJson,"calib_sf_key":"$sfKey","calib_median":${fmt3(calibMedian)},"calib_flag":$calibFlag,"calib_suspect":$calibSuspectJson,"sf":"$sfDir"}"""
+    val iterBandJson = s"""{"min":${fmt3(iterBand.min)},"median":${fmt3(iterBand.median)},"p90":${fmt3(iterBand.p90)}}"""
+    val iterJson = iterT.map(fmt3).mkString("[", ",", "]")
+    val iterAfterJson = iterAfter.mkString("[", ",", "]")
+    val jsonFull = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"failed":$failed,"runs":$runsJson,"spin_pre":$spinPre,"spin_post":$spinPost,"spin_band":$spinBandJson,"spin_flag":${spinHot(spinPre) || spinHot(spinPost)},"calib":$calibJson,"calib_after":$calibAfterJson,"calib_ref":$CalibRef,"calib_band":$bandJson,"calib_sf_key":"$sfKey","calib_median":${fmt3(calibMedian)},"calib_flag":$calibFlag,"iter":$iterJson,"iter_after":$iterAfterJson,"iter_band":$iterBandJson,"iter_median":${fmt3(iterMedian)},"iter_flag":$iterFlag,"calib_suspect":$calibSuspectJson,"sf":"$sfDir"}"""
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(out),
       (jsonFull + "\n").getBytes("UTF-8"))
@@ -292,7 +360,7 @@ object Bench {
     // suspect names stay out of the stdout line (they can be long and
     // would push the summary out of the 2000-char tail window); the
     // count + flag land here, the names in the full-precision file.
-    println(s"""{"queries":$qsCompact,"failed":$failed,"runs":$runsJson,"spin_pre":${fmt(spinPre)},"spin_post":${fmt(spinPost)},"spin_flag":${spinHot(spinPre) || spinHot(spinPost)},"calib":${calibT.map(fmt).mkString("[", ",", "]")},"calib_ref":${fmt(CalibRef)},"calib_median":${fmt(calibMedian)},"calib_flag":$calibFlag,"calib_suspect_n":${calibSuspect.size},"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir"}""")
+    println(s"""{"queries":$qsCompact,"failed":$failed,"runs":$runsJson,"spin_pre":${fmt(spinPre)},"spin_post":${fmt(spinPost)},"spin_flag":${spinHot(spinPre) || spinHot(spinPost)},"calib":${calibT.map(fmt).mkString("[", ",", "]")},"calib_ref":${fmt(CalibRef)},"calib_median":${fmt(calibMedian)},"calib_flag":$calibFlag,"iter":${iterT.map(fmt).mkString("[", ",", "]")},"iter_median":${fmt(iterMedian)},"iter_flag":$iterFlag,"calib_suspect_n":${calibSuspect.size},"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -92,80 +92,93 @@ def main():
             except Exception as e:
                 print(f"FAIL {name}: stage error: {e}")
                 failures += 1
+                drop_stages(con, name, stages)
                 continue
             oracle_sql = stages[name]["main"]
-        # digest-path decision counts BOTH sides: an under-producing
-        # engine must not drag a >20M-row oracle through pandas
         try:
-            n_duck = con.execute(
-                f"SELECT count(*) FROM ({oracle_sql})").fetchone()[0]
-        except Exception as e:
-            print(f"FAIL {name}: oracle SQL error: {e}")
-            failures += 1
-            continue
-        if n_spark > DIGEST_ROWS or n_duck > DIGEST_ROWS:
-            coltypes = {r[0]: r[1] for r in con.execute(
-                f"DESCRIBE {spark_src}").fetchall()}
-            cols = sorted(coltypes)
-            # fractional types render differently as VARCHAR
-            # (DECIMAL '1.50' vs DOUBLE '1.5', -0.0 vs 0.0): align
-            # through DOUBLE first, like the pandas path's numeric
-            # coercion. Integer widths are already canonical as text.
-            def canon(c, t):
-                t = t.upper()
-                if "DECIMAL" in t or "DOUBLE" in t or "FLOAT" in t or "REAL" in t:
-                    return f'CAST(CAST("{c}" AS DOUBLE) AS VARCHAR)'
-                return f'CAST("{c}" AS VARCHAR)'
-            try:
-                ocoltypes = {r[0]: r[1] for r in con.execute(
-                    f"DESCRIBE ({oracle_sql})").fetchall()}
-                ocols = sorted(ocoltypes)
-                if ocols != cols:
-                    print(f"FAIL {name}: columns spark={cols} duck={ocols}")
-                    failures += 1
-                    continue
-                def dig(src, types):
-                    collist = ", ".join(canon(c, types[c]) for c in cols)
-                    return con.execute(
-                        f"SELECT count(*) AS n, sum(hash({collist})) AS h, "
-                        f"min(hash({collist})) AS lo, "
-                        f"max(hash({collist})) AS hi FROM ({src})").fetchone()
-                sd = dig(spark_src, coltypes)
-                dd = dig(oracle_sql, ocoltypes)
-            except Exception as e:
-                print(f"FAIL {name}: digest error: {e}")
-                failures += 1
-                continue
-            if sd == dd:
-                print(f"  OK (digest) {name}: {sd[0]} rows")
-            else:
-                print(f"FAIL {name}: digest spark={sd} duck={dd}")
-                failures += 1
-            continue
-        spark_df = con.execute(spark_src).df()
-        try:
-            duck_df = con.execute(oracle_sql).df()
-        except Exception as e:
-            print(f"FAIL {name}: oracle SQL error: {e}")
-            failures += 1
-            continue
-        s, d = norm(spark_df), norm(duck_df)
-        if list(s.columns) != list(d.columns):
-            print(f"FAIL {name}: columns spark={list(s.columns)} duck={list(d.columns)}")
-            failures += 1
-            continue
-        if len(s) != len(d):
-            print(f"FAIL {name}: rows spark={len(s)} duck={len(d)}")
-            failures += 1
-            continue
-        try:
-            pd.testing.assert_frame_equal(s, d, check_dtype=False, check_exact=True)
-            print(f"  OK {name}: {len(s)} rows")
-        except AssertionError as e:
-            print(f"FAIL {name}: {str(e)[:500]}")
-            failures += 1
+            failures += compare_one(con, name, spark_src, n_spark,
+                                    oracle_sql)
+        finally:
+            # staged temp tables must not stay resident for the rest of
+            # the batch (the dedup-family oracles that sort after q93
+            # would otherwise run at sf100 with the whole staged corpus
+            # still in the allocator)
+            drop_stages(con, name, stages)
     print(f"\n{checked} oracle-checked, {rows_only} rows-only, {failures} failures")
     sys.exit(1 if failures else 0)
+
+def drop_stages(con, name, stages):
+    if name in stages:
+        for i in range(len(stages[name]["stages"])):
+            con.execute(f"DROP TABLE IF EXISTS stage_{name}_{i}")
+
+def compare_one(con, name, spark_src, n_spark, oracle_sql):
+    """Compare one query's Spark parquet vs its oracle SQL. Returns 0
+    on match, 1 on failure (and prints the verdict either way)."""
+    # n_spark alone decides the digest path when it crosses the bound;
+    # otherwise fetch the oracle ONCE with a LIMIT guard — if the guard
+    # trips, the oracle side is oversized and we fall to the digest
+    # (re-running it there is the rare case, not every query's tax)
+    duck_df = None
+    if n_spark <= DIGEST_ROWS:
+        try:
+            duck_df = con.execute(
+                f"SELECT * FROM ({oracle_sql}) LIMIT {DIGEST_ROWS + 1}"
+            ).df()
+        except Exception as e:
+            print(f"FAIL {name}: oracle SQL error: {e}")
+            return 1
+    if n_spark > DIGEST_ROWS or len(duck_df) > DIGEST_ROWS:
+        coltypes = {r[0]: r[1] for r in con.execute(
+            f"DESCRIBE {spark_src}").fetchall()}
+        cols = sorted(coltypes)
+        # fractional types render differently as VARCHAR
+        # (DECIMAL '1.50' vs DOUBLE '1.5', -0.0 vs 0.0): align
+        # through DOUBLE first, like the pandas path's numeric
+        # coercion. Integer widths are already canonical as text.
+        def canon(c, t):
+            t = t.upper()
+            if "DECIMAL" in t or "DOUBLE" in t or "FLOAT" in t or "REAL" in t:
+                return f'CAST(CAST("{c}" AS DOUBLE) AS VARCHAR)'
+            return f'CAST("{c}" AS VARCHAR)'
+        try:
+            ocoltypes = {r[0]: r[1] for r in con.execute(
+                f"DESCRIBE ({oracle_sql})").fetchall()}
+            ocols = sorted(ocoltypes)
+            if ocols != cols:
+                print(f"FAIL {name}: columns spark={cols} duck={ocols}")
+                return 1
+            def dig(src, types):
+                collist = ", ".join(canon(c, types[c]) for c in cols)
+                return con.execute(
+                    f"SELECT count(*) AS n, sum(hash({collist})) AS h, "
+                    f"min(hash({collist})) AS lo, "
+                    f"max(hash({collist})) AS hi FROM ({src})").fetchone()
+            sd = dig(spark_src, coltypes)
+            dd = dig(oracle_sql, ocoltypes)
+        except Exception as e:
+            print(f"FAIL {name}: digest error: {e}")
+            return 1
+        if sd == dd:
+            print(f"  OK (digest) {name}: {sd[0]} rows")
+            return 0
+        print(f"FAIL {name}: digest spark={sd} duck={dd}")
+        return 1
+    spark_df = con.execute(spark_src).df()
+    s, d = norm(spark_df), norm(duck_df)
+    if list(s.columns) != list(d.columns):
+        print(f"FAIL {name}: columns spark={list(s.columns)} duck={list(d.columns)}")
+        return 1
+    if len(s) != len(d):
+        print(f"FAIL {name}: rows spark={len(s)} duck={len(d)}")
+        return 1
+    try:
+        pd.testing.assert_frame_equal(s, d, check_dtype=False, check_exact=True)
+        print(f"  OK {name}: {len(s)} rows")
+        return 0
+    except AssertionError as e:
+        print(f"FAIL {name}: {str(e)[:500]}")
+        return 1
 
 if __name__ == "__main__":
     main()

@@ -23,9 +23,12 @@ GRAFT_SOAK=1 GRAFT_SOAK_SEED=$SEED sbt -batch \
 rc=$?
 dur=$((SECONDS-t0))
 
-# ScalaTest prints "- <test name>" for passes and "+ <info>" lines
-pass=$(grep -c "^\[info\] - " "$LOG" || true)
-fail=$(grep -c "^\[info\] \*\*\* FAILED" "$LOG" || true)
+# ScalaTest prints "[info] - <name>" for passes and
+# "[info] - <name> *** FAILED ***" for failures — count failures by
+# the marker and EXCLUDE them from the pass count (the old grep
+# counted failed tests as passes and matched zero failures)
+fail=$(grep -c '\*\*\* FAILED' "$LOG" || true)
+pass=$(grep "^\[info\] - " "$LOG" | grep -vc '\*\*\* FAILED' || true)
 
 python3 - "$ROUND" "$SEED" "$rc" "$pass" "$fail" "$dur" "$LOG" <<'EOF'
 import json, re, sys
@@ -36,6 +39,8 @@ for line in open(log, errors="replace"):
     m = re.match(r"\[info\] - (.+?)( \(.+\))?$", line.rstrip())
     if m:
         cur = {"test": m.group(1), "injected": None}
+        if "*** FAILED" in line:
+            cur["failed"] = True
         tests.append(cur)
     m = re.search(r"\+ (injected: .+)$", line.rstrip())
     if m and cur is not None:
