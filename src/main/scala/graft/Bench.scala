@@ -45,7 +45,12 @@ object Bench {
     val edges = spark.range(0L, 250000L, 1, 32)
       .select(pmod(xxhash64(col("id")), lit(25000L)).as("src"),
               pmod(xxhash64(col("id") + 7777777L), lit(25000L)).as("dst"))
-    graft.operators.Graph.pageRank(edges, "src", "dst", iters = 6)
+    // checkpointEvery pinned to the round-15 value: the INSTRUMENT's
+    // job shape must stay byte-identical across rounds even though the
+    // query path's PageRank default moved to every-4 (round 16) — a
+    // sentinel that changes with the code can't band host weather.
+    graft.operators.Graph.pageRank(edges, "src", "dst", iters = 6,
+        checkpointEvery = graft.operators.Graph.CheckpointEvery)
       .write.format("noop").mode("overwrite").save()
   }
 

@@ -1511,7 +1511,12 @@ object SparkEntry {
         .withColumn("shard", date_trunc("month",
           to_date(col("l_shipdate"))).cast("date").cast("string"))
       val dir = Scratch.dir("graft-bloom-skip")
-      li.write.partitionBy("shard").mode("overwrite").parquet(dir)
+      // cluster by the partition column before the partitioned write
+      // (guide §6 small-files rule): without it every one of the
+      // shuffle-partition tasks writes a sliver into every month dir
+      // (~tasks×months files); with it each month is one file
+      li.repartition(col("shard"))
+        .write.partitionBy("shard").mode("overwrite").parquet(dir)
       val manifest = Layout.bloomManifest(li, "shard", "l_orderkey")
       val keys = Seq("3", "1000", "29987", "58368", "111111")
       val shards = Layout.bloomCandidates(manifest, "shard", keys)

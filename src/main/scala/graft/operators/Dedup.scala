@@ -113,12 +113,21 @@ object Dedup {
     * component's minimum id (the same contract the SQL oracles replay
     * with a recursive CTE — the algorithm is invisible to parity). */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 16): DataFrame = {
-    // canonical undirected edges: (u, v) with u > v, no self-loops
+    // canonical undirected edges: (u, v) with u > v, no self-loops.
+    // LAZY localCheckpoints throughout the loop: the convergence
+    // count() is the materializing action, so each round costs ONE
+    // driver action instead of three (eager checkpoint + fresh count
+    // of next + recount of edges — the previous round's count is
+    // carried in `edgesCount`). Round-16: the r16 A/B adjudication
+    // showed per-job fixed costs are the axis that taxes iterative
+    // operators, and the CC loop sits under every near-dup verdict
+    // (x18/x24/q69/x14/x40 and all five funnels).
     var edges = pairs
       .filter(col("id_a") =!= col("id_b"))
       .select(greatest(col("id_a"), col("id_b")).as("u"),
         least(col("id_a"), col("id_b")).as("v"))
-      .distinct().localCheckpoint()
+      .distinct().localCheckpoint(eager = false)
+    var edgesCount = edges.count() // materializes the checkpoint
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
@@ -143,10 +152,16 @@ object Dedup {
         .filter(col("v") =!= col("__mn"))
         .select(col("v").as("u"), col("__mn").as("v"))
         .unionByName(ssMin.select(col("u"), col("__mn").as("v")))
-        .distinct().localCheckpoint()
-      converged = next.count() == edges.count() &&
+        .distinct().localCheckpoint(eager = false)
+      // count() materializes next's checkpoint (it still reads the
+      // previous round's checkpointed edges, which stay resident —
+      // nothing here unpersists mid-lineage); the exceptAll set-equality
+      // confirmation only runs once the counts match (near convergence)
+      val nextCount = next.count()
+      converged = nextCount == edgesCount &&
         next.exceptAll(edges).head(1).isEmpty
       edges = next
+      edgesCount = nextCount
       iter += 1
     }
     if (!converged)

@@ -135,7 +135,8 @@ object Drift {
     val b = batch.dropDuplicates(idCol)
     val seen = Dedup.readStateOr(spark, s"$baseDir/seenIds",
       b.select(col(idCol)).limit(0))
-    val fresh = b.join(seen, Seq(idCol), "left_anti").localCheckpoint()
+    val fresh = b.join(seen, Seq(idCol), "left_anti")
+      .localCheckpoint(eager = false) // materialized by the first consumer (round 16)
     embDimSums(fresh, vecCol, inRef, quantScale)
       .select(lit(batchId).as("batch_id"), col("__d"),
         col("sa"), col("sb"))
@@ -265,7 +266,8 @@ object Drift {
     val b = batch.dropDuplicates(idCol)
     val seen = Dedup.readStateOr(spark, s"$baseDir/seenIds",
       b.select(col(idCol)).limit(0))
-    val fresh = b.join(seen, Seq(idCol), "left_anti").localCheckpoint()
+    val fresh = b.join(seen, Seq(idCol), "left_anti")
+      .localCheckpoint(eager = false) // materialized by the first consumer (round 16)
     fresh.groupBy(col(keyCol).as("key"), col(binCol).as("bin"))
       .agg(
         sum(when(inRef, 1L).otherwise(0L)).as("a_n"),
@@ -308,7 +310,8 @@ object Drift {
     val b = batch.dropDuplicates(idCol)
     val seen = Dedup.readStateOr(spark, s"$baseDir/seenIds",
       b.select(col(idCol)).limit(0))
-    val fresh = b.join(seen, Seq(idCol), "left_anti").localCheckpoint()
+    val fresh = b.join(seen, Seq(idCol), "left_anti")
+      .localCheckpoint(eager = false) // materialized by the first consumer (round 16)
     fresh.groupBy(col(binCol).as("bin")).agg(
         sum(when(inRef, 1L).otherwise(0L)).as("a_n"),
         sum(when(inRef, 0L).otherwise(1L)).as("b_n"))

@@ -150,7 +150,8 @@ object Eval {
     val b = batch.dropDuplicates(idCol)
     val seen = Dedup.readStateOr(spark, s"$baseDir/seenIds",
       b.select(col(idCol)).limit(0))
-    val fresh = b.join(seen, Seq(idCol), "left_anti").localCheckpoint()
+    val fresh = b.join(seen, Seq(idCol), "left_anti")
+      .localCheckpoint(eager = false) // materialized by the first consumer (round 16)
     fresh.groupBy(col(truthCol).as("truth"), col(predCol).as("pred"))
       .agg(count(lit(1)).as("n"))
       .select(lit(batchId).as("batch_id"), col("truth"), col("pred"),
@@ -241,7 +242,8 @@ object Eval {
     val b = batch.dropDuplicates(idCol)
     val seen = Dedup.readStateOr(spark, s"$baseDir/seenIds",
       b.select(col(idCol)).limit(0))
-    val fresh = b.join(seen, Seq(idCol), "left_anti").localCheckpoint()
+    val fresh = b.join(seen, Seq(idCol), "left_anti")
+      .localCheckpoint(eager = false) // materialized by the first consumer (round 16)
     calibrationCells(fresh, confCol, correctCol, bins)
       .groupBy(col("bin"))
       .agg(count(lit(1)).as("n"), sum(col("__c")).as("n_correct"),

@@ -179,17 +179,31 @@ object InvertedIndex {
     val b = batch.dropDuplicates(idCol)
     val seen = Dedup.readStateOr(spark, s"$dir/seenIds",
       b.select(col(idCol).cast("long").as("doc_id")).limit(0))
+    // ONE analyzer pass per batch (round-16): the anti-joined fresh
+    // set is checkpointed WITH its token arrays, so the postings
+    // build and the stats partial read the same materialized tokens
+    // instead of each re-running the Porter pipeline over the batch
+    // text. The checkpoint is batch-sized by the micro-batch contract
+    // (this is the delta path; the one-shot corpus build is
+    // [[writeIndex]], which keeps the two-pass form rather than
+    // materialize corpus-sized token arrays).
     val fresh = b.join(
         seen.select(col("doc_id").as(idCol)), Seq(idCol), "left_anti")
-      .localCheckpoint()
+      .select(col(idCol), toks(fields).as("__toks"))
+      .localCheckpoint(eager = false) // materialized by the isEmpty probe
     if (!fresh.isEmpty) {
       // partials FIRST (crash re-appends heal read-side), ids LAST
-      postings(fresh, idCol, fields)
+      fresh.select(col(idCol).cast("long").as("doc_id"),
+          size(col("__toks")).cast("long").as("dl"),
+          posexplode(col("__toks")).as(Seq("pos", "term")))
+        .groupBy(col("term"), col("doc_id"))
+        .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"),
+          sort_array(collect_list(col("pos"))).as("positions"))
         .withColumn("bucket", bucketOf(col("term"), numBuckets))
         .write.partitionBy("bucket").mode("append")
         .parquet(s"$dir/postings")
       fresh.agg(count(lit(1)).as("n_docs"),
-          sum(size(toks(fields)).cast("long")).as("sum_dl"),
+          sum(size(col("__toks")).cast("long")).as("sum_dl"),
           statsBatchKey(col(idCol)))
         .withColumn("num_buckets", lit(numBuckets))
         .write.mode("append").parquet(s"$dir/stats")

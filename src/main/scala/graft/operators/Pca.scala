@@ -246,7 +246,8 @@ object Pca {
     val b = batch.dropDuplicates(idCol)
     val seen = Dedup.readStateOr(spark, s"$baseDir/seenIds",
       b.select(col(idCol)).limit(0))
-    val fresh = b.join(seen, Seq(idCol), "left_anti").localCheckpoint()
+    val fresh = b.join(seen, Seq(idCol), "left_anti")
+      .localCheckpoint(eager = false) // materialized by the first consumer (round 16)
     val packed = fresh.select(qvec(col(vecCol), scale).as("qv"))
       .filter(size(col("qv")) === dim)
       .select(graft.functions.MomentsAgg.momentsAgg(col("qv"), dim).as("m"))

@@ -11,9 +11,9 @@ import graft.functions.Analyzer
   * formulation) — closing the gap SCALING.md names against Lee et
   * al. 2022's ExactSubstr: [[TextAnalysis.substringDedup]] detects
   * duplicated runs of ONE fixed window length k, while the doubling
-  * ranks detect duplicated runs at threshold L = 2^K after K rounds —
-  * ANY power-of-two length, with log₂(L) rounds of pure sorts and
-  * equi-joins, the shapes Spark distributes natively.
+  * rounds detect duplicated runs at threshold L = 2^K after K rounds —
+  * ANY power-of-two length, with log₂(L) rounds of window passes and
+  * keyed shuffles, the shapes Spark distributes natively.
   *
   * Construction, all integers end to end:
   *   - positions: each doc's analyzer tokens + a per-doc SENTINEL
@@ -24,19 +24,37 @@ import graft.functions.Analyzer
   *     arrays equivalent to the classic concatenated-corpus
   *     construction without any global-offset prefix sum;
   *   - r₀: dense ranks of distinct tokens in lexicographic order
-  *     (distinct-agg → distributed sort → zipWithIndex — rank VALUES
-  *     are deterministic, so the oracle's `dense_rank() OVER (ORDER
-  *     BY token)` reproduces them exactly);
-  *   - round k: each position pairs its rank with the rank at
-  *     `pos + 2^(k-1)` (−1 past the end) — positions are dense 1..n
+  *     (distinct-agg → distributed sort → zipWithIndex — a
+  *     vocabulary-sized table, broadcast-joined back to positions);
+  *   - round k: each position pairs its group id with the group id at
+  *     `pos + 2^(k-1)` (NULL past the end) — positions are dense 1..n
   *     per doc, so this is `lead(r, 2^(k-1))` over (doc_id, pos), one
-  *     window pass, no self-join — and the pairs are dense-ranked in
-  *     place ([[denseRankInPlace]]: same values as ranking the
-  *     distinct pairs, none of the join-back). After round k, `rank`
-  *     identifies the suffix's first 2^k tokens.
+  *     window pass, no self-join — and each distinct pair becomes a
+  *     GROUP whose new id is its minimum `(doc_id, pos)` member (one
+  *     (r, r2)-partitioned window computing `min(struct(doc_id, pos))`
+  *     and `count(*)` per group). After round k, `r` identifies the
+  *     suffix's first 2^k tokens.
+  *
+  * GROUP IDS, NOT DENSE RANKS (round-16 optimization): duplicated-run
+  * detection only ever consumes rank-group MEMBERSHIP (two positions
+  * share a group ⟺ their 2^k-token prefixes are equal — provable by
+  * induction: round-k groups are exactly the distinct (r_{k-1},
+  * r2_{k-1}) pairs under either id scheme), never rank ORDER. Dense
+  * ranking needed a global RANGE sort of the position table per round
+  * (a sampling pass that re-executed the lead window, the sort
+  * shuffle, a persist, a per-partition stats collect and a second
+  * RDD pass outside codegen — the old denseRankInPlace). The group-id
+  * form is one hash exchange + one window pass per round, stays
+  * inside whole-stage-codegen-adjacent operators, and the group's
+  * `min(struct(doc_id, pos))` is deterministic under any partitioning
+  * (partitioning-invariance spec'd). The group SIZE rides along as
+  * `members`, which makes every downstream verdict (stats, profile,
+  * rewrite) a plain filter instead of a corpus-wide window on `r` —
+  * and the rewrite's winner election IS `r` itself (the same
+  * min-(doc_id, pos) total order the q67/q100 oracles replay).
   *
   * Duplicated-run detection (the ExactSubstr verdict): after K =
-  * log₂(minRun) rounds, a rank shared by ≥ 2 positions means those
+  * log₂(minRun) rounds, a group of ≥ 2 positions means those
   * suffixes agree on their first `minRun` tokens — a duplicated run,
   * within or across documents. Output: per-doc
   * `(doc_id, n_tokens, n_dup_starts)` — how many of the doc's
@@ -45,13 +63,12 @@ import graft.functions.Analyzer
   * Scale shape: every round is (a) one doc-partitioned window pass
   * (`lead` — per-doc state only; a pathologically huge single doc is
   * the skew ceiling, the usual per-key window story), and (b) one
-  * range-sort of the position table with in-place dense ranking
-  * ([[denseRankInPlace]]) — two exchanges total, no distinct, no
-  * join-back. Nothing is ever driver-sized except the per-partition
-  * rank-offset table (one row per partition); `localCheckpoint` cuts
-  * per-round lineage like the CC fixpoint. The full suffix ARRAY
-  * (ranks → order) falls out of the final sort if needed; the dedup
-  * verdict needs only the rank groups.
+  * (r, r2)-keyed window pass (group state bounded by the corpus's
+  * duplication ceiling — the statsFromRanks skew note) — two
+  * exchanges total, no distinct, no join-back, no range sampling.
+  * Nothing is ever driver-sized; `localCheckpoint` cuts per-round
+  * lineage like the CC fixpoint. The full suffix ARRAY (order) would
+  * need the dense form back — the dedup verdicts need only groups.
   */
 object SuffixArray {
 
@@ -69,73 +86,12 @@ object SuffixArray {
       }, schema)
   }
 
-  /** Dense-rank the FULL (non-distinct) table by two long keys, in
-    * place: one range-sort of the table, then per-partition
-    * `(firstKey, lastKey, distinctRuns)` stats (driver-sized — one row
-    * per partition) compose rank offsets, and a second pass over the
-    * cached sort assigns `rank = offset(p) + local dense rank`. A run
-    * of equal keys that spans a range boundary (RangePartitioner can
-    * split ties) is merged by the offset rule: when partition p's
-    * first key equals p-1's last key, p's first run continues p-1's
-    * last rank.
-    *
-    * Produces EXACTLY the ranks of `distinct → sort → zipWithIndex →
-    * join-back` (dense, 1..D, in (k1, k2) order — the oracle's
-    * `dense_rank() OVER (ORDER BY k1, k2)`), while skipping the
-    * distinct, the join-back, and two of the three position-table
-    * shuffles per doubling round. */
-  private[graft] def denseRankInPlace(df: DataFrame, k1: String, k2: String,
-                                      out: String): (DataFrame, DataFrame) = {
-    val spark = df.sparkSession
-    val sorted = df.orderBy(col(k1), col(k2))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val i1 = df.schema.fieldIndex(k1)
-    val i2 = df.schema.fieldIndex(k2)
-    // INVARIANT: the stats pass and the rank pass MUST iterate the
-    // same materialized sort — the offsets computed from partition p's
-    // run counts are only valid for the exact row placement the stats
-    // pass saw. Dataset.rdd is a lazy val, so capturing it ONCE here
-    // and using it for both passes makes that structural: a refactor
-    // that re-derived the sorted frame for the second pass would
-    // otherwise risk a re-sort with different tie placement.
-    val sortedRdd = sorted.rdd
-    val stats = sortedRdd.mapPartitionsWithIndex { (p, it) =>
-      var first: (Long, Long) = null
-      var last: (Long, Long) = null
-      var runs = 0L
-      it.foreach { r =>
-        val k = (r.getLong(i1), r.getLong(i2))
-        if (first == null) first = k
-        if (last == null || k != last) runs += 1L
-        last = k
-      }
-      Iterator.single((p, first, last, runs))
-    }.collect().sortBy(_._1)
-    val offsets = Array.ofDim[Long](stats.length)
-    var acc = 0L
-    var prevLast: (Long, Long) = null
-    stats.foreach { case (p, first, last, runs) =>
-      val continued = first != null && first == prevLast
-      offsets(p) = acc - (if (continued) 1L else 0L)
-      acc = offsets(p) + runs
-      if (last != null) prevLast = last
-    }
-    val schema = sorted.schema.add(out, LongType, nullable = false)
-    val bc = spark.sparkContext.broadcast(offsets)
-    val ranked = spark.createDataFrame(
-      sortedRdd.mapPartitionsWithIndex { (p, it) =>
-        var rank = bc.value(p)
-        var last: (Long, Long) = null
-        it.map { r =>
-          val k = (r.getLong(i1), r.getLong(i2))
-          if (last == null || k != last) rank += 1L
-          last = k
-          Row.fromSeq(r.toSeq :+ rank)
-        }
-      }, schema)
-    // caller unpersists the sort cache once its checkpoint lands
-    (ranked, sorted)
-  }
+  /** True when `ranks` carries the round-≥1 group-id columns (struct
+    * `r` + `members`); round-0 tables and pre-round-16 persisted
+    * states carry a LONG `r` and no `members` — downstream verdicts
+    * keep a window fallback for those. */
+  private def hasMembers(ranks: DataFrame): Boolean =
+    ranks.columns.contains("members")
 
   /** The checkpointed RDD backing a localCheckpoint'ed Dataset, so a
     * superseded round table's blocks can be freed eagerly instead of
@@ -211,55 +167,78 @@ object SuffixArray {
     // algorithm.
     val bcastVocab = df.sparkSession.conf
       .getOption("graft.suffix.broadcastVocab").forall(_.toBoolean)
+    // LAZY checkpoints, materialized by the allUnique probe: one
+    // driver action per round instead of two (round 16 — the same
+    // job-count discipline as the CC loop).
     var cur = pos.join(if (bcastVocab) broadcast(r0) else r0, "__tk")
       .select(col("doc_id"), col("pos"), col("r"))
-      .localCheckpoint()
-    val nPos = cur.count()
-    def allUnique(t: DataFrame): Boolean =
-      nPos == 0L || t.agg(max(col("r"))).head().getLong(0) == nPos
+      .localCheckpoint(eager = false)
     val out = scala.collection.mutable.ArrayBuffer.empty[(Int, DataFrame)]
     var k = 1
-    var done = allUnique(cur)
+    var done = allUnique(cur) // materializes the round-0 checkpoint
     var prevCk = checkpointRdd(cur)
     while (k <= rounds && !done) {
       cur = oneRound(cur, k)
-      // round k is materialized (eager checkpoint inside oneRound):
-      // free — unless the caller keeps every round — the now
-      // superseded round k−1 table, blocking so the memory is
-      // actually back before the next round's sort starts.
+      // the probe materializes round k FIRST; only then free — unless
+      // the caller keeps every round — the now superseded round k−1
+      // table (blocking, so the memory is actually back before the
+      // next round's shuffle starts). Freeing before the probe would
+      // truncate the lineage the lazy round-k checkpoint still reads.
+      done = allUnique(cur)
       if (k == 1 || !keepAll) prevCk.foreach(_.unpersist(blocking = true))
       prevCk = checkpointRdd(cur)
       out += (k -> cur)
-      done = allUnique(cur)
       k += 1
     }
     if (out.isEmpty) Seq(0 -> cur) else out.toSeq
   }
 
+  /** Single-job emptiness/uniqueness probe over an (eagerly
+    * materialized) round table: no duplicated group remains ⟺ no
+    * further round can change any verdict. Group-id tables read
+    * `max(members)`; round-0 / legacy dense-rank tables fall back to
+    * `max(r) == count(*)` (dense 1..D ranks, so equality ⟺ every
+    * group is a singleton). One aggregate job either way — the old
+    * shape paid a separate `count()` action up front. */
+  private def allUnique(t: DataFrame): Boolean =
+    if (hasMembers(t))
+      t.agg(coalesce(max(col("members")), lit(0L))).head().getLong(0) <= 1L
+    else {
+      val r = t.agg(count(lit(1)).as("n"), max(col("r")).as("mx")).head()
+      r.getLong(0) == 0L || r.getLong(1) == r.getLong(0)
+    }
+
   /** ONE doubling round over a position-rank table: round `k` pairs
-    * each position's rank with the rank `2^(k-1)` ahead — posexplode
+    * each position's group id with the id `2^(k-1)` ahead — posexplode
     * positions are dense 1..n per doc, so that is `lead(r, step)`
     * over (doc_id, pos), one window pass instead of the keyed
-    * self-join's two full-table shuffles — then dense-ranks the pairs
-    * in place. Pure function of `cur` (given the absolute round
-    * number), which is what makes the chain RESUMABLE: rounds compose,
-    * so a reloaded table continues exactly where a one-shot run would
-    * be. Returns the eagerly-materialized round-k table; the round's
-    * sort cache is freed before returning. */
+    * self-join's two full-table shuffles (NULL past the end: the
+    * lead's natural null is its own group key, standing in for the
+    * old −1 sentinel) — then one (r, r2)-partitioned window assigns
+    * each pair-group its new id `min(struct(doc_id, pos))` and its
+    * size `members`. Both window aggregates share one WindowExec, so
+    * the round is exactly two exchanges and the position table is
+    * read once (the dense-rank form re-executed the lead window for
+    * the range sampler, then paid a persist + a stats collect + an
+    * off-codegen RDD rank pass). Pure, deterministic function of
+    * `cur` (given the absolute round number) under ANY partitioning —
+    * what makes the chain RESUMABLE and the verdicts
+    * partitioning-invariant. Returns the eagerly-materialized round-k
+    * table `(doc_id, pos, r, members)`. */
   private def oneRound(cur: DataFrame, k: Int): DataFrame = {
     val step = (1L << (k - 1)).toInt
-    val w = org.apache.spark.sql.expressions.Window
+    val wd = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("pos"))
-    val paired = cur
-      .withColumn("__r2", coalesce(lead(col("r"), step).over(w), lit(-1L)))
+    val wg = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("r"), col("__r2"))
+    cur
+      .withColumn("__r2", lead(col("r"), step).over(wd))
       .select(col("doc_id"), col("pos"), col("r"), col("__r2"))
-    val (ranked, sortCache) =
-      denseRankInPlace(paired, "r", "__r2", "__nr")
-    val out = ranked
-      .select(col("doc_id"), col("pos"), col("__nr").as("r"))
-      .localCheckpoint()
-    sortCache.unpersist(blocking = true)
-    out
+      .withColumn("__g", min(struct(col("doc_id"), col("pos"))).over(wg))
+      .withColumn("__m", count(lit(1)).over(wg))
+      .select(col("doc_id"), col("pos"), col("__g").as("r"),
+        col("__m").as("members"))
+      .localCheckpoint(eager = false) // materialized by the caller's probe
   }
 
   /** Position table (doc_id, pos, rank-after-K-rounds). Exposed for
@@ -312,13 +291,18 @@ object SuffixArray {
       .select(col(idCol).as("doc_id"),
       size(Analyzer.tokenize(coalesce(col(textCol), lit(""))))
         .cast("long").as("n_tokens"))
-    // group-size via one rank-partitioned window pass — the
-    // groupBy+join-back formulation shuffled the position table twice
-    val dupStarts = ranks
-      .withColumn("__members",
+    // group sizes ride the round table (`members`, free since round
+    // 16's group-id scheme) — the verdict is a plain filter + one
+    // doc-keyed aggregate, no corpus-wide window on `r`. Legacy
+    // dense-rank tables (round-0 early exits, pre-round-16 persisted
+    // states) fall back to the one rank-partitioned window pass.
+    val withM =
+      if (hasMembers(ranks)) ranks
+      else ranks.withColumn("members",
         count(lit(1)).over(org.apache.spark.sql.expressions.Window
           .partitionBy(col("r"))))
-      .filter(col("__members") >= 2L)
+    val dupStarts = withM
+      .filter(col("members") >= 2L)
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("__dups"))
     nTok.join(dupStarts, Seq("doc_id"), "left")
@@ -333,7 +317,8 @@ object SuffixArray {
     * log₂(L)-round doubling job is hours of sorts — this is the
     * checkpoint/resume shape the BPE/unigram/drift families already
     * have, applied to the engine's most expensive chain: every column
-    * is an exact BIGINT, so a parquet round-trip resumes bit-for-bit
+    * is exact integers (BIGINTs, the group id a struct of two), so a
+    * parquet round-trip resumes bit-for-bit
     * ([[saveState]]/[[loadState]]), and [[oneRound]] is a pure
     * function of the table, so `resume(resume(s, a), b) ≡
     * resume(s, a + b)` (SuffixResumeSpec pins chained ≡ one-shot
@@ -369,25 +354,25 @@ object SuffixArray {
     * superseded round's checkpoint is freed as its successor lands. */
   def resumeDoubling(state: SuffixState, n: Int): SuffixState = {
     require(n >= 0, s"n must be >= 0 (got $n)")
-    val nPos = state.ranks.count()
-    def allUnique(t: DataFrame): Boolean =
-      nPos == 0L || t.agg(max(col("r"))).head().getLong(0) == nPos
     var cur = state.ranks
     var k = state.round + 1
     var prevCk: Option[org.apache.spark.rdd.RDD[_]] = None
     var done = allUnique(cur)
     while (k <= state.round + n && !done) {
       cur = oneRound(cur, k)
+      // materialize (probe) before freeing the superseded round — the
+      // lazy round-k checkpoint still reads it until then
+      done = allUnique(cur)
       prevCk.foreach(_.unpersist(blocking = true))
       prevCk = checkpointRdd(cur)
-      done = allUnique(cur)
       k += 1
     }
     SuffixState(state.round + n, cur)
   }
 
   /** Parquet round-trip of the chain state: `dir/ranks` (doc_id, pos,
-    * r — all BIGINT, exact) + `dir/meta` (round). */
+    * r [+ members for round-≥1 tables] — all exact integers) +
+    * `dir/meta` (round). */
   def saveState(state: SuffixState, dir: String): Unit = {
     state.ranks.write.mode("overwrite").parquet(s"$dir/ranks")
     val spark = state.ranks.sparkSession
@@ -434,12 +419,25 @@ object SuffixArray {
     // round table the chain already holds.
     val base = tokenized(df, idCol, textCol).localCheckpoint()
     val ranks = doublingRanks(df, idCol, textCol, minRun, Some(base))
-    val wr = org.apache.spark.sql.expressions.Window.partitionBy(col("r"))
-    val dupStarts = ranks
-      .withColumn("__members", count(lit(1)).over(wr))
-      .withColumn("__w", min(struct(col("doc_id"), col("pos"))).over(wr))
-      .filter(col("__members") >= 2L &&
-        !(col("doc_id") === col("__w.doc_id") && col("pos") === col("__w.pos")))
+    // Under the group-id scheme the winner IS the group id: `r` =
+    // min(struct(doc_id, pos)) of the group — the exact election the
+    // q67/q100 oracles replay — and `members` is the group size, so
+    // the non-winner dup starts are a plain filter (the dense-rank
+    // form paid a corpus-wide window on `r` here). Legacy tables
+    // (round-0 early exit: every group a singleton, so the filter
+    // output is empty either way) fall back to the window.
+    val dupStarts =
+      if (hasMembers(ranks))
+        ranks.filter(col("members") >= 2L &&
+          !(col("doc_id") === col("r.doc_id") && col("pos") === col("r.pos")))
+      else {
+        val wr = org.apache.spark.sql.expressions.Window.partitionBy(col("r"))
+        ranks
+          .withColumn("__members", count(lit(1)).over(wr))
+          .withColumn("__w", min(struct(col("doc_id"), col("pos"))).over(wr))
+          .filter(col("__members") >= 2L &&
+            !(col("doc_id") === col("__w.doc_id") && col("pos") === col("__w.pos")))
+      }
     val covered = dupStarts
       .select(col("doc_id"),
         explode(sequence(col("pos"), col("pos") + (minRun - 1))).as("p"))
@@ -489,11 +487,13 @@ object SuffixArray {
     val rounds = java.lang.Integer.numberOfTrailingZeros(maxRun)
     val perRound = doublingRounds(df, idCol, textCol, rounds)
       .map { case (k, ranks) =>
-        ranks
-          .withColumn("__members",
+        val withM =
+          if (hasMembers(ranks)) ranks
+          else ranks.withColumn("members",
             count(lit(1)).over(org.apache.spark.sql.expressions.Window
               .partitionBy(col("r"))))
-          .filter(col("__members") >= 2L)
+        withM
+          .filter(col("members") >= 2L)
           .groupBy(col("doc_id"))
           .agg(count(lit(1)).as("n"))
           .withColumn("run_len", lit(1L << k))

@@ -131,19 +131,19 @@ object CorpusPipeline {
     val withComp = cfg.compressMinRatioMicro match {
       case None => withBl
       case Some(m) =>
-        // scan-local DEFLATE over the cleaned text, joined back on id
-        // (the withSubstrStage shape — mapPartitions output can't be
-        // a projection on the verdict plan). Oracle note in Config.
+        // scan-local DEFLATE over the cleaned text as a PROJECTION on
+        // the verdict plan (round 16: TextAnalysis.compressionColumn —
+        // the old mapPartitions form was a separate Dataset that
+        // re-executed the whole annotate chain for its input and
+        // joined back on the id: one extra corpus pass + one
+        // corpus-keyed shuffle, both gone). Oracle note in Config.
         // Empty cleaned text passes: emptiness is v_quality's call.
-        val comp = TextAnalysis
-          .compressionStats(withBl.select(col(idCol), col("text_clean")),
-            idCol, "text_clean")
-          .select(col(idCol), col("raw_bytes").as("__craw"),
-            col("ratio_micro").as("compress_ratio_micro"))
-        withBl.join(comp, Seq(idCol))
+        withBl
+          .withColumn("__c", TextAnalysis.compressionColumn(col("text_clean")))
+          .withColumn("compress_ratio_micro", col("__c._3"))
           .withColumn("v_compress",
-            col("__craw") === 0L || col("compress_ratio_micro") >= m)
-          .drop("__craw")
+            col("__c._1") === 0L || col("__c._3") >= m)
+          .drop("__c")
     }
     if (cfg.minEntropyMicroPerChar <= 0L) withComp
     else withComp
@@ -429,9 +429,10 @@ object CorpusPipeline {
     val standingDocs = standingRaw.drop("__bucket")
     val index = Dedup.readStateOr(spark, indexDir,
       DedupApprox.minhashIndex(emptyCleaned, idCol, "text_clean"))
-    // one materialization feeds the landing and the fold-in
+    // one materialization feeds the landing and the fold-in (lazy:
+    // the landing write is the materializing action)
     val v = deltaVerdicts(batch, idCol, textCol, index, standingDocs,
-      benchDocs, cfg).localCheckpoint()
+      benchDocs, cfg).localCheckpoint(eager = false)
     val existing = Dedup.readStateOr(spark, targetDir, v.limit(0))
       .select(col(idCol))
     Dedup.idempotentBatch(v, existing, idCol)
@@ -447,7 +448,7 @@ object CorpusPipeline {
             cfg.docsBuckets)
             .join(broadcast(v.select(col(idCol))), Seq(idCol))),
         Seq(idCol), "left_anti")
-      .localCheckpoint()
+      .localCheckpoint(eager = false) // materialized by the index append
     DedupApprox.minhashIndex(foldIn, idCol, "text_clean")
       .write.mode("append").parquet(indexDir)
     foldIn.withColumn("__bucket", idBucket(col(idCol), cfg.docsBuckets))
@@ -507,7 +508,7 @@ object CorpusPipeline {
     val grams = batch.dropDuplicates(idCol)
       .select(col(idCol),
         explode_outer(TextAnalysis.docGramHashes(col(textCol), n)).as("h"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false) // materialized by the verdict agg
     val emptyIdx = grams.select(col("h")).limit(0)
     val bench = Dedup.readStateOr(spark, benchIndexDir, emptyIdx)
       .select(col("h")).distinct()
@@ -520,7 +521,7 @@ object CorpusPipeline {
       .agg(count(col("h")).as("n_grams"),
         sum(coalesce(col("__b"), lit(0L))).as("n_bench_hits"),
         sum(coalesce(col("__s"), lit(0L))).as("n_seen_hits"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false) // materialized by the landing write
     val existing = Dedup.readStateOr(spark, targetDir, verdict.limit(0))
       .select(col(idCol))
     Dedup.idempotentBatch(verdict, existing, idCol)
@@ -529,7 +530,7 @@ object CorpusPipeline {
     val ledger = Dedup.readStateOr(spark, seenDocsDir, ids.limit(0))
       .select(col(idCol))
     val foldIds = ids.join(broadcast(ledger.join(broadcast(ids), Seq(idCol))),
-      Seq(idCol), "left_anti").localCheckpoint()
+      Seq(idCol), "left_anti").localCheckpoint(eager = false)
     grams.join(broadcast(foldIds), Seq(idCol))
       .filter(col("h").isNotNull)
       .select(col("h")).distinct()
@@ -605,7 +606,10 @@ object CorpusPipeline {
     val b = batch.dropDuplicates(idCol)
     val seen = Dedup.readStateOr(spark, s"$baseDir/seenIds",
       b.select(col(idCol)).limit(0))
-    val fresh = b.join(seen, Seq(idCol), "left_anti").localCheckpoint()
+    // lazy: the first ledger write materializes the checkpoint, the
+    // later writes reuse it — one fewer job per micro-batch (round 16)
+    val fresh = b.join(seen, Seq(idCol), "left_anti")
+      .localCheckpoint(eager = false)
     val tag = lit(batchId).as("batch_id")
     graft.operators.StatsLedger.partial(fresh, keyCol, valCol)
       .select(tag, col("key"), col("n"), col("sum"), col("min"),
@@ -667,7 +671,7 @@ object CorpusPipeline {
     val seen = Dedup.readStateOr(spark, s"$baseDir/seenIds",
       b.select(col("media_id")).limit(0))
     val fresh = b.join(seen, Seq("media_id"), "left_anti")
-    val sigs = Multimodal.gridEmbedding(fresh).localCheckpoint()
+    val sigs = Multimodal.gridEmbedding(fresh).localCheckpoint(eager = false)
     val standing = Dedup.readStateOr(spark, s"$baseDir/signatures",
       sigs.limit(0))
     // vs standing: any hit marks the delta doc a re-encode dup
@@ -689,7 +693,7 @@ object CorpusPipeline {
         coalesce(col("dup_standing"), lit(false)).as("dup_standing"),
         coalesce(col("dup_delta"), lit(false)).as("dup_delta"))
       .withColumn("keep", !col("dup_standing") && !col("dup_delta"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false) // materialized by the landing write
     val existing = Dedup.readStateOr(spark, s"$baseDir/verdicts",
       verdicts.limit(0)).select(col("media_id"))
     Dedup.idempotentBatch(verdicts, existing, "media_id")

@@ -156,29 +156,28 @@ class SuffixArraySpec extends SparkSpec {
     assert(out(3L)._1 == 0L)
   }
 
-  test("denseRankInPlace: randomized parity incl. tie runs spanning partitions") {
-    // heavy duplication from a small key domain forces RangePartitioner
-    // to split equal-key runs across partition boundaries — the case
-    // the offset merge must handle. Reference = driver-side dense rank.
-    val rnd = new scala.util.Random(42)
-    (1 to 3).foreach { trial =>
-      val n = 5000
-      val rows = (1 to n).map { i =>
-        (i.toLong, rnd.nextInt(40).toLong, rnd.nextInt(7).toLong - 1L)
-      }
-      val df = rows.toDF("id", "r", "__r2").repartition(13)
-      val (ranked, cache) =
-        SuffixArray.denseRankInPlace(df, "r", "__r2", "nr")
-      val got = ranked.select($"id", $"nr").as[(Long, Long)]
-        .collect().toMap
-      cache.unpersist()
-      val ref = rows.map(t => (t._2, t._3)).distinct.sorted
-        .zipWithIndex.map { case (k, i) => k -> (i + 1L) }.toMap
-      rows.foreach { case (id, r, r2) =>
-        assert(got(id) == ref((r, r2)),
-          s"trial $trial id $id: got ${got(id)}, want ${ref((r, r2))}")
-      }
+  test("group-id rounds: r is the group's min (doc_id, pos), members its size") {
+    // the round-16 group-id scheme's internal invariants, checked on
+    // real data against a driver-side recompute: within every final
+    // rank group (= equal `r`), `members` equals the group's row
+    // count and `r` equals its minimum (doc_id, pos) member — the
+    // winner total order the rewrite verdicts (q67/q100) elect by.
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val ranks = SuffixArray.doublingRanks(docs, "doc_id", "text", minRun = 8)
+    val rows = ranks
+      .select($"doc_id", $"pos", $"r.doc_id".as("rd"), $"r.pos".as("rp"),
+        $"members")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    val byGroup = rows.groupBy(r => (r._3, r._4))
+    assert(byGroup.nonEmpty)
+    byGroup.foreach { case (g, ms) =>
+      assert(ms.forall(_._5 == ms.length),
+        s"group $g: members ${ms.map(_._5).toSeq} != size ${ms.length}")
+      assert(ms.map(r => (r._1, r._2)).min == g,
+        s"group $g is not its min member ${ms.map(r => (r._1, r._2)).min}")
     }
+    // and at least one genuine duplicate group exists on this corpus
+    assert(byGroup.exists(_._2.length >= 2))
   }
 
   test("partitioning invariance") {
@@ -202,11 +201,12 @@ class SuffixArraySpec extends SparkSpec {
     assert(reloaded.round == 1)
     val st3 = SuffixArray.resumeDoubling(reloaded, 2)
     assert(st3.round == 3)
-    val resumed = st3.ranks
-      .as[(Long, Long, Long)].collect().toSet
-    val oneShot = SuffixArray
-      .doublingRanks(docs, "doc_id", "text", minRun = 8)
-      .as[(Long, Long, Long)].collect().toSet
+    def flat(df: org.apache.spark.sql.DataFrame) = df
+      .select($"doc_id", $"pos", $"r.doc_id", $"r.pos", $"members")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    val resumed = flat(st3.ranks)
+    val oneShot = flat(SuffixArray
+      .doublingRanks(docs, "doc_id", "text", minRun = 8))
     assert(resumed == oneShot)
     // and the verdict off the resumed table == the one-shot verdict
     val sa = SuffixArray
@@ -226,6 +226,8 @@ class SuffixArraySpec extends SparkSpec {
       SuffixArray.initState(docs, "doc_id", "text"), 1)
     val more = SuffixArray.resumeDoubling(st, 4)
     assert(more.round == st.round + 4)
+    // the chain exits at round 0 here (every token distinct), so both
+    // states hold the round-0 table: LONG vocab ranks, no members
     assert(more.ranks.as[(Long, Long, Long)].collect().toSet ==
       st.ranks.as[(Long, Long, Long)].collect().toSet)
   }
