@@ -133,6 +133,11 @@ object InvertedIndex {
                  keywordCols: Seq[String] = Nil): Unit = {
     postings(df, idCol, fields)
       .withColumn("bucket", bucketOf(col("term"), numBuckets))
+      // cluster by the partition column before the partitioned write
+      // (guide §6): without it every shuffle task writes a sliver into
+      // every bucket dir (~tasks×buckets files), paid again by every
+      // pruned serve read's listing
+      .repartition(col("bucket"))
       .write.partitionBy("bucket").mode("overwrite")
       .parquet(s"$dir/postings")
     // corpus constants from the SOURCE frame, not the postings — a
@@ -199,6 +204,10 @@ object InvertedIndex {
         .groupBy(col("term"), col("doc_id"))
         .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"),
           sort_array(collect_list(col("pos"))).as("positions"))
+        // NO pre-write repartition here (unlike writeIndex): a delta
+        // batch's postings are small, the extra per-batch shuffle
+        // measured a net loss (q117 1.17x) — compaction at rest is the
+        // file-count answer for long-lived incremental indexes
         .withColumn("bucket", bucketOf(col("term"), numBuckets))
         .write.partitionBy("bucket").mode("append")
         .parquet(s"$dir/postings")

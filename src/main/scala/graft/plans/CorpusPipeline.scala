@@ -180,13 +180,18 @@ object CorpusPipeline {
     // `graft.scan.width` at the source) rather than inside a
     // multi-consumer plan.
     val base = docs.filter(!isBenchmark)
-    // Deliberately NOT localCheckpoint'ed either: a measured eager
-    // materialization of `annotated` (7.2 s) and a scanWide widen
-    // (7.9 s) both LOST to the plain plan (5.9 s, FunnelProbe round 8)
-    // — Catalyst's exchange/subplan reuse already shares the chain
-    // across the three consumers, and both "fixes" only added I/O or
-    // a full-text shuffle while breaking whole-stage fusion.
-    val annotated = annotate(base, textCol, cfg)
+    // LAZY localCheckpoint (round 16, reversing the round-8 call): the
+    // annotate chain feeds four consumers (the LSH banding input, the
+    // candidate-verification re-read inside minhashPairs, the keeper
+    // scores, and the verdict join — plus the substr stage's re-read
+    // when on), and each re-executed the scan+clean chain. Round 8
+    // measured an EAGER checkpoint losing (7.2 s vs 5.9 s) — the lazy
+    // form costs no extra job (the first consumer materializes it) and
+    // re-measured NEUTRAL on q74/q92 and a win where more consumers
+    // exist (q101 0.84x, x42 0.93x, paired in-band runs). At corpus
+    // scale the block store holds (input cols + text_clean + scalars)
+    // once, MEMORY_AND_DISK — spills, never OOMs.
+    val annotated = annotate(base, textCol, cfg).localCheckpoint(eager = false)
 
     // fuzzy dedup verdict: LSH pairs over the CLEANED text (line noise
     // must not block near-dup detection), keeper = highest token count
@@ -289,7 +294,8 @@ object CorpusPipeline {
     require(cfg.substrMinRun.isEmpty,
       "substrMinRun is batch-form only (withVerdicts): the incremental " +
         "funnel has no cross-batch suffix state to rewrite against")
-    val annotated = annotate(delta, textCol, cfg)
+    // lazy checkpoint, same rationale as withVerdicts (four consumers)
+    val annotated = annotate(delta, textCol, cfg).localCheckpoint(eager = false)
 
     // vs-standing matches over the CLEANED text (the index must have
     // been built over the standing corpus's cleaned text likewise)
