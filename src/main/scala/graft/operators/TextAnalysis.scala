@@ -748,38 +748,55 @@ object TextAnalysis {
     * hash (the x08 template) and an (h ASC, pos DESC) argmin per
     * window for the robust rule. Signed comparison agrees because
     * both engines compare the same wrapped BIGINT. */
+  /** The winnow selection kernel: per doc, the DISTINCT (pos, fp64)
+    * selections. Shared by [[winnow]] (exploded rows) and
+    * [[winnowPairs]]' fingerprint-set form. */
+  private def winnowSelUdf(k: Int, w: Int) = udf { (toks: Seq[String]) =>
+    val n = toks.length
+    if (n < k) Seq.empty[(Long, Long)]
+    else {
+      val m = n - k + 1
+      val hs = Array.tabulate(m)(i =>
+        rollingHashOf(toks.slice(i, i + k).mkString(" ")))
+      val ww = math.min(w, m)
+      val sel = scala.collection.mutable.LinkedHashSet.empty[(Long, Long)]
+      var j = 0
+      while (j + ww <= m) {
+        var best = j
+        var t = j + 1
+        while (t < j + ww) {
+          if (hs(t) <= hs(best)) best = t // <=: rightmost minimum
+          t += 1
+        }
+        sel += (((best + 1).toLong, hs(best)))
+        j += 1
+      }
+      sel.toSeq
+    }
+  }
+
   def winnow(df: DataFrame, idCol: String, textCol: String,
              k: Int = 5, w: Int = 4): DataFrame = {
     require(k >= 1, s"k must be >= 1 (got $k)")
     require(w >= 1, s"w must be >= 1 (got $w)")
-    val winnowUdf = udf { (toks: Seq[String]) =>
-      val n = toks.length
-      if (n < k) Seq.empty[(Long, Long)]
-      else {
-        val m = n - k + 1
-        val hs = Array.tabulate(m)(i =>
-          rollingHashOf(toks.slice(i, i + k).mkString(" ")))
-        val ww = math.min(w, m)
-        val sel = scala.collection.mutable.LinkedHashSet.empty[(Long, Long)]
-        var j = 0
-        while (j + ww <= m) {
-          var best = j
-          var t = j + 1
-          while (t < j + ww) {
-            if (hs(t) <= hs(best)) best = t // <=: rightmost minimum
-            t += 1
-          }
-          sel += (((best + 1).toLong, hs(best)))
-          j += 1
-        }
-        sel.toSeq
-      }
-    }
     df.select(col(idCol),
-        explode(winnowUdf(Analyzer.tokenize(coalesce(col(textCol), lit("")))))
-          .as("__s"))
+        explode(winnowSelUdf(k, w)(
+          Analyzer.tokenize(coalesce(col(textCol), lit(""))))).as("__s"))
       .select(col(idCol), col("__s._1").as("pos"), col("__s._2").as("fp64"))
   }
+
+  /** Per-doc DISTINCT winnow fingerprints, deduped scan-side
+    * (round 16): `winnow(df).select(id, fp64).distinct()` paid a
+    * corpus-wide shuffle to dedup what is a PER-DOC property (the id
+    * is part of the key), so the dedup moves into the scan projection
+    * — array_distinct over the selection's fp64s before the explode,
+    * zero exchanges. Row-identical to the old distinct(). */
+  private def winnowFps(df: DataFrame, idCol: String, textCol: String,
+                        k: Int, w: Int): DataFrame =
+    df.select(col(idCol),
+      explode(array_distinct(transform(
+        winnowSelUdf(k, w)(Analyzer.tokenize(coalesce(col(textCol), lit("")))),
+        s => s.getField("_2")))).as("fp64"))
 
   /** The MOSS use of [[winnow]]: candidate near-dup pairs ranked by
     * SHARED fingerprint count. Postings per fingerprint are df-capped
@@ -792,8 +809,15 @@ object TextAnalysis {
   def winnowPairs(df: DataFrame, idCol: String, textCol: String,
                   k: Int = 5, w: Int = 4, minShared: Long = 2L,
                   dfCap: Long = 256L): DataFrame = {
-    val fps = winnow(df, idCol, textCol, k, w)
-      .select(col(idCol), col("fp64")).distinct()
+    // one fp64-keyed exchange serves BOTH consumers below (the df-cap
+    // aggregate needs hash(fp64) clustering and so does the join —
+    // ReusedExchange makes this the single materialization of the
+    // winnow UDF pass). The old shape paid three exchanges of this
+    // table: a corpus-wide distinct() on (id, fp64) — per-doc dedup
+    // now happens scan-side in winnowFps — plus separate re-shuffles
+    // into the aggregate and the join.
+    val fps = winnowFps(df, idCol, textCol, k, w)
+      .repartition(col("fp64"))
     val ok = fps.groupBy(col("fp64")).agg(count(lit(1)).as("__df"))
       .filter(col("__df") <= dfCap)
       .select(col("fp64"))
