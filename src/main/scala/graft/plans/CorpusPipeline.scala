@@ -228,8 +228,17 @@ object CorpusPipeline {
     // the PRE-rewrite text; then the optional ExactSubstr removal
     // stage (Lee 2022's pipeline position: after near-dup dedup,
     // before decontamination — decontamination here probes the RAW
-    // text, so its verdict is rewrite-independent by construction)
-    withKeep(withSubstrStage(optionalScanStages(joined, idCol, cfg), idCol, cfg))
+    // text, so its verdict is rewrite-independent by construction).
+    // The rewrite's INPUT reads from the checkpointed `annotated`
+    // frame, not the verdict-joined plan (round 16): the two agree on
+    // (id, text_clean) row-for-row — clusterVerdictsBy emits exactly
+    // one row per universe id and both decontaminate forms one row
+    // per non-benchmark doc (CorpusPipelineSpec pins the 1:1) — but
+    // the joined form made the rewrite's tokenize pass re-execute the
+    // whole dedup-verdict + decontamination join tail just to project
+    // two columns it already had upstream.
+    withKeep(withSubstrStage(optionalScanStages(joined, idCol, cfg),
+      annotated, idCol, cfg))
   }
 
   /** The optional ExactSubstr-removal stage ([[Config.substrMinRun]]):
@@ -242,14 +251,21 @@ object CorpusPipeline {
     * non-empty after removal. The near-dup verdict (v_dedup) and the
     * scan-local stages upstream are computed over the pre-rewrite
     * text — the published stage order. No-op when Off (None):
-    * identical plan, no added columns. */
-  private def withSubstrStage(df: DataFrame, idCol: String,
-                              cfg: Config): DataFrame =
+    * identical plan, no added columns.
+    *
+    * `rewriteSrc` supplies the rewrite's (id, text_clean) input — the
+    * checkpointed annotate frame, which agrees with `df` on those two
+    * columns row-for-row (the verdict joins are 1:1-total on the id)
+    * while skipping the joins' re-execution in the rewrite's tokenize
+    * pass. */
+  private def withSubstrStage(df: DataFrame, rewriteSrc: DataFrame,
+                              idCol: String, cfg: Config): DataFrame =
     cfg.substrMinRun match {
       case None => df
       case Some(m) =>
         val rw = graft.operators.SuffixArray.dupRunRewrite(
-            df.select(col(idCol), col("text_clean")), idCol, "text_clean", m)
+            rewriteSrc.select(col(idCol), col("text_clean")),
+            idCol, "text_clean", m)
           .select(col(idCol), col("n_removed").as("substr_n_removed"),
             col("text_dedup").as("__text_substr"))
         df.join(rw, Seq(idCol))
