@@ -49,8 +49,13 @@ object Bench {
     // job shape must stay byte-identical across rounds even though the
     // query path's PageRank default moved to every-4 (round 16) — a
     // sentinel that changes with the code can't band host weather.
+    // localMaxEdges=0: the sentinel must ALWAYS run the distributed
+    // loop — the round-16 size-adaptive local path would otherwise
+    // collapse it to driver work and blind it to the multi-job axis
+    // it exists to measure.
     graft.operators.Graph.pageRank(edges, "src", "dst", iters = 6,
-        checkpointEvery = graft.operators.Graph.CheckpointEvery)
+        checkpointEvery = graft.operators.Graph.CheckpointEvery,
+        localMaxEdges = Some(0L))
       .write.format("noop").mode("overwrite").save()
   }
 

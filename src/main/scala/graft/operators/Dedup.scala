@@ -128,6 +128,53 @@ object Dedup {
         least(col("id_a"), col("id_b")).as("v"))
       .distinct().localCheckpoint(eager = false)
     var edgesCount = edges.count() // materializes the checkpoint
+    // SIZE-ADAPTIVE local path (round 16): a canonical edge set that
+    // fits the broadcast-join size class is solved by driver-side
+    // union-find instead of O(log n) distributed rounds — the exact
+    // trade a BroadcastHashJoin makes (collect the small side rather
+    // than shuffle), and the r16 A/B adjudication showed chains of
+    // short jobs are precisely what a busy cluster/host taxes. The
+    // contract is unchanged and algorithm-invisible (comp = the
+    // component's min id; union-by-min makes every root the min by
+    // construction), so outputs are row-identical to the star rounds
+    // — ClusterSpec pins local == distributed on the same pairs. The
+    // collect is edge-bounded (≤ localMaxEdges × 16 bytes, the same
+    // size class as a broadcast build side); LONG ids only (the one
+    // id type the pair producers emit) — anything else keeps the
+    // distributed loop. At corpus scale the threshold never binds
+    // and the star rounds run exactly as before.
+    val localMax = pairs.sparkSession.conf
+      .getOption("graft.cc.localMaxEdges").map(_.toLong).getOrElse(500000L)
+    if (edgesCount <= localMax &&
+        edges.schema.fields(0).dataType ==
+          org.apache.spark.sql.types.LongType) {
+      val parent = new java.util.HashMap[java.lang.Long, java.lang.Long](
+        (edgesCount * 2).toInt + 16)
+      def find(x: Long): Long = {
+        var root = x
+        while (parent.get(root) != root) root = parent.get(root)
+        var c = x
+        while (c != root) { val n = parent.get(c); parent.put(c, root); c = n }
+        root
+      }
+      edges.collect().foreach { row =>
+        val a = row.getLong(0); val b = row.getLong(1)
+        if (!parent.containsKey(a)) parent.put(a, a)
+        if (!parent.containsKey(b)) parent.put(b, b)
+        val ra = find(a); val rb = find(b)
+        if (ra != rb) {
+          if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
+        }
+      }
+      val out = new java.util.ArrayList[org.apache.spark.sql.Row](parent.size())
+      parent.keySet().forEach { id =>
+        out.add(org.apache.spark.sql.Row(id.longValue(), find(id)))
+      }
+      import org.apache.spark.sql.types.{LongType, StructField, StructType}
+      return pairs.sparkSession.createDataFrame(out,
+        StructType(Seq(StructField("id", LongType, nullable = false),
+          StructField("comp", LongType, nullable = false))))
+    }
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {

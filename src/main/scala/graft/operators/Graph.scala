@@ -84,7 +84,8 @@ object Graph {
                iters: Int = 8,
                dampNum: Long = 85L, dampDen: Long = 100L,
                scale: Long = 1000000L,
-               checkpointEvery: Int = PageRankCheckpointEvery): DataFrame = {
+               checkpointEvery: Int = PageRankCheckpointEvery,
+               localMaxEdges: Option[Long] = None): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
     val src = col(srcCol).as("src")
     val dst = col(dstCol).as("dst")
@@ -100,7 +101,65 @@ object Graph {
     // src, dst, outdeg — joined once, reused every iteration.
     val eDeg = e0.join(outdeg, "src")
       .persist(StorageLevel.MEMORY_AND_DISK)
-    eDeg.count() // materialize before the loop so iterations reuse it
+    val nEdges = eDeg.count() // materialize before the loop so iterations reuse it
+    // SIZE-ADAPTIVE local path (round 16, same rationale as
+    // Dedup.connectedComponents): an edge list in the broadcast size
+    // class is evaluated on the driver instead of through 2·iters
+    // distributed shuffles — the fixed-point LONG arithmetic is
+    // order-independent (exact commutative sums, truncating division
+    // of positives), so the local recurrence reproduces the
+    // distributed ranks BIT-FOR-BIT (GraphSpec pins local ==
+    // distributed). The collect is |E|-bounded by the threshold (the
+    // broadcast-build trade); LONG node ids only; Bench.iterKernel
+    // pins localMaxEdges=Some(0) so the calibration sentinel always
+    // measures the distributed job shape. At corpus scale the
+    // threshold never binds and the loop below runs unchanged.
+    val localMax = localMaxEdges.getOrElse(edges.sparkSession.conf
+      .getOption("graft.graph.localMaxEdges").map(_.toLong)
+      .getOrElse(500000L))
+    if (nEdges <= localMax &&
+        e0.schema.fields.forall(_.dataType ==
+          org.apache.spark.sql.types.LongType)) {
+      val rows = e0.collect()
+      e0.unpersist(blocking = false)
+      nodes.unpersist(blocking = false)
+      eDeg.unpersist(blocking = false)
+      val ea = new Array[Long](rows.length); val eb = new Array[Long](rows.length)
+      var i = 0
+      while (i < rows.length) {
+        ea(i) = rows(i).getLong(0); eb(i) = rows(i).getLong(1); i += 1
+      }
+      val od = new java.util.HashMap[java.lang.Long, java.lang.Long]()
+      val r = new java.util.HashMap[java.lang.Long, java.lang.Long]()
+      i = 0
+      while (i < ea.length) {
+        od.merge(ea(i), 1L, (x, y) => x + y)
+        r.put(ea(i), scale); r.put(eb(i), scale); i += 1
+      }
+      val baseL = scale - (dampNum * scale) / dampDen
+      var it = 0
+      while (it < iters) {
+        val s = new java.util.HashMap[java.lang.Long, java.lang.Long](r.size())
+        i = 0
+        while (i < ea.length) {
+          val c = r.get(ea(i)) / od.get(ea(i))
+          s.merge(eb(i), c, (x, y) => x + y); i += 1
+        }
+        val next = new java.util.HashMap[java.lang.Long, java.lang.Long](r.size())
+        r.keySet().forEach { id =>
+          val sv: Long = if (s.containsKey(id)) s.get(id) else 0L
+          next.put(id, baseL + (dampNum * sv) / dampDen)
+        }
+        r.clear(); r.putAll(next); it += 1
+      }
+      val out = new java.util.ArrayList[org.apache.spark.sql.Row](r.size())
+      r.forEach((id, rank) =>
+        out.add(org.apache.spark.sql.Row(id.longValue(), rank.longValue())))
+      import org.apache.spark.sql.types.{LongType, StructField, StructType}
+      return edges.sparkSession.createDataFrame(out,
+        StructType(Seq(StructField("id", LongType, nullable = false),
+          StructField("rank_q", LongType, nullable = false))))
+    }
 
     val base = scale - (dampNum * scale) / dampDen
     var ranks = nodes.select(col("id"), lit(scale).as("r"))
@@ -154,7 +213,8 @@ object Graph {
                        wCol: String, iters: Int = 8,
                        dampNum: Long = 85L, dampDen: Long = 100L,
                        scale: Long = 1000000L,
-                       checkpointEvery: Int = PageRankCheckpointEvery): DataFrame = {
+                       checkpointEvery: Int = PageRankCheckpointEvery,
+                       localMaxEdges: Option[Long] = None): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
     val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
         col(wCol).cast("long").as("w"))
@@ -165,7 +225,58 @@ object Graph {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val wsum = e0.groupBy(col("src")).agg(sum(col("w")).as("wsum"))
     val eW = e0.join(wsum, "src").persist(StorageLevel.MEMORY_AND_DISK)
-    eW.count()
+    val nEdges = eW.count()
+    // size-adaptive local path — see [[pageRank]]; weighted recurrence
+    // c = (r·w) div W(u), identical positive-long arithmetic.
+    val localMax = localMaxEdges.getOrElse(edges.sparkSession.conf
+      .getOption("graft.graph.localMaxEdges").map(_.toLong)
+      .getOrElse(500000L))
+    if (nEdges <= localMax &&
+        e0.schema.fields.take(2).forall(_.dataType ==
+          org.apache.spark.sql.types.LongType)) {
+      val rows = e0.collect()
+      e0.unpersist(blocking = false)
+      nodes.unpersist(blocking = false)
+      eW.unpersist(blocking = false)
+      val ea = new Array[Long](rows.length)
+      val eb = new Array[Long](rows.length)
+      val ew = new Array[Long](rows.length)
+      var i = 0
+      while (i < rows.length) {
+        ea(i) = rows(i).getLong(0); eb(i) = rows(i).getLong(1)
+        ew(i) = rows(i).getLong(2); i += 1
+      }
+      val ws = new java.util.HashMap[java.lang.Long, java.lang.Long]()
+      val r = new java.util.HashMap[java.lang.Long, java.lang.Long]()
+      i = 0
+      while (i < ea.length) {
+        ws.merge(ea(i), ew(i), (x, y) => x + y)
+        r.put(ea(i), scale); r.put(eb(i), scale); i += 1
+      }
+      val baseL = scale - (dampNum * scale) / dampDen
+      var it = 0
+      while (it < iters) {
+        val s = new java.util.HashMap[java.lang.Long, java.lang.Long](r.size())
+        i = 0
+        while (i < ea.length) {
+          val c = (r.get(ea(i)) * ew(i)) / ws.get(ea(i))
+          s.merge(eb(i), c, (x, y) => x + y); i += 1
+        }
+        val next = new java.util.HashMap[java.lang.Long, java.lang.Long](r.size())
+        r.keySet().forEach { id =>
+          val sv: Long = if (s.containsKey(id)) s.get(id) else 0L
+          next.put(id, baseL + (dampNum * sv) / dampDen)
+        }
+        r.clear(); r.putAll(next); it += 1
+      }
+      val out = new java.util.ArrayList[org.apache.spark.sql.Row](r.size())
+      r.forEach((id, rank) =>
+        out.add(org.apache.spark.sql.Row(id.longValue(), rank.longValue())))
+      import org.apache.spark.sql.types.{LongType, StructField, StructType}
+      return edges.sparkSession.createDataFrame(out,
+        StructType(Seq(StructField("id", LongType, nullable = false),
+          StructField("rank_q", LongType, nullable = false))))
+    }
 
     val base = scale - (dampNum * scale) / dampDen
     var ranks = nodes.select(col("id"), lit(scale).as("r"))

@@ -28,6 +28,25 @@ class ClusterSpec extends SparkSpec {
     }
   }
 
+  test("local union-find matches the distributed star rounds on a random graph") {
+    // round 16: canonical edge sets under graft.cc.localMaxEdges are
+    // solved driver-side; conf=0 forces the star rounds on the SAME
+    // pairs — the min-id contract makes the outputs row-identical.
+    val rnd = new scala.util.Random(16)
+    val pairs = Seq.fill(300)(
+        (rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))
+      .toDF("id_a", "id_b")
+    val local = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toSet
+    spark.conf.set("graft.cc.localMaxEdges", "0")
+    try {
+      val dist = Dedup.connectedComponents(pairs)
+        .as[(Long, Long)].collect().toSet
+      assert(local == dist)
+      assert(local.nonEmpty)
+    } finally spark.conf.unset("graft.cc.localMaxEdges")
+  }
+
   test("end-to-end: minhash pairs -> clusters on the planted corpus") {
     val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
     val pairs = DedupApprox.minhashPairs(docs, "doc_id", "text", threshold = 0.5)

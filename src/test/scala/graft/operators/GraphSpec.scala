@@ -48,6 +48,42 @@ class GraphSpec extends SparkSpec {
     assert(Seq(1L, 2L, 3L, 4L).map(got).distinct.size == 1) // leaves tie
   }
 
+  test("size-adaptive local path matches the distributed loop bit-for-bit") {
+    // round 16: small edge lists evaluate on the driver; the pinned
+    // localMaxEdges=0 parameter forces the distributed loop on the
+    // SAME input — the fixed-point contract makes them bit-equal.
+    val rnd = new scala.util.Random(16)
+    val pairs = Seq.fill(400)(
+        (rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+      .filter(p => p._1 != p._2)
+    val df = pairs.toDF("id_a", "id_b")
+    val local = run(pairs)
+    val sym = df.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(df.select(col("id_b").as("src"), col("id_a").as("dst")))
+    val dist = Graph.pageRank(sym, "src", "dst",
+        localMaxEdges = Some(0L))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(local == dist)
+  }
+
+  test("weighted: size-adaptive local path matches the distributed loop") {
+    val rnd = new scala.util.Random(17)
+    val pairs = Seq.fill(300)((rnd.nextInt(50).toLong,
+        rnd.nextInt(50).toLong, (rnd.nextInt(9) + 1).toLong))
+      .filter(p => p._1 != p._2)
+    val df = pairs.toDF("id_a", "id_b", "w")
+    def sym = df.select(col("id_a").as("src"), col("id_b").as("dst"),
+        col("w"))
+      .union(df.select(col("id_b").as("src"), col("id_a").as("dst"),
+        col("w")))
+    val local = Graph.pageRankWeighted(sym, "src", "dst", "w")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dist = Graph.pageRankWeighted(sym, "src", "dst", "w",
+        localMaxEdges = Some(0L))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(local == dist)
+  }
+
   test("directed edge list: dangling mass drops, ranks match the reference replay") {
     // 1→2→3 with 3 dangling: pseudo-PageRank (documented in Graph).
     val edges = Seq((1L, 2L), (2L, 3L))
